@@ -1,13 +1,265 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Driver contract — registry of every implemented operator
+  * (SURVEY.md §2) as `(SparkSession, sfDir) => DataFrame`, each paired
+  * with a DuckDB oracle in `oracleSql`.
+  *
+  * Determinism conventions (the driver hash-compares results):
+  *  - every query ends in an explicit orderBy over null-free keys (or
+  *    uses NULLS FIRST on both sides — Spark's ASC default);
+  *  - money/double aggregates are cast to decimal BEFORE summing: exact,
+  *    associative, engine- and partition-order-independent;
+  *  - column names are aliased identically in Spark and oracle SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import Tables._
+
+  /** Zip-mode multiline input fixture: blank/whitespace-only lines are
+    * dropped before positional assignment (OBP.js:297-298).
+    */
+  val zipText: String =
+    "alpha\n\nbeta\ngamma\n   \ndelta\nepsilon\nzeta\n\neta\ntheta"
+  /** The same input as a DuckDB e'' literal (escapes handled by Verify). */
+  val zipTextSql: String =
+    "e'alpha\\n\\nbeta\\ngamma\\n   \\ndelta\\nepsilon\\nzeta\\n\\neta\\ntheta'"
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Broadcast-constant bulk update (the reference's main path): scan →
+    * visibility filter → read-only mask → conditional update → project.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("bu_broadcast")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference core: bulk update (SURVEY §2.1) ----
+    "bu_broadcast" -> ((s, d) => {
+      val li = lineitem(s, d)
+      BulkUpdate.broadcastUpdate(li, "l_linestatus", lit("U"),
+          visible = col("l_quantity") > 25,
+          readOnly = col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_linestatus"))
+        // sort over ALL output columns: (l_orderkey, l_linenumber) is not
+        // unique, and a total output order keeps the dump deterministic
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_linestatus"))
+    }),
+    "bu_zip" -> ((s, d) => {
+      // orders: o_orderkey is a genuine unique document-order key
+      // ((l_orderkey, l_linenumber) is NOT unique in the fixtures)
+      BulkUpdate.zipUpdate(orders(s, d), "o_orderpriority", zipText,
+          orderKeys = Seq("o_orderkey"),
+          visible = col("o_orderstatus") === "O",
+          readOnly = col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "bu_outcome" -> ((s, d) =>
+      BulkUpdate.outcome(lineitem(s, d),
+        visible = col("l_quantity") > 25,
+        readOnly = col("l_returnflag") === "R")),
+    "bu_readonly_guard" -> ((s, d) =>
+      BulkUpdate.readOnlyGuard(lineitem(s, d),
+        readOnly = col("l_returnflag") === "R")),
+    "bu_split_lines" -> ((s, d) => {
+      // O7 standalone: parse the multiline fixture inside the engine
+      val df = s.range(1).select(lit(zipText).as("raw"))
+      df.select(posexplode(filter(split(col("raw"), "\n"),
+          x => trim(x) =!= "")).as(Seq("pos", "line")))
+        .orderBy(col("pos"))
+    }),
+    "bu_bool_coerce" -> ((s, d) => {
+      import s.implicits._
+      val vals = Seq("true", "True", "TRUE", " true ", "false", "FALSE",
+        "1", "yes", "", "truthy").toDF("raw")
+      vals.select(col("raw"), BulkUpdate.coerceBoolean(col("raw")).as("coerced"))
+        .orderBy(col("raw"))
+    }),
+    "bu_int_clamp" -> ((s, d) => {
+      import s.implicits._
+      val vals = Seq("400", "0", "-100", "7", "-1", "250", "abc", " 42 ", "3.9")
+        .toDF("raw")
+      vals.select(col("raw"), BulkUpdate.parseClampInt(col("raw")).as("clamped"))
+        .orderBy(col("raw"))
+    }),
+    "bu_limit" -> ((s, d) =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .limit(500)),
+
+    // ---- relational breadth (SURVEY §2.2) ----
+    "rel_pricing_summary" -> ((s, d) => Relational.pricingSummary(lineitem(s, d))),
+    "rel_revenue_by_region" -> ((s, d) =>
+      Relational.revenueByRegion(lineitem(s, d), orders(s, d), customer(s, d),
+        nation(s, d), region(s, d))),
+    "rel_semi_join" -> ((s, d) => Relational.customersWithOrders(customer(s, d), orders(s, d))),
+    "rel_anti_join" -> ((s, d) => Relational.customersWithoutOrders(customer(s, d), orders(s, d))),
+    "rel_window_topk" -> ((s, d) => Relational.topOrdersPerCustomer(orders(s, d), 3)),
+    "rel_window_running" -> ((s, d) => Relational.runningLineTotals(lineitem(s, d))),
+    "rel_sort_topk" -> ((s, d) => Relational.topKByPrice(lineitem(s, d), 100)),
+    "rel_union" -> ((s, d) => Relational.nationKeysUnion(customer(s, d), supplier(s, d))),
+    "rel_intersect" -> ((s, d) => Relational.nationKeysIntersect(customer(s, d), supplier(s, d))),
+    "rel_except" -> ((s, d) => Relational.nationKeysExcept(customer(s, d), supplier(s, d))),
+    "rel_rollup" -> ((s, d) => Relational.orderRollup(orders(s, d))),
+    "rel_cube" -> ((s, d) => Relational.lineitemCube(lineitem(s, d))),
+    "rel_count_distinct" -> ((s, d) => Relational.distinctPartsPerSupplier(lineitem(s, d))),
+    "rel_range_join" -> ((s, d) => Relational.partSizeBuckets(part(s, d))),
+    "rel_asof_join" -> ((s, d) => Relational.asofLatestOrder(events(s, d), orders(s, d))),
+  )
+
+  /** DuckDB-dialect oracle per query (same parquet tables, driver-run). */
+  def oracleSql: Map[String, String] = Map(
+    "bu_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        | CASE WHEN l_quantity > 25 AND NOT (l_returnflag = 'R') THEN 'U'
+        |      ELSE l_linestatus END AS l_linestatus
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus""".stripMargin,
+    "bu_zip" ->
+      s"""WITH ls AS (
+        |  SELECT list_filter(string_split($zipTextSql, chr(10)),
+        |                     x -> trim(x) <> '') AS l),
+        |vals AS (
+        |  SELECT unnest(l) AS newval, generate_subscripts(l, 1) - 1 AS pos FROM ls),
+        |vis AS (
+        |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+        |  FROM orders WHERE o_orderstatus = 'O'),
+        |upd AS (
+        |  SELECT v.o_orderkey, newval FROM vis v JOIN vals USING (pos))
+        |SELECT t.o_orderkey, t.o_orderstatus,
+        |  CASE WHEN u.newval IS NOT NULL AND NOT (t.o_orderpriority = '1-URGENT')
+        |       THEN u.newval ELSE t.o_orderpriority END AS o_orderpriority
+        |FROM orders t
+        |LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
+        |ORDER BY t.o_orderkey""".stripMargin,
+    "bu_outcome" ->
+      """SELECT
+        | count(CASE WHEN l_quantity > 25 AND NOT (l_returnflag = 'R') THEN 1 END) AS n_updated,
+        | count(CASE WHEN l_quantity > 25 AND l_returnflag = 'R' THEN 1 END) AS n_skipped_readonly,
+        | count(CASE WHEN NOT (l_quantity > 25) THEN 1 END) AS n_hidden,
+        | count(*) AS n_total
+        |FROM lineitem""".stripMargin,
+    "bu_readonly_guard" ->
+      """SELECT max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_readonly,
+        | count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_readonly
+        |FROM lineitem""".stripMargin,
+    "bu_split_lines" ->
+      s"""WITH ls AS (
+        |  SELECT list_filter(string_split($zipTextSql, chr(10)),
+        |                     x -> trim(x) <> '') AS l)
+        |SELECT generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS line
+        |FROM ls ORDER BY pos""".stripMargin,
+    "bu_bool_coerce" ->
+      """SELECT raw, lower(trim(raw)) = 'true' AS coerced
+        |FROM (VALUES ('true'),('True'),('TRUE'),(' true '),('false'),('FALSE'),
+        |             ('1'),('yes'),(''),('truthy')) t(raw)
+        |ORDER BY raw""".stripMargin,
+    "bu_int_clamp" ->
+      """SELECT raw,
+        | greatest(0, CAST(floor(TRY_CAST(raw AS DOUBLE)) AS INT)) AS clamped
+        |FROM (VALUES ('400'),('0'),('-100'),('7'),('-1'),('250'),('abc'),
+        |             (' 42 '),('3.9')) t(raw)
+        |ORDER BY raw""".stripMargin,
+    "bu_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 500""".stripMargin,
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+        | sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS sum_disc_price,
+        | sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS sum_charge,
+        | count(*) AS count_order,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_revenue_by_region" ->
+      """SELECT r_name,
+        | sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "rel_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_anti_join" ->
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_window_topk" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice, rk
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC, o_orderkey ASC) AS rk
+        |      FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "rel_window_running" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | CAST(l_quantity AS DECIMAL(18,4)) AS qty,
+        | sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+        | lag(CAST(l_quantity AS DECIMAL(18,4)), 1) OVER (
+        |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS prev_qty,
+        | lead(CAST(l_quantity AS DECIMAL(18,4)), 1) OVER (
+        |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS next_qty,
+        | rank() OVER (PARTITION BY l_orderkey
+        |              ORDER BY CAST(l_quantity AS DECIMAL(18,4)) DESC,
+        |                       l_linenumber, l_partkey, l_suppkey) AS rank_in_order
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "rel_sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,4)) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "rel_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+    "rel_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+    "rel_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
+    "rel_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "rel_count_distinct" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    "rel_range_join" ->
+      """SELECT bucket, count(*) AS n_parts, min(p_size) AS min_size, max(p_size) AS max_size
+        |FROM part
+        |JOIN (VALUES (0, 9, 'small'), (10, 29, 'medium'), (30, 1000, 'large')) b(lo, hi, bucket)
+        |  ON p_size >= lo AND p_size <= hi
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "rel_asof_join" ->
+      """SELECT event_id, asof_orderkey, asof_orderdate FROM (
+        |  SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+  )
 }

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated fixture tables (TESTDATA.md /
+  * FIXTURES.md). One parquet file per table under the scale-factor dir.
+  *
+  * All reads go through `spark.read.parquet` so Catalyst's vectorized
+  * reader, predicate pushdown, and column pruning apply. At cluster
+  * scale the same call reads a partitioned directory tree; nothing here
+  * assumes a single file.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.ts` is physically INT64 TIMESTAMP(NANOS) parquet
+    * (FIXTURES.md). Spark's vectorized reader cannot decode nanos as
+    * TimestampType; read them as raw longs (legacy conf) and convert to
+    * microsecond timestamps ourselves so downstream window/watermark
+    * logic sees a plain TimestampType column.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw // already a timestamp (reader handled nanos natively)
+    }
+  }
+}

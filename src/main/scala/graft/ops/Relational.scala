@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational breadth (SURVEY.md §2.2): scans, filter/project, joins of
+  * every flavor, hash aggregation, windows, sorts/top-k, set ops,
+  * cube/rollup. Everything here composes built-in Catalyst operators —
+  * predicate pushdown, column pruning, partial aggregation, broadcast
+  * join selection and AQE come for free (SURVEY.md §4.2).
+  *
+  * Scale conventions:
+  *  - dimension tables (region/nation/customer/supplier/part at TPC-H
+  *    ratios) are broadcast explicitly — the fact table never shuffles
+  *    for a dim join;
+  *  - fact-fact joins (lineitem ⋈ orders) stay as shuffle joins on the
+  *    join key so AQE can re-plan skew;
+  *  - top-k is orderBy+limit (TakeOrderedAndProject: per-partition heap,
+  *    no global sort);
+  *  - per-group top-k uses a window partitioned by the group key —
+  *    shuffles once on the key, never a global single-partition window.
+  */
+object Relational {
+
+  /** Decimal(18,4) cast for money arithmetic: decimal sums are exact and
+    * associative, so results are independent of partitioning/merge order
+    * (double sums are not — they'd flap under AQE and between engines).
+    */
+  def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** Money columns carry exactly 2 decimal digits (TPC-H convention), so
+    * a (12,2)/(4,2) cast is EXACT — no rounding happens at all, and all
+    * downstream arithmetic is pure decimal: associative, engine- and
+    * partition-order-independent. Never round a multi-factor double
+    * product (engines disagree on half-ulp ties).
+    */
+  private def money(c: Column): Column = c.cast("decimal(12,2)")
+  private def rate(c: Column): Column  = c.cast("decimal(4,2)")
+
+  /** l_extendedprice * (1 - l_discount), exact decimal. */
+  def discPrice: Column = money(col("l_extendedprice")) * rate(lit(1) - col("l_discount"))
+  /** l_extendedprice * (1 - l_discount) * (1 + l_tax), exact decimal. */
+  def charge: Column = discPrice * rate(lit(1) + col("l_tax"))
+
+  /** Pricing summary (TPC-H Q1 shape): hash agg with automatic
+    * partial+final phases; one shuffle on the two group keys.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(money(col("l_extendedprice"))).as("sum_base_price"),
+        sum(discPrice).as("sum_disc_price"),
+        sum(charge).as("sum_charge"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Star join: fact ⋈ broadcast dims up the FK chain
+    * lineitem→orders→customer→nation→region. Only lineitem⋈orders
+    * shuffles; every dim is broadcast.
+    */
+  def revenueByRegion(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(discPrice).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"))
+
+  /** Left-semi join: EXISTS. The orders side is reduced to its join key
+    * before the shuffle (semi join needs no payload columns).
+    */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Left-anti join: NOT EXISTS. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal").cast("decimal(18,2)").as("acctbal"))
+      .orderBy(col("c_custkey"))
+
+  /** Per-group top-k via ranked window: one shuffle on the partition key;
+    * ties broken by orderkey so the result is deterministic.
+    */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Window frames: running sum / lag / lead within an order, frame
+    * ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW. Decimal input so
+    * the running sum is exact (engine-order independent).
+    *
+    * (l_orderkey, l_linenumber) is NOT unique in the fixtures; the window
+    * order key includes l_partkey/l_suppkey to make the within-partition
+    * order total — an ambiguous window order would make lag/lead
+    * nondeterministic across engines.
+    */
+  def runningLineTotals(lineitem: DataFrame): DataFrame = {
+    val ord = Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(ord: _*)
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), dec(col("l_quantity")).as("qty"))
+      .withColumn("running_qty",
+        sum(col("qty")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_qty", lag(col("qty"), 1).over(w))
+      .withColumn("next_qty", lead(col("qty"), 1).over(w))
+      .withColumn("rank_in_order", rank().over(
+        Window.partitionBy(col("l_orderkey")).orderBy((col("qty").desc +: ord): _*)))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+  }
+
+  /** Global top-k: planned as TakeOrderedAndProject (per-partition heap +
+    * driver merge of k rows), not a full sort — the shape that survives
+    * 100 TB.
+    */
+  def topKByPrice(lineitem: DataFrame, k: Int): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec(col("l_extendedprice")).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(k)
+
+  /** Set operations over the customer/supplier nation domains. */
+  def nationKeysUnion(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nk"))
+      .union(supplier.select(col("s_nationkey").as("nk")))
+      .distinct().orderBy(col("nk"))
+
+  def nationKeysIntersect(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nk"))
+      .intersect(supplier.select(col("s_nationkey").as("nk")))
+      .orderBy(col("nk"))
+
+  def nationKeysExcept(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nk"))
+      .except(supplier.select(col("s_nationkey").as("nk")))
+      .orderBy(col("nk"))
+
+  /** ROLLUP over order status/priority: partial aggregation still applies;
+    * the grouping-id column disambiguates subtotal rows for the oracle.
+    */
+  def orderRollup(orders: DataFrame): DataFrame =
+    orders.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** CUBE over return flag/line status. */
+  def lineitemCube(lineitem: DataFrame): DataFrame =
+    lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Exact + approximate distinct aggregation. The HLL++ estimate is
+    * engine-specific so only the exact column is oracle-checked; the
+    * approx column is exercised in the ScalaTest spec instead.
+    */
+  def distinctPartsPerSupplier(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+           countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_suppkey"))
+
+  /** Theta (range) join: band join of part sizes against a tiny literal
+    * bucket table — broadcast nested-loop on a BETWEEN condition.
+    */
+  def partSizeBuckets(part: DataFrame): DataFrame = {
+    val spark = part.sparkSession
+    import spark.implicits._
+    val buckets = Seq((0, 9, "small"), (10, 29, "medium"), (30, 1000, "large"))
+      .toDF("lo", "hi", "bucket")
+    part.join(broadcast(buckets),
+        col("p_size") >= col("lo") && col("p_size") <= col("hi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_parts"),
+           min(col("p_size")).as("min_size"),
+           max(col("p_size")).as("max_size"))
+      .orderBy(col("bucket"))
+  }
+
+  /** As-of join: latest order at-or-before each event timestamp for the
+    * matching customer. Spark lacks a native ASOF join; the scalable
+    * composition is equi-join on the key + max_by aggregation (one
+    * shuffle, no windows). DuckDB's native ASOF JOIN is the oracle.
+    */
+  def asofLatestOrder(events: DataFrame, orders: DataFrame): DataFrame =
+    events.select(col("event_id"), col("user_id"), col("ts"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
+        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"),
+        "inner")
+      .groupBy(col("event_id"))
+      .agg(max_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey"))).as("asof_orderkey"),
+           max(col("o_orderdate")).as("asof_orderdate"))
+      .orderBy(col("event_id"))
+}
