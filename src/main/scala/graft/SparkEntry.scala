@@ -70,6 +70,7 @@ object SparkEntry {
       val df = s.range(1).select(lit(zipText).as("raw"))
       df.select(posexplode(filter(split(col("raw"), "\n"),
           x => trim(x) =!= "")).as(Seq("pos", "line")))
+        .select(col("pos").cast("long").as("pos"), col("line"))
         .orderBy(col("pos"))
     }),
     "bu_bool_coerce" -> ((s, d) => {
@@ -110,7 +111,57 @@ object SparkEntry {
     "rel_count_distinct" -> ((s, d) => Relational.distinctPartsPerSupplier(lineitem(s, d))),
     "rel_range_join" -> ((s, d) => Relational.partSizeBuckets(part(s, d))),
     "rel_asof_join" -> ((s, d) => Relational.asofLatestOrder(events(s, d), orders(s, d))),
+
+    // ---- scalar function families (SURVEY §2.2 "Scalar functions") ----
+    "sca_string" -> ((s, d) => Scalar.stringFunctions(part(s, d))),
+    "sca_date" -> ((s, d) => Scalar.dateFunctions(orders(s, d))),
+    "sca_math" -> ((s, d) => Scalar.mathFunctions(lineitem(s, d))),
+    "sca_array" -> ((s, d) => Scalar.arrayFunctions(embeddings(s, d))),
+    "sca_json" -> ((s, d) => Scalar.jsonFunctions(events(s, d))),
+    "sca_conditional" -> ((s, d) => Scalar.conditionalFunctions(customer(s, d))),
+
+    // ---- text analysis (LLM-pipeline operators) ----
+    "txt_stats" -> ((s, d) => Text.docStats(documents(s, d))),
+    "txt_lang_dist" -> ((s, d) => Text.langDistribution(documents(s, d))),
+    "txt_quality" -> ((s, d) => Text.qualityScore(documents(s, d))),
+    "txt_token_freq" -> ((s, d) => Text.tokenFrequency(documents(s, d), 50)),
+    "txt_bigrams" -> ((s, d) => Text.bigramFrequency(documents(s, d), 30)),
+    "txt_langid" -> ((s, d) => Text.languageId(documents(s, d))),
+    "txt_fingerprint" -> ((s, d) => Text.fingerprint(documents(s, d))),
+
+    // ---- streaming-window batch analogs (same fns drive readStream) ----
+    "str_tumbling" -> ((s, d) =>
+      graft.streaming.StreamingOps.tumblingCounts(events(s, d), "1 hour")
+        .orderBy(col("window_start"), col("event_type"))),
+    "str_sliding" -> ((s, d) =>
+      graft.streaming.StreamingOps.slidingCounts(events(s, d), "1 hour", "30 minutes")
+        .orderBy(col("window_start"), col("event_type"))),
+    "str_session" -> ((s, d) =>
+      graft.streaming.StreamingOps.sessionize(events(s, d), 30)),
   )
+
+  /** txt_langid oracle, generated from the same profile constants the
+    * Spark operator uses (argmax with declaration-order tie-break).
+    */
+  private def langIdOracle: String = {
+    val scores = Text.langProfiles.map { case (name, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($list))) AS score_$name"
+    }.mkString(",\n ")
+    // fold order: profile i wins iff strictly greater than all before it
+    val names = Text.langProfiles.map(_._1)
+    val cases = names.zipWithIndex.reverse.init.map { case (n, i) =>
+      val prev = names.take(i).map("score_" + _).mkString(", ")
+      val cmp = if (i == 1) s"score_$n > $prev" else s"score_$n > greatest($prev)"
+      s"WHEN $cmp THEN '$n'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, ${names.map("score_" + _).mkString(", ")},
+       | CASE $cases ELSE '${names.head}' END AS predicted_lang
+       |FROM (SELECT doc_id, lang, text,
+       |  $scores
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB-dialect oracle per query (same parquet tables, driver-run). */
   def oracleSql: Map[String, String] = Map(
@@ -161,7 +212,7 @@ object SparkEntry {
         |ORDER BY raw""".stripMargin,
     "bu_int_clamp" ->
       """SELECT raw,
-        | greatest(0, CAST(floor(TRY_CAST(raw AS DOUBLE)) AS INT)) AS clamped
+        | greatest(0, CAST(floor(TRY_CAST(raw AS DOUBLE)) AS BIGINT)) AS clamped
         |FROM (VALUES ('400'),('0'),('-100'),('7'),('-1'),('250'),('abc'),
         |             (' 42 '),('3.9')) t(raw)
         |ORDER BY raw""".stripMargin,
@@ -261,5 +312,130 @@ object SparkEntry {
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "sca_string" ->
+      """SELECT p_partkey, p_name,
+        | upper(p_name) AS name_upper,
+        | lower(p_brand) AS brand_lower,
+        | substring(p_name, 1, 8) AS name_prefix,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
+        | lpad(p_brand, 12, '*') AS brand_padded,
+        | reverse(p_type) AS type_reversed,
+        | length(p_name) AS name_len,
+        | len(string_split(p_name, ' ')) AS name_words
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "sca_date" ->
+      """SELECT o_orderkey, o_orderdate,
+        | year(o_orderdate) AS o_year,
+        | month(o_orderdate) AS o_month,
+        | day(o_orderdate) AS o_day,
+        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        | CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+        | CAST(o_orderdate AS DATE) + 30 AS due_date,
+        | date_diff('day', DATE '1994-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "sca_math" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | abs(l_quantity - 25.0) AS qty_dev,
+        | CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        | CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+        | sqrt(l_extendedprice) AS price_sqrt,
+        | l_partkey % 10 AS partkey_mod,
+        | l_quantity * l_quantity AS qty_sq
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "sca_array" ->
+      """SELECT vec_id,
+        | len(embedding) AS dim,
+        | CAST(embedding[1] AS DOUBLE) AS first_val,
+        | embedding[1:3] AS head3,
+        | list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "sca_json" ->
+      """SELECT event_id,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sca_conditional" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_mktsegment = 'BUILDING' THEN 'B'
+        |      WHEN c_mktsegment = 'AUTOMOBILE' THEN 'A'
+        |      ELSE 'other' END AS segment_code,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), 'suppressed') AS segment_or_suppressed,
+        | CAST(least(c_acctbal, 5000.0) AS DECIMAL(12,2)) AS capped_bal,
+        | CAST(greatest(c_nationkey, 10) AS BIGINT) AS floored_nation
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "txt_stats" ->
+      """SELECT doc_id, lang, length(text) AS n_chars_calc,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+        | len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_lang_dist" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS share
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "txt_quality" ->
+      """SELECT doc_id, n_tokens, n_stopwords,
+        | CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+        | (n_chars >= 100 AND CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.05
+        |   AND CAST(n_stopwords AS DOUBLE) / n_tokens <= 0.6) AS is_quality
+        |FROM (SELECT doc_id, length(text) AS n_chars,
+        |        len(string_split(text, ' ')) AS n_tokens,
+        |        len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','and','of','to','in','is','data','row','value'))) AS n_stopwords
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "txt_token_freq" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "txt_bigrams" ->
+      """SELECT bigram, count(*) AS n
+        |FROM (SELECT unnest(list_transform(generate_series(1, len(ls) - 1),
+        |               i -> ls[i] || ' ' || ls[i + 1])) AS bigram
+        |      FROM (SELECT string_split(lower(text), ' ') AS ls FROM documents) s) t
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin,
+    "txt_langid" -> langIdOracle,
+    "txt_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(text, ' '),
+        |       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "str_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "str_sliding" ->
+      """SELECT window_start, event_type, count(*) AS n
+        |FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+        |             AS window_start, event_type
+        |      FROM events) t
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "str_session" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_break
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts, value,
+        |         CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM y)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
   )
 }

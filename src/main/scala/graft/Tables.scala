@@ -36,7 +36,9 @@ object Tables {
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integral division: `/` on longs is double division, and micros
+        // since epoch exceed 2^53 in nanos — double round-trip loses µs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw // already a timestamp (reader handled nanos natively)
     }
   }

@@ -123,7 +123,7 @@ object BulkUpdate {
     * validation gate, OBP.js:287-290).
     */
   def parseClampInt(value: Column): Column =
-    greatest(lit(0), floor(value.try_cast(DoubleType)).try_cast(IntegerType))
+    greatest(lit(0L), floor(value.try_cast(DoubleType)).try_cast(LongType))
 
   /** O21 — validation gate: reject empty value / empty list / invalid
     * wait before any execution (OBP.js:277-303). Driver-side check, like

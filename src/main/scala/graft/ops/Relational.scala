@@ -51,10 +51,10 @@ object Relational {
       .filter(col("l_quantity") > 0)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).as("sum_qty"),
-        sum(money(col("l_extendedprice"))).as("sum_base_price"),
-        sum(discPrice).as("sum_disc_price"),
-        sum(charge).as("sum_charge"),
+        sum(dec(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
+        sum(discPrice).cast("decimal(38,4)").as("sum_disc_price"),
+        sum(charge).cast("decimal(38,6)").as("sum_charge"),
         count(lit(1)).as("count_order"),
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -72,7 +72,7 @@ object Relational {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        sum(discPrice).as("revenue"),
+        sum(discPrice).cast("decimal(38,4)").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"))
 
@@ -101,7 +101,7 @@ object Relational {
     orders
       .select(col("o_custkey"), col("o_orderkey"),
         dec(col("o_totalprice")).as("totalprice"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .orderBy(col("o_custkey"), col("rk"))
   }
@@ -122,11 +122,11 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), dec(col("l_quantity")).as("qty"))
       .withColumn("running_qty",
-        sum(col("qty")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sum(col("qty")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("decimal(38,4)"))
       .withColumn("prev_qty", lag(col("qty"), 1).over(w))
       .withColumn("next_qty", lead(col("qty"), 1).over(w))
       .withColumn("rank_in_order", rank().over(
-        Window.partitionBy(col("l_orderkey")).orderBy((col("qty").desc +: ord): _*)))
+        Window.partitionBy(col("l_orderkey")).orderBy((col("qty").desc +: ord): _*)).cast("long"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
   }
 
@@ -162,13 +162,13 @@ object Relational {
     */
   def orderRollup(orders: DataFrame): DataFrame =
     orders.rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).as("total"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("decimal(38,4)").as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** CUBE over return flag/line status. */
   def lineitemCube(lineitem: DataFrame): DataFrame =
     lineitem.cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Exact + approximate distinct aggregation. The HLL++ estimate is

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function coverage (SURVEY.md §2.2 "Scalar functions"): the
+  * reference's own scalar surface is trim/split/lower/equality/parseInt/
+  * min/round (O7–O10, O15); the engine exposes the full families —
+  * string, date, math, array, map, JSON — as plain `functions._`
+  * compositions so everything stays inside whole-stage codegen.
+  *
+  * Cross-engine parity notes (DuckDB oracle):
+  *  - integer division / casts go through explicit floor (DuckDB CAST
+  *    rounds, Spark truncates);
+  *  - counts/lengths are cast to LongType (DuckDB len/count are BIGINT);
+  *  - float math sticks to operations with exact IEEE semantics (sqrt,
+  *    abs, +,*) or single divisions — never rounded multi-op chains.
+  */
+object Scalar {
+
+  /** String family over part names: trim/upper/lower/substring/concat/
+    * replace/lpad/reverse/length/split.
+    */
+  def stringFunctions(part: DataFrame): DataFrame =
+    part.select(
+        col("p_partkey"),
+        col("p_name"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        lpad(col("p_brand"), 12, "*").as("brand_padded"),
+        reverse(col("p_type")).as("type_reversed"),
+        length(col("p_name")).cast("long").as("name_len"),
+        size(split(col("p_name"), " ")).cast("long").as("name_words"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time family over orders: extract fields, truncate, offset,
+    * day difference against a fixed epoch.
+    */
+  def dateFunctions(orders: DataFrame): DataFrame =
+    orders.select(
+        col("o_orderkey"),
+        col("o_orderdate"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_trunc("quarter", col("o_orderdate")).as("quarter_start"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        datediff(col("o_orderdate").cast("date"), lit("1994-01-01").cast("date"))
+          .cast("long").as("days_since_epoch"))
+      .orderBy(col("o_orderkey"))
+
+  /** Math family over lineitem: abs/ceil/floor/sqrt/mod/power on
+    * parity-exact operations only.
+    */
+  def mathFunctions(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        abs(col("l_quantity") - 25.0).as("qty_dev"),
+        ceil(col("l_discount") * 100).cast("long").as("disc_pct_ceil"),
+        floor(col("l_tax") * 100).cast("long").as("tax_pct_floor"),
+        sqrt(col("l_extendedprice")).as("price_sqrt"),
+        (col("l_partkey") % 10).as("partkey_mod"),
+        (col("l_quantity") * col("l_quantity")).as("qty_sq"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+
+  /** Array family over embeddings: size / element access / slice /
+    * fold-based L2 norm — the building blocks the similarity operators
+    * reuse. The fold seeds 0.0 then adds left-to-right, which matches
+    * any in-order list sum exactly (0.0 + x == x in IEEE).
+    */
+  def arrayFunctions(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        slice(col("embedding"), 1, 3).as("head3"),
+        aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("norm_sq"))
+      .orderBy(col("vec_id"))
+
+  /** JSON family over events.props (JSON text): extract + typed cast. */
+  def jsonFunctions(events: DataFrame): DataFrame =
+    events.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+      .orderBy(col("event_id"))
+
+  /** Conditional family over customer: CASE/coalesce/nullif/least/
+    * greatest. (Both Spark and DuckDB least/greatest skip NULLs.)
+    */
+  def conditionalFunctions(customer: DataFrame): DataFrame =
+    customer.select(
+        col("c_custkey"),
+        when(col("c_mktsegment") === "BUILDING", "B")
+          .when(col("c_mktsegment") === "AUTOMOBILE", "A")
+          .otherwise("other").as("segment_code"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("suppressed"))
+          .as("segment_or_suppressed"),
+        least(col("c_acctbal").cast("decimal(12,2)"), lit(5000).cast("decimal(12,2)"))
+          .as("capped_bal"),
+        greatest(col("c_nationkey"), lit(10)).cast("long").as("floored_nation"))
+      .orderBy(col("c_custkey"))
+}

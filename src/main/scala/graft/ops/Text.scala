@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline half of the engine (BASELINE.json north star):
+  * token statistics, language distribution, quality scoring, language
+  * identification, n-grams, document fingerprinting.
+  *
+  * Everything is expression-level (`functions._` + higher-order array
+  * functions), so the operators run inside whole-stage codegen and scale
+  * linearly with document count: no UDFs, no driver-side loops, and the
+  * only shuffles are the final aggregations (token/bigram frequency).
+  */
+object Text {
+
+  /** Whitespace tokenization as a column expression. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Portable 32-bit token hash: first 8 hex digits of md5, parsed as a
+    * long. md5 is bit-identical across engines (unlike murmur/xxhash
+    * builtins), which is what makes fingerprints/minhash oracle-checkable.
+    */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  /** Per-document statistics: length, token count, avg token length,
+    * uppercase-free check. Single projection, no shuffle.
+    */
+  def docStats(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(tokens(col("text"))).cast("double")).as("avg_token_len"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus language distribution with share-of-total. The total rides
+    * along via a single-row broadcast join (no global window).
+    */
+  def langDistribution(documents: DataFrame): DataFrame = {
+    val counts = documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val total = documents.agg(count(lit(1)).as("n_total"))
+    counts.join(broadcast(total))
+      .select(col("lang"), col("n"),
+        (col("n").cast("double") / col("n_total").cast("double")).as("share"))
+      .orderBy(col("lang"))
+  }
+
+  /** Stopword-ratio quality scoring (array-native: no explode, no
+    * shuffle). A doc is "quality" if long enough and with a sane
+    * stopword share — the standard cheap pretraining filter shape.
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "data", "row", "value")
+
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double")
+    documents.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("long").as("n_stopwords"),
+        (nStop / nTok).as("stopword_ratio"),
+        (length(col("text")) >= 100 && (nStop / nTok) >= lit(0.05) &&
+          (nStop / nTok) <= lit(0.6)).as("is_quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token frequency top-k: explode → hash agg → TakeOrderedAndProject.
+    * Deterministic because (count, token) is a total order.
+    */
+  def tokenFrequency(documents: DataFrame, k: Int): DataFrame =
+    documents.select(explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Bigram frequency top-k. Bigrams are built array-natively per doc
+    * (size-1 guard for single-token docs), then exploded once.
+    */
+  def bigramFrequency(documents: DataFrame, k: Int): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val bigrams = when(size(toks) > 1,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    documents.select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(k)
+  }
+
+  /** Language ID by stopword-profile hit counting (classic cheap n-gram/
+    * wordlist heuristic). Profiles are tiny literal wordlists; the
+    * prediction is the argmax with a fixed tie order — fully
+    * deterministic and engine-portable.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni"))
+
+  def languageId(documents: DataFrame): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val scored = langProfiles.foldLeft(documents.select(col("doc_id"), col("lang"), col("text"))) {
+      case (df, (name, words)) =>
+        df.withColumn(s"score_$name",
+          size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("long"))
+    }
+    // argmax with fixed tie order = profile declaration order
+    val best = langProfiles.map(_._1).foldLeft((lit(-1L), lit("und"))) {
+      case ((bestScore, bestLang), name) =>
+        val s = col(s"score_$name")
+        (when(s > bestScore, s).otherwise(bestScore),
+         when(s > bestScore, lit(name)).otherwise(bestLang))
+    }
+    scored
+      .withColumn("predicted_lang", best._2)
+      .drop("text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling polynomial fingerprint over the token stream:
+    * fold(31·acc + h(token) mod P). Associativity is deliberately NOT
+    * assumed — the fold is ordered, and both engines fold left-to-right.
+    */
+  val fpMod = 1000000007L
+
+  def fingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+        col("doc_id"),
+        aggregate(
+          transform(tokens(col("text")), t => tokenHash(t)),
+          lit(0L),
+          (acc, v) => (acc * 31L + v) % fpMod).as("fingerprint"))
+      .orderBy(col("doc_id"))
+}

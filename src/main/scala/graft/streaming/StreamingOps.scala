@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming surface (SURVEY.md §2.2 "Streaming"): the reference's
+  * embryonic reactive pieces — MutationObserver table discovery (O20),
+  * per-row pacing (O14), cancellation (O16), live progress (O15) —
+  * generalized to Structured Streaming: file-source discovery, windowed
+  * aggregation with watermarks, and a rate-limited sink.
+  *
+  * The window/sessionize transforms are written against plain
+  * DataFrames so the SAME function serves batch (DuckDB-oracle-checked)
+  * and streaming (`readStream` + the specs' memory sink): Structured
+  * Streaming's unified model makes the batch run the semantic oracle
+  * for the streaming run.
+  */
+object StreamingOps {
+
+  /** Tumbling window aggregate: one shuffle on (window, event_type).
+    * In streaming mode add `withWatermark` before calling.
+    */
+  def tumblingCounts(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding window aggregate (width > slide ⇒ each event lands in
+    * width/slide windows).
+    */
+  def slidingCounts(events: DataFrame, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Batch sessionization with a max-gap rule: a session break is a gap
+    * > gapMinutes from the previous event of the same user. Two window
+    * passes over the same (user_id, ts) partitioning — Catalyst plans a
+    * single shuffle, both windows reuse the sort.
+    *
+    * The streaming twin is `session_window(col("ts"), gap)`; this batch
+    * formulation is the oracle-checkable equivalent.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // compare in integral microseconds — second-truncating APIs disagree
+    // across engines on sub-second boundary gaps
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        (col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > gapMicros)
+          .cast("long"))
+      .withColumn("session_id",
+        sum(col("is_break")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("ts")).as("session_start"),
+           max(col("ts")).as("session_end"),
+           sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Streaming source over a parquet directory — the O20 analog: new
+    * files are discovered per micro-batch. `maxFilesPerTrigger`
+    * throttles discovery (the O14 rate-limit at source granularity).
+    */
+  def fileStream(spark: SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Watermarked tumbling aggregation for the streaming path: late rows
+    * beyond `lateness` are dropped, state is bounded — the 100 TB-stream
+    * posture (unbounded state is the scale killer, not throughput).
+    */
+  def watermarkedCounts(events: DataFrame, width: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** O14/O16/O17 sink: rate-limited, per-row-error-isolated foreachBatch
+    * writer. Pacing happens per PARTITION (executor-local sleep), so
+    * global throughput = partitions/sec × rowsPerSecPerPartition — the
+    * distributed generalization of the reference's serial 400 ms sleep.
+    * Row failures are counted, never fatal (OBP.js:475-497 semantics);
+    * results surface through the returned accumulators.
+    */
+  def rateLimitedForeach(df: DataFrame, rowsPerSecPerPartition: Int)(
+      commit: Row => Unit): (Long, Long) = {
+    val spark = df.sparkSession
+    val ok = spark.sparkContext.longAccumulator("rows_committed")
+    val err = spark.sparkContext.longAccumulator("rows_failed")
+    val intervalNanos =
+      if (rowsPerSecPerPartition <= 0) 0L else 1000000000L / rowsPerSecPerPartition
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      var nextDeadline = System.nanoTime()
+      rows.foreach { row =>
+        if (intervalNanos > 0) {
+          val now = System.nanoTime()
+          if (now < nextDeadline) Thread.sleep((nextDeadline - now) / 1000000L)
+          nextDeadline = math.max(now, nextDeadline) + intervalNanos
+        }
+        try { commit(row); ok.add(1) }
+        catch { case _: Exception => err.add(1) } // row failure ≠ job failure
+      }
+    }
+    (ok.value, err.value)
+  }
+
+  /** Streaming writer with the same pacing, as a foreachBatch sink. */
+  def rateLimitedStreamWriter(df: DataFrame, rowsPerSecPerPartition: Int)(
+      commit: Row => Unit): DataStreamWriter[Row] =
+    df.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      rateLimitedForeach(batch.toDF(), rowsPerSecPerPartition)(commit)
+      ()
+    }
+
+  /** O16 — cooperative cancellation: tag a job group, cancel it from
+    * another thread; committed work stands (partial results persist,
+    * OBP.js:456-458, 502).
+    */
+  def runCancellable[T](spark: SparkSession, group: String)(body: => T): T = {
+    spark.sparkContext.setJobGroup(group, s"graft cancellable job $group",
+      interruptOnCancel = true)
+    try body finally spark.sparkContext.clearJobGroup()
+  }
+
+  def cancel(spark: SparkSession, group: String): Unit =
+    spark.sparkContext.cancelJobGroup(group)
+}

@@ -21,7 +21,8 @@ def norm(v):
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        s = format(v.normalize(), "f")
+        return s.rstrip("0").rstrip(".") if "." in s else s
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat(timespec="microseconds")
     if isinstance(v, list):
@@ -56,6 +57,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {str(e).splitlines()[0][:160]}")
             n_fail += 1
             continue
+        got_types = dict(zip(got.columns, [str(t) for t in got.types]))
+        exp_types = dict(zip(exp.columns, [str(t) for t in exp.types]))
+        type_diff = {c: (got_types[c], exp_types[c]) for c in got_types
+                     if c in exp_types and got_types[c] != exp_types[c]}
+        if type_diff:
+            print(f"WARN {name}: type mismatch {type_diff}")
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}")
             n_fail += 1
