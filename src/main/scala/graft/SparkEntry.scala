@@ -138,7 +138,99 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))),
     "str_session" -> ((s, d) =>
       graft.streaming.StreamingOps.sessionize(events(s, d), 30)),
+
+    // ---- deduplication (LLM-pipeline operators) ----
+    "dedup_exact" -> ((s, d) => Dedup.exactDedup(documents(s, d))),
+    "dedup_dup_stats" -> ((s, d) => Dedup.exactDupStats(documents(s, d))),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashNearDups(documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(documents(s, d))),
+    "dedup_jaccard" -> ((s, d) => Dedup.jaccardPairs(documents(s, d))),
+
+    // ---- similarity search (LLM-pipeline operators) ----
+    "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d), 8, 5)),
+    "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(embeddings(s, d), 8, 5)),
+
+    // ---- multimodal binary columns ----
+    "mm_meta" -> ((s, d) => Multimodal.metaExpr(documents(s, d))),
   )
+
+  /** dedup_minhash oracle, generated from the same (a,b)/P/band
+    * constants the Spark operator uses.
+    */
+  private def minhashOracle: String = {
+    val sigExprs = Dedup.minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(vs, v -> ($a * v + $b) % ${Dedup.P})) AS sig_$i"
+    }.mkString(",\n  ")
+    val bandKeys = (0 until Dedup.numBands).map { j =>
+      (0 until Dedup.rowsPerBand)
+        .map(r => s"CAST(sig_${j * Dedup.rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+    }
+    val bandList = bandKeys.mkString("[", ",\n    ", "]")
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ls) - 2),
+       |         i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS ss FROM tok),
+       |sh2 AS (SELECT doc_id, ss FROM sh WHERE len(ss) > 0),
+       |v AS (SELECT doc_id, list_transform(ss, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS vs FROM sh2),
+       |sig AS (SELECT doc_id, $sigExprs FROM v),
+       |band AS (SELECT doc_id, unnest($bandList) AS band_key,
+       |         generate_subscripts($bandList, 1) AS band_idx FROM sig),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+       |         FROM band x JOIN band y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |              AND x.doc_id < y.doc_id),
+       |j AS (SELECT doc1, doc2,
+       |        CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+       |          len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
+       |      FROM cand JOIN sh2 a ON a.doc_id = cand.doc1 JOIN sh2 b ON b.doc_id = cand.doc2)
+       |SELECT doc1, doc2, jaccard, jaccard >= 0.8 AS is_near_dup FROM j
+       |ORDER BY doc1, doc2""".stripMargin
+  }
+
+  /** dedup_simhash oracle: 32 conditional bit sums + reassembly. */
+  private def simhashOracle: String = {
+    val bitSums = (0 until 32).map(b =>
+      s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit_$b").mkString(",\n  ")
+    val assemble = (0 until 32).map(b =>
+      s"CASE WHEN bit_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS v
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u),
+       |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared cosine fragment: in-order double fold, two sequential
+    * divisions — mirrors Similarity.cosine exactly.
+    */
+  private val cosineSql =
+    """list_sum(list_transform(list_zip(qe, ce), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |        / sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |        / sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+
+  /** sim_lsh_topk oracle: the hyperplane literals are generated from the
+    * same `Similarity.planes` constants the Spark operator uses.
+    */
+  private def lshOracle: String = {
+    val bucketBits = Similarity.planes.map { p =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"""CASE WHEN list_sum(list_transform(list_zip(CAST($lits AS DOUBLE[]), embedding),
+         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0
+         |   THEN '1' ELSE '0' END""".stripMargin
+    }.mkString(" ||\n   ")
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |   $bucketBits AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 8),
+       |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |        $cosineSql AS sim
+       |      FROM q JOIN (SELECT vec_id, embedding AS ce, bucket FROM b) c USING (bucket)
+       |      WHERE c.vec_id <> query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** txt_langid oracle, generated from the same profile constants the
     * Spark operator uses (argmax with declaration-order tie-break).
@@ -437,5 +529,53 @@ object SparkEntry {
         |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_dup_stats" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies,
+        | min(doc_id) AS keep_doc_id, max(doc_id) AS max_doc_id
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        |ORDER BY text_hash""".stripMargin,
+    "dedup_minhash" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_jaccard" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),
+        |sh AS (SELECT doc_id, lang, len(ls) AS ntok,
+        |         list_distinct(list_transform(generate_series(1, len(ls) - 2),
+        |           i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS ss FROM tok),
+        |d AS (SELECT doc_id,
+        |        lang || '#' || CAST(CAST(floor(ntok / 20) AS BIGINT) AS VARCHAR) AS bucket, ss
+        |      FROM sh WHERE len(ss) > 0)
+        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        |  CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
+        |FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.ss, b.ss))) >= 0.3
+        |ORDER BY doc1, doc2""".stripMargin,
+    "sim_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        $cosineSql AS sim
+        |      FROM q, c WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, sim,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "sim_lsh_topk" -> lshOracle,
+    "mm_meta" ->
+      """SELECT doc_id, 'application/octet-stream' AS mime,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | md5(text) AS digest,
+        | CAST(16 * strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS BIGINT) AS width,
+        | CAST(16 * strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS BIGINT) AS height,
+        | CAST(strpos('0123456789abcdef', substr(md5(text), 3, 1)) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

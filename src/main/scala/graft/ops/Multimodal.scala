@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata, processed in batches by
+  * `mapPartitions` over a typed Dataset (the Scala analog of a
+  * vectorized Python UDF: per-partition batching amortizes codec setup,
+  * and partition count — not row count — bounds memory).
+  *
+  * The actual media DECODE IS A STUB (`decodeStub`): this container has
+  * no image/audio codecs, so the decoder derives deterministic fake
+  * dimensions from the payload digest. Everything around it — binary
+  * schema, batched partition processing, typed metadata output, and the
+  * expression-level twin used for the DuckDB oracle — is real. Swapping
+  * `decodeStub` for a JNI/codec call is the only change needed for real
+  * media.
+  */
+object Multimodal {
+
+  /** A media payload row: the fixture `documents.text` stands in for
+    * the bytes of an image/audio object.
+    */
+  case class MediaRecord(doc_id: Long, content: Array[Byte], mime: String)
+
+  /** Typed metadata extracted per payload. */
+  case class MediaMeta(doc_id: Long, mime: String, n_bytes: Long,
+                       digest: String, width: Long, height: Long,
+                       n_frames: Long)
+
+  /** Ingest: text → UTF-8 binary payload column. */
+  def asMedia(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      lit("application/octet-stream").as("mime"))
+
+  private val hexChars = "0123456789abcdef"
+
+  /** STUB decoder — deterministic fake dimensions derived from the md5
+    * digest (a real implementation would hand `content` to a codec).
+    * width/height ∈ {16,…,256}, frames ∈ {1,…,16}.
+    */
+  def decodeStub(content: Array[Byte]): (Long, Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digest = md.digest(content).map("%02x".format(_)).mkString
+    def hv(i: Int): Long = hexChars.indexOf(digest.charAt(i)).toLong
+    (16L * (hv(0) + 1), 16L * (hv(1) + 1), hv(2) + 1)
+  }
+
+  /** Batched metadata extraction: mapPartitions processes payloads in
+    * fixed-size batches (the shape a real codec wants — reuse one codec
+    * instance per batch, bound peak memory by batch size, stay columnar
+    * on both ends).
+    */
+  def extractMeta(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch setup (codec init in a real decoder)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.map { r =>
+          md.reset()
+          val digest = md.digest(r.content).map("%02x".format(_)).mkString
+          def hv(i: Int): Long = hexChars.indexOf(digest.charAt(i)).toLong
+          MediaMeta(r.doc_id, r.mime, r.content.length.toLong, digest,
+            16L * (hv(0) + 1), 16L * (hv(1) + 1), hv(2) + 1)
+        }
+      }
+    }
+  }
+
+  /** Expression-level twin of `extractMeta` (codegen-friendly, used as
+    * the DuckDB-checkable registry query; the spec asserts it agrees
+    * with the mapPartitions path row-for-row).
+    */
+  def metaExpr(documents: DataFrame): DataFrame = {
+    val media = asMedia(documents)
+    val digest = md5(col("content"))
+    // hex digit value via 1-based locate (mirrors DuckDB strpos)
+    def hv(i: Int) =
+      (call_function("locate", substring(digest, i, 1), lit(hexChars)) - 1)
+        .cast("long")
+    media.select(
+        col("doc_id"), col("mime"),
+        length(col("content")).cast("long").as("n_bytes"),
+        digest.as("digest"),
+        (lit(16L) * (hv(1) + 1)).as("width"),
+        (lit(16L) * (hv(2) + 1)).as("height"),
+        (hv(3) + 1).as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+}

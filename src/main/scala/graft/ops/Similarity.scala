@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`
+  * vectors): brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale design: the query side is always the small side — it is
+  * broadcast, so the corpus never shuffles. Brute force scans the corpus
+  * once per batch of queries (one projection, no join shuffle); the LSH
+  * variant first buckets the corpus by hyperplane sign bits so each
+  * query only scores its own bucket — corpus shuffle on the bucket key
+  * happens once and is reusable across query batches.
+  *
+  * All arithmetic is double-precision left-fold (0.0 seed), which both
+  * Spark (`aggregate`) and the DuckDB oracle (`list_sum` over doubles)
+  * evaluate in list order — bit-identical, so even raw similarity
+  * values hash-match.
+  */
+object Similarity {
+
+  /** In-order double dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** cosine(a,b) = dot / sqrt(|a|²) / sqrt(|b|²) — two sequential
+    * divisions, mirrored exactly in the oracle (a*b vs /…/ differ in
+    * final ulp).
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(normSq(a)) / sqrt(normSq(b))
+
+  /** Brute-force cosine top-k: corpus ⋈ broadcast(queries), score,
+    * per-query ranked window. Exact; O(corpus × queries) scoring but a
+    * single corpus scan.
+    */
+  def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (LCG over the flat index,
+    * Weyl-style): plane(i)(j) ∈ [-1, 1). Pure data-independent
+    * constants — both engines materialize the SAME literals, and any
+    * worker can regenerate them without coordination.
+    */
+  val numPlanes = 8
+  val dim = 64
+
+  def planeValue(i: Int, j: Int): Double = {
+    val x = ((i.toLong * dim + j + 1) * 2654435761L) % 4294967296L
+    x.toDouble / 2147483648.0 - 1.0
+  }
+
+  val planes: Seq[Seq[Double]] =
+    (0 until numPlanes).map(i => (0 until dim).map(j => planeValue(i, j)))
+
+  /** Sign-bit bucket key of a vector under the hyperplanes: "01101100". */
+  def bucketKey(vec: Column): Column = {
+    val bits = planes.map { p =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(planeCol, vec) > 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH-bucketed approximate NN: score only same-bucket candidates.
+    * Trades recall for a candidate set ~corpus/2^numPlanes per query.
+    */
+  def lshTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val bucketed = embeddings
+      .select(col("vec_id"), col("embedding"), bucketKey(col("embedding")).as("bucket"))
+    val queries = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+    val scored = bucketed
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Vector L2-normalization as a reusable projection. */
+  def normalized(vec: Column): Column =
+    transform(vec, x => x.cast("double") / sqrt(normSq(vec)))
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Sanity + semantic tests for the relational/text/dedup/similarity
+  * operators on sf0.001 and controlled in-memory fixtures.
+  */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("approx_count_distinct lands within 10% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val (exact, approx) = li
+      .agg(countDistinct(col("l_partkey")).as("e"),
+           approx_count_distinct(col("l_partkey")).as("a"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+
+  test("per-group top-k returns at most k, ranked contiguously") {
+    val got = Relational.topOrdersPerCustomer(Tables.orders(spark, sf), 3)
+    val byCust = got.groupBy("o_custkey").agg(count(lit(1)).as("n"),
+      max("rk").as("maxrk"), min("rk").as("minrk"))
+    assert(byCust.filter(col("n") > 3 || col("minrk") =!= 1 || col("maxrk") =!= col("n")).isEmpty)
+  }
+
+  test("semi + anti join partition the customer set") {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val semi = Relational.customersWithOrders(c, o).count()
+    val anti = Relational.customersWithoutOrders(c, o).count()
+    assert(semi + anti === c.count())
+  }
+
+  test("language ID predicts en for English stopword-heavy text") {
+    val df = Seq((1L, "the cat and the dog of the house is here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Text.languageId(df).select("predicted_lang").as[String].head()
+    assert(got === "en")
+  }
+
+  test("fingerprint is stable and content-sensitive") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val fps = Text.fingerprint(df).as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("exact dedup keeps lowest doc_id per duplicated text") {
+    val df = Seq(
+      (5L, "same text here", "en", "s", 14L),
+      (2L, "same text here", "en", "s", 14L),
+      (7L, "different text", "en", "s", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Dedup.exactDedup(df).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 7L))
+  }
+
+  test("minhash LSH finds a near-duplicate pair and verifies its Jaccard") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, threshold = 0.8)
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(pairs.exists { case (d1, d2, j, _) => d1 == 1L && d2 == 2L && j > 0.8 })
+    assert(!pairs.exists { case (d1, d2, _, _) => d2 == 3L || d1 == 3L })
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i % 29 == 0) "CHANGED" + i else s"tok$i").mkString(" ")
+    val other = (200 to 260).map(i => s"qqq$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val h = Dedup.simhash(df).as[(Long, Long)].collect().toMap
+    val near = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    val far = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("brute-force cosine top-1 matches a driver-side exact computation") {
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val byId = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / math.sqrt(na) / math.sqrt(nb)
+    }
+    val expected = rows.filter(_._1 != 0L)
+      .map { case (id, e) => (id, cos(byId(0L), e)) }
+      .minBy { case (id, s) => (-s, id) }._1
+    val got = Similarity.cosineTopK(Tables.embeddings(spark, sf), 1, 1)
+      .filter(col("query_id") === 0L).select("neighbor_id").as[Long].head()
+    assert(got === expected)
+  }
+
+  test("LSH top-k only scores same-bucket candidates and ranks correctly") {
+    val got = Similarity.lshTopK(Tables.embeddings(spark, sf), 8, 5)
+    val perQuery = got.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("minr"), max("rank").as("maxr"))
+      .as[(Long, Long, Long, Long)].collect()
+    perQuery.foreach { case (_, n, minr, maxr) =>
+      assert(n <= 5 && minr === 1L && maxr === n)
+    }
+    // every result must be a subset of the brute-force candidate scores
+    val brute = Similarity.cosineTopK(Tables.embeddings(spark, sf), 8, 1000)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    got.select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)]
+      .collect().foreach { case (q, n, s) =>
+        assert(math.abs(brute((q, n)) - s) < 1e-12)
+      }
+  }
+
+  test("multimodal: batched mapPartitions decode agrees with expression twin") {
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.asMedia(docs)
+      .as[Multimodal.MediaRecord]
+    val viaMap = Multimodal.extractMeta(media, batchSize = 16)
+      .toDF().orderBy("doc_id").collect()
+    val viaExpr = Multimodal.metaExpr(docs)
+      .select("doc_id", "mime", "n_bytes", "digest", "width", "height", "n_frames")
+      .collect()
+    assert(viaMap.length === viaExpr.length)
+    viaMap.zip(viaExpr).foreach { case (a, b) => assert(a === b) }
+  }
+}

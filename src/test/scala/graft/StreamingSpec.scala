@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Streaming behaviors that have no DuckDB oracle: batch↔stream
+  * equivalence (the unified-model guarantee), the rate-limited sink's
+  * pacing + error isolation, and cooperative cancellation.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val eventsBatch = Tables.events(spark, sf).cache()
+
+  /** The streaming file source wants a directory; stage the fixture file
+    * into one (simulates the O20 "new table discovered" event).
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling counts == batch tumbling counts (memory sink)") {
+    // stream the same parquet through readStream with the batch schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = StreamingOps.fileStream(spark, eventsDir, rawSchema,
+        maxFilesPerTrigger = 1)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamingOps.tumblingCounts(stream, "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("window_start", "event_type")
+        .collect()
+      val batch = StreamingOps.tumblingCounts(eventsBatch, "1 hour")
+        .orderBy("window_start", "event_type")
+        .collect()
+      assert(streamed.length === batch.length && streamed.length > 0)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally q.stop()
+  }
+
+  test("watermarked aggregation drops state but keeps on-time rows (append mode)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = StreamingOps.fileStream(spark, eventsDir, rawSchema)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamingOps.watermarkedCounts(stream, "1 hour", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only windows closed by the watermark; all but
+      // the last open window must be final and match the batch result
+      val streamed = spark.table("wm_out")
+      val batch = StreamingOps.tumblingCounts(eventsBatch, "1 hour")
+        .select("window_start", "event_type", "n")
+      val mismatches = streamed.join(batch, Seq("window_start", "event_type"))
+        .filter(streamed("n") =!= batch("n")).count()
+      assert(mismatches === 0)
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
+  test("rate-limited sink paces commits and isolates row failures (O14/O17)") {
+    val df = (1 to 40).toDF("i").repartition(4)
+    val t0 = System.nanoTime()
+    val (ok, err) = StreamingOps.rateLimitedForeach(df, rowsPerSecPerPartition = 100) {
+      row => if (row.getInt(0) % 10 == 0) throw new RuntimeException("boom")
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(ok === 36 && err === 4)       // failures counted, never fatal
+    // 10 rows per partition at 100 rows/s -> ≥ ~90ms per partition
+    assert(elapsedMs >= 80, s"no pacing observed: ${elapsedMs}ms")
+  }
+
+  test("unthrottled sink commits everything") {
+    val df = (1 to 100).toDF("i")
+    val (ok, err) = StreamingOps.rateLimitedForeach(df, rowsPerSecPerPartition = 0)(_ => ())
+    assert(ok === 100 && err === 0)
+  }
+
+  test("cancellable job group: body result returned, partial work stands (O16)") {
+    val n = StreamingOps.runCancellable(spark, "g1") {
+      Tables.lineitem(spark, sf).count()
+    }
+    assert(n > 0)
+  }
+
+  test("sessionize respects the gap rule on a crafted trace") {
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
+      (3L, "2024-01-01 01:10:00", 1L), // 60min gap > 30 -> new session
+      (4L, "2024-01-01 00:05:00", 2L))
+      .map { case (id, t, u) => (id, java.sql.Timestamp.valueOf(t), u, 1.0) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val sessions = StreamingOps.sessionize(rows, 30)
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sessions === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+}
