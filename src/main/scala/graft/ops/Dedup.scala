@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread rows across the cluster before compute-heavy per-document
+    * stages (shingling, hashing, explode). A single parquet file with
+    * one row group scans as ONE partition — without this, the whole
+    * shingle/hash pipeline runs on one core. At real scale the input
+    * has many splits and this is one cheap extra shuffle of the
+    * narrow documents projection. The partition count is EXPLICIT:
+    * AQE would otherwise coalesce the shuffle to one partition by
+    * byte size, defeating the point for CPU-heavy, small-byte stages.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Mersenne-ish prime > 2^32 for minhash universal hashing. */
   val P: Long = 4294967311L
 
@@ -42,15 +54,41 @@ object Dedup {
   val numBands = 4
   val rowsPerBand = 4
 
-  /** w-token shingles (w=3), deduplicated — the unit set for Jaccard. */
-  def shingleSet(text: Column, w: Int = 3): Column = {
-    val t = Text.tokens(text)
+  /** w-token shingles (w=3) from a MATERIALIZED token-array column,
+    * deduplicated — the unit set for Jaccard.
+    *
+    * Callers must pass a projected column (e.g. `withColumn("tk",
+    * Text.tokens(...))`), never `Text.tokens(text)` inline: a lambda
+    * body re-evaluates every embedded subexpression per element, so an
+    * inline split() would re-tokenize the document 3× per shingle.
+    */
+  def shinglesFromTokens(t: Column, w: Int = 3): Column = {
     val grams = when(size(t) >= w,
         transform(sequence(lit(1), size(t) - (w - 1)),
           i => concat_ws(" ", (0 until w).map(o => element_at(t, i + o)): _*)))
       .otherwise(array().cast("array<string>"))
     array_distinct(grams)
   }
+
+  /** Convenience wrapper over raw text (spec/API use; hot paths
+    * materialize the token column first).
+    */
+  def shingleSet(text: Column, w: Int = 3): Column =
+    shinglesFromTokens(Text.tokens(text), w)
+
+  /** doc_id + one row per distinct shingle.
+    *
+    * The explode sits DIRECTLY above the token projection: a Generate
+    * node blocks CollapseProject, so the token array is materialized
+    * once per document. Chaining `withColumn("ss", ...)` + filters
+    * instead lets Catalyst inline the token split back into the shingle
+    * lambda — re-tokenizing the document per element. Documents shorter
+    * than w tokens explode to zero rows (no filter needed).
+    */
+  private def explodedShingles(documents: DataFrame, w: Int): DataFrame =
+    spread(documents)
+      .withColumn("tk", Text.tokens(col("text")))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("tk"), w)).as("s"))
 
   /** Exact dedup: keep the lowest doc_id per identical text (md5 key —
     * grouping by a 16-byte hash, not the full text, is what makes the
@@ -74,16 +112,21 @@ object Dedup {
       .filter(col("n_copies") > 1)
       .orderBy(col("text_hash"))
 
-  /** MinHash signature columns sig_0..sig_15 (array-native, one pass). */
+  /** MinHash signature columns sig_0..sig_15.
+    *
+    * Formulated as explode → hash-aggregate with 16 `min` expressions
+    * rather than nested array lambdas: higher-order array functions run
+    * interpreted (per-element boxing), while explode + min-agg is fully
+    * codegen'd with map-side partial aggregation — the shuffle carries
+    * one 16-long row per document regardless of shingle count.
+    */
   def withMinhashSignature(documents: DataFrame, w: Int = 3): DataFrame = {
-    val base = documents
-      .withColumn("ss", shingleSet(col("text"), w))
-      .filter(size(col("ss")) > 0)
-      .withColumn("vs", transform(col("ss"), s => Text.tokenHash(s)))
-    minhashAB.zipWithIndex.foldLeft(base) { case (df, ((a, b), i)) =>
-      df.withColumn(s"sig_$i",
-        array_min(transform(col("vs"), v => (lit(a) * v + lit(b)) % P)))
+    val base = explodedShingles(documents, w)
+      .withColumn("v", Text.tokenHash(col("s")))
+    val sigAggs = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("v") + lit(b)) % P).as(s"sig_$i")
     }
+    base.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
   }
 
   /** LSH near-dup candidates + exact Jaccard verification.
@@ -97,18 +140,40 @@ object Dedup {
       concat_ws(",", (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}")): _*)
     }
     val bands = sigs.select(
-        col("doc_id"), col("ss"),
+        col("doc_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
-    val left = bands.select(col("doc_id").as("doc1"), col("ss").as("ss1"),
-      col("band_idx"), col("band_key"))
-    val right = bands.select(col("doc_id").as("doc2"), col("ss").as("ss2"),
-      col("band_idx"), col("band_key"))
-    left.join(right, Seq("band_idx", "band_key"))
-      .filter(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"), col("ss1"), col("ss2")).distinct()
+    // candidate pairs are few (LSH bands prune). The self-join aliases
+    // AFTER the join so both sides canonicalize to the SAME exchange
+    // subtree (ReuseExchange computes the signature pipeline once), and
+    // `cand` feeds exactly ONE downstream join chain — every extra
+    // DataFrame reference would re-execute the whole upstream plan.
+    val x = bands.alias("x")
+    val y = bands.alias("y")
+    val cand = x.join(y,
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2")).distinct()
+
+    // exact Jaccard for the candidates, by shingle co-occurrence: join
+    // each pair to doc1's shingles (cand is broadcast-small), left-join
+    // doc2's shingles on equality — |A| = rows per pair, |A∩B| = matched
+    // rows, |B| joined from per-doc counts. No shingle ARRAY is ever
+    // built or shuffled; the same exploded-shingle exchange serves the
+    // signature pipeline, the co-occurrence join, and the size counts.
+    val sh = explodedShingles(documents, w)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairA = cand.join(sh.select(col("doc_id").as("doc1"), col("s")), Seq("doc1"))
+    val withB = pairA.alias("pa")
+      .join(sh.select(col("doc_id").as("d2"), col("s").as("s2")).alias("sb"),
+        col("pa.doc2") === col("sb.d2") && col("pa.s") === col("sb.s2"), "left")
+    val stats = withB.groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("sz1"), count(col("s2")).as("n_inter"))
+    stats
+      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), Seq("doc2"))
       .select(col("doc1"), col("doc2"),
-        (size(array_intersect(col("ss1"), col("ss2"))).cast("double") /
-          size(array_union(col("ss1"), col("ss2")))).as("jaccard"))
+        (col("n_inter").cast("double") /
+          (col("sz1") + col("sz2") - col("n_inter"))).as("jaccard"))
       .withColumn("is_near_dup", col("jaccard") >= threshold)
       .orderBy(col("doc1"), col("doc2"))
   }
@@ -119,7 +184,7 @@ object Dedup {
     * per (doc, 32 counters), not per token.
     */
   def simhash(documents: DataFrame): DataFrame = {
-    val tok = documents
+    val tok = spread(documents)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
       .withColumn("v", Text.tokenHash(col("t")))
     val bitSums = (0 until 32).map { b =>
@@ -139,24 +204,43 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Exact n-gram Jaccard near-dup within (lang, token-length-band)
-    * blocks: the blocking keys bound the candidate pair space so the
-    * self-join is per-block O(block²), not corpus O(n²).
+    * blocks.
+    *
+    * Computed by shingle co-occurrence join, NOT a blocked cross join:
+    * explode (bucket, doc, shingle) → equi-join on (bucket, shingle) →
+    * count per pair = |A∩B|, then |A∪B| = |A|+|B|−|A∩B|. Cost is
+    * Σ_shingle freq² (co-occurrence mass) instead of Σ_block size² (all
+    * pairs) — pairs sharing no shingle never materialize, which is
+    * output-identical for any threshold > 0. This is the formulation
+    * that survives 100 TB: both the explode and the join are codegen'd
+    * shuffles on uniform keys, with map-side partial aggregation on the
+    * pair count.
     */
   def jaccardPairs(documents: DataFrame, w: Int = 3,
                    minJaccard: Double = 0.3): DataFrame = {
-    val docs = documents
-      .withColumn("ss", shingleSet(col("text"), w))
-      .filter(size(col("ss")) > 0)
-      .withColumn("bucket",
-        concat_ws("#", col("lang"), floor(size(Text.tokens(col("text"))) / 20)))
-      .select(col("doc_id"), col("bucket"), col("ss"))
-    val l = docs.select(col("bucket"), col("doc_id").as("doc1"), col("ss").as("ss1"))
-    val r = docs.select(col("bucket"), col("doc_id").as("doc2"), col("ss").as("ss2"))
-    l.join(r, Seq("bucket"))
-      .filter(col("doc1") < col("doc2"))
+    // one exploded pass; |A| is recovered by counting exploded rows per
+    // doc, so the shingle ARRAY never needs to be carried or rebuilt
+    val sh = spread(documents)
+      .withColumn("tk", Text.tokens(col("text")))
+      .select(col("doc_id"),
+        concat_ws("#", col("lang"), floor(size(col("tk")) / 20)).as("bucket"),
+        explode(shinglesFromTokens(col("tk"), w)).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // aliased self-join (not pre-renamed projections): both sides share
+    // one canonical exchange, so the shingle explode runs once
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc1"), col("sz").as("sz1")), Seq("doc1"))
+      .join(sizes.select(col("doc_id").as("doc2"), col("sz").as("sz2")), Seq("doc2"))
       .select(col("doc1"), col("doc2"),
-        (size(array_intersect(col("ss1"), col("ss2"))).cast("double") /
-          size(array_union(col("ss1"), col("ss2")))).as("jaccard"))
+        (col("n_inter").cast("double") /
+          (col("sz1") + col("sz2") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("doc1"), col("doc2"))
   }

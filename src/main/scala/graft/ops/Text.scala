@@ -76,7 +76,8 @@ object Text {
     * Deterministic because (count, token) is a total order.
     */
   def tokenFrequency(documents: DataFrame, k: Int): DataFrame =
-    documents.select(explode(tokens(lower(col("text")))).as("token"))
+    documents.repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(explode(tokens(lower(col("text")))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
@@ -85,12 +86,16 @@ object Text {
     * (size-1 guard for single-token docs), then exploded once.
     */
   def bigramFrequency(documents: DataFrame, k: Int): DataFrame = {
-    val toks = tokens(lower(col("text")))
+    // token column materialized first: an inline split() inside the
+    // transform lambda would re-tokenize the text twice per bigram
+    val toks = col("tk")
     val bigrams = when(size(toks) > 1,
         transform(sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
-    documents.select(explode(bigrams).as("bigram"))
+    documents.repartition(documents.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("tk", tokens(lower(col("text"))))
+      .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(k)
