@@ -112,6 +112,13 @@ object SparkEntry {
     "rel_range_join" -> ((s, d) => Relational.partSizeBuckets(part(s, d))),
     "rel_asof_join" -> ((s, d) => Relational.asofLatestOrder(events(s, d), orders(s, d))),
 
+    "rel_union_all" -> ((s, d) => Relational.nationKeysUnionAll(customer(s, d), supplier(s, d))),
+    "rel_intersect_all" -> ((s, d) => Relational.nationKeysIntersectAll(customer(s, d), supplier(s, d))),
+    "rel_except_all" -> ((s, d) => Relational.nationKeysExceptAll(customer(s, d), supplier(s, d))),
+    "rel_grouping_sets" -> ((s, d) => Relational.orderGroupingSets(orders(s, d))),
+    "rel_pivot" -> ((s, d) => Relational.orderPivot(orders(s, d))),
+    "rel_window_family" -> ((s, d) => Relational.windowFunctionFamily(orders(s, d))),
+
     // ---- scalar function families (SURVEY §2.2 "Scalar functions") ----
     "sca_string" -> ((s, d) => Scalar.stringFunctions(part(s, d))),
     "sca_date" -> ((s, d) => Scalar.dateFunctions(orders(s, d))),
@@ -119,6 +126,14 @@ object SparkEntry {
     "sca_array" -> ((s, d) => Scalar.arrayFunctions(embeddings(s, d))),
     "sca_json" -> ((s, d) => Scalar.jsonFunctions(events(s, d))),
     "sca_conditional" -> ((s, d) => Scalar.conditionalFunctions(customer(s, d))),
+    "sca_string2" -> ((s, d) => Scalar.stringFunctions2(part(s, d))),
+    "sca_regex" -> ((s, d) => Scalar.regexFunctions(part(s, d))),
+    "sca_date2" -> ((s, d) => Scalar.dateFunctions2(events(s, d))),
+    "sca_array2" -> ((s, d) => Scalar.arrayFunctions2(documents(s, d))),
+    // engine-specific estimates / MAP columns: registered without an
+    // oracle → the driver records the weaker rows-only check
+    "xtr_approx_distinct" -> ((s, d) => Scalar.approxDistinct(lineitem(s, d))),
+    "xtr_map_funcs" -> ((s, d) => Scalar.mapFunctions(documents(s, d))),
 
     // ---- text analysis (LLM-pipeline operators) ----
     "txt_stats" -> ((s, d) => Text.docStats(documents(s, d))),
@@ -404,6 +419,94 @@ object SparkEntry {
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "rel_union_all" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier) t
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+    "rel_intersect_all" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier) t
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+    "rel_except_all" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier) t
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "rel_pivot" ->
+      """SELECT o_orderstatus,
+        | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
+        | count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
+        | count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_medium,
+        | count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_notspec,
+        | count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "rel_window_family" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice,
+        | CAST(ntile(4) OVER w AS BIGINT) AS bucket4,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume,
+        | first_value(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        |   (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest,
+        | last_value(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        |   (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest,
+        | nth_value(CAST(o_totalprice AS DECIMAL(18,4)), 2) OVER
+        |   (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_cheapest,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        |   (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4))
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_range,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS running_rows
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) ASC, o_orderkey ASC)
+        |ORDER BY o_custkey, totalprice, o_orderkey""".stripMargin,
+    "sca_string2" ->
+      """SELECT p_partkey,
+        | split_part(p_type, ' ', 1) AS type_first_word,
+        | substring(p_brand, 1, 5) AS brand_left5,
+        | substring(p_name, length(p_name) - 3, 4) AS name_right4,
+        | repeat(p_brand, 2) AS brand_twice,
+        | translate(p_name, 'aeiou', 'AEIOU') AS name_vowels_upper,
+        | contains(p_name, 'blue') AS has_blue,
+        | starts_with(p_type, 'small') AS is_small_type,
+        | ends_with(p_type, 'steel') AS is_steel,
+        | CAST(strpos(p_name, ' ') AS BIGINT) AS first_space_at
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "sca_regex" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_brand, '([0-9]+)', 1) AS brand_digits,
+        | regexp_matches(p_name, '^[a-z]+ ') AS starts_lower_word,
+        | regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devoweled,
+        | CAST(len(string_split_regex(p_name, '[aeiou]')) AS BIGINT) AS vowel_segments
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "sca_date2" ->
+      """SELECT event_id,
+        | CAST(quarter(ts) AS BIGINT) AS q,
+        | CAST(hour(ts) AS BIGINT) AS h,
+        | CAST(minute(ts) AS BIGINT) AS m,
+        | CAST(second(ts) AS BIGINT) AS s,
+        | last_day(CAST(ts AS DATE)) AS month_end,
+        | CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2_months,
+        | epoch_us(ts) AS epoch_us
+        |FROM events ORDER BY event_id""".stripMargin,
+    "sca_array2" ->
+      """SELECT doc_id,
+        | list_contains(string_split(text, ' '), 'data') AS has_data,
+        | CAST(list_position(string_split(text, ' '), 'data') AS BIGINT) AS data_at,
+        | array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first5_sorted,
+        | list_sort(string_split(text, ' '), 'DESC')[1] AS max_token,
+        | CAST(len(flatten([string_split(text, ' '), string_split(text, ' ')])) AS BIGINT) AS doubled_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sca_string" ->
       """SELECT p_partkey, p_name,
         | upper(p_name) AS name_upper,

@@ -198,6 +198,83 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** UNION ALL / INTERSECT ALL / EXCEPT ALL (bag semantics). */
+  def nationKeysUnionAll(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nk"))
+      .unionAll(supplier.select(col("s_nationkey").as("nk")))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nk"))
+
+  def nationKeysIntersectAll(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nk"))
+      .intersectAll(supplier.select(col("s_nationkey").as("nk")))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nk"))
+
+  def nationKeysExceptAll(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_nationkey").as("nk"))
+      .exceptAll(supplier.select(col("s_nationkey").as("nk")))
+      .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nk"))
+
+  /** GROUPING SETS via the SQL surface (the DataFrame API exposes only
+    * rollup/cube); grouping_id disambiguates the aggregation level.
+    */
+  def orderGroupingSets(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("graft_orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(1) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** Pivot: order counts + decimal totals per status, one column per
+    * priority class. Catalyst plans pivot as a single two-phase
+    * aggregate (no per-column pass).
+    */
+  def orderPivot(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderstatus"))
+      .pivot(col("o_orderpriority"),
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
+        "4-NOT SPECIFIED" -> "n_notspec", "5-LOW" -> "n_low"))
+      .na.fill(0) // empty combinations: 0 like the oracle's CASE counts, not null
+      .orderBy(col("o_orderstatus"))
+
+  /** The full ranking/distribution window family: ntile, percent_rank,
+    * cume_dist, first/last/nth value over explicit frames, and a
+    * RANGE frame (peer-inclusive) contrasted with the ROWS frame.
+    */
+  def windowFunctionFamily(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("totalprice").asc, col("o_orderkey").asc)
+    val peers = Window.partitionBy(col("o_custkey")).orderBy(col("totalprice").asc)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), dec(col("o_totalprice")).as("totalprice"))
+      .withColumn("bucket4", ntile(4).over(byCust).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(byCust))
+      .withColumn("cume", cume_dist().over(byCust))
+      .withColumn("cheapest", first(col("totalprice")).over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("priciest", last(col("totalprice")).over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("second_cheapest", nth_value(col("totalprice"), 2).over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // RANGE frame: running sum including peers (ties sum together)
+      .withColumn("running_range", sum(col("totalprice")).over(
+        peers.rangeBetween(Window.unboundedPreceding, Window.currentRow)).cast("decimal(38,4)"))
+      .withColumn("running_rows", sum(col("totalprice")).over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("decimal(38,4)"))
+      .orderBy(col("o_custkey"), col("totalprice"), col("o_orderkey"))
+  }
+
   /** As-of join: latest order at-or-before each event timestamp for the
     * matching customer. Spark lacks a native ASOF join; the scalable
     * composition is equi-join on the key + max_by aggregation (one

@@ -91,6 +91,98 @@ object Scalar {
         (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
       .orderBy(col("event_id"))
 
+  /** Extended string family: split_part, left/right, repeat, translate,
+    * predicates (contains/startswith/endswith), instr.
+    */
+  def stringFunctions2(part: DataFrame): DataFrame =
+    part.select(
+        col("p_partkey"),
+        split(col("p_type"), " ").getItem(0).as("type_first_word"),
+        substring(col("p_brand"), 1, 5).as("brand_left5"),
+        col("p_name").substr(length(col("p_name")) - 3, lit(4)).as("name_right4"),
+        repeat(col("p_brand"), 2).as("brand_twice"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_vowels_upper"),
+        col("p_name").contains("blue").as("has_blue"),
+        col("p_type").startsWith("small").as("is_small_type"),
+        col("p_type").endsWith("steel").as("is_steel"),
+        instr(col("p_name"), " ").cast("long").as("first_space_at"))
+      .orderBy(col("p_partkey"))
+
+  /** Regex family: extract, match predicate, global replace, count. */
+  def regexFunctions(part: DataFrame): DataFrame =
+    part.select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_digits"),
+        col("p_name").rlike("^[a-z]+ ").as("starts_lower_word"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("type_devoweled"),
+        size(split(col("p_name"), "[aeiou]")).cast("long").as("vowel_segments"))
+      .orderBy(col("p_partkey"))
+
+  /** Extended date family over events' microsecond timestamps: quarter,
+    * hour/minute/second, last_day, add_months, epoch extraction.
+    */
+  def dateFunctions2(events: DataFrame): DataFrame =
+    events.select(
+        col("event_id"),
+        quarter(col("ts")).cast("long").as("q"),
+        hour(col("ts")).cast("long").as("h"),
+        minute(col("ts")).cast("long").as("m"),
+        second(col("ts")).cast("long").as("s"),
+        last_day(col("ts").cast("date")).as("month_end"),
+        add_months(col("ts").cast("date"), 2).as("plus_2_months"),
+        unix_micros(col("ts")).as("epoch_us"))
+      .orderBy(col("event_id"))
+
+  /** Extended array family over token arrays: contains, position, sort,
+    * join, distinct count, max/min of the hashed tokens.
+    */
+  def arrayFunctions2(documents: DataFrame): DataFrame = {
+    val tk = col("tk")
+    documents
+      .withColumn("tk", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        array_contains(tk, "data").as("has_data"),
+        array_position(tk, "data").cast("long").as("data_at"),
+        array_join(slice(sort_array(array_distinct(tk)), 1, 5), ",").as("first5_sorted"),
+        element_at(sort_array(tk, asc = false), 1).as("max_token"),
+        size(flatten(array(tk, tk))).cast("long").as("doubled_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Map family (no DuckDB oracle — MAP comparison semantics differ;
+    * exercised as a rows-only check + ScalaTest): token → count map per
+    * document via map_from_entries, then typed access.
+    */
+  def mapFunctions(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    documents.createOrReplaceTempView("graft_docs_map")
+    spark.sql(
+      """SELECT doc_id,
+        |  map_from_entries(collect_list(struct(token, n))) AS token_counts
+        |FROM (
+        |  SELECT doc_id, token, count(1) AS n
+        |  FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM graft_docs_map)
+        |  GROUP BY doc_id, token)
+        |GROUP BY doc_id
+        |""".stripMargin)
+      .select(col("doc_id"),
+        map_keys(col("token_counts")).getItem(0).as("a_key"),
+        size(map_keys(col("token_counts"))).cast("long").as("n_distinct"),
+        element_at(col("token_counts"), "the").as("the_count"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Approximate distinct (HLL++) — engine-specific estimate, so it is
+    * registered without an oracle (rows-only driver check); the spec
+    * asserts a ±10% envelope against the exact count.
+    */
+  def approxDistinct(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
   /** Conditional family over customer: CASE/coalesce/nullif/least/
     * greatest. (Both Spark and DuckDB least/greatest skip NULLs.)
     */

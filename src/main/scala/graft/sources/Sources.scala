@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources & sinks beyond the fixture parquet (SURVEY.md §2.2
+  * "Scans/sources/sinks"): CSV and JSON readers/writers, in-memory
+  * relations, partitioned parquet output, and the O18-style bulk
+  * writeback (the reference's per-row commit protocol generalized to a
+  * partition-overwrite MERGE).
+  */
+object Sources {
+
+  /** CSV round-trip: header + explicit schema on read (schema inference
+    * would scan twice — never at 100 TB).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON-lines round-trip (schema explicit, same reasoning). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJson(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** In-memory relation from driver-side rows (small dimension / lookup
+    * tables only — this materializes on the driver by construction).
+    */
+  def inMemory[T : org.apache.spark.sql.Encoder](
+      spark: SparkSession, rows: Seq[T]): DataFrame =
+    spark.createDataset(rows).toDF()
+
+  /** Partitioned parquet sink: one directory per partition value —
+    * the layout that makes partition PRUNING work on re-read (filters
+    * on the partition column never touch non-matching files).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+
+  /** O18 — bulk writeback: apply a keyed update set to a stored table
+    * (the reference's row-commit protocol, OBP.js:554-621, as a batch
+    * MERGE). Reads the target, left-joins the updates on the key, and
+    * rewrites with the updated column — the update set is broadcast, so
+    * the target is scanned exactly once and never shuffled. Parquet has
+    * no in-place update; the rewrite goes to a staging dir then
+    * replaces the target (the transactional-table pattern without a
+    * table format).
+    */
+  def mergeColumnUpdate(spark: SparkSession, targetPath: String,
+                        updates: DataFrame, key: String, column: String): Long = {
+    val target = spark.read.parquet(targetPath)
+    val upd = updates.select(col(key), col(column).as("__newval"))
+    val merged = target.join(broadcast(upd), Seq(key), "left")
+      .withColumn(column, coalesce(col("__newval"), col(column)))
+      .drop("__newval")
+    val staging = targetPath.stripSuffix("/") + ".staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    // swap staging into place
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+    val tgt = new org.apache.hadoop.fs.Path(targetPath)
+    fs.delete(tgt, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), tgt)
+    spark.read.parquet(targetPath).count()
+  }
+}

@@ -129,6 +129,34 @@ object StreamingOps {
       ()
     }
 
+  /** Event row for the typed stateful operator. */
+  case class UserEvent(user_id: Long, event_id: Long, value: Double)
+  /** Running per-user state for `runningUserTotals`. */
+  case class UserState(n: Long, total: Double)
+  case class UserTotal(user_id: Long, n_events: Long, total: Double)
+
+  /** Custom keyed state via mapGroupsWithState: a running per-user
+    * (count, sum) that survives across micro-batches — the arbitrary-
+    * state API for semantics window aggregates can't express. State
+    * size is O(distinct keys), the streaming scale bound that matters.
+    * Works identically on a batch Dataset (state seen once per key).
+    */
+  def runningUserTotals(events: org.apache.spark.sql.Dataset[UserEvent])
+      : org.apache.spark.sql.Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserTotal](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { e => n += 1; total += e.value }
+          state.update(UserState(n, total))
+          UserTotal(userId, n, total)
+      }
+  }
+
   /** O16 — cooperative cancellation: tag a job group, cancel it from
     * another thread; committed work stands (partial results persist,
     * OBP.js:456-458, 502).
