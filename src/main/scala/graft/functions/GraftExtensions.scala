@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Session extension registering the engine's native expressions for the
+  * SQL surface: `SELECT vector_dot(a, b) FROM ...` — the same codegen'd
+  * Catalyst expression the Column API uses, resolved at analysis time.
+  *
+  * Register via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`, or
+  * at runtime with `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.vectorDotDescriptor)
+  }
+}
+
+object GraftExtensions {
+  private[functions] val vectorDotDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vector_dot"),
+    new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_dot"),
+    (children: Seq[Expression]) => VectorDotProduct(children(0), children(1)))
+
+  /** Runtime registration for an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = vectorDotDescriptor
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
+
+/** Typed UDAF surface (SURVEY.md §2.2 "UDF/UDAF/UDTF"): a custom
+  * `Aggregator[IN, BUF, OUT]` computing count/min/max/sum in one pass —
+  * the reduce/merge split is what makes it distribute (partial
+  * aggregation per partition, associative merge across partitions).
+  */
+object StatsAggregator extends Aggregator[Double, (Long, Double, Double, Double), (Long, Double, Double, Double)] {
+  override def zero: (Long, Double, Double, Double) =
+    (0L, Double.MaxValue, Double.MinValue, 0.0)
+  override def reduce(b: (Long, Double, Double, Double), a: Double) =
+    (b._1 + 1, math.min(b._2, a), math.max(b._3, a), b._4 + a)
+  override def merge(x: (Long, Double, Double, Double), y: (Long, Double, Double, Double)) =
+    (x._1 + y._1, math.min(x._2, y._2), math.max(x._3, y._3), x._4 + y._4)
+  override def finish(r: (Long, Double, Double, Double)) = r
+  override def bufferEncoder: Encoder[(Long, Double, Double, Double)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaDouble, Encoders.scalaDouble)
+  override def outputEncoder: Encoder[(Long, Double, Double, Double)] =
+    bufferEncoder
+
+  /** Column form for untyped DataFrame aggregation. */
+  def asColumn: Column =
+    org.apache.spark.sql.functions.udaf(this).apply(org.apache.spark.sql.functions.col("value"))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftExtensions, StatsAggregator, VectorFunctions}
+
+/** Custom function surfaces: the codegen'd vector_dot through both the
+  * Column API and SQL (extension-registered), the typed Aggregator, and
+  * a plain Scala UDF for completeness (SURVEY §2.2 UDF/UDAF).
+  */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("vector_dot Column API matches driver-side computation") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.float_dot(col("a"), col("b"))).as[Double].head()
+    assert(got === (4.0 + 10.0 + 18.0))
+  }
+
+  test("vector_dot registered for SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_fn_test")
+    val got = spark.sql(
+      "SELECT vector_dot(embedding, embedding) AS n FROM emb_fn_test ORDER BY vec_id LIMIT 1")
+      .as[Double].head()
+    val exp = Tables.embeddings(spark, sf).orderBy("vec_id")
+      .select(VectorFunctions.float_dot(col("embedding"), col("embedding")))
+      .as[Double].head()
+    assert(got === exp)
+  }
+
+  test("typed Aggregator distributes count/min/max/sum per group") {
+    val events = Tables.events(spark, sf)
+    val got = events.select(col("event_type"), col("value"))
+      .groupBy("event_type")
+      .agg(StatsAggregator.asColumn.as("stats"))
+      .select(col("event_type"), col("stats._1").as("n"),
+        col("stats._2").as("mn"), col("stats._3").as("mx"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val exp = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("value").as("mn"), max("value").as("mx"))
+      .as[(String, Long, Double, Double)].collect()
+    exp.foreach { case (k, n, mn, mx) =>
+      val (gn, gmn, gmx) = got(k)
+      assert(gn === n && gmn === mn && gmx === mx, s"group $k")
+    }
+  }
+
+  test("scala UDF surface works (slow path, for API completeness only)") {
+    val vowels = udf((s: String) => s.count("aeiou".contains(_)))
+    val got = Seq("spark", "aeiou").toDF("s")
+      .select(vowels(col("s"))).as[Int].collect().toSeq
+    assert(got === Seq(1, 5))
+  }
+}
