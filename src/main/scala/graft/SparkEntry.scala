@@ -164,6 +164,9 @@ object SparkEntry {
     // ---- similarity search (LLM-pipeline operators) ----
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d), 8, 5)),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(embeddings(s, d), 8, 5)),
+    "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(embeddings(s, d), 0.5)),
+    "txt_bpe_tokens" -> ((s, d) => Text.bpeTokenCounts(documents(s, d))),
+    "rel_salted_agg" -> ((s, d) => Relational.saltedEventStats(events(s, d))),
 
     // ---- multimodal binary columns ----
     "mm_meta" -> ((s, d) => Multimodal.metaExpr(documents(s, d))),
@@ -221,6 +224,40 @@ object SparkEntry {
     """list_sum(list_transform(list_zip(qe, ce), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
       |        / sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |        / sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+
+  /** sim_near_dup oracle: 8 bands × 4 sign bits, plane literals
+    * generated from the same `Similarity.planeValue` constants.
+    */
+  private def nearDupOracle: String = {
+    val bandExprs = (0 until Similarity.ndBands).map { b =>
+      (0 until Similarity.ndRows).map { r =>
+        val p = (0 until Similarity.dim).map(j =>
+          Similarity.planeValue(Similarity.numPlanes + b * Similarity.ndRows + r, j))
+        val lits = p.map(_.toString).mkString("[", ", ", "]")
+        s"""CASE WHEN list_sum(list_transform(list_zip(CAST($lits AS DOUBLE[]), embedding),
+           |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0
+           |   THEN '1' ELSE '0' END""".stripMargin
+      }.mkString(" ||\n   ")
+    }
+    val bandList = bandExprs.mkString("[\n    ", ",\n    ", "]")
+    s"""WITH banded AS (
+       |  SELECT vec_id, unnest($bandList) AS band_key,
+       |         generate_subscripts($bandList, 1) AS band_idx
+       |  FROM embeddings),
+       |cand AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+       |         FROM banded x JOIN banded y
+       |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |              AND x.vec_id < y.vec_id),
+       |s AS (SELECT id1, id2,
+       |        list_sum(list_transform(list_zip(a.embedding, b.embedding),
+       |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |        / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |        / sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS sim
+       |      FROM cand
+       |      JOIN embeddings a ON a.vec_id = cand.id1
+       |      JOIN embeddings b ON b.vec_id = cand.id2)
+       |SELECT id1, id2, sim FROM s WHERE sim >= 0.5 ORDER BY id1, id2""".stripMargin
+  }
 
   /** sim_lsh_topk oracle: the hyperplane literals are generated from the
     * same `Similarity.planes` constants the Spark operator uses.
@@ -672,6 +709,17 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     "sim_lsh_topk" -> lshOracle,
+    "sim_near_dup" -> nearDupOracle,
+    "txt_bpe_tokens" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
+        | CAST(sum(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')))) AS BIGINT) AS total_distinct,
+        | CAST(max(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS max_doc_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "rel_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -275,6 +275,24 @@ object Relational {
       .orderBy(col("o_custkey"), col("totalprice"), col("o_orderkey"))
   }
 
+  /** Salted two-phase aggregation — the skew-mitigation pattern: a hot
+    * group key is first split across `salts` sub-keys (phase 1 runs
+    * partial aggregation on (key, salt), spreading one hot key over
+    * many reducers), then the salt is folded away in phase 2. Results
+    * are identical to a direct groupBy — decimal sums are associative —
+    * which is exactly what makes salting safe to apply mechanically
+    * when AQE's skew handling isn't available (e.g. non-join aggs).
+    */
+  def saltedEventStats(events: DataFrame, salts: Int = 8): DataFrame =
+    events
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(salts)).as("__salt"))
+      .agg(count(lit(1)).as("pn"),
+           sum(col("value").cast("decimal(12,2)")).as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+           sum(col("ps")).cast("decimal(38,2)").as("sum_value"))
+      .orderBy(col("event_type"))
+
   /** As-of join: latest order at-or-before each event timestamp for the
     * matching customer. Spark lacks a native ASOF join; the scalable
     * composition is equi-join on the key + max_by aggregation (one

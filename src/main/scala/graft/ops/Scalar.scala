@@ -159,7 +159,7 @@ object Scalar {
     documents.createOrReplaceTempView("graft_docs_map")
     spark.sql(
       """SELECT doc_id,
-        |  map_from_entries(collect_list(struct(token, n))) AS token_counts
+        |  map_from_entries(sort_array(collect_list(struct(token, n)))) AS token_counts
         |FROM (
         |  SELECT doc_id, token, count(1) AS n
         |  FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM graft_docs_map)

@@ -108,4 +108,53 @@ object Similarity {
   /** Vector L2-normalization as a reusable projection. */
   def normalized(vec: Column): Column =
     transform(vec, x => x.cast("double") / sqrt(normSq(vec)))
+
+  /** Banded random-hyperplane LSH for embedding-cosine NEAR-DUP
+    * detection: `numBands` independent bands of `rowsPerBand` sign bits
+    * each. Fewer bits per band than the top-k bucket key (4 vs 8)
+    * because near-dup recall matters more than candidate sparsity: for
+    * a pair at cosine c, P(candidate) = 1 − (1 − p^r)^b with
+    * p = 1 − arccos(c)/π.
+    */
+  val ndBands = 8
+  val ndRows = 4
+
+  /** Band keys; plane index offset avoids reusing the top-k planes. */
+  def bandKeys(vec: Column): Column = {
+    val keys = (0 until ndBands).map { b =>
+      val bits = (0 until ndRows).map { r =>
+        val p = (0 until dim).map(j => planeValue(numPlanes + b * ndRows + r, j))
+        val planeCol = array(p.map(lit): _*)
+        when(dot(planeCol, vec) > 0, lit("1")).otherwise(lit("0"))
+      }
+      concat(bits: _*)
+    }
+    array(keys: _*)
+  }
+
+  /** Embedding-cosine near-dup pairs: banded LSH candidates + exact
+    * cosine verification. O(n·candidates): the corpus is scanned once
+    * to band, the self-join runs per (band, key) bucket, and only
+    * candidate pairs pay the exact dot product.
+    */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val banded = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(bandKeys(col("embedding"))).as(Seq("band_idx", "band_key")))
+    val x = banded.alias("x")
+    val y = banded.alias("y")
+    val cand = x.join(y,
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2")).distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(vecs.select(col("vec_id").as("id1"), col("embedding").as("e1")), Seq("id1"))
+      .join(vecs.select(col("vec_id").as("id2"), col("embedding").as("e2")), Seq("id2"))
+      .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
 }

@@ -133,6 +133,26 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-ish regex tokenization: letter runs, digit runs, and single
+    * punctuation marks each count as one token (the pre-tokenizer shape
+    * most BPE vocabularies assume). Corpus-level totals per language.
+    */
+  val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeTokenCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        size(array_distinct(regexp_extract_all(col("text"), lit(bpePattern), lit(0))))
+          .cast("long").as("n_distinct_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_bpe_tokens")).as("total_tokens"),
+           sum(col("n_distinct_bpe")).as("total_distinct"),
+           max(col("n_bpe_tokens")).as("max_doc_tokens"))
+      .orderBy(col("lang"))
+
   /** Rolling polynomial fingerprint over the token stream:
     * fold(31·acc + h(token) mod P). Associativity is deliberately NOT
     * assumed — the fold is ordered, and both engines fold left-to-right.

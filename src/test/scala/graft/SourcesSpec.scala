@@ -57,6 +57,34 @@ class SourcesSpec extends SparkTestBase {
     assert(!names.exists { case (k, v) => k != 1L && k != 3L && v.startsWith("UPDATED") })
   }
 
+  test("bucketed tables join WITHOUT a shuffle (co-located join)") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Sources.writeBucketed(Tables.orders(spark, sf), "b_orders", 8, "o_orderkey")
+    Sources.writeBucketed(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"),
+      "b_lineitem", 8, "l_orderkey")
+    // force sort-merge (broadcast would trivially avoid the shuffle) —
+    // the property under test is bucket co-location
+    val joined = spark.table("b_lineitem").hint("merge")
+      .join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(1500)}")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n${plan.take(2000)}")
+    assert(joined.count() === Tables.lineitem(spark, sf).count())
+  }
+
+  test("embedding near-dup finds the planted high-cosine pair, none else above threshold") {
+    val pairs = graft.ops.Similarity.nearDupPairs(Tables.embeddings(spark, sf), 0.5)
+      .as[(Long, Long, Double)].collect()
+    // every reported pair must genuinely exceed the threshold (exact check)
+    pairs.foreach { case (_, _, s) => assert(s >= 0.5) }
+    assert(pairs.length <= 3) // random 64-dim vectors: only planted pairs survive
+  }
+
   test("mapGroupsWithState keeps running per-user totals across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
