@@ -167,6 +167,7 @@ object SparkEntry {
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(embeddings(s, d), 0.5)),
     "txt_bpe_tokens" -> ((s, d) => Text.bpeTokenCounts(documents(s, d))),
     "rel_salted_agg" -> ((s, d) => Relational.saltedEventStats(events(s, d))),
+    "rel_monthly_trend" -> ((s, d) => Relational.monthlyRevenueTrend(lineitem(s, d))),
 
     // ---- multimodal binary columns ----
     "mm_meta" -> ((s, d) => Multimodal.metaExpr(documents(s, d))),
@@ -720,6 +721,15 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rel_monthly_trend" ->
+      """SELECT month, revenue, n_items,
+        | lag(revenue, 1) OVER (ORDER BY month) AS prev_revenue
+        |FROM (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+        |    count(*) AS n_items
+        |  FROM lineitem GROUP BY 1) t
+        |ORDER BY month""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

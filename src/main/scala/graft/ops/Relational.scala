@@ -275,6 +275,23 @@ object Relational {
       .orderBy(col("o_custkey"), col("totalprice"), col("o_orderkey"))
   }
 
+  /** Time-series rollup with month-over-month deltas: aggregate to
+    * month grain, then window over the AGGREGATED output. The lag
+    * window is unpartitioned but runs over #months rows (the aggregate
+    * domain), not the fact table — the only safe place for a global
+    * window at scale.
+    */
+  def monthlyRevenueTrend(lineitem: DataFrame): DataFrame = {
+    val monthly = lineitem
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"),
+           count(lit(1)).as("n_items"))
+    monthly
+      .withColumn("prev_revenue",
+        lag(col("revenue"), 1).over(Window.orderBy(col("month"))))
+      .orderBy(col("month"))
+  }
+
   /** Salted two-phase aggregation — the skew-mitigation pattern: a hot
     * group key is first split across `salts` sub-keys (phase 1 runs
     * partial aggregation on (key, salt), spreading one hot key over

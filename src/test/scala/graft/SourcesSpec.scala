@@ -85,6 +85,36 @@ class SourcesSpec extends SparkTestBase {
     assert(pairs.length <= 3) // random 64-dim vectors: only planted pairs survive
   }
 
+  test("progress listener observes stages/tasks/records during a job (O15)") {
+    val (result, (stages, tasks, records)) =
+      graft.streaming.Progress.withTaskProgress(spark) {
+        Tables.lineitem(spark, sf).groupBy("l_returnflag").count().collect().length
+      }
+    assert(result > 0)
+    assert(stages >= 1 && tasks >= 1 && records >= 6000,
+      s"stages=$stages tasks=$tasks records=$records")
+  }
+
+  test("PERMISSIVE read isolates corrupt records instead of failing (O17 read path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    java.nio.file.Files.writeString(dir.resolve("data.json"),
+      """{"id": 1, "v": "ok"}
+        |this is not json at all
+        |{"id": 3, "v": "also ok"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id LONG, v STRING, _corrupt_record STRING")
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache() // Spark disallows querying only the corrupt column from raw files
+    val rows = df.collect()
+    assert(rows.length === 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(df.filter(col("id").isNotNull).count() === 2)
+  }
+
   test("mapGroupsWithState keeps running per-user totals across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
