@@ -165,6 +165,7 @@ object SparkEntry {
     "sim_cosine_topk" -> ((s, d) => Similarity.cosineTopK(embeddings(s, d), 8, 5)),
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(embeddings(s, d), 8, 5)),
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(embeddings(s, d), 0.5)),
+    "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d), 8, 5)),
     "txt_bpe_tokens" -> ((s, d) => Text.bpeTokenCounts(documents(s, d))),
     "rel_salted_agg" -> ((s, d) => Relational.saltedEventStats(events(s, d))),
     "rel_monthly_trend" -> ((s, d) => Relational.monthlyRevenueTrend(lineitem(s, d))),
@@ -219,12 +220,42 @@ object SparkEntry {
   }
 
   /** Shared cosine fragment: in-order double fold, two sequential
-    * divisions — mirrors Similarity.cosine exactly.
+    * divisions — mirrors Similarity.cosine exactly (argument order
+    * matters for the final-ulp division sequence).
     */
-  private val cosineSql =
-    """list_sum(list_transform(list_zip(qe, ce), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-      |        / sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |        / sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |        / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |        / sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+
+  private val cosineSql = cosSql("qe", "ce")
+
+  /** sim_ivf_topk oracle: same deterministic coarse quantizer (first
+    * nlist ids as centroids), assignment, probe, and scoring order.
+    */
+  private def ivfOracle: String =
+    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e, cent c) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 8) q, cent c) t WHERE rn <= 4),
+       |s AS (SELECT query_id, a.vec_id AS neighbor_id,
+       |        ${cosSql("p.qe", "a.embedding")} AS sim
+       |      FROM probes p JOIN assigned a USING (cell)
+       |      WHERE a.vec_id <> p.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   /** sim_near_dup oracle: 8 bands × 4 sign bits, plane literals
     * generated from the same `Similarity.planeValue` constants.
@@ -711,6 +742,7 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
     "sim_lsh_topk" -> lshOracle,
     "sim_near_dup" -> nearDupOracle,
+    "sim_ivf_topk" -> ivfOracle,
     "txt_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,

@@ -125,6 +125,24 @@ object BulkUpdate {
   def parseClampInt(value: Column): Column =
     greatest(lit(0L), floor(value.try_cast(DoubleType)).try_cast(LongType))
 
+  /** O19 — widget/type resolution: the reference resolves the editor
+    * widget per cell with a 6-strategy cascade (OBP.js:624-664) and
+    * coerces the string value to fit. Engine analog: schema-driven
+    * dispatch — the incoming string is coerced to the TARGET COLUMN's
+    * type, with the reference's semantics per type (case-insensitive
+    * boolean, clamped integer, lossless strings, try-cast numerics that
+    * yield NULL rather than fail mid-update).
+    */
+  def coerce(value: Column, target: DataType): Column = target match {
+    case BooleanType           => coerceBoolean(value)
+    case IntegerType | LongType => parseClampInt(value).cast(target)
+    case DoubleType | FloatType => trim(value).try_cast(target)
+    case _: DecimalType        => trim(value).try_cast(target)
+    case DateType              => trim(value).try_cast(DateType)
+    case TimestampType         => trim(value).try_cast(TimestampType)
+    case _                     => value.cast(StringType)
+  }
+
   /** O21 — validation gate: reject empty value / empty list / invalid
     * wait before any execution (OBP.js:277-303). Driver-side check, like
     * Spark's analysis phase.

@@ -109,6 +109,66 @@ object Similarity {
   def normalized(vec: Column): Column =
     transform(vec, x => x.cast("double") / sqrt(normSq(vec)))
 
+  /** IVF (inverted-file) ANN — the other classic scale path: a coarse
+    * quantizer of `nlist` centroids partitions the corpus; a query
+    * scores only the vectors assigned to its `nprobe` nearest
+    * centroids.
+    *
+    * The "training" is deterministic and data-independent-ish: the
+    * centroids are the embeddings of the `nlist` lowest vec_ids (a
+    * seeded sample stand-in for k-means — the assignment/probe
+    * machinery, which is the part that matters for the plan shape, is
+    * identical). Assignment = argmax cosine over the broadcast
+    * centroid set; at 100 TB the corpus is written partitioned by
+    * `cell` so a probe reads only nprobe/nlist of the data.
+    */
+  def ivfAssign(embeddings: DataFrame, nlist: Int): DataFrame = {
+    val centroids = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val scored = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("ce")).as("cs"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+  }
+
+  /** IVF top-k: probe the query's `nprobe` best cells, exact-score only
+    * their members.
+    */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(embeddings, nlist)
+    val centroids = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    // query → its nprobe nearest centroids
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("centroid_id"),
+        cosine(col("qe"), col("ce")).as("cs"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+    val probeCells = probes.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("centroid_id").as("cell"))
+    // score only the probed cells' members
+    val scored = assigned
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Banded random-hyperplane LSH for embedding-cosine NEAR-DUP
     * detection: `numBands` independent bands of `rowsPerBand` sign bits
     * each. Fewer bits per band than the top-k bucket key (4 vs 8)

@@ -123,6 +123,28 @@ class OpsSpec extends SparkTestBase {
       }
   }
 
+  test("IVF top-k scores agree exactly with brute force on shared neighbors") {
+    val ivf = Similarity.ivfTopK(Tables.embeddings(spark, sf), 4, 5)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    val brute = Similarity.cosineTopK(Tables.embeddings(spark, sf), 4, 1000)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
+  }
+
+  test("O19 coerce dispatches by target type with reference semantics") {
+    import org.apache.spark.sql.types._
+    val df = Seq("TRUE", "-7", "3.5", "oops").toDF("raw")
+    def vals[T](dt: DataType): Seq[Any] =
+      df.select(BulkUpdate.coerce(col("raw"), dt)).collect().map(_.get(0)).toSeq
+    assert(vals(BooleanType) === Seq(true, false, false, false))
+    // greatest() skips NULL, so unparseable strings clamp to 0 (the
+    // reference's validation gate rejects them earlier, O21)
+    assert(vals(LongType) === Seq(0L, 0L, 3L, 0L))
+    assert(vals(DoubleType) === Seq(null, -7.0, 3.5, null)) // try_cast semantics
+  }
+
   test("multimodal: batched mapPartitions decode agrees with expression twin") {
     val docs = Tables.documents(spark, sf)
     val media = Multimodal.asMedia(docs)

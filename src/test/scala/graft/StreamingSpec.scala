@@ -3,6 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.streaming.StreamingOps
 
+/** JVM-singleton probe for sink closures (survives closure serialization
+  * in local mode).
+  */
+object StreamSinkProbe {
+  val seen = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 /** Streaming behaviors that have no DuckDB oracle: batch↔stream
   * equivalence (the unified-model guarantee), the rate-limited sink's
   * pacing + error isolation, and cooperative cancellation.
@@ -91,6 +98,59 @@ class StreamingSpec extends SparkTestBase {
       Tables.lineitem(spark, sf).count()
     }
     assert(n > 0)
+  }
+
+  test("session_window streaming agrees with the batch lag-based sessionize") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = StreamingOps.fileStream(spark, eventsDir, rawSchema)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = stream
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("n_events"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .orderBy("user_id", "session_start").collect()
+      val batch = StreamingOps.sessionize(eventsBatch, 30)
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .orderBy("user_id", "session_start").collect()
+      assert(streamed.length === batch.length && streamed.length > 0)
+      streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    } finally q.stop()
+  }
+
+  test("rate source produces rows (streaming source discovery family)") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "50").load()
+      .writeStream.format("memory").queryName("rate_out").start()
+    try {
+      Thread.sleep(1500)
+      q.processAllAvailable()
+      assert(spark.table("rate_out").count() > 0)
+    } finally q.stop()
+  }
+
+  test("rate-limited STREAM writer paces and isolates errors per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Int]
+    StreamSinkProbe.seen.set(0)
+    // NOTE: commit closures are serialized per task even in local mode —
+    // shared state must live in a JVM singleton, not a captured local
+    val q = StreamingOps.rateLimitedStreamWriter(
+        input.toDS().toDF(), rowsPerSecPerPartition = 0) { row =>
+        if (row.getInt(0) % 5 == 0) throw new RuntimeException("boom")
+        StreamSinkProbe.seen.incrementAndGet(); ()
+      }.start()
+    try {
+      input.addData(1 to 10: _*)
+      q.processAllAvailable()
+      assert(StreamSinkProbe.seen.get() === 8) // 5 and 10 fail, isolated per-row
+    } finally q.stop()
   }
 
   test("sessionize respects the gap rule on a crafted trace") {
