@@ -134,6 +134,7 @@ object SparkEntry {
     // oracle → the driver records the weaker rows-only check
     "xtr_approx_distinct" -> ((s, d) => Scalar.approxDistinct(lineitem(s, d))),
     "xtr_map_funcs" -> ((s, d) => Scalar.mapFunctions(documents(s, d))),
+    "xtr_stats_moments" -> ((s, d) => Scalar.statsMoments(lineitem(s, d))),
 
     // ---- text analysis (LLM-pipeline operators) ----
     "txt_stats" -> ((s, d) => Text.docStats(documents(s, d))),

@@ -183,6 +183,24 @@ object Scalar {
            countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Statistical moments + percentiles (rows-only driver check: these
+    * are floating-point reductions whose evaluation order/interpolation
+    * is engine-specific, so no hash oracle — the spec asserts numeric
+    * envelopes instead).
+    */
+  def statsMoments(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        stddev_samp(col("l_quantity")).as("qty_stddev"),
+        var_samp(col("l_quantity")).as("qty_var"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("qty_price_covar"),
+        skewness(col("l_quantity")).as("qty_skew"),
+        kurtosis(col("l_quantity")).as("qty_kurt"),
+        expr("percentile(l_quantity, 0.5)").as("qty_median"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("price_quartiles"))
+      .orderBy(col("l_returnflag"))
+
   /** Conditional family over customer: CASE/coalesce/nullif/least/
     * greatest. (Both Spark and DuckDB least/greatest skip NULLs.)
     */

@@ -145,6 +145,18 @@ class OpsSpec extends SparkTestBase {
     assert(vals(DoubleType) === Seq(null, -7.0, 3.5, null)) // try_cast semantics
   }
 
+  test("statistical moments land in sane envelopes") {
+    val rows = Scalar.statsMoments(Tables.lineitem(spark, sf))
+      .select("l_returnflag", "qty_stddev", "qty_median", "qty_price_corr")
+      .as[(String, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, sd, med, c) =>
+      assert(sd > 0 && sd < 50)        // qty ∈ [1, 50]
+      assert(med >= 1 && med <= 50)
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
   test("multimodal: batched mapPartitions decode agrees with expression twin") {
     val docs = Tables.documents(spark, sf)
     val media = Multimodal.asMedia(docs)
