@@ -72,6 +72,21 @@ object PlanAudit {
       ("window rank evaluated (limit-style) in plan",
         p => p.contains("RunningWindowFunction") || p.contains("Window")))
 
+    // jaccard co-occurrence join: no cartesian, shared shingle exchange
+    audit("dedup_jaccard")(
+      ("no cartesian/BNL pair enumeration", p => !p.contains("CartesianProduct")),
+      ("exploded-shingle exchange reused", _.contains("ReusedExchange")))
+
+    // sessionize: window + aggregation share ONE hash shuffle on user_id
+    audit("str_session")(
+      ("single hash exchange (window partitioning reused by groupBy)",
+        p => "Exchange hashpartitioning".r.findAllIn(p).size <= 1))
+
+    // IVF: centroids + probe cells broadcast; corpus shuffles at most once
+    audit("sim_ivf_topk")(
+      ("centroid/probe sides broadcast", p => "BroadcastExchange".r.findAllIn(p).size >= 2),
+      ("no cartesian in cell scoring", p => !p.contains("CartesianProduct")))
+
     println(s"== plan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"} ==")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -101,6 +101,35 @@ object BulkUpdate {
       .drop("__newval")
   }
 
+  /** O6 at LARGE k — when the value list is itself a distributed
+    * dataset (millions of positions), the top-k/broadcast path of
+    * `zipUpdate` no longer applies. This variant computes a global
+    * ordered row index with `zipWithIndex`: a distributed sort plus one
+    * extra count job for per-partition offsets — never a
+    * single-partition window — then equi-joins values on position.
+    * Same min-truncation / read-only / visibility semantics.
+    *
+    * `values` must carry (`__pos` long, `__newval` string).
+    */
+  def zipUpdateIndexed(df: DataFrame, column: String, values: DataFrame,
+                       orderKeys: Seq[String], visible: Column,
+                       readOnly: Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val keyCols = orderKeys.map(col)
+    val vis = df.filter(visible).select(keyCols: _*).orderBy(keyCols: _*)
+    val indexed = spark.createDataFrame(
+      vis.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      StructType(vis.schema.fields :+ StructField("__pos", LongType, nullable = false)))
+    val upd = indexed.join(values, "__pos")
+      .select(keyCols :+ col("__newval"): _*)
+    df.join(upd, orderKeys, "left")
+      .withColumn(column,
+        when(col("__newval").isNotNull && !coalesce(readOnly, lit(false)),
+          col("__newval")).otherwise(col(column)))
+      .drop("__newval")
+  }
+
   /** O13 — outcome accounting: one row of counters mirroring the final
     * toast (OBP.js:504-513). updated / skipped_readonly (neither success
     * nor error — trap #2) / hidden / total.

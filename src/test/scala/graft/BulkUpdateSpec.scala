@@ -82,6 +82,21 @@ class BulkUpdateSpec extends SparkTestBase {
     assert(!BulkUpdate.columnHasReadOnly(docs(12), lit(false)))
   }
 
+  test("zipUpdateIndexed (large-k scale path) agrees with zipUpdate exactly") {
+    val df = docs(25)
+    val text = (1 to 40).map("v" + _).mkString("\n")
+    val values = BulkUpdate.parseLines(text)
+      .toDF("__pos", "__newval")
+      .select(col("__pos").cast("long").as("__pos"), col("__newval"))
+    val small = BulkUpdate.zipUpdate(df, "value", text,
+        Seq("id"), !col("hidden"), col("ro"))
+      .select("id", "value").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val large = BulkUpdate.zipUpdateIndexed(df, "value", values,
+        Seq("id"), !col("hidden"), col("ro"))
+      .select("id", "value").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(large === small)
+  }
+
   test("property: zip updates exactly min(values, visibleRows) writable rows") {
     val gen = for {
       n <- Gen.choose(0, 30)
