@@ -58,6 +58,18 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
         .orderBy(col("o_orderkey"))
     }),
+    "bu_zip_large" -> ((s, d) => {
+      // large-list variant: the value list is a distributed dataset, so
+      // the zipWithIndex path computes the positional index
+      val values = s.range(1000).select(col("id").as("__pos"),
+        concat(lit("v"), col("id")).as("__newval"))
+      BulkUpdate.zipUpdateIndexed(orders(s, d), "o_orderpriority", values,
+          orderKeys = Seq("o_orderkey"),
+          visible = col("o_orderstatus") === "O",
+          readOnly = col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
     "bu_outcome" -> ((s, d) =>
       BulkUpdate.outcome(lineitem(s, d),
         visible = col("l_quantity") > 25,
@@ -364,6 +376,18 @@ object SparkEntry {
         |       THEN u.newval ELSE t.o_orderpriority END AS o_orderpriority
         |FROM orders t
         |LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
+        |ORDER BY t.o_orderkey""".stripMargin,
+    "bu_zip_large" ->
+      """WITH vals AS (
+        |  SELECT i AS pos, 'v' || CAST(i AS VARCHAR) AS newval FROM range(0, 1000) t(i)),
+        |vis AS (
+        |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+        |  FROM orders WHERE o_orderstatus = 'O'),
+        |upd AS (SELECT o_orderkey, newval FROM vis JOIN vals USING (pos))
+        |SELECT t.o_orderkey, t.o_orderstatus,
+        |  CASE WHEN u.newval IS NOT NULL AND NOT (t.o_orderpriority = '1-URGENT')
+        |       THEN u.newval ELSE t.o_orderpriority END AS o_orderpriority
+        |FROM orders t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
         |ORDER BY t.o_orderkey""".stripMargin,
     "bu_outcome" ->
       """SELECT
