@@ -71,6 +71,51 @@ object Multimodal {
     }
   }
 
+  /** A "resized" media payload: real batching/schema plumbing, stubbed
+    * transform (a real implementation hands bytes to a codec and
+    * re-encodes). The stub keeps determinism: output bytes are a
+    * truncated/repeated view sized proportionally to the target dims,
+    * so downstream size accounting behaves like a real resize.
+    */
+  case class ResizedMedia(doc_id: Long, width: Long, height: Long,
+                          content: Array[Byte])
+
+  def resizeStub(media: Dataset[MediaRecord], targetW: Int, targetH: Int,
+                 batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          // STUB: proportional byte budget in place of real re-encoding
+          val budget = math.max(1, targetW * targetH / 64)
+          val out = Array.tabulate[Byte](math.min(budget, r.content.length))(
+            i => r.content(i % r.content.length))
+          ResizedMedia(r.doc_id, targetW.toLong, targetH.toLong, out)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for video-like payloads: every n-th fixed-size
+    * chunk of the payload stands in for a decoded frame — the output
+    * shape (one row per sampled frame with frame_idx) is exactly what a
+    * real frame sampler produces.
+    */
+  case class Frame(doc_id: Long, frame_idx: Long, frame_bytes: Array[Byte])
+
+  def frameSampleStub(media: Dataset[MediaRecord], frameSize: Int,
+                      everyN: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val nFrames = math.max(1, r.content.length / frameSize)
+      (0L until nFrames.toLong).filter(_ % everyN == 0).map { i =>
+        val start = (i * frameSize).toInt
+        val end = math.min(start + frameSize, r.content.length)
+        Frame(r.doc_id, i, java.util.Arrays.copyOfRange(r.content, start, end))
+      }
+    }
+  }
+
   /** Expression-level twin of `extractMeta` (codegen-friendly, used as
     * the DuckDB-checkable registry query; the spec asserts it agrees
     * with the mapPartitions path row-for-row).

@@ -157,6 +157,37 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal resize/frame-sample plumbing produces the expected shapes") {
+    val media = Multimodal.asMedia(Tables.documents(spark, sf))
+      .as[Multimodal.MediaRecord]
+    val resized = Multimodal.resizeStub(media, 128, 128).collect()
+    assert(resized.length === media.count())
+    resized.foreach { r =>
+      assert(r.width === 128L && r.height === 128L && r.content.length <= 256)
+    }
+    val frames = Multimodal.frameSampleStub(media, frameSize = 32, everyN = 2)
+    val byDoc = frames.groupByKey(_.doc_id).count().collect().toMap
+    assert(byDoc.nonEmpty)
+    // every doc yields at least one frame; indices are even (every 2nd)
+    assert(frames.filter(f => f.frame_idx % 2 != 0).count() === 0)
+    assert(byDoc.values.forall(_ >= 1))
+  }
+
+  test("operators behave on empty inputs (no crashes, empty outputs)") {
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Tables.documents(spark, sf).schema)
+    assert(Dedup.exactDedup(emptyDocs).isEmpty)
+    assert(Dedup.minhashNearDups(emptyDocs).isEmpty)
+    assert(Dedup.jaccardPairs(emptyDocs).isEmpty)
+    assert(Text.tokenFrequency(emptyDocs, 10).isEmpty)
+    val emptyOrders = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Tables.orders(spark, sf).schema)
+    assert(BulkUpdate.zipUpdate(emptyOrders, "o_orderpriority", "a\nb",
+      Seq("o_orderkey"), lit(true), lit(false)).isEmpty)
+  }
+
   test("multimodal: batched mapPartitions decode agrees with expression twin") {
     val docs = Tables.documents(spark, sf)
     val media = Multimodal.asMedia(docs)
