@@ -97,6 +97,35 @@ class BulkUpdateSpec extends SparkTestBase {
     assert(large === small)
   }
 
+  test("property: broadcast update is idempotent (SURVEY §5.2)") {
+    val gen = Gen.choose(1, 25)
+    val prop = Prop.forAllNoShrink(gen) { n =>
+      val df = docs(n)
+      val once = BulkUpdate.broadcastUpdate(df, "value", lit("X"),
+        !col("hidden"), col("ro"))
+      val twice = BulkUpdate.broadcastUpdate(once, "value", lit("X"),
+        !col("hidden"), col("ro"))
+      once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: update never touches filtered-out or read-only rows") {
+    val gen = Gen.choose(1, 30)
+    val prop = Prop.forAllNoShrink(gen) { n =>
+      val out = BulkUpdate.broadcastUpdate(docs(n), "value", lit("X"),
+          !col("hidden"), col("ro"))
+        .select("id", "value").as[(Long, String)].collect()
+      out.forall { case (i, v) =>
+        val untouched = (i % 3 == 0) || (i % 4 == 0) // hidden or read-only
+        if (untouched) v == s"old_$i" else v == "X"
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: zip updates exactly min(values, visibleRows) writable rows") {
     val gen = for {
       n <- Gen.choose(0, 30)
