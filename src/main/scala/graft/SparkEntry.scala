@@ -111,6 +111,8 @@ object SparkEntry {
       Relational.revenueByRegion(lineitem(s, d), orders(s, d), customer(s, d),
         nation(s, d), region(s, d))),
     "rel_semi_join" -> ((s, d) => Relational.customersWithOrders(customer(s, d), orders(s, d))),
+    "rel_full_outer" -> ((s, d) => Relational.customerOrderFullOuter(customer(s, d), orders(s, d))),
+    "rel_right_outer" -> ((s, d) => Relational.orderCustomerRightOuter(customer(s, d), orders(s, d))),
     "rel_anti_join" -> ((s, d) => Relational.customersWithoutOrders(customer(s, d), orders(s, d))),
     "rel_window_topk" -> ((s, d) => Relational.topOrdersPerCustomer(orders(s, d), 3)),
     "rel_window_running" -> ((s, d) => Relational.runningLineTotals(lineitem(s, d))),
@@ -441,6 +443,22 @@ object SparkEntry {
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "rel_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+        | coalesce(n_orders, 0) AS n_orders, total_spend
+        |FROM (SELECT c_custkey, c_name FROM customer) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spend
+        |  FROM orders GROUP BY o_custkey) o
+        |ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "rel_right_outer" ->
+      """SELECT c_mktsegment, count(*) AS n_orders
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer) c
+        |RIGHT JOIN (SELECT o_orderkey, o_custkey FROM orders) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
     "rel_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -644,7 +662,8 @@ object SparkEntry {
       """SELECT event_id,
         | json_extract_string(props, '$.k') AS k_str,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
-        | CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
         |FROM events ORDER BY event_id""".stripMargin,
     "sca_conditional" ->
       """SELECT c_custkey,

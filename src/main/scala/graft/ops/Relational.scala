@@ -92,6 +92,33 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal").cast("decimal(18,2)").as("acctbal"))
       .orderBy(col("c_custkey"))
 
+  /** Full-outer join: customers ⋈ per-customer order rollup, keeping
+    * both unmatched sides (customers without orders and — were the FK
+    * ever violated — orders without customers).
+    */
+  def customerOrderFullOuter(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val counts = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(dec(col("o_totalprice"))).cast("decimal(38,4)").as("total_spend"))
+    customer.select(col("c_custkey"), col("c_name"))
+      .join(counts, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("total_spend"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Right-outer join: every order row kept, customer columns nullable. */
+  def orderCustomerRightOuter(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"), col("c_mktsegment"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "right_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment").asc_nulls_first)
+
   /** Per-group top-k via ranked window: one shuffle on the partition key;
     * ties broken by orderkey so the result is deterministic.
     */

@@ -82,13 +82,17 @@ object Scalar {
           lit(0.0), (acc, x) => acc + x).as("norm_sq"))
       .orderBy(col("vec_id"))
 
-  /** JSON family over events.props (JSON text): extract + typed cast. */
+  /** JSON family over events.props (JSON text): path extraction, typed
+    * cast, and full `from_json` parsing into a struct column.
+    */
   def jsonFunctions(events: DataFrame): DataFrame =
     events.select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("long").as("k_int"),
-        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k").as("k_struct"))
       .orderBy(col("event_id"))
 
   /** Extended string family: split_part, left/right, repeat, translate,
