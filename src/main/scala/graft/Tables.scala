@@ -24,6 +24,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every fixture table as a temp view so the whole engine is
+    * reachable from the plain SQL surface (`spark.sql("... FROM
+    * lineitem")`) — the same names the DuckDB oracles use.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+
   /** `events.ts` is physically INT64 TIMESTAMP(NANOS) parquet
     * (FIXTURES.md). Spark's vectorized reader cannot decode nanos as
     * TimestampType; read them as raw longs (legacy conf) and convert to

@@ -13,6 +13,16 @@ class OpsSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registerViews exposes every fixture table to the SQL surface") {
+    Tables.registerViews(spark, sf)
+    Tables.names.foreach { n =>
+      assert(spark.sql(s"SELECT count(*) FROM $n").head().getLong(0) > 0, n)
+    }
+    // nanosecond events surface as proper timestamps through SQL too
+    val t = spark.sql("SELECT ts FROM events ORDER BY event_id LIMIT 1").schema("ts")
+    assert(t.dataType === org.apache.spark.sql.types.TimestampType)
+  }
+
   test("approx_count_distinct lands within 10% of exact") {
     val li = Tables.lineitem(spark, sf)
     val (exact, approx) = li
