@@ -182,6 +182,8 @@ object SparkEntry {
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(embeddings(s, d), 0.5)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d), 8, 5)),
     "txt_bpe_tokens" -> ((s, d) => Text.bpeTokenCounts(documents(s, d))),
+    "txt_train_val_split" -> ((s, d) => Text.trainValSplit(documents(s, d))),
+    "txt_split_stats" -> ((s, d) => Text.splitStats(documents(s, d))),
     "rel_salted_agg" -> ((s, d) => Relational.saltedEventStats(events(s, d))),
     "rel_monthly_trend" -> ((s, d) => Relational.monthlyRevenueTrend(lineitem(s, d))),
 
@@ -793,6 +795,19 @@ object SparkEntry {
         | CAST(sum(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')))) AS BIGINT) AS total_distinct,
         | CAST(max(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS max_doc_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "txt_train_val_split" ->
+      """SELECT doc_id, lang,
+        | CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_split_stats" ->
+      """SELECT split, count(*) AS n FROM (
+        |  SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents) t
+        |GROUP BY split ORDER BY split""".stripMargin,
     "rel_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value

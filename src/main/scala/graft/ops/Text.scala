@@ -153,6 +153,28 @@ object Text {
            max(col("n_bpe_tokens")).as("max_doc_tokens"))
       .orderBy(col("lang"))
 
+  /** Deterministic train/val/test assignment by content-independent key
+    * hash — the reproducible split every training pipeline needs:
+    * stable under reshuffling, engine-portable (md5), and extendable
+    * (new data lands in the same buckets). 80/10/10 by default.
+    */
+  def trainValSplit(documents: DataFrame,
+                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = tokenHash(col("doc_id").cast("string")) % 100
+    documents
+      .select(col("doc_id"), col("lang"),
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Split-size accounting (the sanity check on the assignment). */
+  def splitStats(documents: DataFrame): DataFrame =
+    trainValSplit(documents)
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .orderBy(col("split"))
+
   /** Rolling polynomial fingerprint over the token stream:
     * fold(31·acc + h(token) mod P). Associativity is deliberately NOT
     * assumed — the fold is ordered, and both engines fold left-to-right.
