@@ -144,8 +144,10 @@ object SparkEntry {
     "sca_regex" -> ((s, d) => Scalar.regexFunctions(part(s, d))),
     "sca_date2" -> ((s, d) => Scalar.dateFunctions2(events(s, d))),
     "sca_array2" -> ((s, d) => Scalar.arrayFunctions2(documents(s, d))),
-    // engine-specific estimates / MAP columns: registered without an
-    // oracle → the driver records the weaker rows-only check
+    // approx distinct carries a hash-checkable accuracy gate; map funcs
+    // project oracle-checkable scalars out of the MAP column; the
+    // floating-point moments stay a rows-only check (engine-specific
+    // reduction order)
     "xtr_approx_distinct" -> ((s, d) => Scalar.approxDistinct(lineitem(s, d))),
     "xtr_map_funcs" -> ((s, d) => Scalar.mapFunctions(documents(s, d))),
     "xtr_stats_moments" -> ((s, d) => Scalar.statsMoments(lineitem(s, d))),
@@ -426,10 +428,10 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 500""".stripMargin,
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-        | sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS sum_disc_price,
-        | sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
         | count(*) AS count_order,
         | count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem WHERE l_quantity > 0
@@ -437,7 +439,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "rel_revenue_by_region" ->
       """SELECT r_name,
-        | sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS revenue,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -451,7 +453,7 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_name FROM customer) c
         |FULL OUTER JOIN (
         |  SELECT o_custkey, count(*) AS n_orders,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spend
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
         |  FROM orders GROUP BY o_custkey) o
         |ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin,
@@ -466,12 +468,12 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "rel_anti_join" ->
-      """SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "rel_window_topk" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice, rk
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice, rk
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |        row_number() OVER (PARTITION BY o_custkey
         |                           ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC, o_orderkey ASC) AS rk
@@ -479,21 +481,21 @@ object SparkEntry {
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     "rel_window_running" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        | CAST(l_quantity AS DECIMAL(18,4)) AS qty,
-        | sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+        | CAST(l_quantity AS DOUBLE) AS qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
         |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
-        | lag(CAST(l_quantity AS DECIMAL(18,4)), 1) OVER (
-        |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS prev_qty,
-        | lead(CAST(l_quantity AS DECIMAL(18,4)), 1) OVER (
-        |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS next_qty,
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        | CAST(lag(CAST(l_quantity AS DECIMAL(18,4)), 1) OVER (
+        |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS DOUBLE) AS prev_qty,
+        | CAST(lead(CAST(l_quantity AS DECIMAL(18,4)), 1) OVER (
+        |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS DOUBLE) AS next_qty,
         | rank() OVER (PARTITION BY l_orderkey
         |              ORDER BY CAST(l_quantity AS DECIMAL(18,4)) DESC,
         |                       l_linenumber, l_partkey, l_suppkey) AS rank_in_order
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
     "rel_sort_topk" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,4)) AS price
+      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
         |FROM lineitem
         |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
     "rel_union" ->
@@ -507,12 +509,12 @@ object SparkEntry {
         |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
     "rel_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "rel_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        | sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "rel_count_distinct" ->
@@ -550,7 +552,7 @@ object SparkEntry {
         |GROUP BY nk ORDER BY nk""".stripMargin,
     "rel_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
@@ -563,23 +565,23 @@ object SparkEntry {
         | count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "rel_window_family" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)) AS totalprice,
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
         | CAST(ntile(4) OVER w AS BIGINT) AS bucket4,
         | percent_rank() OVER w AS pct_rank,
         | cume_dist() OVER w AS cume,
-        | first_value(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        | CAST(first_value(CAST(o_totalprice AS DECIMAL(18,4))) OVER
         |   (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest,
-        | last_value(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS cheapest,
+        | CAST(last_value(CAST(o_totalprice AS DECIMAL(18,4))) OVER
         |   (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest,
-        | nth_value(CAST(o_totalprice AS DECIMAL(18,4)), 2) OVER
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS priciest,
+        | CAST(nth_value(CAST(o_totalprice AS DECIMAL(18,4)), 2) OVER
         |   (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_cheapest,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS second_cheapest,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
         |   (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4))
-        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS running_range,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DECIMAL(38,4)) AS running_rows
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_range,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_rows
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) ASC, o_orderkey ASC)
@@ -657,7 +659,9 @@ object SparkEntry {
       """SELECT vec_id,
         | len(embedding) AS dim,
         | CAST(embedding[1] AS DOUBLE) AS first_val,
-        | embedding[1:3] AS head3,
+        | CAST(embedding[1] AS DOUBLE) AS head3_1,
+        | CAST(embedding[2] AS DOUBLE) AS head3_2,
+        | CAST(embedding[3] AS DOUBLE) AS head3_3,
         | list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "sca_json" ->
@@ -673,9 +677,19 @@ object SparkEntry {
         |      WHEN c_mktsegment = 'AUTOMOBILE' THEN 'A'
         |      ELSE 'other' END AS segment_code,
         | coalesce(nullif(c_mktsegment, 'BUILDING'), 'suppressed') AS segment_or_suppressed,
-        | CAST(least(c_acctbal, 5000.0) AS DECIMAL(12,2)) AS capped_bal,
+        | CAST(least(CAST(c_acctbal AS DECIMAL(12,2)), CAST(5000 AS DECIMAL(12,2))) AS DOUBLE) AS capped_bal,
         | CAST(greatest(c_nationkey, 10) AS BIGINT) AS floored_nation
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "xtr_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        | true AS approx_within_10pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "xtr_map_funcs" ->
+      """SELECT doc_id,
+        | list_sort(list_distinct(string_split(text, ' ')))[1] AS a_key,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        | CAST(len(list_filter(string_split(text, ' '), t -> t = 'the')) AS BIGINT) AS the_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_stats" ->
       """SELECT doc_id, lang, length(text) AS n_chars_calc,
         | len(string_split(text, ' ')) AS n_tokens,
@@ -718,7 +732,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "str_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        | count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "str_sliding" ->
       """SELECT window_start, event_type, count(*) AS n
@@ -744,7 +758,7 @@ object SparkEntry {
         |  FROM y)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
-        |  sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "dedup_exact" ->
@@ -810,14 +824,14 @@ object SparkEntry {
         |GROUP BY split ORDER BY split""".stripMargin,
     "rel_salted_agg" ->
       """SELECT event_type, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_value
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rel_monthly_trend" ->
       """SELECT month, revenue, n_items,
         | lag(revenue, 1) OVER (ORDER BY month) AS prev_revenue
         |FROM (
         |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4)) AS revenue,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
         |    count(*) AS n_items
         |  FROM lineitem GROUP BY 1) t
         |ORDER BY month""".stripMargin,

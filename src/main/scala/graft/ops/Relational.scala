@@ -29,6 +29,17 @@ object Relational {
     */
   def dec(c: Column): Column = c.cast("decimal(18,4)")
 
+  /** Final-output cast: decimal aggregates leave the engine as DOUBLE.
+    * Internally everything is exact decimal (associative, partition-order
+    * independent); the one decimal→double conversion at the end is
+    * correctly rounded in both Spark (BigDecimal.doubleValue) and DuckDB,
+    * so both engines emit bit-identical float64 — which is also what the
+    * driver's pandas-based compare reads back from parquet on both sides
+    * (a DECIMAL output column round-trips as python Decimal objects on
+    * one side and float64 on the other and can never hash-match).
+    */
+  def outD(c: Column): Column = c.cast("double")
+
   /** Money columns carry exactly 2 decimal digits (TPC-H convention), so
     * a (12,2)/(4,2) cast is EXACT — no rounding happens at all, and all
     * downstream arithmetic is pure decimal: associative, engine- and
@@ -51,10 +62,10 @@ object Relational {
       .filter(col("l_quantity") > 0)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"),
-        sum(money(col("l_extendedprice"))).cast("decimal(38,2)").as("sum_base_price"),
-        sum(discPrice).cast("decimal(38,4)").as("sum_disc_price"),
-        sum(charge).cast("decimal(38,6)").as("sum_charge"),
+        outD(sum(dec(col("l_quantity")))).as("sum_qty"),
+        outD(sum(money(col("l_extendedprice")))).as("sum_base_price"),
+        outD(sum(discPrice)).as("sum_disc_price"),
+        outD(sum(charge)).as("sum_charge"),
         count(lit(1)).as("count_order"),
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -72,7 +83,7 @@ object Relational {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        sum(discPrice).cast("decimal(38,4)").as("revenue"),
+        outD(sum(discPrice)).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"))
 
@@ -89,7 +100,7 @@ object Relational {
   def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.join(orders.select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal").cast("decimal(18,2)").as("acctbal"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal").cast("double").as("acctbal"))
       .orderBy(col("c_custkey"))
 
   /** Full-outer join: customers ⋈ per-customer order rollup, keeping
@@ -99,7 +110,7 @@ object Relational {
   def customerOrderFullOuter(customer: DataFrame, orders: DataFrame): DataFrame = {
     val counts = orders.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
-           sum(dec(col("o_totalprice"))).cast("decimal(38,4)").as("total_spend"))
+           outD(sum(dec(col("o_totalprice")))).as("total_spend"))
     customer.select(col("c_custkey"), col("c_name"))
       .join(counts, col("c_custkey") === col("o_custkey"), "full_outer")
       .select(
@@ -130,6 +141,7 @@ object Relational {
         dec(col("o_totalprice")).as("totalprice"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
+      .withColumn("totalprice", outD(col("totalprice")))
       .orderBy(col("o_custkey"), col("rk"))
   }
 
@@ -149,11 +161,12 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_suppkey"), dec(col("l_quantity")).as("qty"))
       .withColumn("running_qty",
-        sum(col("qty")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("decimal(38,4)"))
-      .withColumn("prev_qty", lag(col("qty"), 1).over(w))
-      .withColumn("next_qty", lead(col("qty"), 1).over(w))
+        outD(sum(col("qty")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("prev_qty", outD(lag(col("qty"), 1).over(w)))
+      .withColumn("next_qty", outD(lead(col("qty"), 1).over(w)))
       .withColumn("rank_in_order", rank().over(
         Window.partitionBy(col("l_orderkey")).orderBy((col("qty").desc +: ord): _*)).cast("long"))
+      .withColumn("qty", outD(col("qty")))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
   }
 
@@ -167,6 +180,7 @@ object Relational {
         dec(col("l_extendedprice")).as("price"))
       .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(k)
+      .withColumn("price", outD(col("price")))
 
   /** Set operations over the customer/supplier nation domains. */
   def nationKeysUnion(customer: DataFrame, supplier: DataFrame): DataFrame =
@@ -189,13 +203,13 @@ object Relational {
     */
   def orderRollup(orders: DataFrame): DataFrame =
     orders.rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("o_totalprice"))).cast("decimal(38,4)").as("total"))
+      .agg(count(lit(1)).as("n"), outD(sum(dec(col("o_totalprice")))).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
   /** CUBE over return flag/line status. */
   def lineitemCube(lineitem: DataFrame): DataFrame =
     lineitem.cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("decimal(38,4)").as("sum_qty"))
+      .agg(count(lit(1)).as("n"), outD(sum(dec(col("l_quantity")))).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   /** Exact + approximate distinct aggregation. The HLL++ estimate is
@@ -253,7 +267,7 @@ object Relational {
     spark.sql(
       """SELECT o_orderstatus, o_orderpriority,
         |  count(1) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM graft_orders_gs
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
@@ -295,10 +309,14 @@ object Relational {
       .withColumn("second_cheapest", nth_value(col("totalprice"), 2).over(
         byCust.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       // RANGE frame: running sum including peers (ties sum together)
-      .withColumn("running_range", sum(col("totalprice")).over(
-        peers.rangeBetween(Window.unboundedPreceding, Window.currentRow)).cast("decimal(38,4)"))
-      .withColumn("running_rows", sum(col("totalprice")).over(
-        byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("decimal(38,4)"))
+      .withColumn("running_range", outD(sum(col("totalprice")).over(
+        peers.rangeBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("running_rows", outD(sum(col("totalprice")).over(
+        byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("totalprice", outD(col("totalprice")))
+      .withColumn("cheapest", outD(col("cheapest")))
+      .withColumn("priciest", outD(col("priciest")))
+      .withColumn("second_cheapest", outD(col("second_cheapest")))
       .orderBy(col("o_custkey"), col("totalprice"), col("o_orderkey"))
   }
 
@@ -311,7 +329,7 @@ object Relational {
   def monthlyRevenueTrend(lineitem: DataFrame): DataFrame = {
     val monthly = lineitem
       .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
-      .agg(sum(discPrice).cast("decimal(38,4)").as("revenue"),
+      .agg(outD(sum(discPrice)).as("revenue"),
            count(lit(1)).as("n_items"))
     monthly
       .withColumn("prev_revenue",
@@ -334,7 +352,7 @@ object Relational {
            sum(col("value").cast("decimal(12,2)")).as("ps"))
       .groupBy(col("event_type"))
       .agg(sum(col("pn")).as("n"),
-           sum(col("ps")).cast("decimal(38,2)").as("sum_value"))
+           outD(sum(col("ps"))).as("sum_value"))
       .orderBy(col("event_type"))
 
   /** As-of join: latest order at-or-before each event timestamp for the

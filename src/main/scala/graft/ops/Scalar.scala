@@ -77,7 +77,11 @@ object Scalar {
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         element_at(col("embedding"), 1).cast("double").as("first_val"),
-        slice(col("embedding"), 1, 3).as("head3"),
+        // driver-comparable scalars, not an array column (the compare
+        // sorts rows in pandas, which cannot sort ndarray cells)
+        element_at(col("embedding"), 1).cast("double").as("head3_1"),
+        element_at(col("embedding"), 2).cast("double").as("head3_2"),
+        element_at(col("embedding"), 3).cast("double").as("head3_3"),
         aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
           lit(0.0), (acc, x) => acc + x).as("norm_sq"))
       .orderBy(col("vec_id"))
@@ -154,9 +158,11 @@ object Scalar {
       .orderBy(col("doc_id"))
   }
 
-  /** Map family (no DuckDB oracle — MAP comparison semantics differ;
-    * exercised as a rows-only check + ScalaTest): token → count map per
-    * document via map_from_entries, then typed access.
+  /** Map family: token → count map per document via map_from_entries,
+    * then typed access. The MAP itself stays internal (MAP columns don't
+    * survive the driver's pandas compare); the projected scalars are
+    * fully oracle-checked. `the_count` coalesces to 0 so the column
+    * stays int64 on both sides (a NULL would demote pandas to float64).
     */
   def mapFunctions(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
@@ -173,18 +179,23 @@ object Scalar {
       .select(col("doc_id"),
         map_keys(col("token_counts")).getItem(0).as("a_key"),
         size(map_keys(col("token_counts"))).cast("long").as("n_distinct"),
-        element_at(col("token_counts"), "the").as("the_count"))
+        coalesce(element_at(col("token_counts"), "the"), lit(0L)).as("the_count"))
       .orderBy(col("doc_id"))
   }
 
-  /** Approximate distinct (HLL++) — engine-specific estimate, so it is
-    * registered without an oracle (rows-only driver check); the spec
-    * asserts a ±10% envelope against the exact count.
+  /** Approximate distinct (HLL++). The raw estimate is engine-specific,
+    * so the registered output carries the exact count plus a BOOLEAN
+    * accuracy gate (estimate within ±10% of exact) — the oracle asserts
+    * the gate is true, turning HLL accuracy itself into a hash-checkable
+    * property instead of settling for a rows-only check.
     */
   def approxDistinct(lineitem: DataFrame): DataFrame =
     lineitem.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
            countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          <= lit(0.1) * col("exact_parts")).as("approx_within_10pct"))
       .orderBy(col("l_returnflag"))
 
   /** Statistical moments + percentiles (rows-only driver check: these
@@ -202,7 +213,15 @@ object Scalar {
         skewness(col("l_quantity")).as("qty_skew"),
         kurtosis(col("l_quantity")).as("qty_kurt"),
         expr("percentile(l_quantity, 0.5)").as("qty_median"),
-        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("price_quartiles"))
+        // flattened to scalar columns: the driver's rows-only check still
+        // sorts the output, and pandas cannot sort array cells
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("__pq"))
+      .select(col("l_returnflag"), col("qty_stddev"), col("qty_var"),
+        col("qty_price_corr"), col("qty_price_covar"), col("qty_skew"),
+        col("qty_kurt"), col("qty_median"),
+        element_at(col("__pq"), 1).as("price_p25"),
+        element_at(col("__pq"), 2).as("price_p50"),
+        element_at(col("__pq"), 3).as("price_p75"))
       .orderBy(col("l_returnflag"))
 
   /** Conditional family over customer: CASE/coalesce/nullif/least/
@@ -217,7 +236,7 @@ object Scalar {
         coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("suppressed"))
           .as("segment_or_suppressed"),
         least(col("c_acctbal").cast("decimal(12,2)"), lit(5000).cast("decimal(12,2)"))
-          .as("capped_bal"),
+          .cast("double").as("capped_bal"),
         greatest(col("c_nationkey"), lit(10)).cast("long").as("floored_nation"))
       .orderBy(col("c_custkey"))
 }

@@ -27,7 +27,7 @@ object StreamingOps {
     events
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"))
+           sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -65,7 +65,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"),
            min(col("ts")).as("session_start"),
            max(col("ts")).as("session_end"),
-           sum(col("value").cast("decimal(12,2)")).cast("decimal(38,2)").as("sum_value"))
+           sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
 
