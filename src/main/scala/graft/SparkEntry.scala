@@ -191,6 +191,22 @@ object SparkEntry {
 
     // ---- multimodal binary columns ----
     "mm_meta" -> ((s, d) => Multimodal.metaExpr(documents(s, d))),
+    "mm_resize" -> ((s, d) => Multimodal.resizeMeta(documents(s, d), 64, 64)),
+    "mm_frames" -> ((s, d) => Multimodal.frameStats(documents(s, d), 256, 2)),
+
+    // ---- round-2 breadth: agg/window/join/scalar families ----
+    "rel_string_agg" -> ((s, d) => Relational.nationSupplierNames(supplier(s, d))),
+    "rel_minmax_by" -> ((s, d) => Relational.orderExtremes(orders(s, d))),
+    "rel_window_range_time" -> ((s, d) => Relational.trailingHourStats(events(s, d))),
+    "rel_cross_join" -> ((s, d) => Relational.regionNationPairs(region(s, d), nation(s, d))),
+    "rel_scalar_subquery" -> ((s, d) => Relational.aboveAverageOrders(orders(s, d))),
+    "rel_shuffle_hash_join" -> ((s, d) =>
+      Relational.supplierRevenueHashJoin(lineitem(s, d), supplier(s, d))),
+    "sca_cast" -> ((s, d) => Scalar.castFamily(s)),
+    "sca_hof" -> ((s, d) => Scalar.hofFamily(documents(s, d))),
+    "sca_sequence" -> ((s, d) => Scalar.sequenceFamily(nation(s, d))),
+    "xtr_custom_agg" -> ((s, d) => Scalar.customStatsAgg(events(s, d))),
+    "txt_hash_sample" -> ((s, d) => Text.hashSample(documents(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -843,5 +859,87 @@ object SparkEntry {
         | CAST(16 * strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS BIGINT) AS height,
         | CAST(strpos('0123456789abcdef', substr(md5(text), 3, 1)) AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+        | CAST(least(64, octet_length(encode(text))) AS BIGINT) AS n_bytes_out,
+        | md5(substr(text, 1, 64)) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n,
+        |        unnest(generate_series(0, greatest(1, n // 256) - 1)) AS i FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        | CAST(least(256, n - i * 256) AS BIGINT) AS frame_len
+        |FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+    "rel_string_agg" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers,
+        | string_agg(s_name, ',' ORDER BY s_name) AS names
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "rel_minmax_by" ->
+      """SELECT o_orderstatus,
+        | arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT) * 10000000 + o_orderkey) AS priciest_order,
+        | arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order,
+        | CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+        | CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "rel_window_range_time" ->
+      """SELECT event_id, user_id,
+        | CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "rel_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "rel_scalar_subquery" ->
+      """SELECT o_orderstatus, count(1) AS n_above_avg
+        |FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+        |        (SELECT count(1) FROM orders)
+        |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "rel_shuffle_hash_join" ->
+      """SELECT s_name, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "sca_cast" ->
+      """SELECT raw,
+        | TRY_CAST(raw AS DOUBLE) AS as_double,
+        | coalesce(TRY_CAST(raw AS DATE), DATE '1900-01-01') AS as_date,
+        | coalesce(TRY_CAST(raw AS DOUBLE), CAST(-1.0 AS DOUBLE)) AS dbl_or_neg1,
+        | TRY_CAST(raw AS DOUBLE) IS NOT NULL AS is_numeric,
+        | nullif(raw, '') IS NULL AS is_empty
+        |FROM (VALUES ('42'),(' 7 '),('3.14'),('abc'),('2020-01-02'),('')) t(raw)
+        |ORDER BY raw""".stripMargin,
+    "sca_hof" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(tk, t -> len(t) > 6)) AS BIGINT) AS n_long_tokens,
+        | len(list_filter(tk, t -> starts_with(t, 'a'))) > 0 AS any_a_token,
+        | len(list_filter(tk, t -> len(t) = 0)) = 0 AS all_nonempty,
+        | CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT) AS total_token_chars,
+        | array_to_string(list_transform(list_zip(tk,
+        |     list_transform(tk, t -> CAST(len(t) AS VARCHAR))),
+        |   p -> p[1] || ':' || p[2])[1:3], ',') AS first3_tagged
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) s
+        |ORDER BY doc_id""".stripMargin,
+    "sca_sequence" ->
+      """SELECT n_nationkey,
+        | CAST(len(generate_series(0, n_nationkey)) AS BIGINT) AS seq_len,
+        | CAST(list_sum(generate_series(0, n_nationkey)) AS BIGINT) AS seq_sum,
+        | '1-2-3' AS one_two_three
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "xtr_custom_agg" ->
+      """SELECT event_type, count(*) AS n,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "txt_hash_sample" ->
+      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

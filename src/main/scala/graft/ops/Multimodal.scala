@@ -116,6 +116,32 @@ object Multimodal {
     }
   }
 
+  /** Registry wrapper driving the REAL `resizeStub` typed path (not an
+    * expression twin): binary payloads through mapPartitions batching,
+    * then scalar accounting columns the oracle can recompute (the stub
+    * resize is a deterministic prefix-sized view of the payload).
+    */
+  def resizeMeta(documents: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    import documents.sparkSession.implicits._
+    resizeStub(asMedia(documents).as[MediaRecord], targetW, targetH).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        length(col("content")).cast("long").as("n_bytes_out"),
+        md5(col("content")).as("digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Registry wrapper driving the REAL `frameSampleStub` flatMap path:
+    * one output row per sampled frame with index + length — the row
+    * explosion shape of a real video frame sampler.
+    */
+  def frameStats(documents: DataFrame, frameSize: Int, everyN: Int): DataFrame = {
+    import documents.sparkSession.implicits._
+    frameSampleStub(asMedia(documents).as[MediaRecord], frameSize, everyN).toDF()
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("frame_len"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Expression-level twin of `extractMeta` (codegen-friendly, used as
     * the DuckDB-checkable registry query; the spec asserts it agrees
     * with the mapPartitions path row-for-row).

@@ -355,6 +355,89 @@ object Relational {
            outD(sum(col("ps"))).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Ordered string aggregation (LISTAGG): names per nation, sorted in
+    * the group so the concatenation is deterministic. collect_list +
+    * sort_array keeps the sort per-group (tiny) instead of a global one.
+    */
+  def nationSupplierNames(supplier: DataFrame): DataFrame =
+    supplier.groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+           concat_ws(",", sort_array(collect_list(col("s_name")))).as("names"))
+      .orderBy(col("s_nationkey"))
+
+  /** min_by/max_by with an explicit total tie-break: the ordering value
+    * folds (price, orderkey) into one exact BIGINT (unscaled decimal
+    * price × 10⁷ + orderkey) because arg-extrema functions take a single
+    * scalar ordering key and ties would otherwise be nondeterministic.
+    */
+  def orderExtremes(orders: DataFrame): DataFrame = {
+    val combo = (money(col("o_totalprice")) * lit(10000)).cast("long") *
+      lit(10000000L) + col("o_orderkey")
+    orders.groupBy(col("o_orderstatus"))
+      .agg(max_by(col("o_orderkey"), combo).as("priciest_order"),
+           min_by(col("o_orderkey"), combo).as("cheapest_order"),
+           outD(max(money(col("o_totalprice")))).as("max_price"),
+           outD(min(money(col("o_totalprice")))).as("min_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Time-range window frame: trailing one-hour count/sum per user,
+    * RANGE over integral epoch-microseconds (sub-second-exact and
+    * engine-portable, unlike interval frames over mixed ts precisions).
+    * One shuffle on user_id; the frame is evaluated with a sliding
+    * pointer over the sorted partition, not O(n²).
+    */
+  def trailingHourStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600000000L, 0)
+    events.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("n_trailing_1h", count(lit(1)).over(w).cast("long"))
+      .withColumn("sum_trailing_1h",
+        outD(sum(col("value").cast("decimal(12,2)")).over(w)))
+      .select(col("event_id"), col("user_id"), col("n_trailing_1h"),
+        col("sum_trailing_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Cross join (cartesian): the one join shape with no key. Only ever
+    * sane when one side is tiny — Catalyst plans broadcast nested loop.
+    */
+  def regionNationPairs(region: DataFrame, nation: DataFrame): DataFrame =
+    region.select(col("r_name")).crossJoin(nation.select(col("n_name")))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Scalar subqueries (uncorrelated): orders above the global average
+    * price. The comparison is cross-multiplied into exact decimal×count
+    * arithmetic so no division is hashed. Both subqueries broadcast one
+    * row; the fact table is scanned once.
+    */
+  def aboveAverageOrders(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("graft_orders_sq")
+    spark.sql(
+      """SELECT o_orderstatus, count(1) AS n_above_avg
+        |FROM graft_orders_sq
+        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+        |        (SELECT count(1) FROM graft_orders_sq)
+        |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM graft_orders_sq)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** Join-strategy control: the same equi-join forced to SHUFFLE_HASH
+    * via hint. For a mid-size build side that fits executor memory but
+    * not the broadcast threshold, hash beats sort-merge (no sort on the
+    * 100 TB probe side).
+    */
+  def supplierRevenueHashJoin(lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .join(supplier.select(col("s_suppkey"), col("s_name")).hint("shuffle_hash"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+           outD(sum(money(col("l_extendedprice")))).as("revenue"))
+      .orderBy(col("s_name"))
+
   /** As-of join: latest order at-or-before each event timestamp for the
     * matching customer. Spark lacks a native ASOF join; the scalable
     * composition is equi-join on the key + max_by aggregation (one

@@ -224,6 +224,75 @@ object Scalar {
         element_at(col("__pq"), 3).as("price_p75"))
       .orderBy(col("l_returnflag"))
 
+  /** Cast/null-handling family: try_cast (ANSI-safe lossy casts return
+    * NULL instead of throwing), nvl, null predicates. Inputs include
+    * whitespace, empty strings, and garbage — the coercion surface the
+    * reference's sink-side parsing implies (OBP.js:583-590).
+    */
+  def castFamily(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq("42", " 7 ", "3.14", "abc", "2020-01-02", "")
+      .toDF("raw")
+      .select(
+        col("raw"),
+        expr("try_cast(raw AS double)").as("as_double"),
+        coalesce(expr("try_cast(raw AS date)"), lit("1900-01-01").cast("date"))
+          .as("as_date"),
+        coalesce(expr("try_cast(raw AS double)"), lit(-1.0)).as("dbl_or_neg1"),
+        expr("try_cast(raw AS double)").isNotNull.as("is_numeric"),
+        nullif(col("raw"), lit("")).isNull.as("is_empty"))
+      .orderBy(col("raw"))
+  }
+
+  /** Higher-order array functions over token arrays: filter, exists,
+    * forall, transform+aggregate (ordered fold), zip_with. All scalar
+    * outputs so the driver compare stays array-free.
+    */
+  def hofFamily(documents: DataFrame): DataFrame = {
+    val tk = col("tk")
+    val lens = transform(tk, t => length(t).cast("string"))
+    documents
+      .withColumn("tk", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(filter(tk, t => length(t) > 6)).cast("long").as("n_long_tokens"),
+        exists(tk, t => t.startsWith("a")).as("any_a_token"),
+        forall(tk, t => length(t) > 0).as("all_nonempty"),
+        aggregate(transform(tk, t => length(t).cast("long")), lit(0L),
+          (acc, x) => acc + x).as("total_token_chars"),
+        array_join(slice(zip_with(tk, lens, (t, l) => concat(t, lit(":"), l)), 1, 3), ",")
+          .as("first3_tagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Generator family: sequence() arrays (and their fold), the
+    * DataFrame-side analog of a generate_series table function.
+    */
+  def sequenceFamily(nation: DataFrame): DataFrame =
+    nation.select(
+        col("n_nationkey"),
+        size(sequence(lit(0L), col("n_nationkey"))).cast("long").as("seq_len"),
+        aggregate(sequence(lit(0L), col("n_nationkey")), lit(0L),
+          (acc, x) => acc + x).as("seq_sum"),
+        array_join(transform(sequence(lit(1L), lit(3L)), i => i.cast("string")), "-")
+          .as("one_two_three"))
+      .orderBy(col("n_nationkey"))
+
+  /** Custom typed UDAF (Aggregator) surface: one-pass count/min/max per
+    * group. The double SUM the aggregator also carries stays internal —
+    * double addition isn't associative, so only the order-independent
+    * fields are exposed to the oracle.
+    */
+  def customStatsAgg(events: DataFrame): DataFrame = {
+    val stats = org.apache.spark.sql.functions
+      .udaf(graft.functions.StatsAggregator).apply(col("value"))
+    events.groupBy(col("event_type"))
+      .agg(stats.as("s"))
+      .select(col("event_type"), col("s._1").as("n"),
+        col("s._2").as("min_value"), col("s._3").as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Conditional family over customer: CASE/coalesce/nullif/least/
     * greatest. (Both Spark and DuckDB least/greatest skip NULLs.)
     */

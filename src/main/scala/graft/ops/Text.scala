@@ -169,6 +169,21 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic hash sampling: an exact-rate-in-expectation sample
+    * that is reproducible across runs, engines, and partitionings —
+    * `TABLESAMPLE`/`df.sample` are seeded per-partition and shift with
+    * the split layout, so pipelines that must be re-runnable sample by
+    * key hash instead. Composable with the split assignment (same hash
+    * family, different modulus).
+    */
+  def hashSample(documents: DataFrame, pct: Int = 10): DataFrame =
+    documents
+      .filter(tokenHash(col("doc_id").cast("string")) % 100 < pct)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+           min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+
   /** Split-size accounting (the sanity check on the assignment). */
   def splitStats(documents: DataFrame): DataFrame =
     trainValSplit(documents)
