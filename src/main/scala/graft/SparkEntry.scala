@@ -207,6 +207,9 @@ object SparkEntry {
     "sca_sequence" -> ((s, d) => Scalar.sequenceFamily(nation(s, d))),
     "xtr_custom_agg" -> ((s, d) => Scalar.customStatsAgg(events(s, d))),
     "txt_hash_sample" -> ((s, d) => Text.hashSample(documents(s, d))),
+    "dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(documents(s, d))),
+    "txt_fuzzy_match" -> ((s, d) =>
+      Text.fuzzyNamePairs(nation(s, d), "n_nationkey", "n_name")),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -941,5 +944,32 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "dedup_cluster" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),
+        |sh AS (SELECT doc_id, lang, len(ls) AS ntok,
+        |         list_distinct(list_transform(generate_series(1, len(ls) - 2),
+        |           i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS ss FROM tok),
+        |d AS (SELECT doc_id,
+        |        lang || '#' || CAST(CAST(floor(ntok / 20) AS BIGINT) AS VARCHAR) AS bucket, ss
+        |      FROM sh WHERE len(ss) > 0),
+        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
+        |          FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |          WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+        |              len(list_distinct(list_concat(a.ss, b.ss))) >= 0.3),
+        |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+        |          UNION SELECT doc2, doc1 FROM pairs),
+        |reach(id, lab) AS (SELECT src, src FROM edges
+        |          UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+        |canon AS (SELECT id, min(lab) AS canon_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, canon_id,
+        |  CAST(count(*) OVER (PARTITION BY canon_id) AS BIGINT) AS cluster_size
+        |FROM canon ORDER BY doc_id""".stripMargin,
+    "txt_fuzzy_match" ->
+      """SELECT a.n_name AS name1, b.n_name AS name2,
+        | CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |WHERE levenshtein(a.n_name, b.n_name) <= 4
+        |ORDER BY name1, name2""".stripMargin,
   )
 }

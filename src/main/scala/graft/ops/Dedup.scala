@@ -178,6 +178,68 @@ object Dedup {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** Near-dup CLUSTERING: connected components over the exact-Jaccard
+    * candidate pairs, with canonical-document selection (min doc_id per
+    * component) — the "keep one per near-dup cluster" capstone of a
+    * training-data dedup pipeline (pairs alone don't dedup: A~B, B~C
+    * must collapse to ONE survivor even when A~C was never a candidate).
+    *
+    * Algorithm: iterative min-label propagation over the undirected
+    * edge set — each round every node takes the min of its own label
+    * and its neighbors' labels; converges in O(diameter) rounds. The
+    * loop is DRIVER-COORDINATED but each round is one distributed
+    * hash-join + partial-agg (no collect of data rows); edges and the
+    * current labels are persisted so round k doesn't recompute the
+    * shingle pipeline, and convergence is a `count` of changed labels.
+    * Near-dup components are clique-ish (LSH candidates are mutual), so
+    * diameter — and the round count — stays tiny in practice; a
+    * million-node path graph would instead want the large-star/
+    * small-star formulation (Kiveris et al., "Connected Components in
+    * MapReduce"), which this loop structure extends to directly.
+    *
+    * Output: one row per document that appears in ≥1 near-dup pair —
+    * (doc_id, canon_id, cluster_size); rows with doc_id = canon_id are
+    * the survivors.
+    */
+  def nearDupClusters(documents: DataFrame, w: Int = 3,
+                      minJaccard: Double = 0.3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = jaccardPairs(documents, w, minJaccard)
+      .select(col("doc1"), col("doc2"))
+    val edges = pairs
+      .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nid"), col("label").as("nlabel")),
+          col("dst") === col("nid"))
+        .groupBy(col("src")).agg(min(col("nlabel")).as("nbr_label"))
+      val next = labels
+        .join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels.unpersist()
+      labels = next.select(col("id"), col("label"))
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    val out = labels.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("canon_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+    edges.unpersist()
+    out
+  }
+
   /** 32-bit SimHash over the token stream (occurrence-weighted).
     * Formulated as explode → 32 conditional sums → bit reassembly; the
     * group-by runs partial aggregation so the shuffle carries one row

@@ -184,6 +184,23 @@ object Text {
            min(col("doc_id")).as("first_doc"))
       .orderBy(col("lang"))
 
+  /** Fuzzy string matching: all name pairs within an edit-distance
+    * budget. The pair space is a theta self-join (broadcast nested loop
+    * — the dimension side is tiny); at corpus scale the same predicate
+    * runs inside a blocking key (first letter, length band) exactly like
+    * [[Dedup.jaccardPairs]] buckets its shingle join.
+    */
+  def fuzzyNamePairs(named: DataFrame, key: String, name: String,
+                     maxDist: Int = 4): DataFrame = {
+    val a = named.select(col(key).as("key1"), col(name).as("name1"))
+    val b = named.select(col(key).as("key2"), col(name).as("name2"))
+    a.join(b, col("key1") < col("key2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("name1"), col("name2"), col("dist"))
+      .orderBy(col("name1"), col("name2"))
+  }
+
   /** Split-size accounting (the sanity check on the assignment). */
   def splitStats(documents: DataFrame): DataFrame =
     trainValSplit(documents)

@@ -183,6 +183,51 @@ class OpsSpec extends SparkTestBase {
     assert(byDoc.values.forall(_ >= 1))
   }
 
+  test("near-dup clustering collapses a transitive chain to one canonical doc") {
+    // A~B and B~C are near-dups (1 token changed); A~C differs in 2 of 30
+    // tokens and still clears 0.3 Jaccard, but the point is the chain:
+    // one component, canon = min id, even where pairs are indirect.
+    def doc(sub: Map[Int, String]) =
+      (1 to 30).map(i => sub.getOrElse(i, s"tok$i")).mkString(" ")
+    val df = Seq(
+      (10L, doc(Map.empty), "en"),
+      (20L, doc(Map(5 -> "AAA")), "en"),
+      (30L, doc(Map(5 -> "AAA", 25 -> "BBB")), "en"),
+      (99L, (200 to 230).map(i => s"zzz$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.nearDupClusters(df)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got === List((10L, 10L, 3L), (20L, 10L, 3L), (30L, 10L, 3L)))
+  }
+
+  test("near-dup clustering on empty pair set returns empty") {
+    val df = Seq((1L, "unique text one two three", "en"),
+                 (2L, (50 to 80).map(i => s"q$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(Dedup.nearDupClusters(df).isEmpty)
+  }
+
+  test("fuzzy name pairs agrees with a driver-side edit-distance oracle") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.nation(spark, sf)
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().sortBy(_._1)
+    val expected = (for {
+      (k1, n1) <- names; (k2, n2) <- names if k1 < k2
+      d = lev(n1, n2) if d <= 1
+    } yield (n1, n2, d.toLong)).toSet
+    val got = Text.fuzzyNamePairs(Tables.nation(spark, sf),
+        "n_nationkey", "n_name", maxDist = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("operators behave on empty inputs (no crashes, empty outputs)") {
     val emptyDocs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
