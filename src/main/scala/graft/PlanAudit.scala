@@ -87,13 +87,36 @@ object PlanAudit {
       ("centroid/probe sides broadcast", p => "BroadcastExchange".r.findAllIn(p).size >= 2),
       ("no cartesian in cell scoring", p => !p.contains("CartesianProduct")))
 
+    // join-strategy hint honored: shuffled hash, not sort-merge
+    audit("rel_shuffle_hash_join")(
+      ("shuffled hash join (no probe-side sort)", _.contains("ShuffledHashJoin")),
+      ("no sort-merge join", !_.contains("SortMergeJoin")))
+
+    // time-range window: one shuffle on user_id, frame is running (not O(n²))
+    audit("rel_window_range_time")(
+      ("single hash exchange on user_id",
+        p => "Exchange hashpartitioning".r.findAllIn(p).size <= 1))
+
+    // fuzzy match: tiny side broadcast for the theta join
+    audit("txt_fuzzy_match")(
+      ("theta self-join is broadcast NL, tiny build side",
+        _.contains("BroadcastNestedLoopJoin")),
+      ("no shuffle-based cartesian", !_.contains("CartesianProduct")))
+
+    // scalar subqueries over the same table: merged/reused, not re-scanned
+    audit("rel_scalar_subquery")(
+      ("count+sum subqueries merged into one pass",
+        p => p.contains("ReusedSubquery")))
+
     println(s"== plan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"} ==")
 
     // optional: dump formatted plans for review (`runMain graft.PlanAudit <sfDir> <outFile>`)
     args.drop(1).headOption.foreach { out =>
       val flagship = Seq("bu_broadcast", "bu_zip", "rel_pricing_summary",
-        "rel_revenue_by_region", "rel_sort_topk", "dedup_minhash",
-        "dedup_jaccard", "sim_cosine_topk", "sim_ivf_topk", "str_session")
+        "rel_revenue_by_region", "rel_sort_topk", "rel_shuffle_hash_join",
+        "rel_scalar_subquery", "rel_window_range_time", "dedup_minhash",
+        "dedup_jaccard", "sim_cosine_topk", "sim_ivf_topk", "str_session",
+        "txt_fuzzy_match")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(
