@@ -108,6 +108,22 @@ object PlanAudit {
       ("count+sum subqueries merged into one pass",
         p => p.contains("ReusedSubquery")))
 
+    // Q3 shape: date pushdown, broadcast semi prune, top-k not global sort
+    audit("rel_shipping_priority")(
+      ("shipdate predicate pushed to fact scan",
+        _.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate,")),
+      ("customer prune is broadcast semi", p =>
+        p.contains("BroadcastHashJoin") && p.contains("LeftSemi")),
+      ("top-10 is TakeOrderedAndProject", _.contains("TakeOrderedAndProject")))
+
+    // Q10 shape: returnflag pushdown, dims broadcast, top-k
+    audit("rel_returned_items")(
+      ("returnflag pushed to fact scan",
+        _.contains("EqualTo(l_returnflag,R)")),
+      ("customer+nation broadcast", p =>
+        "BroadcastHashJoin".r.findAllIn(p).size >= 2),
+      ("top-20 is TakeOrderedAndProject", _.contains("TakeOrderedAndProject")))
+
     println(s"== plan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"} ==")
 
     // optional: dump formatted plans for review (`runMain graft.PlanAudit <sfDir> <outFile>`)

@@ -208,6 +208,11 @@ object SparkEntry {
     "xtr_custom_agg" -> ((s, d) => Scalar.customStatsAgg(events(s, d))),
     "txt_hash_sample" -> ((s, d) => Text.hashSample(documents(s, d))),
     "dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(documents(s, d))),
+    "rel_shipping_priority" -> ((s, d) =>
+      Relational.shippingPriority(lineitem(s, d), orders(s, d), customer(s, d))),
+    "rel_returned_items" -> ((s, d) =>
+      Relational.returnedItemRevenue(lineitem(s, d), orders(s, d),
+        customer(s, d), nation(s, d))),
     "txt_fuzzy_match" -> ((s, d) =>
       Text.fuzzyNamePairs(nation(s, d), "n_nationkey", "n_name")),
   )
@@ -965,6 +970,35 @@ object SparkEntry {
         |SELECT id AS doc_id, canon_id,
         |  CAST(count(*) OVER (PARTITION BY canon_id) AS BIGINT) AS cluster_size
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "rel_shipping_priority" ->
+      """SELECT l_orderkey,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |          CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(1 - l_discount AS DECIMAL(4,2))) DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "rel_returned_items" ->
+      """SELECT c_custkey, c_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |          CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        | n_name
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             CAST(1 - l_discount AS DECIMAL(4,2))) DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "txt_fuzzy_match" ->
       """SELECT a.n_name AS name1, b.n_name AS name2,
         | CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist

@@ -87,6 +87,57 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"))
 
+  /** TPC-H Q3 shape (shipping priority): the full analytic composition —
+    * segment-filtered customers prune orders via a BROADCAST SEMI join
+    * before the fact table is touched, both date predicates push into
+    * the parquet scans, and the top-10 runs as TakeOrderedAndProject
+    * (per-partition top-k + driver merge of 10 rows, never a global
+    * sort). Revenue is ordered on the EXACT decimal (ties broken by
+    * l_orderkey), so the limit boundary is engine-deterministic.
+    */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame,
+                       cutoff: String = "1998-06-01", k: Int = 10): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val buildingOrders = orders
+      .filter(col("o_orderdate") < cut)
+      .join(broadcast(customer.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+    lineitem
+      .filter(col("l_shipdate") > cut)
+      .join(buildingOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discPrice).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("l_orderkey"))
+      .limit(k)
+      .select(col("l_orderkey"), outD(col("rev_dec")).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): fact filtered on the
+    * scan (returnflag pushdown), dims broadcast, top-k customers by
+    * exact-decimal revenue.
+    */
+  def returnedItemRevenue(lineitem: DataFrame, orders: DataFrame,
+                          customer: DataFrame, nation: DataFrame,
+                          k: Int = 20): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(discPrice).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("c_custkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"),
+        outD(col("rev_dec")).as("revenue"), col("n_name"))
+
   /** Left-semi join: EXISTS. The orders side is reduced to its join key
     * before the shuffle (semi join needs no payload columns).
     */
