@@ -204,11 +204,14 @@ object Dedup {
   def nearDupClusters(documents: DataFrame, w: Int = 3,
                       minJaccard: Double = 0.3): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val pairs = jaccardPairs(documents, w, minJaccard)
-      .select(col("doc1"), col("doc2"))
-    val edges = pairs
-      .union(pairs.select(col("doc2").as("doc1"), col("doc1").as("doc2")))
-      .toDF("src", "dst")
+    // both edge directions come out of ONE pass over the pair pipeline
+    // (a self-union would reference — and re-execute — the whole
+    // candidate-join subtree twice)
+    val edges = jaccardPairs(documents, w, minJaccard)
+      .select(explode(array(
+          struct(col("doc1").as("src"), col("doc2").as("dst")),
+          struct(col("doc2").as("src"), col("doc1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
