@@ -32,6 +32,15 @@ class OpsSpec extends SparkTestBase {
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
 
+  test("approx_percentile (KLL-style sketch) lands within 5% of exact") {
+    val li = Tables.lineitem(spark, sf)
+    val (ap, ex) = li.agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a"),
+        expr("percentile(l_extendedprice, 0.5)").as("e"))
+      .as[(Double, Double)].head()
+    assert(math.abs(ap - ex) / ex < 0.05, s"approx=$ap exact=$ex")
+  }
+
   test("per-group top-k returns at most k, ranked contiguously") {
     val got = Relational.topOrdersPerCustomer(Tables.orders(spark, sf), 3)
     val byCust = got.groupBy("o_custkey").agg(count(lit(1)).as("n"),

@@ -153,6 +153,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file stream + foreachBatch merge writeback: O20 discovery into O18 row commit") {
+    import org.apache.spark.sql.types._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-merge-src").toString
+    val tgt = java.nio.file.Files.createTempDirectory("graft-merge-tgt").toString + "/table"
+    Seq((1L, "old"), (2L, "old"), (3L, "old")).toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(tgt)
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("value", StringType)))
+    val q = StreamingOps.fileStream(spark, srcDir, schema)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Sources.mergeColumnUpdate(spark, tgt, batch, "key", "value")
+        ()
+      }
+      .option("checkpointLocation", srcDir + "-chk")
+      .start()
+    try {
+      Seq((2L, "new")).toDF("key", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(tgt).as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "old", 2L -> "new", 3L -> "old"))
+  }
+
   test("sessionize respects the gap rule on a crafted trace") {
     val rows = Seq(
       (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
