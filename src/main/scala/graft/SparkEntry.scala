@@ -215,6 +215,8 @@ object SparkEntry {
         customer(s, d), nation(s, d))),
     "txt_fuzzy_match" -> ((s, d) =>
       Text.fuzzyNamePairs(nation(s, d), "n_nationkey", "n_name")),
+    "sca_generators" -> ((s, d) => Scalar.generatorFamily(nation(s, d))),
+    "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -970,6 +972,16 @@ object SparkEntry {
         |SELECT id AS doc_id, canon_id,
         |  CAST(count(*) OVER (PARTITION BY canon_id) AS BIGINT) AS cluster_size
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "sca_generators" ->
+      """WITH s AS (SELECT n_nationkey, string_split(n_name, '_') AS parts FROM nation)
+        |SELECT n_nationkey, CAST(i - 1 AS BIGINT) AS pos, parts[i] AS part
+        |FROM s, unnest(generate_series(1, len(parts))) AS u(i)
+        |ORDER BY n_nationkey, pos""".stripMargin,
+    "rel_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part
+        |ORDER BY p_partkey, measure""".stripMargin,
     "rel_shipping_priority" ->
       """SELECT l_orderkey,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

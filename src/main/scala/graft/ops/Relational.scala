@@ -340,6 +340,18 @@ object Relational {
       .na.fill(0) // empty combinations: 0 like the oracle's CASE counts, not null
       .orderBy(col("o_orderstatus"))
 
+  /** Unpivot (melt) — the inverse of [[orderPivot]]: wide measure
+    * columns become (measure, value) rows. Planned as an Expand node:
+    * one pass, rows × measures output, no shuffle.
+    */
+  def partMeasuresUnpivot(part: DataFrame): DataFrame =
+    part
+      .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_size"), col("p_retailprice")), "measure", "value")
+      .orderBy(col("p_partkey"), col("measure"))
+
   /** The full ranking/distribution window family: ntile, percent_rank,
     * cume_dist, first/last/nth value over explicit frames, and a
     * RANGE frame (peer-inclusive) contrasted with the ROWS frame.

@@ -293,6 +293,17 @@ object Scalar {
       .orderBy(col("event_type"))
   }
 
+  /** Generator family: posexplode (LATERAL VIEW / UNNEST WITH
+    * ORDINALITY equivalent) — one output row per array element with its
+    * position. The Generate node multiplies rows without a shuffle.
+    */
+  def generatorFamily(nation: DataFrame): DataFrame =
+    nation
+      .select(col("n_nationkey"),
+        posexplode_outer(split(col("n_name"), "_")).as(Seq("pos", "part")))
+      .select(col("n_nationkey"), col("pos").cast("long").as("pos"), col("part"))
+      .orderBy(col("n_nationkey"), col("pos"))
+
   /** Conditional family over customer: CASE/coalesce/nullif/least/
     * greatest. (Both Spark and DuckDB least/greatest skip NULLs.)
     */
