@@ -216,6 +216,7 @@ object SparkEntry {
     "txt_fuzzy_match" -> ((s, d) =>
       Text.fuzzyNamePairs(nation(s, d), "n_nationkey", "n_name")),
     "sca_generators" -> ((s, d) => Scalar.generatorFamily(nation(s, d))),
+    "sim_knn_classify" -> ((s, d) => Similarity.knnClassify(embeddings(s, d), 8, 5)),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
 
@@ -972,6 +973,22 @@ object SparkEntry {
         |SELECT id AS doc_id, canon_id,
         |  CAST(count(*) OVER (PARTITION BY canon_id) AS BIGINT) AS cluster_size
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "sim_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id, label,
+        |        $cosineSql AS sim
+        |      FROM q, c WHERE neighbor_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, label, sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM s),
+        |v AS (SELECT query_id, label, count(*) AS votes FROM r WHERE rank <= 5
+        |      GROUP BY query_id, label),
+        |p AS (SELECT query_id, label, votes,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+        |      FROM v)
+        |SELECT query_id, CAST(label AS BIGINT) AS predicted_label, votes
+        |FROM p WHERE rn = 1 ORDER BY query_id""".stripMargin,
     "sca_generators" ->
       """WITH s AS (SELECT n_nationkey, string_split(n_name, '_') AS parts FROM nation)
         |SELECT n_nationkey, CAST(i - 1 AS BIGINT) AS pos, parts[i] AS part

@@ -59,6 +59,29 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** k-NN majority-vote classification over the `label` column — the
+    * label-propagation / weak-supervision pattern: each query vector
+    * takes the modal label of its k nearest neighbors. Ties break by
+    * label value (deterministic, engine-portable); the per-query vote
+    * count is tiny so the vote itself is one window over k rows.
+    */
+  def knnClassify(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val topk = cosineTopK(embeddings, nQueries, k)
+    val votes = topk
+      .join(broadcast(embeddings.select(col("vec_id").as("neighbor_id"),
+          col("label"))),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").cast("long").as("predicted_label"),
+        col("votes"))
+      .orderBy(col("query_id"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (LCG over the flat index,
     * Weyl-style): plane(i)(j) ∈ [-1, 1). Pure data-independent
     * constants — both engines materialize the SAME literals, and any

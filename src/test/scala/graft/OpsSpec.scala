@@ -152,6 +152,23 @@ class OpsSpec extends SparkTestBase {
     ivf.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
   }
 
+  test("knn classify agrees with a driver-side majority vote over cosine top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val topk = Similarity.cosineTopK(emb, 8, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val expected = topk.groupBy(_._1).map { case (q, ns) =>
+      val votes = ns.map(n => labels(n._2).toLong)
+        .groupBy(identity).map { case (l, v) => (l, v.length.toLong) }
+      // modal label; ties by smallest label
+      q -> votes.toSeq.sortBy { case (l, v) => (-v, l) }.head
+    }
+    val got = Similarity.knnClassify(emb, 8, 5)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === expected.size)
+    got.foreach { case (q, l, v) => assert(expected(q) === ((l, v)), s"query $q") }
+  }
+
   test("O19 coerce dispatches by target type with reference semantics") {
     import org.apache.spark.sql.types._
     val df = Seq("TRUE", "-7", "3.5", "oops").toDF("raw")
