@@ -157,6 +157,56 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup: drop events whose key was already seen,
+    * with state bounded by the watermark (an unbounded seen-set is the
+    * streaming scale killer — the watermark ages keys out, trading
+    * forever-exactness for bounded memory, the standard pipeline
+    * contract). On a batch Dataset the same call degenerates to
+    * dropDuplicates.
+    */
+  def streamingDedup(events: DataFrame, keys: Seq[String],
+                     lateness: String): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
+  case class SessionRow(user_id: Long, session_start: Long, session_end: Long,
+                        n_events: Long)
+  // must be public: the state encoder's generated code instantiates it
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  /** flatMapGroupsWithState sessionizer: emits a session row ONLY when
+    * the session CLOSES (event-time gap exceeded via processing of a
+    * later event, or state timeout) — the push-style counterpart of the
+    * lag-based batch sessionize; zero rows while a session is open.
+    * State per user is O(1); emitted micro-batch output is append-only.
+    */
+  def closedSessions(events: org.apache.spark.sql.Dataset[UserStamp],
+                     gapMs: Long)
+      : org.apache.spark.sql.Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state) =>
+          // rows within a micro-batch arrive unordered: sort locally
+          val ts = rows.map(_.ts_ms).toSeq.sorted
+          var closed = List.empty[SessionRow]
+          var st = state.getOption.getOrElse(
+            SessionState(ts.head, ts.head, 0L))
+          ts.foreach { t =>
+            if (t - st.last > gapMs) {
+              closed ::= SessionRow(userId, st.start, st.last, st.n)
+              st = SessionState(t, t, 1L)
+            } else st = SessionState(st.start, t, st.n + 1L)
+          }
+          state.update(st)
+          closed.reverseIterator
+      }
+  }
+
+  case class UserStamp(user_id: Long, ts_ms: Long)
+
   /** O16 — cooperative cancellation: tag a job group, cancel it from
     * another thread; committed work stands (partial results persist,
     * OBP.js:456-458, 502).

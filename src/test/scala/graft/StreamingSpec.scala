@@ -153,6 +153,46 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicate keys (state bounded by watermark)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val src = input.toDF().toDF("event_id", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+    val q = StreamingOps.streamingDedup(src, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append")
+      .start()
+    try {
+      input.addData((1L, 1000L), (2L, 2000L))
+      q.processAllAvailable()
+      input.addData((1L, 3000L), (3L, 4000L)) // 1 is a dup: dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sdedup").select("event_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("flatMapGroupsWithState emits a session row only when the session closes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps.UserStamp
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[UserStamp]
+    val q = StreamingOps.closedSessions(input.toDS(), gapMs = 10000L)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(UserStamp(1L, 0L), UserStamp(1L, 1000L))
+      q.processAllAvailable()
+      // open session: nothing emitted yet
+      assert(spark.table("closed_sessions").isEmpty)
+      input.addData(UserStamp(1L, 50000L)) // gap > 10s closes the session
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("closed_sessions")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 0L, 1000L, 2L)))
+  }
+
   test("file stream + foreachBatch merge writeback: O20 discovery into O18 row commit") {
     import org.apache.spark.sql.types._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-merge-src").toString
