@@ -217,6 +217,10 @@ object SparkEntry {
       Text.fuzzyNamePairs(nation(s, d), "n_nationkey", "n_name")),
     "sca_generators" -> ((s, d) => Scalar.generatorFamily(nation(s, d))),
     "sim_knn_classify" -> ((s, d) => Similarity.knnClassify(embeddings(s, d), 8, 5)),
+    "rel_exists_subquery" -> ((s, d) =>
+      Relational.customersWithBigOrders(customer(s, d), orders(s, d))),
+    "rel_lateral_topk" -> ((s, d) =>
+      Relational.topSuppliersPerNationLateral(nation(s, d), supplier(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
 
@@ -973,6 +977,19 @@ object SparkEntry {
         |SELECT id AS doc_id, canon_id,
         |  CAST(count(*) OVER (PARTITION BY canon_id) AS BIGINT) AS cluster_size
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "rel_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_lateral_topk" ->
+      """SELECT n_nationkey, s_suppkey, s_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT s_suppkey, s_acctbal FROM supplier s
+        |         WHERE s.s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+        |ORDER BY n_nationkey, s_acctbal DESC, s_suppkey""".stripMargin,
     "sim_knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label FROM embeddings),

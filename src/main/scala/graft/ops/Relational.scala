@@ -487,6 +487,40 @@ object Relational {
         |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Correlated EXISTS subquery: Catalyst decorrelates it into a
+    * left-semi hash join (the O4 existential check, correlated per-row).
+    */
+  def customersWithBigOrders(customer: DataFrame, orders: DataFrame,
+                             minPrice: Double = 300000.0): DataFrame = {
+    val spark = customer.sparkSession
+    customer.createOrReplaceTempView("graft_cust_ex")
+    orders.createOrReplaceTempView("graft_orders_ex")
+    spark.sql(
+      s"""SELECT c_custkey, c_name FROM graft_cust_ex c
+         |WHERE EXISTS (SELECT 1 FROM graft_orders_ex o
+         |              WHERE o.o_custkey = c.c_custkey
+         |                AND o.o_totalprice > $minPrice)
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery with LIMIT — per-group top-k through
+    * the SQL surface; Catalyst decorrelates to a ranked window, the
+    * same plan as [[topOrdersPerCustomer]] (never a per-row re-scan).
+    */
+  def topSuppliersPerNationLateral(nation: DataFrame,
+                                   supplier: DataFrame): DataFrame = {
+    val spark = nation.sparkSession
+    nation.createOrReplaceTempView("graft_nation_lat")
+    supplier.createOrReplaceTempView("graft_supp_lat")
+    spark.sql(
+      """SELECT n_nationkey, s_suppkey, s_acctbal
+        |FROM graft_nation_lat n,
+        |LATERAL (SELECT s_suppkey, s_acctbal FROM graft_supp_lat s
+        |         WHERE s.s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+        |ORDER BY n_nationkey, s_acctbal DESC, s_suppkey""".stripMargin)
+  }
+
   /** Join-strategy control: the same equi-join forced to SHUFFLE_HASH
     * via hint. For a mid-size build side that fits executor memory but
     * not the broadcast threshold, hash beats sort-merge (no sort on the
