@@ -108,6 +108,14 @@ object PlanAudit {
       ("count+sum subqueries merged into one pass",
         p => p.contains("ReusedSubquery")))
 
+    // custom plan node: heap-based per-key top-k — one clustered
+    // exchange, no Sort, no Window
+    audit("rel_topk_native")(
+      ("custom TopKPerKeyExec planned", _.contains("TopKPerKey")),
+      ("no window operator", !_.contains("Window")),
+      ("single hash exchange, no extra sort below the node", p =>
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 1))
+
     // Q3 shape: date pushdown, broadcast semi prune, top-k not global sort
     audit("rel_shipping_priority")(
       ("shipdate predicate pushed to fact scan",

@@ -221,6 +221,8 @@ object SparkEntry {
       Relational.customersWithBigOrders(customer(s, d), orders(s, d))),
     "rel_lateral_topk" -> ((s, d) =>
       Relational.topSuppliersPerNationLateral(nation(s, d), supplier(s, d))),
+    "rel_topk_native" -> ((s, d) =>
+      Relational.topOrdersPerCustomerNative(orders(s, d), 3)),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
 
@@ -977,6 +979,14 @@ object SparkEntry {
         |SELECT id AS doc_id, canon_id,
         |  CAST(count(*) OVER (PARTITION BY canon_id) AS BIGINT) AS cluster_size
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "rel_topk_native" ->
+      """WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT)
+        |             * 10000000 + o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "rel_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o

@@ -487,6 +487,23 @@ object Relational {
         |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Per-customer top-k through the CUSTOM plan node
+    * ([[graft.plans.TopKPerKeyPlan]]): bounded heap per key instead of a
+    * window sort — same result as [[topOrdersPerCustomer]], O(n log k)
+    * per partition and no sort buffer. The ordering value folds
+    * (price, orderkey) into one exact long so top-k is total-ordered.
+    */
+  def topOrdersPerCustomerNative(orders: DataFrame, k: Int): DataFrame = {
+    val combo = (money(col("o_totalprice")) * lit(10000)).cast("long") *
+      lit(10000000L) + col("o_orderkey")
+    org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          combo.as("__ord")),
+        Seq("o_custkey"), "__ord", k)
+      .drop("__ord")
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Correlated EXISTS subquery: Catalyst decorrelates it into a
     * left-semi hash join (the O4 existential check, correlated per-row).
     */

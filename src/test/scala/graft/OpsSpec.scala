@@ -169,6 +169,21 @@ class OpsSpec extends SparkTestBase {
     got.foreach { case (q, l, v) => assert(expected(q) === ((l, v)), s"query $q") }
   }
 
+  test("custom TopKPerKey plan node matches the window-based top-k exactly") {
+    val orders = Tables.orders(spark, sf)
+    val native = Relational.topOrdersPerCustomerNative(orders, 3)
+    assert(native.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "custom exec node missing from the physical plan")
+    val got = native.select("o_orderkey").as[Long].collect().toSet
+    val expected = Relational.topOrdersPerCustomer(orders, 3)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // per-key cardinality bound holds
+    val over = native.groupBy("o_custkey").count().filter(col("count") > 3)
+    assert(over.isEmpty)
+  }
+
   test("O19 coerce dispatches by target type with reference semantics") {
     import org.apache.spark.sql.types._
     val df = Seq("TRUE", "-7", "3.5", "oops").toDF("raw")
