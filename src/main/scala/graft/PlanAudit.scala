@@ -138,7 +138,8 @@ object PlanAudit {
     args.drop(1).headOption.foreach { out =>
       val flagship = Seq("bu_broadcast", "bu_zip", "rel_pricing_summary",
         "rel_revenue_by_region", "rel_sort_topk", "rel_shuffle_hash_join",
-        "rel_scalar_subquery", "rel_window_range_time", "dedup_minhash",
+        "rel_scalar_subquery", "rel_window_range_time", "rel_topk_native",
+        "rel_shipping_priority", "dedup_minhash",
         "dedup_jaccard", "sim_cosine_topk", "sim_ivf_topk", "str_session",
         "txt_fuzzy_match")
       val text = flagship.map { name =>
