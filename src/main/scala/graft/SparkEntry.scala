@@ -223,6 +223,10 @@ object SparkEntry {
       Relational.topSuppliersPerNationLateral(nation(s, d), supplier(s, d))),
     "rel_topk_native" -> ((s, d) =>
       Relational.topOrdersPerCustomerNative(orders(s, d), 3)),
+    "txt_readability" -> ((s, d) => Text.readability(documents(s, d))),
+    "sca_bits" -> ((s, d) => Scalar.bitsFamily(nation(s, d))),
+    "rel_null_safe_join" -> ((s, d) =>
+      Relational.nullSafeJoinCounts(customer(s, d), supplier(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
 
@@ -979,6 +983,32 @@ object SparkEntry {
         |SELECT id AS doc_id, canon_id,
         |  CAST(count(*) OVER (PARTITION BY canon_id) AS BIGINT) AS cluster_size
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "txt_readability" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        | CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+        | CAST(greatest(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))) AS BIGINT) AS n_syllables,
+        | 206.835
+        |   - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |              / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+        |   - 84.6 * (CAST(greatest(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))) AS DOUBLE)
+        |             / len(string_split(text, ' '))) AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sca_bits" ->
+      """SELECT n_nationkey,
+        | CAST(n_nationkey & 5 AS BIGINT) AS band,
+        | CAST(n_nationkey | 8 AS BIGINT) AS bor,
+        | CAST(xor(CAST(n_nationkey AS BIGINT), 3) AS BIGINT) AS bxor,
+        | CAST(n_nationkey << 2 AS BIGINT) AS shl,
+        | CAST(n_nationkey >> 1 AS BIGINT) AS shr,
+        | CAST(bit_count(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS popcount
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "rel_null_safe_join" ->
+      """SELECT coalesce(ckey, -1) AS ckey_s, count(*) AS n_pairs
+        |FROM (SELECT nullif(CAST(c_nationkey % 5 AS BIGINT), 0) AS ckey FROM customer) c
+        |JOIN (SELECT nullif(CAST(s_nationkey % 5 AS BIGINT), 0) AS skey FROM supplier) s
+        |ON c.ckey IS NOT DISTINCT FROM s.skey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_topk_native" ->
       """WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey

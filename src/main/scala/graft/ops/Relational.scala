@@ -538,6 +538,22 @@ object Relational {
         |ORDER BY n_nationkey, s_acctbal DESC, s_suppkey""".stripMargin)
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other — the join shape for nullable FKs. The NULL group
+    * is re-labeled with a sentinel in the OUTPUT only (a nullable BIGINT
+    * column round-trips as float64 on one compare side).
+    */
+  def nullSafeJoinCounts(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.select(
+      nullif((col("c_nationkey") % 5).cast("long"), lit(0L)).as("ckey"))
+    val s = supplier.select(
+      nullif((col("s_nationkey") % 5).cast("long"), lit(0L)).as("skey"))
+    c.join(s, col("ckey") <=> col("skey"))
+      .groupBy(coalesce(col("ckey"), lit(-1L)).as("ckey_s"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("ckey_s"))
+  }
+
   /** Join-strategy control: the same equi-join forced to SHUFFLE_HASH
     * via hint. For a mid-size build side that fits executor memory but
     * not the broadcast threshold, hash beats sort-merge (no sort on the

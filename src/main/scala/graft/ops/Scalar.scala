@@ -293,6 +293,20 @@ object Scalar {
       .orderBy(col("event_type"))
   }
 
+  /** Bitwise family: and/or/xor, shifts, popcount. */
+  def bitsFamily(nation: DataFrame): DataFrame = {
+    val k = col("n_nationkey").cast("long")
+    nation.select(
+        col("n_nationkey"),
+        k.bitwiseAND(lit(5L)).as("band"),
+        k.bitwiseOR(lit(8L)).as("bor"),
+        k.bitwiseXOR(lit(3L)).as("bxor"),
+        shiftleft(k, 2).cast("long").as("shl"),
+        shiftright(k, 1).cast("long").as("shr"),
+        bit_count(k).cast("long").as("popcount"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** Generator family: posexplode (LATERAL VIEW / UNNEST WITH
     * ORDINALITY equivalent) — one output row per array element with its
     * position. The Generate node multiplies rows without a shuffle.

@@ -201,6 +201,30 @@ object Text {
       .orderBy(col("name1"), col("name2"))
   }
 
+  /** Flesch-style readability scoring from pure counts: words,
+    * sentence-ish units (period runs), vowel-group "syllables". All
+    * integer counts folded with exact arithmetic; the score itself is
+    * integer-ratio double (bit-identical across engines). One
+    * projection, no shuffle.
+    */
+  def readability(documents: DataFrame): DataFrame = {
+    val words = size(tokens(col("text"))).cast("long")
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val syllables = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[aeiouyAEIOUY]+"), lit(0))).cast("long"))
+    documents.select(
+        col("doc_id"),
+        words.as("n_words"),
+        sentences.as("n_sentences"),
+        syllables.as("n_syllables"),
+        (lit(206.835)
+          - lit(1.015) * (words.cast("double") / sentences.cast("double"))
+          - lit(84.6) * (syllables.cast("double") / words.cast("double")))
+          .as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Split-size accounting (the sanity check on the assignment). */
   def splitStats(documents: DataFrame): DataFrame =
     trainValSplit(documents)
