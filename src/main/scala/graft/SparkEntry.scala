@@ -227,6 +227,8 @@ object SparkEntry {
     "sca_bits" -> ((s, d) => Scalar.bitsFamily(nation(s, d))),
     "rel_null_safe_join" -> ((s, d) =>
       Relational.nullSafeJoinCounts(customer(s, d), supplier(s, d))),
+    "rel_market_basket" -> ((s, d) => Relational.partCooccurrence(lineitem(s, d))),
+    "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
 
@@ -983,6 +985,22 @@ object SparkEntry {
         |SELECT id AS doc_id, canon_id,
         |  CAST(count(*) OVER (PARTITION BY canon_id) AS BIGINT) AS cluster_size
         |FROM canon ORDER BY doc_id""".stripMargin,
+    "rel_market_basket" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part1, b.l_partkey AS part2, count(*) AS n_orders
+        |      FROM items a JOIN items b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2)
+        |SELECT part1, part2, n_orders FROM p
+        |ORDER BY n_orders DESC, part1, part2 LIMIT 20""".stripMargin,
+    "rel_funnel" ->
+      """WITH f AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+        |  FROM events GROUP BY user_id)
+        |SELECT (fv IS NOT NULL AND fp IS NOT NULL AND fv < fp) AS converted,
+        |  count(*) AS n_users
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_readability" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

@@ -538,6 +538,44 @@ object Relational {
         |ORDER BY n_nationkey, s_acctbal DESC, s_suppkey""".stripMargin)
   }
 
+  /** Market-basket co-occurrence: part pairs bought in the same order,
+    * top-k by support. The self-join runs per order key (co-occurrence
+    * mass Σ items², never all part pairs) and the top-k is
+    * TakeOrderedAndProject on an exact (count, keys) ordering.
+    */
+  def partCooccurrence(lineitem: DataFrame, k: Int = 20): DataFrame = {
+    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.alias("a")
+      .join(items.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("part1"), col("b.l_partkey").as("part2"))
+      .groupBy(col("part1"), col("part2"))
+      .agg(count(lit(1)).as("n_orders"))
+    pairs
+      .orderBy(col("n_orders").desc, col("part1"), col("part2"))
+      .limit(k)
+  }
+
+  /** Event funnel: users whose FIRST 'view' precedes their FIRST
+    * 'purchase' — order-sensitive conversion, one pass with
+    * conditional min aggregates (no self-join, no window).
+    */
+  def viewToPurchaseFunnel(events: DataFrame): DataFrame = {
+    val firstView = min(when(col("event_type") === "view",
+      unix_micros(col("ts"))))
+    val firstPurchase = min(when(col("event_type") === "purchase",
+      unix_micros(col("ts"))))
+    events.groupBy(col("user_id"))
+      .agg(firstView.as("first_view_us"), firstPurchase.as("first_purchase_us"))
+      .select(col("user_id"),
+        (col("first_view_us").isNotNull && col("first_purchase_us").isNotNull &&
+          col("first_view_us") < col("first_purchase_us")).as("converted"))
+      .groupBy(col("converted"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("converted"))
+  }
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * match each other — the join shape for nullable FKs. The NULL group
     * is re-labeled with a sentinel in the OUTPUT only (a nullable BIGINT
