@@ -228,6 +228,9 @@ object SparkEntry {
     "rel_null_safe_join" -> ((s, d) =>
       Relational.nullSafeJoinCounts(customer(s, d), supplier(s, d))),
     "rel_market_basket" -> ((s, d) => Relational.partCooccurrence(lineitem(s, d))),
+    "rel_salted_join" -> ((s, d) =>
+      Relational.saltedSupplierRevenue(lineitem(s, d), supplier(s, d))),
+    "xtr_corr_exact" -> ((s, d) => Relational.exactCorrelation(lineitem(s, d))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
@@ -993,6 +996,24 @@ object SparkEntry {
         |      GROUP BY 1, 2)
         |SELECT part1, part2, n_orders FROM p
         |ORDER BY n_orders DESC, part1, part2 LIMIT 20""".stripMargin,
+    "rel_salted_join" ->
+      """SELECT s_name, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "xtr_corr_exact" ->
+      """WITH m AS (SELECT count(*) AS n,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+        |  sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
+        | FROM lineitem)
+        |SELECT n,
+        | CAST(n * sxy - sx * sy AS DOUBLE) /
+        |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+        |FROM m""".stripMargin,
     "rel_funnel" ->
       """WITH f AS (SELECT user_id,
         |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,

@@ -538,6 +538,48 @@ object Relational {
         |ORDER BY n_nationkey, s_acctbal DESC, s_suppkey""".stripMargin)
   }
 
+  /** Skew-resilient JOIN via salting: the probe side gets a
+    * deterministic salt in [0, salts); the build side replicates once
+    * per salt value (explode, not a crossJoin). The join key becomes
+    * (suppkey, salt), so one hot supplier's rows spread over `salts`
+    * reducers instead of one. Result is identical to the unsalted join
+    * — verified by the oracle computing the plain join.
+    */
+  def saltedSupplierRevenue(lineitem: DataFrame, supplier: DataFrame,
+                            salts: Int = 8): DataFrame = {
+    val probe = lineitem
+      .withColumn("salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(salts)))
+    val build = supplier.select(col("s_suppkey"), col("s_name"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    probe.join(build,
+        col("l_suppkey") === build("s_suppkey") &&
+          probe("salt") === build("salt"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+           outD(sum(money(col("l_extendedprice")))).as("revenue"))
+      .orderBy(col("s_name"))
+  }
+
+  /** Exact distributed Pearson correlation: every moment (Σx, Σy, Σxy,
+    * Σx², Σy², n) accumulates in DECIMAL — associative and
+    * partition-order-independent, unlike the built-in `corr`'s double
+    * sums — and only the FINAL formula evaluates in double. The way to
+    * get bit-stable statistics out of a 1000-executor aggregation.
+    */
+  def exactCorrelation(lineitem: DataFrame): DataFrame = {
+    val x = col("l_quantity").cast("decimal(12,2)")
+    val y = money(col("l_extendedprice"))
+    val agg = lineitem.agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    agg.select(col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+         sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("corr_qty_price"))
+  }
+
   /** Market-basket co-occurrence: part pairs bought in the same order,
     * top-k by support. The self-join runs per order key (co-occurrence
     * mass Σ items², never all part pairs) and the top-k is
