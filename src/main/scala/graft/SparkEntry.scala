@@ -193,6 +193,7 @@ object SparkEntry {
     "mm_meta" -> ((s, d) => Multimodal.metaExpr(documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.resizeMeta(documents(s, d), 64, 64)),
     "mm_frames" -> ((s, d) => Multimodal.frameStats(documents(s, d), 256, 2)),
+    "mm_tiles" -> ((s, d) => Multimodal.tileGrid(documents(s, d))),
 
     // ---- round-2 breadth: agg/window/join/scalar families ----
     "rel_string_agg" -> ((s, d) => Relational.nationSupplierNames(supplier(s, d))),
@@ -885,6 +886,19 @@ object SparkEntry {
         | CAST(16 * strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS BIGINT) AS height,
         | CAST(strpos('0123456789abcdef', substr(md5(text), 3, 1)) AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_tiles" ->
+      """WITH m AS (SELECT doc_id,
+        |   CAST(16 * strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS BIGINT) AS width,
+        |   CAST(16 * strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS BIGINT) AS height
+        | FROM documents),
+        |g AS (SELECT doc_id, width, height,
+        |   unnest(generate_series(0, (width + 63) // 64 - 1)) AS tx FROM m),
+        |t AS (SELECT doc_id, width, height, tx,
+        |   unnest(generate_series(0, (height + 63) // 64 - 1)) AS ty FROM g)
+        |SELECT doc_id, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+        | CAST(least(64, width - tx * 64) AS BIGINT) AS tile_w,
+        | CAST(least(64, height - ty * 64) AS BIGINT) AS tile_h
+        |FROM t ORDER BY doc_id, tx, ty""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
         | CAST(least(64, octet_length(encode(text))) AS BIGINT) AS n_bytes_out,

@@ -146,6 +146,26 @@ object Multimodal {
     * the DuckDB-checkable registry query; the spec asserts it agrees
     * with the mapPartitions path row-for-row).
     */
+  /** Tile-grid expansion: one row per (tile_x, tile_y) cell of each
+    * media item's (derived) dimensions, with edge tiles clipped — the
+    * patch/tiling fan-out of a vision pipeline (ViT patches, SAM tiles)
+    * as pure generators: two Generate nodes, no shuffle, no UDF.
+    */
+  def tileGrid(documents: DataFrame, tile: Int = 64): DataFrame = {
+    val t = lit(tile.toLong)
+    val ntx = expr(s"(width + ${tile - 1}) div $tile")
+    val nty = expr(s"(height + ${tile - 1}) div $tile")
+    metaExpr(documents).select(col("doc_id"), col("width"), col("height"))
+      .select(col("doc_id"), col("width"), col("height"),
+        explode(sequence(lit(0L), ntx - 1)).as("tx"))
+      .select(col("doc_id"), col("width"), col("height"), col("tx"),
+        explode(sequence(lit(0L), nty - 1)).as("ty"))
+      .select(col("doc_id"), col("tx"), col("ty"),
+        least(t, col("width") - col("tx") * t).cast("long").as("tile_w"),
+        least(t, col("height") - col("ty") * t).cast("long").as("tile_h"))
+      .orderBy(col("doc_id"), col("tx"), col("ty"))
+  }
+
   def metaExpr(documents: DataFrame): DataFrame = {
     val media = asMedia(documents)
     val digest = md5(col("content"))

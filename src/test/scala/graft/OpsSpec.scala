@@ -184,6 +184,21 @@ class OpsSpec extends SparkTestBase {
     assert(over.isEmpty)
   }
 
+  test("TopKPerKey handles skewed, undersized, and exact-k groups") {
+    // group sizes 1, 3 (= k), and 200 (skewed) with shuffled insert order
+    val rows = (Seq((1L, 10L)) ++
+      (1 to 3).map(i => (2L, 100L + i)) ++
+      (1 to 200).map(i => (3L, 1000L + i)))
+    val df = new scala.util.Random(7).shuffle(rows)
+      .toDF("key", "ord")
+    val got = org.apache.spark.sql.graftbridge.PlanBridge
+      .topKPerKey(df.repartition(4), Seq("key"), "ord", 3)
+      .as[(Long, Long)].collect().toSet
+    val expected = Set((1L, 10L), (2L, 101L), (2L, 102L), (2L, 103L),
+      (3L, 1198L), (3L, 1199L), (3L, 1200L))
+    assert(got === expected)
+  }
+
   test("O19 coerce dispatches by target type with reference semantics") {
     import org.apache.spark.sql.types._
     val df = Seq("TRUE", "-7", "3.5", "oops").toDF("raw")
