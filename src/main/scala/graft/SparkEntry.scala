@@ -232,6 +232,8 @@ object SparkEntry {
     "rel_salted_join" -> ((s, d) =>
       Relational.saltedSupplierRevenue(lineitem(s, d), supplier(s, d))),
     "xtr_corr_exact" -> ((s, d) => Relational.exactCorrelation(lineitem(s, d))),
+    "txt_top_terms" -> ((s, d) => Text.topTerms(documents(s, d))),
+    "rel_transitions" -> ((s, d) => Relational.eventTransitions(events(s, d))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
@@ -1010,6 +1012,26 @@ object SparkEntry {
         |      GROUP BY 1, 2)
         |SELECT part1, part2, n_orders FROM p
         |ORDER BY n_orders DESC, part1, part2 LIMIT 20""".stripMargin,
+    "txt_top_terms" ->
+      """WITH tf AS (SELECT doc_id, t.term, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY doc_id, t.term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |r AS (SELECT doc_id, term, tf.tf, df.df,
+        |   CAST(row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY tf.tf DESC, df.df ASC, term ASC) AS BIGINT) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "rel_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS next_type
+        | FROM events)
+        |SELECT event_type, next_type, count(*) AS n
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY event_type, next_type""".stripMargin,
     "rel_salted_join" ->
       """SELECT s_name, count(*) AS n_items,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue

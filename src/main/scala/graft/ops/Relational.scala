@@ -538,6 +538,22 @@ object Relational {
         |ORDER BY n_nationkey, s_acctbal DESC, s_suppkey""".stripMargin)
   }
 
+  /** Event-transition matrix: (event_type → next event_type) counts per
+    * user stream, via lag over a TOTAL per-user order (ts alone is not
+    * unique; event_id breaks ties). One shuffle on user_id.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
   /** Skew-resilient JOIN via salting: the probe side gets a
     * deterministic salt in [0, salts); the build side replicates once
     * per salt value (explode, not a crossJoin). The join key becomes

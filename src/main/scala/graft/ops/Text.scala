@@ -184,6 +184,31 @@ object Text {
            min(col("doc_id")).as("first_doc"))
       .orderBy(col("lang"))
 
+  /** TF-IDF-style keyword extraction, log-free: per document the top-k
+    * terms ranked by (term frequency desc, document frequency asc,
+    * term) — an ALL-INTEGER ordering, so the ranking is bit-identical
+    * across engines (ln()-based idf is libm-dependent and is the one
+    * piece of classic tf-idf that can't be hash-compared). Two
+    * aggregations + one broadcast-ish join on term, then a per-doc
+    * ranked window.
+    */
+  def topTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Fuzzy string matching: all name pairs within an edit-distance
     * budget. The pair space is a theta self-join (broadcast nested loop
     * — the dimension side is tiny); at corpus scale the same predicate
