@@ -157,6 +157,26 @@ object StreamingOps {
       }
   }
 
+  /** Stream-stream INNER join with event-time bounds: each click joins
+    * purchases by the same user within [click, click + window]. Both
+    * sides carry watermarks, so the join state (buffered unmatched
+    * rows) is bounded — the condition's time band plus the watermark is
+    * what lets Spark evict state, the requirement for an unbounded
+    * 100 TB/day stream pair.
+    */
+  def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                          windowMinutes: Int = 10): DataFrame =
+    clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"$windowMinutes minutes")
+      .join(
+        purchases
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", s"$windowMinutes minutes"),
+        expr(s"""c_user = p_user AND
+                 p_ts >= c_ts AND
+                 p_ts <= c_ts + INTERVAL $windowMinutes MINUTES"""))
+
   /** Streaming exact dedup: drop events whose key was already seen,
     * with state bounded by the watermark (an unbounded seen-set is the
     * streaming scale killer — the watermark ages keys out, trading

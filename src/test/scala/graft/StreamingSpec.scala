@@ -193,6 +193,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Seq((1L, 0L, 1000L, 2L)))
   }
 
+  test("stream-stream join matches clicks to purchases within the time band") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)]
+    val purchases = MemoryStream[(Long, Long)]
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+    val q = StreamingOps.clickToPurchaseJoin(
+        withTs(clicks.toDF()), withTs(purchases.toDF()), windowMinutes = 10)
+      .writeStream.format("memory").queryName("ss_join").outputMode("append")
+      .start()
+    try {
+      val base = 1000000000000L // realistic event time, away from epoch 0
+      clicks.addData((1L, base), (2L, base))
+      // user 1 purchases inside the band; user 2 purchases 20 min later
+      purchases.addData((1L, base + 60000L), (2L, base + 1200000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ss_join").select("c_user").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+
   test("file stream + foreachBatch merge writeback: O20 discovery into O18 row commit") {
     import org.apache.spark.sql.types._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-merge-src").toString
