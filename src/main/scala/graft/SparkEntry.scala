@@ -234,6 +234,8 @@ object SparkEntry {
     "xtr_corr_exact" -> ((s, d) => Relational.exactCorrelation(lineitem(s, d))),
     "txt_top_terms" -> ((s, d) => Text.topTerms(documents(s, d))),
     "rel_transitions" -> ((s, d) => Relational.eventTransitions(events(s, d))),
+    "rel_left_outer" -> ((s, d) =>
+      Relational.customerOrderLeftOuter(customer(s, d), orders(s, d))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
@@ -1023,6 +1025,13 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    "rel_left_outer" ->
+      """SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders
+        |FROM customer
+        |LEFT OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+        |                 FROM orders GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "rel_transitions" ->
       """WITH s AS (SELECT user_id, event_type,
         |  lead(event_type, 1) OVER (PARTITION BY user_id

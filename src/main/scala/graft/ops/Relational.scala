@@ -172,6 +172,20 @@ object Relational {
       .orderBy(col("custkey"))
   }
 
+  /** Left-outer join: every customer kept; order-less customers surface
+    * with zero counts (the aggregate side is pre-reduced, so the outer
+    * join carries one row per customer, not per order).
+    */
+  def customerOrderLeftOuter(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val counts = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    customer.select(col("c_custkey"), col("c_name"))
+      .join(counts, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Right-outer join: every order row kept, customer columns nullable. */
   def orderCustomerRightOuter(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.select(col("c_custkey"), col("c_mktsegment"))

@@ -284,6 +284,16 @@ class OpsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("Observation API surfaces job metrics without a second pass (O15)") {
+    val obs = new org.apache.spark.sql.Observation("graft_metrics")
+    Tables.lineitem(spark, sf)
+      .observe(obs, count(lit(1)).as("rows"), sum(col("l_quantity")).as("qty"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] > 0)
+    assert(m("qty").asInstanceOf[Double] > 0.0)
+  }
+
   test("operators behave on empty inputs (no crashes, empty outputs)") {
     val emptyDocs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
