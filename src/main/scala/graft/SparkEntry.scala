@@ -236,6 +236,7 @@ object SparkEntry {
     "rel_transitions" -> ((s, d) => Relational.eventTransitions(events(s, d))),
     "rel_left_outer" -> ((s, d) =>
       Relational.customerOrderLeftOuter(customer(s, d), orders(s, d))),
+    "rel_cohorts" -> ((s, d) => Relational.cohortRetention(events(s, d))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
@@ -732,11 +733,16 @@ object SparkEntry {
         | true AS approx_within_10pct
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "xtr_map_funcs" ->
-      """SELECT doc_id,
-        | list_sort(list_distinct(string_split(text, ' ')))[1] AS a_key,
-        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
-        | CAST(len(list_filter(string_split(text, ' '), t -> t = 'the')) AS BIGINT) AS the_count
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH tc AS (SELECT doc_id, t.term, count(*) AS n
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY doc_id, t.term)
+        |SELECT doc_id,
+        | min(term) AS a_key,
+        | CAST(count(*) AS BIGINT) AS n_distinct,
+        | CAST(coalesce(sum(CASE WHEN term = 'the' THEN n END), 0) AS BIGINT) AS the_count,
+        | CAST(count(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS n_repeated,
+        | CAST(sum(n * 2) AS BIGINT) AS double_total
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "txt_stats" ->
       """SELECT doc_id, lang, length(text) AS n_chars_calc,
         | len(string_split(text, ' ')) AS n_tokens,
@@ -1025,6 +1031,15 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    "rel_cohorts" ->
+      """WITH a AS (SELECT user_id,
+        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS act_day FROM events),
+        |f AS (SELECT user_id, min(act_day) AS cohort_day FROM a GROUP BY user_id)
+        |SELECT cohort_day, act_day,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort_day, act_day
+        |ORDER BY cohort_day, act_day""".stripMargin,
     "rel_left_outer" ->
       """SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders
         |FROM customer

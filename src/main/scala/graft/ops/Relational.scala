@@ -552,6 +552,22 @@ object Relational {
         |ORDER BY n_nationkey, s_acctbal DESC, s_suppkey""".stripMargin)
   }
 
+  /** Cohort retention: users grouped by first-seen day (the cohort),
+    * counted by distinct activity day — the classic retention triangle.
+    * Two aggregations; the first-seen day joins back broadcast (one row
+    * per user).
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val activity = events.select(col("user_id"),
+      date_trunc("day", col("ts")).as("act_day"))
+    val firstSeen = activity.groupBy(col("user_id"))
+      .agg(min(col("act_day")).as("cohort_day"))
+    activity.join(broadcast(firstSeen), Seq("user_id"))
+      .groupBy(col("cohort_day"), col("act_day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("act_day"))
+  }
+
   /** Event-transition matrix: (event_type → next event_type) counts per
     * user stream, via lag over a TOTAL per-user order (ts alone is not
     * unique; event_id breaks ties). One shuffle on user_id.

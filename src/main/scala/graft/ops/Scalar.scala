@@ -179,7 +179,12 @@ object Scalar {
       .select(col("doc_id"),
         map_keys(col("token_counts")).getItem(0).as("a_key"),
         size(map_keys(col("token_counts"))).cast("long").as("n_distinct"),
-        coalesce(element_at(col("token_counts"), "the"), lit(0L)).as("the_count"))
+        coalesce(element_at(col("token_counts"), "the"), lit(0L)).as("the_count"),
+        size(map_filter(col("token_counts"), (_, v) => v >= 2))
+          .cast("long").as("n_repeated"),
+        aggregate(map_values(transform_values(col("token_counts"),
+            (_, v) => v * 2L)), lit(0L), (acc, x) => acc + x)
+          .as("double_total"))
       .orderBy(col("doc_id"))
   }
 
