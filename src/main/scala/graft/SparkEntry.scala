@@ -237,6 +237,10 @@ object SparkEntry {
     "rel_left_outer" -> ((s, d) =>
       Relational.customerOrderLeftOuter(customer(s, d), orders(s, d))),
     "rel_cohorts" -> ((s, d) => Relational.cohortRetention(events(s, d))),
+    "rel_histogram" -> ((s, d) => Relational.priceHistogram(lineitem(s, d))),
+    "txt_pii_mask" -> ((s, d) => Text.piiMask(documents(s, d))),
+    "txt_sentence_dedup" -> ((s, d) => Text.sentenceDedupStats(documents(s, d))),
+    "sca_url" -> ((s, d) => Scalar.urlFamily(documents(s, d))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
@@ -1031,6 +1035,40 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+    "rel_histogram" ->
+      """SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |         // 1000000 * 10000 AS bin_floor,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_pii_mask" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(
+        |       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |       '[0-9]+', '<NUM>', 'g')) AS masked_digest,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_sentence_dedup" ->
+      """WITH s AS (SELECT doc_id, trim(x) AS sent
+        |  FROM documents, unnest(string_split(text, '.')) AS t(x)
+        |  WHERE trim(x) <> ''),
+        |g AS (SELECT sent, count(*) AS n, count(DISTINCT doc_id) AS nd
+        |  FROM s GROUP BY sent)
+        |SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+        | CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_repeated,
+        | CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_cross_doc,
+        | CAST(sum(n) AS BIGINT) AS n_total
+        |FROM g""".stripMargin,
+    "sca_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://corpus.example.com/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
+        |    || '?src=' || source || '&v=2' AS url FROM documents)
+        |SELECT doc_id,
+        | 'corpus.example.com' AS host,
+        | regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        | regexp_extract(url, '\?(.*)$', 1) AS query,
+        | regexp_extract(url, 'src=([^&]*)', 1) AS src_param
+        |FROM u ORDER BY doc_id""".stripMargin,
     "rel_cohorts" ->
       """WITH a AS (SELECT user_id,
         |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS act_day FROM events),

@@ -552,6 +552,22 @@ object Relational {
         |ORDER BY n_nationkey, s_acctbal DESC, s_suppkey""".stripMargin)
   }
 
+  /** Price histogram in ALL-INTEGER arithmetic: the bin edge comes from
+    * the exact decimal unscaled value (never floor of a double division
+    * — engines disagree at representability boundaries). One hash agg.
+    */
+  def priceHistogram(lineitem: DataFrame, binWidth: Long = 10000L): DataFrame = {
+    // `div` (integer division), not `/`: the Column `/` operator is
+    // always DOUBLE division
+    val bin = expr(
+      s"CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)" +
+        s" div ${binWidth * 100} * $binWidth")
+    lineitem
+      .groupBy(bin.as("bin_floor"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bin_floor"))
+  }
+
   /** Cohort retention: users grouped by first-seen day (the cohort),
     * counted by distinct activity day — the classic retention triangle.
     * Two aggregations; the first-seen day joins back broadcast (one row

@@ -298,6 +298,23 @@ object Scalar {
       .orderBy(col("event_type"))
   }
 
+  /** URL parsing family: host/path/query extraction with `parse_url`
+    * over URLs synthesized from fixture columns (deterministic input,
+    * no fixture URL column exists).
+    */
+  def urlFamily(documents: DataFrame): DataFrame = {
+    val url = concat(lit("https://corpus.example.com/"), col("lang"),
+      lit("/doc/"), col("doc_id").cast("string"),
+      lit("?src="), col("source"), lit("&v=2"))
+    documents.select(
+        col("doc_id"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"),
+        parse_url(url, lit("QUERY"), lit("src")).as("src_param"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bitwise family: and/or/xor, shifts, popcount. */
   def bitsFamily(nation: DataFrame): DataFrame = {
     val k = col("n_nationkey").cast("long")

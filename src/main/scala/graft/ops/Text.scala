@@ -250,6 +250,47 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrubbing: mask emails then numeric runs (order matters — an
+    * email contains digits), report the masked digest + how much was
+    * masked. Pure regexp_replace projection, no shuffle — the shape of
+    * a corpus-wide scrubbing pass.
+    */
+  def piiMask(documents: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val masked = regexp_replace(
+      regexp_replace(col("text"), email, "<EMAIL>"), "[0-9]+", "<NUM>")
+    documents.select(
+        col("doc_id"),
+        md5(masked).as("masked_digest"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+          .cast("long").as("n_numbers"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-level exact SENTENCE dedup accounting (CCNet-style): split
+    * documents into sentences, count distinct sentences, repeats, and
+    * cross-document repeats. One explode + one aggregation; at corpus
+    * scale the group key would be the sentence hash, which is what the
+    * md5 grouping here does implicitly via exact string equality on
+    * uniformly-hashed shuffle keys.
+    */
+  def sentenceDedupStats(documents: DataFrame): DataFrame = {
+    val sentences = documents
+      .select(col("doc_id"), explode(split(col("text"), "\\.")).as("raw"))
+      .select(col("doc_id"), trim(col("raw")).as("sent"))
+      .filter(col("sent") =!= "")
+    sentences
+      .groupBy(col("sent"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        count(when(col("n") > 1, 1)).as("n_repeated"),
+        count(when(col("nd") > 1, 1)).as("n_cross_doc"),
+        sum(col("n")).as("n_total"))
+  }
+
   /** Split-size accounting (the sanity check on the assignment). */
   def splitStats(documents: DataFrame): DataFrame =
     trainValSplit(documents)
