@@ -111,7 +111,8 @@ object PlanAudit {
     // custom plan node: heap-based per-key top-k — one clustered
     // exchange, no Sort, no Window
     audit("rel_topk_native")(
-      ("custom TopKPerKeyExec planned", _.contains("TopKPerKey")),
+      ("two-phase: map-side partial top-k below the exchange",
+        p => p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
       ("no window operator", !_.contains("Window")),
       ("single hash exchange, no extra sort below the node", p =>
         "Exchange hashpartitioning".r.findAllIn(p).size <= 1))

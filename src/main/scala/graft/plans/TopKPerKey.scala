@@ -44,17 +44,29 @@ case class TopKPerKeyPlan(keys: Seq[Expression], order: Expression, k: Int,
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyPlan(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // two-phase, like hash aggregation: a PARTIAL top-k runs
+      // map-side (no distribution requirement — no exchange below it),
+      // so at most k rows per (key, input partition) cross the wire;
+      // the FINAL top-k re-heaps after the clustered shuffle. Top-k is
+      // mergeable, so partial∘final ≡ single-phase.
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
-                          child: SparkPlan) extends UnaryExecNode {
+                          partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution
+     else ClusteredDistribution(keys)) :: Nil
+
+  override def nodeName: String =
+    if (partial) "TopKPerKeyPartial" else "TopKPerKeyFinal"
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
