@@ -183,6 +183,7 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(embeddings(s, d), 8, 5)),
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(embeddings(s, d), 0.5)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d), 8, 5)),
+    "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecall(embeddings(s, d), 8, 5)),
     "txt_bpe_tokens" -> ((s, d) => Text.bpeTokenCounts(documents(s, d))),
     "txt_train_val_split" -> ((s, d) => Text.trainValSplit(documents(s, d))),
     "txt_split_stats" -> ((s, d) => Text.splitStats(documents(s, d))),
@@ -300,6 +301,33 @@ object SparkEntry {
        |        / sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
 
   private val cosineSql = cosSql("qe", "ce")
+
+  /** Brute-force cosine top-k oracle body (shared by sim_cosine_topk
+    * and as the ground truth inside sim_ivf_recall).
+    */
+  private def cosineTopkOracle: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id,
+       |        $cosineSql AS sim
+       |      FROM q, c WHERE neighbor_id <> query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** sim_ivf_recall oracle: recall@5 of the IVF result against the
+    * brute-force ground truth, both recomputed independently.
+    */
+  private def ivfRecallOracle: String =
+    s"""WITH ivf AS ($ivfOracle),
+       |bf AS ($cosineTopkOracle)
+       |SELECT bf.query_id,
+       |  CAST(count(ivf.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
+       |FROM bf LEFT JOIN ivf
+       |  ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
   /** sim_ivf_topk oracle: same deterministic coarse quantizer (first
     * nlist ids as centroids), assignment, probe, and scoring order.
@@ -846,20 +874,11 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.ss, b.ss))) >= 0.3
         |ORDER BY doc1, doc2""".stripMargin,
-    "sim_cosine_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
-        |s AS (SELECT query_id, neighbor_id,
-        |        $cosineSql AS sim
-        |      FROM q, c WHERE neighbor_id <> query_id),
-        |r AS (SELECT query_id, neighbor_id, sim,
-        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-        |      FROM s)
-        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "sim_cosine_topk" -> cosineTopkOracle,
     "sim_lsh_topk" -> lshOracle,
     "sim_near_dup" -> nearDupOracle,
     "sim_ivf_topk" -> ivfOracle,
+    "sim_ivf_recall" -> ivfRecallOracle,
     "txt_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,

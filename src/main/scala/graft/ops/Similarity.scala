@@ -82,6 +82,24 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** recall@k of the IVF index against brute-force ground truth —
+    * ANN quality evaluated IN-ENGINE (the metric a pipeline monitors
+    * when it trades exactness for probe count). Both rankings come from
+    * the operators above; the join is per (query, neighbor).
+    */
+  def ivfRecall(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val bf = cosineTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = ivfTopK(embeddings, nQueries, k)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    bf.join(ivf,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("n2")).cast("double") / k).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (LCG over the flat index,
     * Weyl-style): plane(i)(j) ∈ [-1, 1). Pure data-independent
     * constants — both engines materialize the SAME literals, and any
