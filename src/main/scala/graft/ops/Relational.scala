@@ -648,12 +648,19 @@ object Relational {
     * TakeOrderedAndProject on an exact (count, keys) ordering.
     */
   def partCooccurrence(lineitem: DataFrame, k: Int = 20): DataFrame = {
-    val items = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = items.alias("a")
-      .join(items.alias("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("part1"), col("b.l_partkey").as("part2"))
+    // one shuffle builds the per-order basket (collect_set dedups in
+    // the aggregation — no separate distinct pass), then pairs are
+    // generated array-locally per basket (baskets are small; the pair
+    // lambda is O(|basket|²) with no join and no second scan of the
+    // item set) and counted with map-side partial aggregation.
+    val basket = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val pairs = basket
+      .select(explode(flatten(transform(col("parts"), (p1, i) =>
+        transform(slice(col("parts"), i + 2, size(col("parts"))), p2 =>
+          struct(p1.as("part1"), p2.as("part2")))))).as("pr"))
+      .select(col("pr.part1"), col("pr.part2"))
       .groupBy(col("part1"), col("part2"))
       .agg(count(lit(1)).as("n_orders"))
     pairs
