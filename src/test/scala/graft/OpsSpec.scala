@@ -302,6 +302,14 @@ class OpsSpec extends SparkTestBase {
     assert(Dedup.minhashNearDups(emptyDocs).isEmpty)
     assert(Dedup.jaccardPairs(emptyDocs).isEmpty)
     assert(Text.tokenFrequency(emptyDocs, 10).isEmpty)
+    assert(Text.piiMask(emptyDocs).isEmpty)
+    assert(Text.topTerms(emptyDocs).isEmpty)
+    assert(Text.sentenceDedupStats(emptyDocs).count() === 1) // global agg row
+    val emptyLineitem = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Tables.lineitem(spark, sf).schema)
+    assert(Relational.partCooccurrence(emptyLineitem).isEmpty)
+    assert(Relational.priceHistogram(emptyLineitem).isEmpty)
     val emptyOrders = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Tables.orders(spark, sf).schema)
