@@ -22,9 +22,10 @@ object PlanBridge {
     * `graft.functions.GraftExtensions`.
     */
   def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
-                 k: Int): DataFrame = {
+                 k: Int, registerStrategy: Boolean = true): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[ClassicSparkSession]
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+    if (registerStrategy &&
+        !spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     }
