@@ -29,6 +29,21 @@ object Sources {
                schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC round-trip: the other columnar format Spark ships natively
+    * (vectorized reader, predicate pushdown like parquet).
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Whole-line text source: one string column `value` per line — the
+    * raw-corpus ingestion path before any parsing.
+    */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
   /** In-memory relation from driver-side rows (small dimension / lookup
     * tables only — this materializes on the driver by construction).
     */

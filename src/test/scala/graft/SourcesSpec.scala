@@ -31,6 +31,28 @@ class SourcesSpec extends SparkTestBase {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("ORC round-trip preserves rows and values with pushdown intact") {
+    val src = Tables.supplier(spark, sf)
+    val path = tmp("orc")
+    Sources.writeOrc(src, path)
+    val back = Sources.readOrc(spark, path)
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    val plan = back.filter(col("s_suppkey") > 5).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("s_suppkey"))
+  }
+
+  test("text source reads raw lines; documents survive a text round-trip") {
+    val path = tmp("text")
+    val lines = Tables.documents(spark, sf)
+      .select(col("text")).filter(!col("text").contains("\n"))
+    lines.write.mode("overwrite").text(path)
+    val back = Sources.readText(spark, path)
+    assert(back.count() === lines.count())
+    assert(back.columns.toSeq === Seq("value"))
+  }
+
   test("partitioned parquet write prunes partitions on filtered read") {
     val src = Tables.documents(spark, sf)
     val path = tmp("part")
