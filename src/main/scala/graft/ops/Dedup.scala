@@ -219,15 +219,26 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 30) {
+      // step 1: take the min over direct neighbors' labels
       val nbrMin = edges
         .join(labels.select(col("id").as("nid"), col("label").as("nlabel")),
           col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("nlabel")).as("nbr_label"))
-      val next = labels
+      val prop = labels
         .join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
+      // step 2: pointer jumping (path halving) — follow my label to ITS
+      // label, so chains collapse in O(log n) rounds instead of
+      // O(diameter); every label is itself a node id, so the lookup is
+      // a self-join on the propagated labels
+      val next = prop.alias("l")
+        .join(prop.select(col("id").as("pid"), col("label").as("plabel"))
+            .alias("p"),
+          col("l.label") === col("p.pid"), "left")
+        .select(col("l.id").as("id"), col("l.old_label").as("old_label"),
+          coalesce(col("p.plabel"), col("l.label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels.unpersist()

@@ -256,6 +256,18 @@ class OpsSpec extends SparkTestBase {
     assert(got === List((10L, 10L, 3L), (20L, 10L, 3L), (30L, 10L, 3L)))
   }
 
+  test("near-dup clustering collapses a 6-doc mutation chain (pointer jumping)") {
+    // doc_i mutates the first 4*i tokens; consecutive docs are near-dups,
+    // endpoints are not — the component only forms transitively
+    def doc(i: Int) = (0 until 30)
+      .map(p => if (p < 4 * i) s"m$p" else s"tok$p").mkString(" ")
+    val df = (0 until 6).map(i => ((i + 1).toLong * 10, doc(i), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.nearDupClusters(df).as[(Long, Long, Long)].collect()
+    assert(got.length === 6)
+    assert(got.forall { case (_, canon, size) => canon === 10L && size === 6L })
+  }
+
   test("near-dup clustering on empty pair set returns empty") {
     val df = Seq((1L, "unique text one two three", "en"),
                  (2L, (50 to 80).map(i => s"q$i").mkString(" "), "en"))
