@@ -224,21 +224,18 @@ object Dedup {
         .join(labels.select(col("id").as("nid"), col("label").as("nlabel")),
           col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("nlabel")).as("nbr_label"))
-      val prop = labels
+      // NOTE on the escalation path: pointer jumping (label → label's
+      // label per round) gives O(log n) rounds for long chains, but it
+      // was MEASURED SLOWER here — the extra self-join per round costs
+      // more than the rounds it saves, because LSH near-dup components
+      // are clique-ish (diameter ~2, propagation already converges in
+      // 2-3 rounds). Re-introduce it (or large-star/small-star) only if
+      // a real corpus produces deep chains and the round cap trips.
+      val next = labels
         .join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-      // step 2: pointer jumping (path halving) — follow my label to ITS
-      // label, so chains collapse in O(log n) rounds instead of
-      // O(diameter); every label is itself a node id, so the lookup is
-      // a self-join on the propagated labels
-      val next = prop.alias("l")
-        .join(prop.select(col("id").as("pid"), col("label").as("plabel"))
-            .alias("p"),
-          col("l.label") === col("p.pid"), "left")
-        .select(col("l.id").as("id"), col("l.old_label").as("old_label"),
-          coalesce(col("p.plabel"), col("l.label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels.unpersist()

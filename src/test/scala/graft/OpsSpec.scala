@@ -256,7 +256,7 @@ class OpsSpec extends SparkTestBase {
     assert(got === List((10L, 10L, 3L), (20L, 10L, 3L), (30L, 10L, 3L)))
   }
 
-  test("near-dup clustering collapses a 6-doc mutation chain (pointer jumping)") {
+  test("near-dup clustering collapses a 6-doc mutation chain transitively") {
     // doc_i mutates the first 4*i tokens; consecutive docs are near-dups,
     // endpoints are not — the component only forms transitively
     def doc(i: Int) = (0 until 30)
