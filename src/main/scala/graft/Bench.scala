@@ -36,16 +36,22 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // The emitted line must stay well under the driver's output-tail
-    // capture (~2 KB) or it cannot be parsed: report per-query seconds
-    // only for the headline (heaviest) queries, ms precision, and the
-    // total over ALL registered queries.
+    println(renderLine(results, sfDir))
+    spark.stop()
+  }
+
+  /** The emitted line must stay well under the driver's output-tail
+    * capture (~2 KB) or it cannot be parsed (round 1 failed exactly
+    * this way): report per-query seconds only for the headline
+    * (heaviest) queries, ms precision, and the total over ALL
+    * registered queries. Guarded by a length regression test.
+    */
+  def renderLine(results: Seq[(String, Double)], sfDir: String): String = {
     val headline = results.sortBy(-_._2).take(12).sortBy(_._1)
     def r(v: Double): String = f"$v%.3f"
     val qs = headline.map { case (k, v) => "\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${r(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"metric":"total","value":${r(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
   }
 }

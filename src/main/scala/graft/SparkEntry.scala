@@ -242,6 +242,7 @@ object SparkEntry {
     "txt_pii_mask" -> ((s, d) => Text.piiMask(documents(s, d))),
     "txt_sentence_dedup" -> ((s, d) => Text.sentenceDedupStats(documents(s, d))),
     "sca_url" -> ((s, d) => Scalar.urlFamily(documents(s, d))),
+    "sca_date3" -> ((s, d) => Scalar.dateFormatFamily(orders(s, d))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
@@ -1078,6 +1079,16 @@ object SparkEntry {
         | CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_cross_doc,
         | CAST(sum(n) AS BIGINT) AS n_total
         |FROM g""".stripMargin,
+    "sca_date3" ->
+      """SELECT o_orderkey,
+        | strftime(o_orderdate, '%Y-%m') AS period,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS stamp,
+        | CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
+        | CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "sca_url" ->
       """WITH u AS (SELECT doc_id,
         |  'https://corpus.example.com/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)

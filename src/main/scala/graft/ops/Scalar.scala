@@ -298,6 +298,23 @@ object Scalar {
       .orderBy(col("event_type"))
   }
 
+  /** Date formatting/part-extraction family. Cross-engine traps handled:
+    * Spark `dayofweek` is 1=Sunday while DuckDB's is 0=Sunday (align by
+    * subtracting 1); both `weekofyear` are ISO; format patterns map
+    * yyyy-MM ↔ %Y-%m.
+    */
+  def dateFormatFamily(orders: DataFrame): DataFrame =
+    orders.select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("period"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("stamp"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+
   /** URL parsing family: host/path/query extraction with `parse_url`
     * over URLs synthesized from fixture columns (deterministic input,
     * no fixture URL column exists).

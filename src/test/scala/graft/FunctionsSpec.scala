@@ -77,6 +77,16 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("bench JSON line stays inside the driver's output-tail capture") {
+    // worst case: every registered query name, long durations
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .zipWithIndex.map { case (n, i) => n -> (1000.0 + i) }
+    val line = Bench.renderLine(results, "/root/testdata/sf0.1")
+    assert(line.length < 1500, s"bench line too long: ${line.length} chars")
+    assert(line.startsWith("""{"metric":"total""""))
+    assert(!line.contains("\n"))
+  }
+
   test("scala UDF surface works (slow path, for API completeness only)") {
     val vowels = udf((s: String) => s.count("aeiou".contains(_)))
     val got = Seq("spark", "aeiou").toDF("s")
