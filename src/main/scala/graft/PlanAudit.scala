@@ -117,6 +117,14 @@ object PlanAudit {
       ("single hash exchange, no extra sort below the node", p =>
         "Exchange hashpartitioning".r.findAllIn(p).size <= 1))
 
+    // market basket: pairs generated array-locally — no self-join at all
+    audit("rel_market_basket")(
+      ("no join in the pair generation", p =>
+        !p.contains("Join") && !p.contains("CartesianProduct")),
+      ("top-k via TakeOrderedAndProject", _.contains("TakeOrderedAndProject")),
+      ("two hash exchanges only (basket + pair counts)", p =>
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 2))
+
     // Q3 shape: date pushdown, broadcast semi prune, top-k not global sort
     audit("rel_shipping_priority")(
       ("shipdate predicate pushed to fact scan",
