@@ -243,6 +243,8 @@ object SparkEntry {
     "txt_sentence_dedup" -> ((s, d) => Text.sentenceDedupStats(documents(s, d))),
     "sca_url" -> ((s, d) => Scalar.urlFamily(documents(s, d))),
     "sca_date3" -> ((s, d) => Scalar.dateFormatFamily(orders(s, d))),
+    "txt_stratified_sample" -> ((s, d) =>
+      Text.stratifiedSample(documents(s, d), Map("en" -> 50, "zh" -> 25))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
@@ -1079,6 +1081,12 @@ object SparkEntry {
         | CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_cross_doc,
         | CAST(sum(n) AS BIGINT) AS n_total
         |FROM g""".stripMargin,
+    "txt_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      < CASE WHEN lang = 'zh' THEN 25 WHEN lang = 'en' THEN 50 ELSE 10 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "sca_date3" ->
       """SELECT o_orderkey,
         | strftime(o_orderdate, '%Y-%m') AS period,

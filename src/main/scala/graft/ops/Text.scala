@@ -291,6 +291,23 @@ object Text {
         sum(col("n")).as("n_total"))
   }
 
+  /** Stratified (per-language) deterministic sampling — the corpus
+    * REBALANCING primitive: each stratum gets its own keep-rate, keys
+    * are hash-thresholded so the sample is reproducible across runs,
+    * engines, and partitionings (seeded `sampleBy` is none of those).
+    */
+  def stratifiedSample(documents: DataFrame, rates: Map[String, Int],
+                       defaultPct: Int = 10): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (l, p)) =>
+      when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    documents
+      .filter(tokenHash(col("doc_id").cast("string")) % 100 < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
   /** Split-size accounting (the sanity check on the assignment). */
   def splitStats(documents: DataFrame): DataFrame =
     trainValSplit(documents)
