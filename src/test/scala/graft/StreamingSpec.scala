@@ -242,6 +242,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Map(1L -> "old", 2L -> "new", 3L -> "old"))
   }
 
+  test("checkpoint restart resumes the file stream exactly-once (no replay)") {
+    import org.apache.spark.sql.types._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ckpt-src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def start() = StreamingOps.fileStream(spark, srcDir, schema,
+        maxFilesPerTrigger = 10)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      Seq(1L, 2L, 3L).toDF("id").coalesce(1).write.mode("append").parquet(srcDir)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // second incarnation, same checkpoint: only the NEW file is read
+    val q2 = start()
+    try {
+      Seq(4L, 5L).toDF("id").coalesce(1).write.mode("append").parquet(srcDir)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(outDir).as[Long].collect().sorted.toSeq
+    assert(got === Seq(1L, 2L, 3L, 4L, 5L)) // each row exactly once
+  }
+
   test("sessionize respects the gap rule on a crafted trace") {
     val rows = Seq(
       (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
