@@ -245,6 +245,7 @@ object SparkEntry {
     "sca_date3" -> ((s, d) => Scalar.dateFormatFamily(orders(s, d))),
     "txt_stratified_sample" -> ((s, d) =>
       Text.stratifiedSample(documents(s, d), Map("en" -> 50, "zh" -> 25))),
+    "rel_latest_per_key" -> ((s, d) => Relational.latestEventPerUser(events(s, d))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
@@ -1081,6 +1082,14 @@ object SparkEntry {
         | CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_cross_doc,
         | CAST(sum(n) AS BIGINT) AS n_total
         |FROM g""".stripMargin,
+    "rel_latest_per_key" ->
+      """SELECT user_id, last_event_id, last_type, last_ts FROM (
+        |  SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |         ts AS last_ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "txt_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
         |FROM documents

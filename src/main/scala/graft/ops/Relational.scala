@@ -584,6 +584,22 @@ object Relational {
       .orderBy(col("cohort_day"), col("act_day"))
   }
 
+  /** Keep-latest-per-key compaction (the CDC/upsert snapshot pattern):
+    * one row per user — their most recent event by a TOTAL (ts,
+    * event_id) order. One shuffle on the key; at table scale this is
+    * the compaction that turns an append log into current state.
+    */
+  def latestEventPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("ts").as("last_ts"))
+      .orderBy(col("user_id"))
+  }
+
   /** Event-transition matrix: (event_type → next event_type) counts per
     * user stream, via lag over a TOTAL per-user order (ts alone is not
     * unique; event_id breaks ties). One shuffle on user_id.

@@ -306,6 +306,14 @@ class OpsSpec extends SparkTestBase {
     assert(m("qty").asInstanceOf[Double] > 0.0)
   }
 
+  test("AQE coalesces small shuffle partitions in the final adaptive plan") {
+    val df = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead"), plan.take(500))
+  }
+
   test("operators behave on empty inputs (no crashes, empty outputs)") {
     val emptyDocs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
