@@ -246,6 +246,9 @@ object SparkEntry {
     "txt_stratified_sample" -> ((s, d) =>
       Text.stratifiedSample(documents(s, d), Map("en" -> 50, "zh" -> 25))),
     "rel_latest_per_key" -> ((s, d) => Relational.latestEventPerUser(events(s, d))),
+    "rel_asof_forward" -> ((s, d) =>
+      Relational.asofNextEvent(orders(s, d), events(s, d))),
+    "xtr_group_quantiles" -> ((s, d) => Relational.groupQuantiles(lineitem(s, d))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
   )
@@ -1082,6 +1085,21 @@ object SparkEntry {
         | CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_cross_doc,
         | CAST(sum(n) AS BIGINT) AS n_total
         |FROM g""".stripMargin,
+    "rel_asof_forward" ->
+      """SELECT o_orderkey, next_event_id, next_ts FROM (
+        |  SELECT o.o_orderkey, e.event_id AS next_event_id, e.ts AS next_ts,
+        |         row_number() OVER (PARTITION BY o.o_orderkey
+        |                            ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        |  FROM orders o JOIN events e
+        |    ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate) t
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+    "xtr_group_quantiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS qty_p25,
+        | quantile_cont(l_quantity, 0.5) AS qty_p50,
+        | quantile_cont(l_quantity, 0.75) AS qty_p75,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_latest_per_key" ->
       """SELECT user_id, last_event_id, last_type, last_ts FROM (
         |  SELECT user_id, event_id AS last_event_id, event_type AS last_type,

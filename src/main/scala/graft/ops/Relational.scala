@@ -738,6 +738,33 @@ object Relational {
     * composition is equi-join on the key + max_by aggregation (one
     * shuffle, no windows). DuckDB's native ASOF JOIN is the oracle.
     */
+  /** Forward as-of join: the FIRST event at-or-after each order — the
+    * look-ahead twin of [[asofLatestOrder]] (attribution: "next user
+    * action after the purchase"). Same composition, min_by.
+    */
+  def asofNextEvent(orders: DataFrame, events: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(events.select(col("user_id"), col("event_id"), col("ts")),
+        col("o_custkey") === col("user_id") && col("ts") >= col("o_orderdate"),
+        "inner")
+      .groupBy(col("o_orderkey"))
+      .agg(min_by(col("event_id"), struct(col("ts"), col("event_id"))).as("next_event_id"),
+           min(col("ts")).as("next_ts"))
+      .orderBy(col("o_orderkey"))
+
+  /** Per-group EXACT quantiles: `percentile` interpolates on the sorted
+    * group — integer-valued doubles make the interpolation arithmetic
+    * engine-stable (DuckDB quantile_cont computes the same a+(b-a)·t).
+    */
+  def groupQuantiles(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("qty_p25"),
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.75)").as("qty_p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   def asofLatestOrder(events: DataFrame, orders: DataFrame): DataFrame =
     events.select(col("event_id"), col("user_id"), col("ts"))
       .join(orders.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
