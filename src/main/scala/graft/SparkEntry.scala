@@ -248,6 +248,7 @@ object SparkEntry {
     "rel_latest_per_key" -> ((s, d) => Relational.latestEventPerUser(events(s, d))),
     "rel_asof_forward" -> ((s, d) =>
       Relational.asofNextEvent(orders(s, d), events(s, d))),
+    "txt_bigram_lm" -> ((s, d) => Text.bigramLm(documents(s, d))),
     "xtr_group_quantiles" -> ((s, d) => Relational.groupQuantiles(lineitem(s, d))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
@@ -1085,6 +1086,16 @@ object SparkEntry {
         | CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_cross_doc,
         | CAST(sum(n) AS BIGINT) AS n_total
         |FROM g""".stripMargin,
+    "txt_bigram_lm" ->
+      """WITH tok AS (SELECT string_split(lower(text), ' ') AS ls FROM documents),
+        |bi AS (SELECT ls[i] AS w1, ls[i + 1] AS w2
+        |       FROM tok, unnest(generate_series(1, len(ls) - 1)) AS u(i)),
+        |bc AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2),
+        |u2 AS (SELECT w1, count(*) AS n_w1
+        |       FROM (SELECT unnest(ls) AS w1 FROM tok) q GROUP BY 1)
+        |SELECT w1, w2, n_pair, n_w1, CAST(n_pair AS DOUBLE) / n_w1 AS cond_p
+        |FROM bc JOIN u2 USING (w1)
+        |ORDER BY n_pair DESC, w1, w2 LIMIT 20""".stripMargin,
     "rel_asof_forward" ->
       """SELECT o_orderkey, next_event_id, next_ts FROM (
         |  SELECT o.o_orderkey, e.event_id AS next_event_id, e.ts AS next_ts,

@@ -209,6 +209,36 @@ object Text {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Bigram language-model estimation: conditional probability
+    * P(w2 | w1) = count(w1 w2) / count(w1) — the statistic behind
+    * n-gram LMs and contamination detectors. All counts are integers;
+    * the single final division is an exact-integer-ratio double, so
+    * probabilities hash-match across engines. Top-k by an all-integer
+    * ordering keeps the limit boundary deterministic.
+    */
+  def bigramLm(documents: DataFrame, k: Int = 20): DataFrame = {
+    val toks = col("tk")
+    val pairs = when(size(toks) > 1,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val base = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .withColumn("tk", tokens(lower(col("text"))))
+    val bi = base.select(explode(pairs).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val uni = base.select(explode(toks).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+    bi.join(uni, Seq("w1"))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"),
+        (col("n_pair").cast("double") / col("n_w1")).as("cond_p"))
+      .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Fuzzy string matching: all name pairs within an edit-distance
     * budget. The pair space is a theta self-join (broadcast nested loop
     * — the dimension side is tiny); at corpus scale the same predicate
