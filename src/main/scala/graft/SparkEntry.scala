@@ -249,6 +249,7 @@ object SparkEntry {
     "rel_asof_forward" -> ((s, d) =>
       Relational.asofNextEvent(orders(s, d), events(s, d))),
     "txt_bigram_lm" -> ((s, d) => Text.bigramLm(documents(s, d))),
+    "txt_contamination" -> ((s, d) => Text.contaminationScores(documents(s, d))),
     "xtr_group_quantiles" -> ((s, d) => Relational.groupQuantiles(lineitem(s, d))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
@@ -1086,6 +1087,25 @@ object SparkEntry {
         | CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_cross_doc,
         | CAST(sum(n) AS BIGINT) AS n_total
         |FROM g""".stripMargin,
+    "txt_contamination" ->
+      """WITH sp AS (SELECT doc_id, text,
+        |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |        ELSE 'test' END AS split
+        |   FROM documents),
+        |sh AS (SELECT doc_id, split, unnest(list_distinct(
+        |         list_transform(generate_series(1, len(ls) - 2),
+        |           i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2]))) AS s
+        |       FROM (SELECT doc_id, split, string_split(text, ' ') AS ls FROM sp) q
+        |       WHERE len(ls) >= 3),
+        |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+        |te AS (SELECT doc_id, s FROM sh WHERE split = 'test')
+        |SELECT te.doc_id,
+        |  count(*) AS n_shingles,
+        |  count(tr.s) AS n_contaminated,
+        |  CAST(count(tr.s) AS DOUBLE) / count(*) AS contamination
+        |FROM te LEFT JOIN tr ON te.s = tr.s
+        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
     "txt_bigram_lm" ->
       """WITH tok AS (SELECT string_split(lower(text), ' ') AS ls FROM documents),
         |bi AS (SELECT ls[i] AS w1, ls[i + 1] AS w2

@@ -169,6 +169,37 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/test CONTAMINATION detection: for each test-split document,
+    * the fraction of its distinct 3-token shingles that also occur in
+    * ANY train-split document — the decontamination scan every eval
+    * pipeline needs. Shingle sets join on the shingle value (uniform
+    * md5-derived shuffle keys); the train side is reduced to DISTINCT
+    * shingles before the join, so cost is co-occurrence mass, not
+    * |test|×|train|.
+    */
+  def contaminationScores(documents: DataFrame, w: Int = 3): DataFrame = {
+    val withSplit = documents
+      .join(trainValSplit(documents).select(col("doc_id"), col("split")),
+        Seq("doc_id"))
+    def shingles(split: String) = withSplit
+      .filter(col("split") === split)
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .withColumn("tk", tokens(col("text")))
+      .select(col("doc_id"), explode(Dedup.shinglesFromTokens(col("tk"), w)).as("s"))
+    val trainShingles = shingles("train").select(col("s")).distinct()
+      .withColumn("in_train", lit(1L))
+    shingles("test")
+      .join(trainShingles, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           count(col("in_train")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles"))
+          .as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Deterministic hash sampling: an exact-rate-in-expectation sample
     * that is reproducible across runs, engines, and partitionings —
     * `TABLESAMPLE`/`df.sample` are seeded per-partition and shift with
