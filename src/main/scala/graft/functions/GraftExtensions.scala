@@ -17,6 +17,7 @@ import org.apache.spark.sql.expressions.Aggregator
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vectorDotDescriptor)
+    e.injectFunction(GraftExtensions.minhashSigDescriptor)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
@@ -28,10 +29,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[VectorDotProduct].getName, "vector_dot"),
     (children: Seq[Expression]) => VectorDotProduct(children(0), children(1)))
 
+  /** `minhash_sig(tokens)` — the codegen'd 16-slot MinHash signature
+    * with the engine's fixed permutation constants (graft.ops.Dedup),
+    * so SQL users get the exact signatures the dedup pipeline uses.
+    */
+  private[functions] val minhashSigDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+    (children: Seq[Expression]) =>
+      MinHashSignature(children.head, w = 3, graft.ops.Dedup.minhashAB, graft.ops.Dedup.P))
+
   /** Runtime registration for an already-built session. */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = vectorDotDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(vectorDotDescriptor, minhashSigDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }
 

@@ -112,15 +112,34 @@ object Dedup {
       .filter(col("n_copies") > 1)
       .orderBy(col("text_hash"))
 
-  /** MinHash signature columns sig_0..sig_15.
+  /** MinHash signature columns sig_0..sig_15, computed per ROW by the
+    * native codegen'd [[graft.functions.MinHashSignature]] expression —
+    * one pass over the document's shingles, no explode, no aggregation
+    * shuffle. At 100 TB this turns signature computation from
+    * (row-count × shingle-count) exploded rows plus a full exchange
+    * into a narrow map-side projection.
     *
-    * Formulated as explode → hash-aggregate with 16 `min` expressions
-    * rather than nested array lambdas: higher-order array functions run
-    * interpreted (per-element boxing), while explode + min-agg is fully
-    * codegen'd with map-side partial aggregation — the shuffle carries
-    * one 16-long row per document regardless of shingle count.
+    * Bit-identical to [[withMinhashSignatureAgg]] (asserted by
+    * OpsSpec); the DuckDB oracle mirrors that builtin formulation.
+    * The 16 sig_i projections reference the one `sig` array — the
+    * expression is non-cheap so CollapseProject won't inline it 16×,
+    * and codegen subexpression elimination backstops that.
     */
   def withMinhashSignature(documents: DataFrame, w: Int = 3): DataFrame = {
+    val sig = graft.functions.MinHashSignature.minhash_sig(col("tk"), w, minhashAB, P)
+    spread(documents)
+      .withColumn("tk", Text.tokens(col("text")))
+      .select(col("doc_id"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        minhashAB.indices.map(i => element_at(col("sig"), i + 1).as(s"sig_$i")): _*)
+  }
+
+  /** Builtin-only signature formulation (explode → conv(md5) → 16-min
+    * hash-aggregate with map-side partial agg) — the oracle-shaped
+    * reference implementation the codegen path must match bit for bit.
+    */
+  def withMinhashSignatureAgg(documents: DataFrame, w: Int = 3): DataFrame = {
     val base = explodedShingles(documents, w)
       .withColumn("v", Text.tokenHash(col("s")))
     val sigAggs = minhashAB.zipWithIndex.map { case ((a, b), i) =>

@@ -28,6 +28,17 @@ class FunctionsSpec extends SparkTestBase {
     assert(got === exp)
   }
 
+  test("minhash_sig registered for SQL matches the Dedup pipeline signatures") {
+    GraftExtensions.register(spark)
+    val sig = spark.sql(
+      "SELECT minhash_sig(split('a b c d e', ' ')) AS sig").as[Seq[Long]].head()
+    val exp = graft.ops.Dedup
+      .withMinhashSignature(Seq((1L, "a b c d e")).toDF("doc_id", "text"))
+      .drop("doc_id").as[(Long, Long, Long, Long, Long, Long, Long, Long,
+        Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(sig === exp.productIterator.toSeq)
+  }
+
   test("typed Aggregator distributes count/min/max/sum per group") {
     val events = Tables.events(spark, sf)
     val got = events.select(col("event_type"), col("value"))

@@ -91,6 +91,22 @@ class OpsSpec extends SparkTestBase {
     assert(!pairs.exists { case (d1, d2, _, _) => d2 == 3L || d1 == 3L })
   }
 
+  test("codegen minhash signature is bit-identical to the explode+agg formulation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fast = Dedup.withMinhashSignature(docs).orderBy("doc_id").collect()
+    val ref = Dedup.withMinhashSignatureAgg(docs).orderBy("doc_id").collect()
+    assert(fast.length === ref.length && fast.length > 0)
+    fast.zip(ref).foreach { case (f, r) => assert(f === r) }
+    // docs shorter than w tokens are dropped by both paths, and empty /
+    // repeated tokens hash exactly like concat_ws-built shingles
+    val edge = Seq((1L, "a b"), (2L, "a  b c"), (3L, "x x x x"))
+      .toDF("doc_id", "text")
+    val ef = Dedup.withMinhashSignature(edge).orderBy("doc_id").collect()
+    val er = Dedup.withMinhashSignatureAgg(edge).orderBy("doc_id").collect()
+    assert(ef.map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    assert(ef.toSeq === er.toSeq)
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i % 29 == 0) "CHANGED" + i else s"tok$i").mkString(" ")
