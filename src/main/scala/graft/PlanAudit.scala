@@ -141,6 +141,18 @@ object PlanAudit {
         "BroadcastHashJoin".r.findAllIn(p).size >= 2),
       ("top-20 is TakeOrderedAndProject", _.contains("TakeOrderedAndProject")))
 
+    // Q7 shape: every dimension side is a broadcast build, never a
+    // shuffle of the fact table per dim
+    audit("rel_nation_trade")(
+      ("all dims broadcast (supp/cust pre-filtered)", p =>
+        "BroadcastHashJoin".r.findAllIn(p).size >= 2),
+      ("no cartesian pair enumeration", p => !p.contains("CartesianProduct")))
+
+    // Q18 shape: having-agg first, then joins, then top-k without sort
+    audit("rel_big_orders")(
+      ("customer broadcast", _.contains("BroadcastHashJoin")),
+      ("top-20 is TakeOrderedAndProject", _.contains("TakeOrderedAndProject")))
+
     println(s"== plan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"} ==")
 
     // optional: dump formatted plans for review (`runMain graft.PlanAudit <sfDir> <outFile>`)

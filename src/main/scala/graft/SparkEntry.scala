@@ -253,6 +253,13 @@ object SparkEntry {
     "xtr_group_quantiles" -> ((s, d) => Relational.groupQuantiles(lineitem(s, d))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
+    "rel_nation_trade" -> ((s, d) =>
+      Relational.nationTrade(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d), nation(s, d))),
+    "rel_big_orders" -> ((s, d) =>
+      Relational.bigOrders(lineitem(s, d), orders(s, d), customer(s, d))),
+    "rel_cust_distribution" -> ((s, d) =>
+      Relational.custOrderDistribution(customer(s, d), orders(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -1324,5 +1331,39 @@ object SparkEntry {
         |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
         |WHERE levenshtein(a.n_name, b.n_name) <= 4
         |ORDER BY name1, name2""".stripMargin,
+    "rel_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |          CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier  ON l_suppkey = s_suppkey
+        |JOIN orders    ON l_orderkey = o_orderkey
+        |JOIN customer  ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        |GROUP BY supp_nation, cust_nation, ship_year
+        |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    "rel_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+        | sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
+        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0) h
+        |  ON o_orderkey = h.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "rel_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
   )
 }

@@ -774,4 +774,75 @@ object Relational {
       .agg(max_by(col("o_orderkey"), struct(col("o_orderdate"), col("o_orderkey"))).as("asof_orderkey"),
            max(col("o_orderdate")).as("asof_orderdate"))
       .orderBy(col("event_id"))
+
+  /** TPC-H Q7 shape (nation trade volume): bidirectional revenue matrix
+    * between two nations by ship year. Both nation filters are applied
+    * to the BROADCAST dimension sides (supplier→nation, customer→nation)
+    * before touching the fact table, so the big lineitem⋈orders join
+    * only carries rows that can survive — at 100 TB the pair predicate
+    * prunes ~(2/25)² of the fact join output on the build inputs, not
+    * after the shuffle.
+    */
+  def nationTrade(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, nation: DataFrame,
+                  n1: String = "NATION_3", n2: String = "NATION_8"): DataFrame = {
+    val wanted = nation.filter(col("n_name").isin(n1, n2))
+    val supp = broadcast(supplier
+      .join(wanted.select(col("n_nationkey"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation")))
+    val cust = broadcast(customer
+      .join(wanted.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation")))
+    lineitem
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(outD(sum(discPrice)).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): a HAVING-filtered fact
+    * aggregate drives a join back to its own dimensions. The per-order
+    * quantity aggregate runs FIRST (map-side partial sums shrink the
+    * shuffle to one row per order), the >threshold survivors are a tiny
+    * set that joins orders/customer, and the final top-k is
+    * TakeOrderedAndProject — no global sort at any scale.
+    */
+  def bigOrders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                minQty: Double = 300.0, k: Int = 20): DataFrame = {
+    val heavy = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    orders
+      .join(heavy, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), money(col("o_totalprice")).as("tp_dec"), col("sum_qty"))
+      .orderBy(col("tp_dec").desc, col("o_orderkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), outD(col("tp_dec")).as("o_totalprice"), col("sum_qty"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    * zero-order customers keep count 0, then a second aggregation over
+    * the first's output — the classic two-level agg where level 1
+    * shuffles by customer and level 2 by the (tiny-domain) count.
+    */
+  def custOrderDistribution(customer: DataFrame, orders: DataFrame,
+                            excludePriority: String = "1-URGENT"): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.filter(col("o_orderpriority") =!= excludePriority)
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
 }

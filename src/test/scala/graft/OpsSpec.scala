@@ -330,6 +330,44 @@ class OpsSpec extends SparkTestBase {
     assert(plan.contains("AQEShuffleRead"), plan.take(500))
   }
 
+  test("AQE splits a skewed join partition at runtime (no manual salting)") {
+    // the 100 TB answer to join skew: leave the plan declarative and let
+    // AQE's skew-join rule split oversized partitions AT RUNTIME from
+    // observed map-output sizes. Salting (rel_salted_join) stays for
+    // non-join aggs and engines without AQE; here we prove the zero-code
+    // path works. Thresholds are lowered so test-sized data exhibits
+    // "skew" (defaults are tuned for 256 MB partitions).
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val hot = (1 to 50000).map(_ => 0L) ++ (1 to 5000).map(i => (i % 100 + 1).toLong)
+      val fact = hot.zipWithIndex.map { case (k, i) => (k, s"payload_$i") }
+        .toDF("key", "payload").repartition(8)
+      val dim = (0L to 100L).map(k => (k, s"dim_$k")).toDF("key", "name")
+        .repartition(8)
+      // max(payload) keeps the wide column alive through the join, so
+      // the hot partition's shuffle bytes actually look skewed
+      val joined = fact.join(dim, "key").groupBy("name")
+        .agg(count(lit(1)).as("n"), max(col("payload")).as("p"))
+      val rows = joined.collect()
+      assert(rows.map(_.getLong(1)).sum === 55000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(800))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("operators behave on empty inputs (no crashes, empty outputs)") {
     val emptyDocs = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
