@@ -260,6 +260,10 @@ object SparkEntry {
       Relational.bigOrders(lineitem(s, d), orders(s, d), customer(s, d))),
     "rel_cust_distribution" -> ((s, d) =>
       Relational.custOrderDistribution(customer(s, d), orders(s, d))),
+    "str_session_native" -> ((s, d) =>
+      graft.streaming.StreamingOps.nativeSessionWindows(events(s, d))),
+    "str_window_users" -> ((s, d) =>
+      graft.streaming.StreamingOps.windowUserCounts(events(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -1365,5 +1369,30 @@ object SparkEntry {
         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
         |  GROUP BY c_custkey) t
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "str_session_native" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |              THEN 1 ELSE 0 END AS is_break
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM y)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, min(event_id) AS first_event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM z GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "str_window_users" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        | count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
   )
 }

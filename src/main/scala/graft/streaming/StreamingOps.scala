@@ -69,6 +69,41 @@ object StreamingOps {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Native `session_window` sessionization — Spark's built-in merging
+    * session operator (the one the streaming path uses with state +
+    * watermark). Semantics (pinned by StreamingSpec's boundary test):
+    * an event extends its session while ts − prev_ts <= gap (an
+    * EXACT-gap event still merges; only > gap splits), and
+    * session_end = last_ts + gap. The DuckDB oracle re-derives the
+    * same islands with a lag() break at `> gap`, so the registry entry
+    * is a cross-engine proof that the native operator matches the
+    * manual gap-island formulation.
+    */
+  def nativeSessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("event_id")).as("first_event_id"),
+           sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("first_event_id"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Per-window audience size: tumbling window × exact distinct users —
+    * the cardinality shape every streaming dashboard needs. Exact
+    * count_distinct shuffles (window, user) once for dedup and once for
+    * the count; the approx_count_distinct variant (xtr_approx_distinct)
+    * is the one-shuffle sketch path at 100 TB.
+    */
+  def windowUserCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width))
+      .agg(count_distinct(col("user_id")).as("n_users"),
+           count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_users"), col("n_events"))
+      .orderBy(col("window_start"))
+
   /** Streaming source over a parquet directory — the O20 analog: new
     * files are discovered per micro-batch. `maxFilesPerTrigger`
     * throttles discovery (the O14 rate-limit at source granularity).

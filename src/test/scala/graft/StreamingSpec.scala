@@ -123,6 +123,21 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("native session_window boundary: exact-gap merges, gap+1s splits") {
+    val df = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1.0),
+      (1L, 2L, "2024-01-01 10:30:00", 1.0),  // exactly 30:00 → MERGES
+      (1L, 3L, "2024-01-01 11:00:01", 1.0))  // 30:01 after #2 → splits
+      .toDF("user_id", "event_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = StreamingOps.nativeSessionWindows(df).collect()
+    assert(out.length === 2, out.mkString("; "))
+    // session_end = last event + gap
+    assert(out.head.getAs[java.sql.Timestamp]("session_end").toString
+      === "2024-01-01 11:00:00.0")
+    assert(out.head.getAs[Long]("n_events") === 2L)
+  }
+
   test("rate source produces rows (streaming source discovery family)") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "50").load()
