@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vectorDotDescriptor)
     e.injectFunction(GraftExtensions.minhashSigDescriptor)
+    e.injectFunction(GraftExtensions.simhash32Descriptor)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
@@ -40,11 +41,19 @@ object GraftExtensions {
     (children: Seq[Expression]) =>
       MinHashSignature(children.head, w = 3, graft.ops.Dedup.minhashAB, graft.ops.Dedup.P))
 
+  /** `simhash32(tokens)` — the codegen'd per-row 32-bit SimHash. */
+  private[functions] val simhash32Descriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash32"),
+    new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+    (children: Seq[Expression]) => SimHash32(children.head))
+
   /** Runtime registration for an already-built session. */
   def register(spark: SparkSession): Unit = {
-    Seq(vectorDotDescriptor, minhashSigDescriptor).foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-    }
+    Seq(vectorDotDescriptor, minhashSigDescriptor, simhash32Descriptor)
+      .foreach { case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      }
   }
 }
 

@@ -73,17 +73,28 @@ case class MinHashSignature(
     copy(child = newChild)
 }
 
-object MinHashSignature {
-  import org.apache.spark.sql.graftbridge.ColumnBridge
-
+/** Shared MD5-prefix hashing for the codegen'd dedup expressions. */
+private[functions] object HashUtil {
   /** One MD5 instance per executor thread — digest objects are stateful
     * and not thread-safe, and per-shingle getInstance() would dominate.
     */
-  private val md5: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
+  val md5: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  private val SPACE: Byte = ' '.toByte
+  val SPACE: Byte = ' '.toByte
+
+  /** First 8 hex chars of the md5 digest as an unsigned 32-bit value —
+    * identical to `conv(substring(md5(s),1,8),16,10)::long`.
+    */
+  def prefix32(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+}
+
+object MinHashSignature {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import HashUtil.{md5, SPACE}
 
   /** Shared by interpreted eval and generated code (public: generated
     * classes live outside this package). Null iff fewer than w tokens.
@@ -113,10 +124,8 @@ object MinHashSignature {
         }
         j += 1
       }
-      val d = digest.digest()
       // first 8 hex chars of md5 == first 4 bytes, big-endian unsigned
-      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val v = HashUtil.prefix32(digest.digest())
       var s = 0
       while (s < k) {
         val h = (a(s) * v + b(s)) % p
@@ -131,4 +140,75 @@ object MinHashSignature {
   /** Column API: k-slot signature of a token-array column. */
   def minhash_sig(tokens: Column, w: Int, ab: Seq[(Long, Long)], p: Long): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(tokens), w, ab, p))
+}
+
+/** Native codegen'd 32-bit SimHash over a token array: every token
+  * (duplicates included — SimHash weights by term frequency) votes
+  * ±1 on each bit of its md5-prefix hash; output bit b is 1 iff the
+  * vote sum is strictly positive. One pass per row — replaces the
+  * token explode + 32 conditional-sum aggregates (and their shuffle)
+  * of the builtin formulation, which it matches bit for bit
+  * (including the null-token case: a null token takes the CaseWhen
+  * else branch in the agg formulation, voting −1 on every bit).
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    SimHash32.compute(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash32.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash32 {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](32)
+    val digest = HashUtil.md5.get()
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) {
+        var b = 0
+        while (b < 32) { votes(b) -= 1; b += 1 }
+      } else {
+        digest.reset()
+        digest.update(tokens.getUTF8String(i).getBytes)
+        val v = HashUtil.prefix32(digest.digest())
+        var b = 0
+        while (b < 32) {
+          if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Column API. */
+  def simhash32(tokens: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
 }

@@ -275,7 +275,25 @@ object Dedup {
     * group-by runs partial aggregation so the shuffle carries one row
     * per (doc, 32 counters), not per token.
     */
-  def simhash(documents: DataFrame): DataFrame = {
+  /** 32-bit SimHash per document, computed per ROW by the native
+    * codegen'd [[graft.functions.SimHash32]] expression — one pass
+    * over the token array, no explode, no 32-conditional-sum
+    * aggregation shuffle. Bit-identical to [[simhashAgg]] (asserted by
+    * OpsSpec); the DuckDB oracle mirrors that builtin formulation.
+    * (split() always yields ≥1 token, so no document vanishes the way
+    * a zero-row explode would.)
+    */
+  def simhash(documents: DataFrame): DataFrame =
+    spread(documents)
+      .select(col("doc_id"),
+        graft.functions.SimHash32.simhash32(Text.tokens(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Builtin-only SimHash formulation (explode → conv(md5) → 32
+    * conditional-sum aggregates) — the oracle-shaped reference
+    * implementation the codegen path must match bit for bit.
+    */
+  def simhashAgg(documents: DataFrame): DataFrame = {
     val tok = spread(documents)
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("t"))
       .withColumn("v", Text.tokenHash(col("t")))

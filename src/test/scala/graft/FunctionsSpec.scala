@@ -37,6 +37,10 @@ class FunctionsSpec extends SparkTestBase {
       .drop("doc_id").as[(Long, Long, Long, Long, Long, Long, Long, Long,
         Long, Long, Long, Long, Long, Long, Long, Long)].head()
     assert(sig === exp.productIterator.toSeq)
+    val sh = spark.sql("SELECT simhash32(split('a b c', ' ')) AS h").as[Long].head()
+    val shExp = graft.ops.Dedup.simhash(Seq((1L, "a b c")).toDF("doc_id", "text"))
+      .select("simhash").as[Long].head()
+    assert(sh === shExp)
   }
 
   test("typed Aggregator distributes count/min/max/sum per group") {

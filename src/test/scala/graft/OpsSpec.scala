@@ -107,6 +107,18 @@ class OpsSpec extends SparkTestBase {
     assert(ef.toSeq === er.toSeq)
   }
 
+  test("codegen simhash is bit-identical to the explode+agg formulation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fast = Dedup.simhash(docs).collect()
+    val ref = Dedup.simhashAgg(docs).collect()
+    assert(fast.length === ref.length && fast.length > 0)
+    fast.zip(ref).foreach { case (f, r) => assert(f === r) }
+    // repeated tokens vote per occurrence; empty-string tokens hash too
+    val edge = Seq((1L, "x x x y"), (2L, "a  b")).toDF("doc_id", "text")
+    assert(Dedup.simhash(edge).collect().toSeq
+      === Dedup.simhashAgg(edge).collect().toSeq)
+  }
+
   test("simhash hamming distance separates near-dups from unrelated docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i % 29 == 0) "CHANGED" + i else s"tok$i").mkString(" ")
