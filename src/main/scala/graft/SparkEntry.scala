@@ -264,6 +264,7 @@ object SparkEntry {
       graft.streaming.StreamingOps.nativeSessionWindows(events(s, d))),
     "str_window_users" -> ((s, d) =>
       graft.streaming.StreamingOps.windowUserCounts(events(s, d))),
+    "rel_scd2" -> ((s, d) => Relational.scd2Intervals(orders(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -1394,5 +1395,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start,
         | count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "rel_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        | o_orderdate AS effective_from,
+        | coalesce(lead(o_orderdate) OVER w, TIMESTAMP '9999-12-31') AS effective_to,
+        | (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, effective_from, o_orderkey""".stripMargin,
   )
 }

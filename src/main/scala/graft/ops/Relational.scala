@@ -829,6 +829,33 @@ object Relational {
         col("o_orderdate"), outD(col("tp_dec")).as("o_totalprice"), col("sum_qty"))
   }
 
+  /** SCD2 interval build (slowly-changing dimension, type 2): each
+    * customer's order history becomes validity intervals —
+    * effective_from = the order date, effective_to = the NEXT order's
+    * date (lead window), is_current marks the open row. One shuffle on
+    * the entity key; the window sort is per-key, so the build scales
+    * with the largest single history, not the table. The open
+    * interval's end is a SENTINEL date, not NULL (a nullable date
+    * column can't survive a cross-engine hash compare, and downstream
+    * range predicates stay sargable against a real value).
+    */
+  def scd2Intervals(orders: DataFrame,
+                    sentinel: String = "9999-12-31"): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate"))
+      .withColumn("effective_from", col("o_orderdate"))
+      .withColumn("effective_to",
+        coalesce(lead(col("o_orderdate"), 1).over(w),
+          lit(sentinel).cast("timestamp")))
+      .withColumn("is_current",
+        lead(col("o_orderdate"), 1).over(w).isNull)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+      .orderBy(col("o_custkey"), col("effective_from"), col("o_orderkey"))
+  }
+
   /** TPC-H Q13 shape (customer order-count distribution): LEFT join so
     * zero-order customers keep count 0, then a second aggregation over
     * the first's output — the classic two-level agg where level 1

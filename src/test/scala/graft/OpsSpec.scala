@@ -107,6 +107,23 @@ class OpsSpec extends SparkTestBase {
     assert(ef.toSeq === er.toSeq)
   }
 
+  test("scd2 intervals tile each customer's history with one open row") {
+    val orders = Tables.orders(spark, sf)
+    val iv = Relational.scd2Intervals(orders).cache()
+    // exactly one current row per customer
+    val perCust = iv.groupBy("o_custkey")
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("n_open"))
+    assert(perCust.filter(col("n_open") =!= 1L).isEmpty)
+    // intervals chain: next row's effective_from == this row's effective_to
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("effective_from"), col("o_orderkey"))
+    val broken = iv
+      .withColumn("next_from", lead(col("effective_from"), 1).over(w))
+      .filter(col("next_from").isNotNull && col("effective_to") =!= col("next_from"))
+    assert(broken.isEmpty)
+    iv.unpersist()
+  }
+
   test("codegen simhash is bit-identical to the explode+agg formulation") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val fast = Dedup.simhash(docs).collect()
