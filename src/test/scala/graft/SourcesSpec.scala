@@ -66,6 +66,62 @@ class SourcesSpec extends SparkTestBase {
       s"expected partition pruning in:\n$scanned")
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // the 100 TB star-join lever: the fact side is partitioned on the
+    // join key, the dim filter is only known at runtime, and DPP turns
+    // the broadcast dim into a partition filter on the fact scan — only
+    // matching directories are read, no code change in the query.
+    val path = tmp("dpp")
+    Tables.documents(spark, sf)
+      .write.partitionBy("lang").parquet(path)
+    val fact = spark.read.parquet(path)
+    // the dim must be FILE-backed: a LocalRelation's filter constant-
+    // folds away before the PartitionPruning rule looks for a
+    // selective predicate on the build side
+    val dimPath = tmp("dppdim")
+    Seq(("de", 1L), ("fr", 2L), ("en", 3L)).toDF("d_lang", "d_key")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact.join(broadcast(dim.filter(col("d_key") === 1L)),
+      col("lang") === col("d_lang"))
+    val n = joined.collect().length.toLong
+    assert(n === Tables.documents(spark, sf).filter(col("lang") === "de").count())
+    // the pruning subquery shows up in the fact scan's PartitionFilters
+    val scan = joined.queryExecution.executedPlan.toString
+    assert(scan.toLowerCase.contains("dynamicpruning"), scan.take(1500))
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // Spark's runtime row-level filter: a bloom filter built from the
+    // selective (filtered) side is injected into the fact scan —
+    // shuffle input shrinks before the join even runs. Thresholds are
+    // lowered so fixture-sized tables qualify.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = Tables.lineitem(spark, sf)
+      val sel = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      val rows = joined.collect()
+      assert(rows.nonEmpty && rows.head.getLong(1) > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        plan.take(1200))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("O18 merge writeback updates matched keys, keeps the rest") {
     val path = tmp("merge")
     Tables.supplier(spark, sf).write.parquet(path)
