@@ -212,3 +212,68 @@ object SimHash32 {
   def simhash32(tokens: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(tokens)))
 }
+
+/** All ordered i<j element pairs of an array, as `array<struct<a,b>>` —
+  * the market-basket pair enumerator. Replaces the interpreted nested
+  * `transform(…, slice(…))` higher-order formulation with one codegen'd
+  * pass: no per-element lambda dispatch, no intermediate nested arrays,
+  * one allocation for the output. Order follows the input (pass a
+  * sorted, deduped array for canonical a<b pairs). Output size is
+  * n·(n−1)/2 — like any pair enumeration it presumes bounded basket
+  * size; unbounded groups want the co-occurrence-join formulation
+  * instead.
+  */
+case class PairCombos(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "pair_combos"
+
+  override protected def nullSafeEval(arr: Any): Any =
+    PairCombos.compute(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PairCombos.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PairCombos {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](if (n < 2) 0 else n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n - 1) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](a, arr.getLong(j))): InternalRow
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column API. */
+  def pair_combos(arr: Column): Column =
+    ColumnBridge.column(PairCombos(ColumnBridge.expression(arr)))
+}

@@ -672,11 +672,12 @@ object Relational {
     val basket = lineitem
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    // pair enumeration is the codegen'd pair_combos expression (one
+    // pass, one allocation) — the interpreted transform/slice/flatten
+    // HOF stack it replaces was the hottest spot in this query
     val pairs = basket
-      .select(explode(flatten(transform(col("parts"), (p1, i) =>
-        transform(slice(col("parts"), i + 2, size(col("parts"))), p2 =>
-          struct(p1.as("part1"), p2.as("part2")))))).as("pr"))
-      .select(col("pr.part1"), col("pr.part2"))
+      .select(explode(graft.functions.PairCombos.pair_combos(col("parts"))).as("pr"))
+      .select(col("pr.a").as("part1"), col("pr.b").as("part2"))
       .groupBy(col("part1"), col("part2"))
       .agg(count(lit(1)).as("n_orders"))
     pairs

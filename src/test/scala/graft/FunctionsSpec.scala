@@ -43,6 +43,23 @@ class FunctionsSpec extends SparkTestBase {
     assert(sh === shExp)
   }
 
+  test("pair_combos enumerates exactly the i<j pairs of the HOF formulation") {
+    val df = Seq(
+      (1L, Seq(10L, 20L, 30L, 40L)),
+      (2L, Seq(7L)),
+      (3L, Seq.empty[Long])).toDF("id", "parts")
+    val fast = df.select(col("id"),
+        explode(graft.functions.PairCombos.pair_combos(col("parts"))).as("pr"))
+      .select(col("id"), col("pr.a"), col("pr.b")).collect().toSet
+    val ref = df.select(col("id"),
+        explode(flatten(transform(col("parts"), (p1, i) =>
+          transform(slice(col("parts"), i + 2, size(col("parts"))), p2 =>
+            struct(p1.as("a"), p2.as("b")))))).as("pr"))
+      .select(col("id"), col("pr.a"), col("pr.b")).collect().toSet
+    assert(fast === ref)
+    assert(fast.size === 6) // C(4,2); singleton and empty yield nothing
+  }
+
   test("typed Aggregator distributes count/min/max/sum per group") {
     val events = Tables.events(spark, sf)
     val got = events.select(col("event_type"), col("value"))
