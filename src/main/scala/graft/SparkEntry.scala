@@ -265,6 +265,8 @@ object SparkEntry {
     "str_window_users" -> ((s, d) =>
       graft.streaming.StreamingOps.windowUserCounts(events(s, d))),
     "rel_scd2" -> ((s, d) => Relational.scd2Intervals(orders(s, d))),
+    "rel_asof_merge" -> ((s, d) =>
+      Relational.asofMergeJoin(events(s, d), orders(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -1395,6 +1397,14 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start,
         | count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "rel_asof_merge" ->
+      """SELECT event_id, asof_orderkey, asof_orderdate FROM (
+        |  SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "rel_scd2" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus,
         | o_orderdate AS effective_from,

@@ -107,6 +107,27 @@ class OpsSpec extends SparkTestBase {
     assert(ef.toSeq === er.toSeq)
   }
 
+  test("merge-scan as-of join equals the conditional-join formulation") {
+    val ev = Tables.events(spark, sf)
+    val ord = Tables.orders(spark, sf)
+    val merge = Relational.asofMergeJoin(ev, ord).collect()
+    val ref = Relational.asofLatestOrder(ev, ord).collect()
+    assert(merge.length === ref.length && merge.length > 0)
+    merge.zip(ref).foreach { case (m, r) => assert(m === r) }
+    // boundary: an order ON the event timestamp is eligible (<=), and
+    // the max (date, orderkey) order wins ties
+    import java.sql.Timestamp
+    val e2 = Seq((100L, 5L, Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val o2 = Seq(
+      (10L, 5L, Timestamp.valueOf("2024-01-02 00:00:00")),
+      (11L, 5L, Timestamp.valueOf("2024-01-02 00:00:00")),
+      (9L, 5L, Timestamp.valueOf("2024-01-03 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val got = Relational.asofMergeJoin(e2, o2).collect()
+    assert(got.length === 1 && got.head.getLong(1) === 11L)
+  }
+
   test("scd2 intervals tile each customer's history with one open row") {
     val orders = Tables.orders(spark, sf)
     val iv = Relational.scd2Intervals(orders).cache()
