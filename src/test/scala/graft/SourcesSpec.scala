@@ -122,6 +122,36 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("aggregation over a bucketed table needs no exchange") {
+    // layout as an optimization: a table bucketed on the grouping key
+    // already satisfies the aggregate's required distribution, so the
+    // groupBy runs exchange-free — at 100 TB this converts the usual
+    // full-table shuffle into zero network traffic for every repeated
+    // aggregation on that key.
+    spark.sql("DROP TABLE IF EXISTS li_bucket_agg")
+    Sources.writeBucketed(Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity"), "li_bucket_agg", 4, "l_orderkey")
+    val agg = spark.table("li_bucket_agg")
+      .groupBy("l_orderkey").agg(sum(col("l_quantity")).as("q"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1200))
+  }
+
+  test("nested-schema pruning reads only the referenced struct field") {
+    val path = tmp("nested")
+    Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        struct(col("lang"), col("source"), col("text")).as("meta"))
+      .write.parquet(path)
+    val q = spark.read.parquet(path).select(col("doc_id"), col("meta.lang"))
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    // ReadSchema keeps meta.lang but prunes the (much larger) text field
+    assert(scan.contains("lang") && !scan.contains("text"), scan.take(1200))
+    assert(q.count() === Tables.documents(spark, sf).count())
+  }
+
   test("O18 merge writeback updates matched keys, keeps the rest") {
     val path = tmp("merge")
     Tables.supplier(spark, sf).write.parquet(path)
