@@ -439,6 +439,16 @@ class OpsSpec extends SparkTestBase {
       Tables.orders(spark, sf).schema)
     assert(BulkUpdate.zipUpdate(emptyOrders, "o_orderpriority", "a\nb",
       Seq("o_orderkey"), lit(true), lit(false)).isEmpty)
+    // round-2 second-sitting operators
+    assert(Dedup.simhash(emptyDocs).isEmpty)
+    assert(Dedup.withMinhashSignature(emptyDocs).isEmpty)
+    assert(Relational.scd2Intervals(emptyOrders).isEmpty)
+    assert(Relational.bigOrders(emptyLineitem, emptyOrders,
+      Tables.customer(spark, sf)).isEmpty)
+    assert(Relational.asofMergeJoin(
+      Tables.events(spark, sf).limit(0), emptyOrders).isEmpty)
+    assert(graft.streaming.StreamingOps.nativeSessionWindows(
+      Tables.events(spark, sf).limit(0)).isEmpty)
   }
 
   test("multimodal: batched mapPartitions decode agrees with expression twin") {
