@@ -267,6 +267,8 @@ object SparkEntry {
     "rel_scd2" -> ((s, d) => Relational.scd2Intervals(orders(s, d))),
     "rel_asof_merge" -> ((s, d) =>
       Relational.asofMergeJoin(events(s, d), orders(s, d))),
+    "txt_ttr" -> ((s, d) => Text.typeTokenRatio(documents(s, d))),
+    "sca_struct" -> ((s, d) => Scalar.structFamily(customer(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -1397,6 +1399,20 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start,
         | count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "txt_ttr" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / len(string_split(text, ' ')) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sca_struct" ->
+      """SELECT c_custkey, c_name AS name_rt,
+        | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_rt,
+        | CAST(c_nationkey AS BIGINT) AS nation_rt,
+        | c_mktsegment AS segment_rt,
+        | true AS struct_eq
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "rel_asof_merge" ->
       """SELECT event_id, asof_orderkey, asof_orderdate FROM (
         |  SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,

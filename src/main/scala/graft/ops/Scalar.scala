@@ -346,6 +346,28 @@ object Scalar {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Struct (nested-record) family: named_struct creation, field
+    * extraction, nested structs, and struct comparison — the row-type
+    * surface. Outputs are flattened back to scalars (the driver compare
+    * can't sort composite cells), so the oracle checks the VALUES that
+    * went through the struct round-trip.
+    */
+  def structFamily(customer: DataFrame): DataFrame =
+    customer
+      .withColumn("s", struct(
+        col("c_name").as("name"),
+        col("c_acctbal").cast("decimal(12,2)").as("bal"),
+        struct(col("c_nationkey").cast("long").as("nk"),
+          col("c_mktsegment").as("seg")).as("geo")))
+      .select(
+        col("c_custkey"),
+        col("s.name").as("name_rt"),
+        col("s.bal").cast("double").as("bal_rt"),
+        col("s.geo.nk").as("nation_rt"),
+        col("s.geo.seg").as("segment_rt"),
+        (col("s.geo.nk") === col("c_nationkey").cast("long")).as("struct_eq"))
+      .orderBy(col("c_custkey"))
+
   /** Generator family: posexplode (LATERAL VIEW / UNNEST WITH
     * ORDINALITY equivalent) — one output row per array element with its
     * position. The Generate node multiplies rows without a shuffle.

@@ -389,4 +389,21 @@ object Text {
           lit(0L),
           (acc, v) => (acc * 31L + v) % fpMod).as("fingerprint"))
       .orderBy(col("doc_id"))
+
+  /** Lexical diversity (type-token ratio): distinct tokens over total
+    * tokens per document — the standard quick richness signal in a
+    * corpus-quality pipeline. Pure projection, no shuffle; the ratio is
+    * ONE division of two exact integers, so it hash-matches across
+    * engines (no accumulated float arithmetic).
+    */
+  def typeTokenRatio(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("tk", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_types"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
 }
