@@ -1424,7 +1424,7 @@ object SparkEntry {
     "rel_scd2" ->
       """SELECT o_custkey, o_orderkey, o_orderstatus,
         | o_orderdate AS effective_from,
-        | coalesce(lead(o_orderdate) OVER w, TIMESTAMP '9999-12-31') AS effective_to,
+        | coalesce(lead(o_orderdate) OVER w, TIMESTAMP '2200-01-01') AS effective_to,
         | (lead(o_orderdate) OVER w IS NULL) AS is_current
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

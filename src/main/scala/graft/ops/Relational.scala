@@ -894,10 +894,13 @@ object Relational {
     * with the largest single history, not the table. The open
     * interval's end is a SENTINEL date, not NULL (a nullable date
     * column can't survive a cross-engine hash compare, and downstream
-    * range predicates stay sargable against a real value).
+    * range predicates stay sargable against a real value). The
+    * sentinel must stay below 2262-04-11 — the datetime64[ns]
+    * ceiling — or any nanosecond-based consumer silently wraps it
+    * negative (9999-12-31 does exactly that in pandas).
     */
   def scd2Intervals(orders: DataFrame,
-                    sentinel: String = "9999-12-31"): DataFrame = {
+                    sentinel: String = "2200-01-01"): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
     orders
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
