@@ -269,6 +269,7 @@ object SparkEntry {
       Relational.asofMergeJoin(events(s, d), orders(s, d))),
     "txt_ttr" -> ((s, d) => Text.typeTokenRatio(documents(s, d))),
     "sca_struct" -> ((s, d) => Scalar.structFamily(customer(s, d))),
+    "xtr_kmv_distinct" -> ((s, d) => Scalar.kmvDistinct(lineitem(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -1399,6 +1400,24 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start,
         | count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "xtr_kmv_distinct" ->
+      """WITH ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |            FROM lineitem GROUP BY 1),
+        |h AS (SELECT DISTINCT l_returnflag,
+        |        ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+        |      FROM lineitem),
+        |r AS (SELECT l_returnflag, hv,
+        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+        |        count(*) OVER (PARTITION BY l_returnflag) AS nd
+        |      FROM h),
+        |est AS (SELECT l_returnflag,
+        |          CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+        |               ELSE 63.0 * 4294967296.0 /
+        |                    CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END AS kmv_est
+        |        FROM r GROUP BY l_returnflag)
+        |SELECT ex.l_returnflag, exact_parts, kmv_est
+        |FROM ex JOIN est USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     "txt_ttr" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -203,6 +203,17 @@ object Scalar {
           <= lit(0.1) * col("exact_parts")).as("approx_within_10pct"))
       .orderBy(col("l_returnflag"))
 
+  /** KMV bottom-k distinct sketch vs exact — unlike the HLL entry,
+    * the md5-based hash makes the ESTIMATE itself engine-portable, so
+    * the oracle hash-checks the sketch's actual output.
+    */
+  def kmvDistinct(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+           graft.functions.KmvSketch.estimate(
+             Text.tokenHash(col("l_partkey").cast("string"))).as("kmv_est"))
+      .orderBy(col("l_returnflag"))
+
   /** Statistical moments + percentiles (rows-only driver check: these
     * are floating-point reductions whose evaluation order/interpolation
     * is engine-specific, so no hash oracle — the spec asserts numeric

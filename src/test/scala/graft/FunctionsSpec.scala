@@ -60,6 +60,29 @@ class FunctionsSpec extends SparkTestBase {
     assert(fast.size === 6) // C(4,2); singleton and empty yield nothing
   }
 
+  test("KMV sketch: exact below k, within 20% above k, merge-order-free") {
+    // below k distinct values the sketch IS the exact set
+    val small = (1 to 40).map(i => (i % 10).toLong).toDF("h")
+    val sEst = small.agg(graft.functions.KmvSketch.estimate(col("h"))).as[Double].head()
+    assert(sEst === 10.0)
+    // above k: bottom-k estimator lands within 20% on fixture partkeys
+    val li = Tables.lineitem(spark, sf)
+    val row = graft.ops.Scalar.kmvDistinct(li).collect().head
+    val (exact, est) = (row.getLong(1), row.getDouble(2))
+    assert(exact > graft.functions.KmvSketch.k)
+    assert(math.abs(est - exact) <= 0.2 * exact, s"est=$est exact=$exact")
+    // determinism across partitionings (merge order must not matter)
+    val a = li.repartition(3).groupBy("l_returnflag")
+      .agg(graft.functions.KmvSketch.estimate(
+        graft.ops.Text.tokenHash(col("l_partkey").cast("string"))).as("e"))
+      .orderBy("l_returnflag").as[(String, Double)].collect().toSeq
+    val b = li.repartition(17).groupBy("l_returnflag")
+      .agg(graft.functions.KmvSketch.estimate(
+        graft.ops.Text.tokenHash(col("l_partkey").cast("string"))).as("e"))
+      .orderBy("l_returnflag").as[(String, Double)].collect().toSeq
+    assert(a === b)
+  }
+
   test("typed Aggregator distributes count/min/max/sum per group") {
     val events = Tables.events(spark, sf)
     val got = events.select(col("event_type"), col("value"))
