@@ -153,6 +153,15 @@ object PlanAudit {
       ("customer broadcast", _.contains("BroadcastHashJoin")),
       ("top-20 is TakeOrderedAndProject", _.contains("TakeOrderedAndProject")))
 
+    // merge-scan as-of: ONE co-partitioning shuffle plus the output
+    // sort — never a join operator (the scan IS the join)
+    audit("rel_asof_merge")(
+      ("no join operator in the plan", p =>
+        !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+          !p.contains("ShuffledHashJoin") && !p.contains("BroadcastNestedLoopJoin")),
+      ("at most two exchanges (co-partition + output sort)", p =>
+        "Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 2))
+
     println(s"== plan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"} ==")
 
     // optional: dump formatted plans for review (`runMain graft.PlanAudit <sfDir> <outFile>`)

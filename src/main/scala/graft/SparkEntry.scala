@@ -270,6 +270,7 @@ object SparkEntry {
     "txt_ttr" -> ((s, d) => Text.typeTokenRatio(documents(s, d))),
     "sca_struct" -> ((s, d) => Scalar.structFamily(customer(s, d))),
     "xtr_kmv_distinct" -> ((s, d) => Scalar.kmvDistinct(lineitem(s, d))),
+    "rel_argmin" -> ((s, d) => Relational.cheapestSuppliers(lineitem(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -1400,6 +1401,14 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start,
         | count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "rel_argmin" ->
+      """SELECT DISTINCT l_partkey, l_suppkey,
+        | CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS min_price
+        |FROM lineitem l
+        |WHERE CAST(l_extendedprice AS DECIMAL(12,2)) = (
+        |  SELECT min(CAST(x.l_extendedprice AS DECIMAL(12,2)))
+        |  FROM lineitem x WHERE x.l_partkey = l.l_partkey)
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
     "xtr_kmv_distinct" ->
       """WITH ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
         |            FROM lineitem GROUP BY 1),

@@ -916,6 +916,25 @@ object Relational {
       .orderBy(col("o_custkey"), col("effective_from"), col("o_orderkey"))
   }
 
+  /** TPC-H Q2 shape (argmin join-back): every (part, supplier) row that
+    * achieves its part's minimum price — the correlated
+    * `= (SELECT min(...))` pattern, decorrelated into a min-aggregate
+    * joined back to the fact. Exact decimal min keeps the equality
+    * engine-portable; the min side is tiny (one row per part) so the
+    * join-back broadcasts at runtime.
+    */
+  def cheapestSuppliers(lineitem: DataFrame): DataFrame = {
+    val minCost = lineitem.groupBy(col("l_partkey").as("mp"))
+      .agg(min(money(col("l_extendedprice"))).as("min_price"))
+    lineitem
+      .join(minCost, col("l_partkey") === col("mp") &&
+        money(col("l_extendedprice")) === col("min_price"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        outD(col("min_price")).as("min_price"))
+      .distinct()
+      .orderBy(col("l_partkey"), col("l_suppkey"))
+  }
+
   /** TPC-H Q13 shape (customer order-count distribution): LEFT join so
     * zero-order customers keep count 0, then a second aggregation over
     * the first's output — the classic two-level agg where level 1
