@@ -212,6 +212,27 @@ object StreamingOps {
                  p_ts >= c_ts AND
                  p_ts <= c_ts + INTERVAL $windowMinutes MINUTES"""))
 
+  /** Stream-stream LEFT OUTER join in the same time band: a click with
+    * no purchase inside its window is HELD AS STATE until the watermark
+    * passes the end of its band, then emitted with nulls — outer
+    * results can only be produced once "no match can still arrive" is
+    * provable, which is exactly what the watermark provides. Same
+    * bounded-state posture as the inner variant.
+    */
+  def clickToPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame,
+                              windowMinutes: Int = 10): DataFrame =
+    clicks
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", s"$windowMinutes minutes")
+      .join(
+        purchases
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withWatermark("p_ts", s"$windowMinutes minutes"),
+        expr(s"""c_user = p_user AND
+                 p_ts >= c_ts AND
+                 p_ts <= c_ts + INTERVAL $windowMinutes MINUTES"""),
+        "left_outer")
+
   /** Streaming exact dedup: drop events whose key was already seen,
     * with state bounded by the watermark (an unbounded seen-set is the
     * streaming scale killer — the watermark ages keys out, trading

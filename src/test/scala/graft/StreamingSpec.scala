@@ -231,6 +231,58 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Seq(1L))
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows after watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)]
+    val purchases = MemoryStream[(Long, Long)]
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "ts_ms")
+        .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms")
+    val q = StreamingOps.clickToPurchaseLeftJoin(
+        withTs(clicks.toDF()), withTs(purchases.toDF()), windowMinutes = 10)
+      .writeStream.format("memory").queryName("ss_left").outputMode("append")
+      .start()
+    try {
+      val base = 1000000000000L
+      clicks.addData((1L, base), (2L, base))
+      purchases.addData((1L, base + 60000L)) // only user 1 matches
+      q.processAllAvailable()
+      // push BOTH watermarks far past user 2's band so its null-row flushes
+      clicks.addData((9L, base + 7200000L))
+      purchases.addData((9L, base + 7200000L))
+      q.processAllAvailable()
+      clicks.addData((10L, base + 10800000L))
+      purchases.addData((10L, base + 10800000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ss_left")
+      .select(col("c_user"), col("p_user").isNull.as("unmatched")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(rows.contains((1L, false)), rows.toString)
+    assert(rows.contains((2L, true)), s"expected user 2 null-row: $rows")
+  }
+
+  test("Trigger.AvailableNow drains the backlog then stops (backfill mode)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avail").toString
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"f$i")).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val q = StreamingOps.fileStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("avail_out")
+      .trigger(Trigger.AvailableNow()).start()
+    // AvailableNow = process everything discoverable NOW (across as many
+    // micro-batches as maxFilesPerTrigger dictates), then terminate —
+    // the production backfill/catch-up pattern, no manual stop
+    assert(q.awaitTermination(120000), "query did not self-terminate")
+    assert(spark.table("avail_out").count() === 3)
+  }
+
   test("file stream + foreachBatch merge writeback: O20 discovery into O18 row commit") {
     import org.apache.spark.sql.types._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-merge-src").toString
