@@ -271,6 +271,8 @@ object SparkEntry {
     "sca_struct" -> ((s, d) => Scalar.structFamily(customer(s, d))),
     "xtr_kmv_distinct" -> ((s, d) => Scalar.kmvDistinct(lineitem(s, d))),
     "rel_argmin" -> ((s, d) => Relational.cheapestSuppliers(lineitem(s, d))),
+    "rel_dq_audit" -> ((s, d) =>
+      Relational.dataQualityAudit(customer(s, d), orders(s, d), lineitem(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -1401,6 +1403,22 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start,
         | count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "rel_dq_audit" ->
+      """SELECT 'orders_fk_customer' AS "check",
+        |  (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS n_violations
+        |UNION ALL SELECT 'lineitem_fk_orders',
+        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        |UNION ALL SELECT 'orders_pk_unique',
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |UNION ALL SELECT 'customer_name_not_null',
+        |  (SELECT count(*) FILTER (WHERE c_name IS NULL) FROM customer)
+        |UNION ALL SELECT 'discount_in_unit_interval',
+        |  (SELECT count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) FROM lineitem)
+        |UNION ALL SELECT 'totalprice_positive',
+        |  (SELECT count(*) FILTER (WHERE o_totalprice <= 0) FROM orders)
+        |ORDER BY "check"""".stripMargin,
     "rel_argmin" ->
       """SELECT DISTINCT l_partkey, l_suppkey,
         | CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS min_price

@@ -916,6 +916,36 @@ object Relational {
       .orderBy(col("o_custkey"), col("effective_from"), col("o_orderkey"))
   }
 
+  /** Data-quality gate: the constraint checks an ETL engine runs before
+    * publishing a table, each as ONE distributed aggregate — FK
+    * integrity via anti-join counts, key uniqueness via count vs
+    * count-distinct, domain and not-null scans. One row per check;
+    * a clean corpus audits to all-zeros, and the operator is the
+    * declarative replacement for the reference's pre-update validation
+    * gate (O21) generalized to table-level contracts.
+    */
+  def dataQualityAudit(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame): DataFrame = {
+    def check(name: String, violations: Column, from: DataFrame): DataFrame =
+      from.agg(violations.cast("long").as("n_violations"))
+        .select(lit(name).as("check"), col("n_violations"))
+    val fkOrders = check("orders_fk_customer", count(lit(1)),
+      orders.join(customer, col("o_custkey") === col("c_custkey"), "left_anti"))
+    val fkLines = check("lineitem_fk_orders", count(lit(1)),
+      lineitem.join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti"))
+    val uniqueKey = check("orders_pk_unique",
+      count(lit(1)) - countDistinct(col("o_orderkey")), orders)
+    val notNull = check("customer_name_not_null",
+      count(when(col("c_name").isNull, 1)), customer)
+    val domain = check("discount_in_unit_interval",
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)), lineitem)
+    val positive = check("totalprice_positive",
+      count(when(col("o_totalprice") <= 0, 1)), orders)
+    fkOrders.unionByName(fkLines).unionByName(uniqueKey)
+      .unionByName(notNull).unionByName(domain).unionByName(positive)
+      .orderBy(col("check"))
+  }
+
   /** TPC-H Q2 shape (argmin join-back): every (part, supplier) row that
     * achieves its part's minimum price — the correlated
     * `= (SELECT min(...))` pattern, decorrelated into a min-aggregate
