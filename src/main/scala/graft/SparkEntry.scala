@@ -273,6 +273,7 @@ object SparkEntry {
     "rel_argmin" -> ((s, d) => Relational.cheapestSuppliers(lineitem(s, d))),
     "rel_dq_audit" -> ((s, d) =>
       Relational.dataQualityAudit(customer(s, d), orders(s, d), lineitem(s, d))),
+    "mm_embed" -> ((s, d) => Multimodal.embedStub(documents(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -1403,6 +1404,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start,
         | count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "mm_embed" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5(text), 1, 2))::BIGINT / 255.0 AS e0,
+        | ('0x' || substr(md5(text), 3, 2))::BIGINT / 255.0 AS e1,
+        | ('0x' || substr(md5(text), 5, 2))::BIGINT / 255.0 AS e2,
+        | ('0x' || substr(md5(text), 7, 2))::BIGINT / 255.0 AS e3,
+        | ('0x' || substr(md5(text), 9, 2))::BIGINT / 255.0 AS e4,
+        | ('0x' || substr(md5(text), 11, 2))::BIGINT / 255.0 AS e5,
+        | ('0x' || substr(md5(text), 13, 2))::BIGINT / 255.0 AS e6,
+        | ('0x' || substr(md5(text), 15, 2))::BIGINT / 255.0 AS e7
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "rel_dq_audit" ->
       """SELECT 'orders_fk_customer' AS "check",
         |  (SELECT count(*) FROM orders o LEFT JOIN customer c

@@ -166,6 +166,26 @@ object Multimodal {
       .orderBy(col("doc_id"), col("tx"), col("ty"))
   }
 
+  /** Embedding-extraction STUB: binary payload → fixed-dim feature
+    * vector, the media-to-vector step a real pipeline runs with a
+    * vision/audio encoder before ANN indexing (`sim_*`). The stub
+    * derives dims from the payload digest (one hex pair each,
+    * normalized to [0,1] by a single exact division), so the whole
+    * binary→vector→search plumbing is engine-checkable; swapping in a
+    * real encoder changes only this projection. Flattened to scalar
+    * columns for the cross-engine compare.
+    */
+  def embedStub(documents: DataFrame, dims: Int = 8): DataFrame = {
+    val media = asMedia(documents)
+    media
+      .withColumn("dg", md5(col("content")))
+      .select(col("doc_id") +: (0 until dims).map { i =>
+        (conv(substring(col("dg"), i * 2 + 1, 2), 16, 10).cast("double") / 255.0)
+          .as(s"e$i")
+      }: _*)
+      .orderBy(col("doc_id"))
+  }
+
   def metaExpr(documents: DataFrame): DataFrame = {
     val media = asMedia(documents)
     val digest = md5(col("content"))
