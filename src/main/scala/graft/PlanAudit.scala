@@ -171,7 +171,8 @@ object PlanAudit {
         "rel_scalar_subquery", "rel_window_range_time", "rel_topk_native",
         "rel_shipping_priority", "dedup_minhash",
         "dedup_jaccard", "sim_cosine_topk", "sim_ivf_topk", "str_session",
-        "txt_fuzzy_match")
+        "txt_fuzzy_match", "rel_asof_merge", "rel_nation_trade",
+        "rel_market_basket")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(

@@ -263,6 +263,29 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains((2L, true)), s"expected user 2 null-row: $rows")
   }
 
+  test("stream-static join enriches a stream against a batch dimension") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the everyday enrichment shape: an unbounded stream joined to a
+    // static dim — no watermark needed (the dim is complete), and the
+    // dim side broadcasts per micro-batch
+    val stream = MemoryStream[Long]
+    val dim = Tables.nation(spark, sf)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+    val q = stream.toDF().toDF("k")
+      .join(broadcast(dim), Seq("k"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(0L, 1L, 2L, 999L) // 999 has no dim row
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enrich_out").select("k", "n_name")
+      .as[(Long, String)].collect().toMap
+    assert(got.keySet === Set(0L, 1L, 2L))
+    assert(got(1L) === "NATION_1")
+  }
+
   test("Trigger.AvailableNow drains the backlog then stops (backfill mode)") {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
