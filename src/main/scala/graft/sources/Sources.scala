@@ -97,4 +97,48 @@ object Sources {
     fs.rename(new org.apache.hadoop.fs.Path(staging), tgt)
     spark.read.parquet(targetPath).count()
   }
+
+  /** Full-row MERGE (upsert): updates replace matching keys, new keys
+    * insert, untouched rows survive — target ⟕̸ updates (anti) ∪
+    * updates, the rewrite every table format's MERGE INTO lowers to
+    * when there's no deletion-vector path. The anti-join broadcasts the
+    * update set, so the target scans once; the staging-dir swap gives
+    * the same no-partial-visibility contract as `mergeColumnUpdate`.
+    */
+  def upsert(spark: SparkSession, targetPath: String,
+             updates: DataFrame, key: String): Long = {
+    val target = spark.read.parquet(targetPath)
+    val merged = target
+      .join(broadcast(updates.select(col(key))), Seq(key), "left_anti")
+      .unionByName(updates.select(target.columns.map(col): _*))
+    val staging = targetPath.stripSuffix("/") + ".staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+    val tgt = new org.apache.hadoop.fs.Path(targetPath)
+    fs.delete(tgt, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), tgt)
+    spark.read.parquet(targetPath).count()
+  }
+
+  /** Small-file compaction: rewrite a directory into ⌈rows/target⌉
+    * files. Streaming sinks and per-batch upserts accumulate small
+    * files; at scale the fix is a periodic coalesced rewrite sized by
+    * row count (a proxy for bytes when row width is stable), not a
+    * bigger write — readers pay per-file open cost and the driver pays
+    * per-file planning cost until compaction runs.
+    */
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long): Long = {
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    val staging = path.stripSuffix("/") + ".staging"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
+    val tgt = new org.apache.hadoop.fs.Path(path)
+    fs.delete(tgt, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), tgt)
+    files.toLong
+  }
 }

@@ -165,6 +165,36 @@ class SourcesSpec extends SparkTestBase {
     assert(!names.exists { case (k, v) => k != 1L && k != 3L && v.startsWith("UPDATED") })
   }
 
+  test("upsert inserts new keys, replaces matched rows, keeps the rest") {
+    val tgt = tmp("upsert")
+    Seq((1L, "old", 10L), (2L, "old", 20L), (3L, "old", 30L))
+      .toDF("key", "value", "score")
+      .coalesce(1).write.parquet(tgt)
+    val updates = Seq((2L, "new", 99L), (4L, "new", 40L))
+      .toDF("key", "value", "score")
+    val n = Sources.upsert(spark, tgt, updates, "key")
+    assert(n === 4L)
+    val back = spark.read.parquet(tgt).orderBy("key")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(back === Seq((1L, "old", 10L), (2L, "new", 99L),
+      (3L, "old", 30L), (4L, "new", 40L)))
+  }
+
+  test("compaction rewrites many small files into the target count") {
+    val dir = tmp("compact")
+    (1 to 8).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    def dataFiles = new java.io.File(dir).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles === 8)
+    val written = Sources.compact(spark, dir, rowsPerFile = 4L)
+    assert(written === 2L)
+    assert(dataFiles === 2)
+    assert(spark.read.parquet(dir).count() === 8)
+  }
+
   test("bucketed tables join WITHOUT a shuffle (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
