@@ -274,6 +274,8 @@ object SparkEntry {
     "rel_dq_audit" -> ((s, d) =>
       Relational.dataQualityAudit(customer(s, d), orders(s, d), lineitem(s, d))),
     "mm_embed" -> ((s, d) => Multimodal.embedStub(documents(s, d))),
+    "rel_supplier_dist" -> ((s, d) =>
+      Relational.partTypeSuppliers(lineitem(s, d), part(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -1404,6 +1406,14 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start,
         | count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "rel_supplier_dist" ->
+      """SELECT p_brand, p_type,
+        | count(DISTINCT l_suppkey) AS supplier_cnt,
+        | count(DISTINCT l_partkey) AS part_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
     "mm_embed" ->
       """SELECT doc_id,
         | ('0x' || substr(md5(text), 1, 2))::BIGINT / 255.0 AS e0,

@@ -916,6 +916,19 @@ object Relational {
       .orderBy(col("o_custkey"), col("effective_from"), col("o_orderkey"))
   }
 
+  /** TPC-H Q16 shape (supplier distribution): distinct suppliers and
+    * parts per (brand, type), with lineitem as the part↔supplier
+    * bridge. The distinct pass shrinks the bridge BEFORE the broadcast
+    * part join; count_distinct then shuffles once on the group key.
+    */
+  def partTypeSuppliers(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"),
+           countDistinct(col("l_partkey")).as("part_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+
   /** Data-quality gate: the constraint checks an ETL engine runs before
     * publishing a table, each as ONE distributed aggregate — FK
     * integrity via anti-join counts, key uniqueness via count vs
