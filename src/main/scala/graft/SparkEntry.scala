@@ -276,11 +276,35 @@ object SparkEntry {
     "mm_embed" -> ((s, d) => Multimodal.embedStub(documents(s, d))),
     "rel_supplier_dist" -> ((s, d) =>
       Relational.partTypeSuppliers(lineitem(s, d), part(s, d))),
+    "dedup_apply" -> ((s, d) => Dedup.applyNearDupDedup(documents(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
     * constants the Spark operator uses.
     */
+  /** Shared near-dup clustering CTE chain (shingles → blocked Jaccard
+    * pairs → recursive connected components → canon) — the oracle body
+    * behind BOTH dedup_cluster and dedup_apply.
+    */
+  private val clusterCte: String =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),
+      |sh AS (SELECT doc_id, lang, len(ls) AS ntok,
+      |         list_distinct(list_transform(generate_series(1, len(ls) - 2),
+      |           i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS ss FROM tok),
+      |d AS (SELECT doc_id,
+      |        lang || '#' || CAST(CAST(floor(ntok / 20) AS BIGINT) AS VARCHAR) AS bucket, ss
+      |      FROM sh WHERE len(ss) > 0),
+      |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
+      |          FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |          WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+      |              len(list_distinct(list_concat(a.ss, b.ss))) >= 0.3),
+      |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+      |          UNION SELECT doc2, doc1 FROM pairs),
+      |reach(id, lab) AS (SELECT src, src FROM edges
+      |          UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+      |canon AS (SELECT id, min(lab) AS canon_id FROM reach GROUP BY id)""".stripMargin
+
   private def minhashOracle: String = {
     val sigExprs = Dedup.minhashAB.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(vs, v -> ($a * v + $b) % ${Dedup.P})) AS sig_$i"
@@ -1046,27 +1070,16 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
         |GROUP BY lang ORDER BY lang""".stripMargin,
-    "dedup_cluster" ->
-      """WITH RECURSIVE
-        |tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),
-        |sh AS (SELECT doc_id, lang, len(ls) AS ntok,
-        |         list_distinct(list_transform(generate_series(1, len(ls) - 2),
-        |           i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS ss FROM tok),
-        |d AS (SELECT doc_id,
-        |        lang || '#' || CAST(CAST(floor(ntok / 20) AS BIGINT) AS VARCHAR) AS bucket, ss
-        |      FROM sh WHERE len(ss) > 0),
-        |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
-        |          FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |          WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
-        |              len(list_distinct(list_concat(a.ss, b.ss))) >= 0.3),
-        |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
-        |          UNION SELECT doc2, doc1 FROM pairs),
-        |reach(id, lab) AS (SELECT src, src FROM edges
-        |          UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
-        |canon AS (SELECT id, min(lab) AS canon_id FROM reach GROUP BY id)
+    "dedup_cluster" -> (clusterCte +
+      """
         |SELECT id AS doc_id, canon_id,
         |  CAST(count(*) OVER (PARTITION BY canon_id) AS BIGINT) AS cluster_size
-        |FROM canon ORDER BY doc_id""".stripMargin,
+        |FROM canon ORDER BY doc_id""".stripMargin),
+    "dedup_apply" -> (clusterCte +
+      """
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM canon WHERE id <> canon_id)
+        |ORDER BY doc_id""".stripMargin),
     "rel_market_basket" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT a.l_partkey AS part1, b.l_partkey AS part2, count(*) AS n_orders

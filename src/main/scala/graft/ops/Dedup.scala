@@ -354,4 +354,21 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("doc1"), col("doc2"))
   }
+
+  /** APPLY the dedup decision: the corpus with every non-canonical
+    * near-dup cluster member removed — the pipeline's actual output
+    * table. Losers (doc_id ≠ canon_id) are a tiny set, so the final
+    * filter is a broadcast anti-join against the full corpus; documents
+    * in no cluster pass through untouched.
+    */
+  def applyNearDupDedup(documents: DataFrame, w: Int = 3,
+                        minJaccard: Double = 0.3): DataFrame = {
+    val losers = nearDupClusters(documents, w, minJaccard)
+      .filter(col("doc_id") =!= col("canon_id"))
+      .select(col("doc_id").as("drop_id"))
+    documents
+      .join(broadcast(losers), col("doc_id") === col("drop_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -165,6 +165,39 @@ class SourcesSpec extends SparkTestBase {
     assert(!names.exists { case (k, v) => k != 1L && k != 3L && v.startsWith("UPDATED") })
   }
 
+  test("maxPartitionBytes controls scan parallelism (split sizing)") {
+    // the knob that sizes scan partitions at 100 TB: smaller split
+    // targets mean more, smaller input partitions for the same file
+    val dir = tmp("splits")
+    Tables.lineitem(spark, sf).write.parquet(dir)
+    val saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val savedCost = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8KB")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val many = spark.read.parquet(dir).rdd.getNumPartitions
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1GB")
+      val few = spark.read.parquet(dir).rdd.getNumPartitions
+      assert(many > few, s"many=$many few=$few")
+      assert(few >= 1)
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+      savedCost.foreach(spark.conf.set("spark.sql.files.openCostInBytes", _))
+    }
+  }
+
+  test("zstd-compressed parquet round-trips and is smaller than uncompressed") {
+    def dirSize(d: String): Long = new java.io.File(d).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val none = tmp("codec-none")
+    val zstd = tmp("codec-zstd")
+    val docs = Tables.documents(spark, sf)
+    docs.coalesce(1).write.option("compression", "uncompressed").parquet(none)
+    docs.coalesce(1).write.option("compression", "zstd").parquet(zstd)
+    assert(dirSize(zstd) < dirSize(none))
+    assert(spark.read.parquet(zstd).count() === docs.count())
+  }
+
   test("upsert inserts new keys, replaces matched rows, keeps the rest") {
     val tgt = tmp("upsert")
     Seq((1L, "old", 10L), (2L, "old", 20L), (3L, "old", 30L))
