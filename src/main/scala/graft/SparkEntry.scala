@@ -277,6 +277,7 @@ object SparkEntry {
     "rel_supplier_dist" -> ((s, d) =>
       Relational.partTypeSuppliers(lineitem(s, d), part(s, d))),
     "dedup_apply" -> ((s, d) => Dedup.applyNearDupDedup(documents(s, d))),
+    "txt_clean_funnel" -> ((s, d) => Text.cleaningFunnel(documents(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -1080,6 +1081,28 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM canon WHERE id <> canon_id)
         |ORDER BY doc_id""".stripMargin),
+    "txt_clean_funnel" -> (clusterCte +
+      """,
+        |q AS (SELECT doc_id, text, length(text) AS n_chars,
+        |        len(string_split(text, ' ')) AS n_tokens,
+        |        len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the','a','and','of','to','in','is','data','row','value'))) AS n_stop
+        |      FROM documents),
+        |len_ok AS (SELECT * FROM q WHERE n_chars >= 100),
+        |qual AS (SELECT * FROM len_ok
+        |         WHERE CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
+        |           AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.6),
+        |ex AS (SELECT doc_id FROM (
+        |         SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
+        |           ORDER BY doc_id) AS rn FROM qual) t WHERE rn = 1),
+        |nr AS (SELECT doc_id FROM ex
+        |       WHERE doc_id NOT IN (SELECT id FROM canon WHERE id <> canon_id))
+        |SELECT '0_raw' AS stage, count(*) AS n_docs FROM documents
+        |UNION ALL SELECT '1_min_length', count(*) FROM len_ok
+        |UNION ALL SELECT '2_quality', count(*) FROM qual
+        |UNION ALL SELECT '3_exact_dedup', count(*) FROM ex
+        |UNION ALL SELECT '4_near_dedup', count(*) FROM nr
+        |ORDER BY stage""".stripMargin),
     "rel_market_basket" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT a.l_partkey AS part1, b.l_partkey AS part2, count(*) AS n_orders

@@ -390,6 +390,40 @@ object Text {
           (acc, v) => (acc * 31L + v) % fpMod).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end corpus-cleaning funnel: the row count surviving each
+    * stage of the standard LLM preprocessing chain — length gate →
+    * stopword-ratio quality gate → exact dedup → near-dup dedup. One
+    * row per stage; the drop between rows is each filter's cost, the
+    * first summary a pipeline owner asks for before a training run.
+    * Near-dup losers come from the same clustering the dedup family
+    * uses, so the funnel is consistent with dedup_apply.
+    */
+  def cleaningFunnel(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    val toks = tokens(col("text"))
+    val ratio = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+      .cast("double") / size(toks).cast("double")
+    val lenOk = documents.filter(length(col("text")) >= 100)
+    val qualOk = lenOk.filter(ratio >= 0.05 && ratio <= 0.6)
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val exact = qualOk.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val losers = Dedup.nearDupClusters(documents)
+      .filter(col("doc_id") =!= col("canon_id"))
+      .select(col("doc_id").as("drop_id"))
+    val near = exact.join(broadcast(losers),
+      col("doc_id") === col("drop_id"), "left_anti")
+    stage("0_raw", documents)
+      .unionByName(stage("1_min_length", lenOk))
+      .unionByName(stage("2_quality", qualOk))
+      .unionByName(stage("3_exact_dedup", exact))
+      .unionByName(stage("4_near_dedup", near))
+      .orderBy(col("stage"))
+  }
+
   /** Lexical diversity (type-token ratio): distinct tokens over total
     * tokens per document — the standard quick richness signal in a
     * corpus-quality pipeline. Pure projection, no shuffle; the ratio is
