@@ -153,6 +153,11 @@ object PlanAudit {
       ("customer broadcast", _.contains("BroadcastHashJoin")),
       ("top-20 is TakeOrderedAndProject", _.contains("TakeOrderedAndProject")))
 
+    // Q16 shape: the bridge dedups BEFORE the broadcast part join
+    audit("rel_supplier_dist")(
+      ("part side broadcast", _.contains("BroadcastHashJoin")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // merge-scan as-of: ONE co-partitioning shuffle plus the output
     // sort — never a join operator (the scan IS the join)
     audit("rel_asof_merge")(
