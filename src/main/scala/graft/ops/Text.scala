@@ -400,28 +400,39 @@ object Text {
     */
   def cleaningFunnel(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def stage(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).cast("long").as("n_docs"))
-        .select(lit(name).as("stage"), col("n_docs"))
+    // the first three stages are CONDITIONAL SUMS over one scan (five
+    // separate filter+count subtrees would re-tokenize the corpus five
+    // times); the dedup stages need the md5 window and the cluster
+    // losers, so they ride a second scan. explode(map) unpivots each
+    // one-row aggregate into (stage, n_docs) rows.
     val toks = tokens(col("text"))
     val ratio = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
       .cast("double") / size(toks).cast("double")
-    val lenOk = documents.filter(length(col("text")) >= 100)
-    val qualOk = lenOk.filter(ratio >= 0.05 && ratio <= 0.6)
+    val flagged = documents
+      .withColumn("len_ok", (length(col("text")) >= 100).cast("long"))
+      .withColumn("q_ok",
+        (col("len_ok") === 1 && ratio >= 0.05 && ratio <= 0.6).cast("long"))
+    val head = flagged
+      .agg(count(lit(1)).as("raw"), sum(col("len_ok")).as("len"),
+        sum(col("q_ok")).as("qual"))
+      .select(explode(map(
+        lit("0_raw"), col("raw"),
+        lit("1_min_length"), col("len"),
+        lit("2_quality"), col("qual"))).as(Seq("stage", "n_docs")))
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val exact = qualOk.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    val exact = flagged.filter(col("q_ok") === 1)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
     val losers = Dedup.nearDupClusters(documents)
       .filter(col("doc_id") =!= col("canon_id"))
       .select(col("doc_id").as("drop_id"))
-    val near = exact.join(broadcast(losers),
-      col("doc_id") === col("drop_id"), "left_anti")
-    stage("0_raw", documents)
-      .unionByName(stage("1_min_length", lenOk))
-      .unionByName(stage("2_quality", qualOk))
-      .unionByName(stage("3_exact_dedup", exact))
-      .unionByName(stage("4_near_dedup", near))
-      .orderBy(col("stage"))
+    val tail = exact
+      .join(broadcast(losers), col("doc_id") === col("drop_id"), "left")
+      .agg(count(lit(1)).as("ex"),
+        sum(when(col("drop_id").isNull, 1L).otherwise(0L)).as("nr"))
+      .select(explode(map(
+        lit("3_exact_dedup"), col("ex"),
+        lit("4_near_dedup"), col("nr"))).as(Seq("stage", "n_docs")))
+    head.unionByName(tail).orderBy(col("stage"))
   }
 
   /** Lexical diversity (type-token ratio): distinct tokens over total
