@@ -278,6 +278,7 @@ object SparkEntry {
       Relational.partTypeSuppliers(lineitem(s, d), part(s, d))),
     "dedup_apply" -> ((s, d) => Dedup.applyNearDupDedup(documents(s, d))),
     "txt_clean_funnel" -> ((s, d) => Text.cleaningFunnel(documents(s, d))),
+    "txt_langid_confusion" -> ((s, d) => Text.langIdConfusion(documents(s, d))),
   )
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
@@ -494,6 +495,16 @@ object SparkEntry {
        |  FROM documents) t
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Confusion-matrix oracle: the langid oracle re-aggregated by
+    * (actual, predicted) — same generated scoring core, so the two
+    * stay in lockstep with `Text.langProfiles`.
+    */
+  private def langIdConfusionOracle: String =
+    s"""SELECT lang, predicted_lang, count(*) AS n FROM (
+       |${langIdOracle.replaceAll("ORDER BY doc_id\\s*$", "")}) q
+       |GROUP BY lang, predicted_lang
+       |ORDER BY lang, predicted_lang""".stripMargin
 
   /** DuckDB-dialect oracle per query (same parquet tables, driver-run). */
   def oracleSql: Map[String, String] = Map(
@@ -864,6 +875,7 @@ object SparkEntry {
         |      FROM (SELECT string_split(lower(text), ' ') AS ls FROM documents) s) t
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin,
     "txt_langid" -> langIdOracle,
+    "txt_langid_confusion" -> langIdConfusionOracle,
     "txt_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(

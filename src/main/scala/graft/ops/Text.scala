@@ -133,6 +133,17 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID evaluation: confusion matrix of labeled vs predicted
+    * language — counts per (actual, predicted) cell, the first quality
+    * report for any classifier in the pipeline. One extra aggregate on
+    * top of the scoring projection.
+    */
+  def langIdConfusion(documents: DataFrame): DataFrame =
+    languageId(documents)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted_lang"))
+
   /** BPE-ish regex tokenization: letter runs, digit runs, and single
     * punctuation marks each count as one token (the pre-tokenizer shape
     * most BPE vocabularies assume). Corpus-level totals per language.
