@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** User entry point: a SparkSession wired for this engine — the graft
-  * SQL extensions (native `vector_dot`, the TopKPerKey planner strategy)
-  * plus the configuration the operators assume (UTC session time,
+  * SQL extensions (native `vector_dot` / `minhash_sig` / `simhash32`
+  * expressions and the TopKPerKey planner strategy) plus the
+  * configuration the operators assume (UTC session time,
   * nanosecond-parquet handling for `events`-style tables, shuffle
   * parallelism sized to cores rather than the 200 default).
   *
