@@ -325,6 +325,15 @@ object Dedup {
     * that survives 100 TB: both the explode and the join are codegen'd
     * shuffles on uniform keys, with map-side partial aggregation on the
     * pair count.
+    *
+    * Known scale escalation (deliberately not applied yet): joining on
+    * a 60-bit shingle hash (15 md5 hex chars — 16 would overflow
+    * signed-64 in `conv`) instead of the shingle STRING shrinks the
+    * shuffle payload from ~w·token bytes to 8 bytes per row at a
+    * ~n²/2^60 per-pair collision false-positive risk. The oracle can
+    * mirror the hash exactly, but the change touches every consumer of
+    * this pipeline (cluster, apply, funnel), so it belongs at the start
+    * of a validation cycle, not the end.
     */
   def jaccardPairs(documents: DataFrame, w: Int = 3,
                    minJaccard: Double = 0.3): DataFrame = {
