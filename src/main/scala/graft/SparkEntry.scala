@@ -292,15 +292,17 @@ object SparkEntry {
     """WITH RECURSIVE
       |tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),
       |sh AS (SELECT doc_id, lang, len(ls) AS ntok,
-      |         list_distinct(list_transform(generate_series(1, len(ls) - 2),
-      |           i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS ss FROM tok),
+      |         list_distinct(list_transform(
+      |           list_distinct(list_transform(generate_series(1, len(ls) - 2),
+      |             i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])),
+      |           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs FROM tok),
       |d AS (SELECT doc_id,
-      |        lang || '#' || CAST(CAST(floor(ntok / 20) AS BIGINT) AS VARCHAR) AS bucket, ss
-      |      FROM sh WHERE len(ss) > 0),
+      |        lang || '#' || CAST(CAST(floor(ntok / 20) AS BIGINT) AS VARCHAR) AS bucket, hs
+      |      FROM sh WHERE len(hs) > 0),
       |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
       |          FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |          WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
-      |              len(list_distinct(list_concat(a.ss, b.ss))) >= 0.3),
+      |          WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+      |              len(list_distinct(list_concat(a.hs, b.hs))) >= 0.3),
       |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
       |          UNION SELECT doc2, doc1 FROM pairs),
       |reach(id, lab) AS (SELECT src, src FROM edges
@@ -931,17 +933,19 @@ object SparkEntry {
     "dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),
         |sh AS (SELECT doc_id, lang, len(ls) AS ntok,
-        |         list_distinct(list_transform(generate_series(1, len(ls) - 2),
-        |           i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS ss FROM tok),
+        |         list_distinct(list_transform(
+        |           list_distinct(list_transform(generate_series(1, len(ls) - 2),
+        |             i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])),
+        |           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs FROM tok),
         |d AS (SELECT doc_id,
-        |        lang || '#' || CAST(CAST(floor(ntok / 20) AS BIGINT) AS VARCHAR) AS bucket, ss
-        |      FROM sh WHERE len(ss) > 0)
+        |        lang || '#' || CAST(CAST(floor(ntok / 20) AS BIGINT) AS VARCHAR) AS bucket, hs
+        |      FROM sh WHERE len(hs) > 0)
         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-        |  CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
+        |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
         |FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.ss, b.ss))) >= 0.3
+        |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.hs, b.hs))) >= 0.3
         |ORDER BY doc1, doc2""".stripMargin,
     "sim_cosine_topk" -> cosineTopkOracle,
     "sim_lsh_topk" -> lshOracle,

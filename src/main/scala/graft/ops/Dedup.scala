@@ -325,25 +325,24 @@ object Dedup {
     * that survives 100 TB: both the explode and the join are codegen'd
     * shuffles on uniform keys, with map-side partial aggregation on the
     * pair count.
-    *
-    * Known scale escalation (deliberately not applied yet): joining on
-    * a 60-bit shingle hash (15 md5 hex chars — 16 would overflow
-    * signed-64 in `conv`) instead of the shingle STRING shrinks the
-    * shuffle payload from ~w·token bytes to 8 bytes per row at a
-    * ~n²/2^60 per-pair collision false-positive risk. The oracle can
-    * mirror the hash exactly, but the change touches every consumer of
-    * this pipeline (cluster, apply, funnel), so it belongs at the start
-    * of a validation cycle, not the end.
     */
   def jaccardPairs(documents: DataFrame, w: Int = 3,
                    minJaccard: Double = 0.3): DataFrame = {
     // one exploded pass; |A| is recovered by counting exploded rows per
-    // doc, so the shingle ARRAY never needs to be carried or rebuilt
+    // doc, so the shingle ARRAY never needs to be carried or rebuilt.
+    // The join key is the 60-BIT HASH of the shingle, not the string:
+    // the co-occurrence shuffle carries 8 bytes per row instead of
+    // ~w·token bytes — at 100 TB the shuffle payload IS the cost of
+    // this operator. Sets become distinct-hash sets on BOTH engines
+    // (the oracle mirrors the hash), so results stay bit-identical;
+    // a 60-bit collision inside one (bucket, pair) is ~pairs²/2^60.
     val sh = spread(documents)
       .withColumn("tk", Text.tokens(col("text")))
       .select(col("doc_id"),
         concat_ws("#", col("lang"), floor(size(col("tk")) / 20)).as("bucket"),
-        explode(shinglesFromTokens(col("tk"), w)).as("s"))
+        explode(array_distinct(
+          transform(shinglesFromTokens(col("tk"), w),
+            s => Text.tokenHash60(s)))).as("s"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // aliased self-join (not pre-renamed projections): both sides share
     // one canonical exchange, so the shingle explode runs once

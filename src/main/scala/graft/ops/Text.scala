@@ -25,6 +25,14 @@ object Text {
   def tokenHash(t: Column): Column =
     conv(substring(md5(t), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit md5-prefix hash (15 hex chars — 16 would overflow signed-64
+    * in conv/CAST): the join-key hash for shingle co-occurrence, small
+    * enough to stay in a BIGINT on both engines, wide enough that
+    * collision false-positives (~pairs²/2^60) are negligible.
+    */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** Per-document statistics: length, token count, avg token length,
     * uppercase-free check. Single projection, no shuffle.
     */
