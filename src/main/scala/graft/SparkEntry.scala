@@ -330,10 +330,12 @@ object SparkEntry {
        |cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
        |         FROM band x JOIN band y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
        |              AND x.doc_id < y.doc_id),
+       |hsd AS (SELECT doc_id, list_distinct(list_transform(ss,
+       |          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs FROM sh2),
        |j AS (SELECT doc1, doc2,
-       |        CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
-       |          len(list_distinct(list_concat(a.ss, b.ss))) AS jaccard
-       |      FROM cand JOIN sh2 a ON a.doc_id = cand.doc1 JOIN sh2 b ON b.doc_id = cand.doc2)
+       |        CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |          len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+       |      FROM cand JOIN hsd a ON a.doc_id = cand.doc1 JOIN hsd b ON b.doc_id = cand.doc2)
        |SELECT doc1, doc2, jaccard, jaccard >= 0.8 AS is_near_dup FROM j
        |ORDER BY doc1, doc2""".stripMargin
   }

@@ -90,6 +90,17 @@ object Dedup {
       .withColumn("tk", Text.tokens(col("text")))
       .select(col("doc_id"), explode(shinglesFromTokens(col("tk"), w)).as("s"))
 
+  /** doc_id + one row per distinct 60-bit shingle hash — the exploded
+    * form every co-occurrence JOIN uses (8-byte keys through the
+    * shuffle; see jaccardPairs for the payload rationale).
+    */
+  private def explodedShingleHashes(documents: DataFrame, w: Int): DataFrame =
+    spread(documents)
+      .withColumn("tk", Text.tokens(col("text")))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(shinglesFromTokens(col("tk"), w),
+          s => Text.tokenHash60(s)))).as("s"))
+
   /** Exact dedup: keep the lowest doc_id per identical text (md5 key —
     * grouping by a 16-byte hash, not the full text, is what makes the
     * shuffle payload small at 100 TB).
@@ -178,9 +189,11 @@ object Dedup {
     // each pair to doc1's shingles (cand is broadcast-small), left-join
     // doc2's shingles on equality — |A| = rows per pair, |A∩B| = matched
     // rows, |B| joined from per-doc counts. No shingle ARRAY is ever
-    // built or shuffled; the same exploded-shingle exchange serves the
-    // signature pipeline, the co-occurrence join, and the size counts.
-    val sh = explodedShingles(documents, w)
+    // built or shuffled, and the join key is the 60-bit shingle HASH
+    // (8 bytes/row through both joins instead of the w-token string —
+    // same payload win as jaccardPairs, same distinct-hash set
+    // semantics mirrored by the oracle).
+    val sh = explodedShingleHashes(documents, w)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val pairA = cand.join(sh.select(col("doc_id").as("doc1"), col("s")), Seq("doc1"))
     val withB = pairA.alias("pa")
