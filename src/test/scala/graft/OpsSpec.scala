@@ -3,6 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ops._
 
+/** Top-level rows for encoder derivation in SortedGroups tests. */
+case class SgEv(user_id: Long, ts_us: Long)
+case class SgGap(user_id: Long, max_gap_us: Long)
+
 /** Sanity + semantic tests for the relational/text/dedup/similarity
   * operators on sf0.001 and controlled in-memory fixtures.
   */
@@ -105,6 +109,39 @@ class OpsSpec extends SparkTestBase {
     val er = Dedup.withMinhashSignatureAgg(edge).orderBy("doc_id").collect()
     assert(ef.map(_.getLong(0)).toSeq === Seq(2L, 3L))
     assert(ef.toSeq === er.toSeq)
+  }
+
+  test("SortedGroups.processOrdered matches the window formulation for event gaps") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[SgEv]
+    // imperative per-key scan over the secondary-sorted stream
+    val scanned = SortedGroups.processOrdered(ev,
+        Seq(col("user_id")), Seq(col("ts_us"))) { rows =>
+      var cur = Long.MinValue
+      var prev = 0L
+      var maxGap = -1L
+      val out = scala.collection.mutable.ArrayBuffer.empty[SgGap]
+      rows.foreach { e =>
+        if (e.user_id != cur) {
+          if (cur != Long.MinValue && maxGap >= 0) out += SgGap(cur, maxGap)
+          cur = e.user_id; prev = e.ts_us; maxGap = -1L
+        } else {
+          maxGap = math.max(maxGap, e.ts_us - prev); prev = e.ts_us
+        }
+      }
+      if (cur != Long.MinValue && maxGap >= 0) out += SgGap(cur, maxGap)
+      out.iterator
+    }.toDF().orderBy("user_id").collect()
+    // declarative twin: lag window + max aggregate
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val windowed = ev.toDF()
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id").agg(max(col("gap")).as("max_gap_us"))
+      .orderBy("user_id").collect()
+    assert(scanned.length === windowed.length && scanned.length > 0)
+    scanned.zip(windowed).foreach { case (a, b) => assert(a === b) }
   }
 
   test("merge-scan as-of join equals the conditional-join formulation") {
