@@ -807,10 +807,8 @@ object Relational {
     val e = events.select(col("user_id"),
       unix_micros(col("ts")).as("ts_us"), lit(1).as("kind"),
       col("event_id").as("id"), lit(0L).as("date_us"))
-    o.unionByName(e).as[AsofRow]
-      .repartition(spark.sparkContext.defaultParallelism, col("user_id"))
-      .sortWithinPartitions(col("user_id"), col("ts_us"), col("kind"), col("id"))
-      .mapPartitions { rows =>
+    SortedGroups.processOrdered(o.unionByName(e).as[AsofRow],
+      Seq(col("user_id")), Seq(col("ts_us"), col("kind"), col("id"))) { rows =>
         var curUser = Long.MinValue
         var haveOrder = false
         var bestKey = 0L
