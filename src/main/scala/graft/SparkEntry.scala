@@ -146,8 +146,8 @@ object SparkEntry {
     "sca_array2" -> ((s, d) => Scalar.arrayFunctions2(documents(s, d))),
     // approx distinct carries a hash-checkable accuracy gate; map funcs
     // project oracle-checkable scalars out of the MAP column; the
-    // floating-point moments stay a rows-only check (engine-specific
-    // reduction order)
+    // moments derive from exact integer power sums so even skew/kurtosis
+    // hash-match (shared double formula strings, Scalar.momentOutExprs)
     "xtr_approx_distinct" -> ((s, d) => Scalar.approxDistinct(lineitem(s, d))),
     "xtr_map_funcs" -> ((s, d) => Scalar.mapFunctions(documents(s, d))),
     "xtr_stats_moments" -> ((s, d) => Scalar.statsMoments(lineitem(s, d))),
@@ -1285,6 +1285,26 @@ object SparkEntry {
         |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
         |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
         |FROM m""".stripMargin,
+    // Hash-oracle for the moments query: the two double-arithmetic stages
+    // are the SAME strings Spark evaluates (Scalar.momentCastExprs/
+    // momentOutExprs), over exact integer sums — only the percentile
+    // function name differs (quantile_cont ≡ percentile on
+    // integer-valued doubles).
+    "xtr_stats_moments" ->
+      s"""WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+         | FROM lineitem),
+         |s AS (SELECT l_returnflag, count(*) AS n,
+         |  sum(q) AS s1, sum(q * q) AS s2, sum(q * q * q) AS s3,
+         |  sum(q * q * q * q) AS s4, sum(pc) AS sy, sum(q * pc) AS sxy,
+         |  quantile_cont(CAST(q AS DOUBLE), 0.5) AS qty_median,
+         |  quantile_cont(CAST(pc AS DOUBLE), 0.25) AS p25c,
+         |  quantile_cont(CAST(pc AS DOUBLE), 0.5) AS p50c,
+         |  quantile_cont(CAST(pc AS DOUBLE), 0.75) AS p75c
+         | FROM b GROUP BY l_returnflag),
+         |d AS (SELECT ${graft.ops.Scalar.momentCastExprs.mkString(", ")} FROM s)
+         |SELECT ${graft.ops.Scalar.momentOutExprs.mkString(", ")}
+         |FROM d ORDER BY l_returnflag""".stripMargin,
     "rel_funnel" ->
       """WITH f AS (SELECT user_id,
         |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,

@@ -214,31 +214,69 @@ object Scalar {
              Text.tokenHash(col("l_partkey").cast("string"))).as("kmv_est"))
       .orderBy(col("l_returnflag"))
 
-  /** Statistical moments + percentiles (rows-only driver check: these
-    * are floating-point reductions whose evaluation order/interpolation
-    * is engine-specific, so no hash oracle — the spec asserts numeric
-    * envelopes instead).
+  /** Shared Spark/DuckDB formula strings for [[statsMoments]]: the sums
+    * are exact integers (quantity is integer-valued 1..50; price carries
+    * exactly 2 decimals → cents as BIGINT), so every engine-specific
+    * floating-point reduction is eliminated. The final moments are then
+    * ONE identical double-arithmetic expression tree evaluated over
+    * identical double inputs on both engines — IEEE 754 makes the result
+    * bit-equal, so the driver can hash-check stddev/skew/kurtosis.
+    * Stage 1 casts the exact sums to double; stage 2 is the textbook
+    * power-sum moment algebra (M2/M3/M4 from Σx..Σx⁴).
     */
-  def statsMoments(lineitem: DataFrame): DataFrame =
-    lineitem.groupBy(col("l_returnflag"))
-      .agg(
-        stddev_samp(col("l_quantity")).as("qty_stddev"),
-        var_samp(col("l_quantity")).as("qty_var"),
-        corr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
-        covar_samp(col("l_quantity"), col("l_extendedprice")).as("qty_price_covar"),
-        skewness(col("l_quantity")).as("qty_skew"),
-        kurtosis(col("l_quantity")).as("qty_kurt"),
-        expr("percentile(l_quantity, 0.5)").as("qty_median"),
-        // flattened to scalar columns: the driver's rows-only check still
-        // sorts the output, and pandas cannot sort array cells
-        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("__pq"))
-      .select(col("l_returnflag"), col("qty_stddev"), col("qty_var"),
-        col("qty_price_corr"), col("qty_price_covar"), col("qty_skew"),
-        col("qty_kurt"), col("qty_median"),
-        element_at(col("__pq"), 1).as("price_p25"),
-        element_at(col("__pq"), 2).as("price_p50"),
-        element_at(col("__pq"), 3).as("price_p75"))
+  val momentCastExprs: Seq[String] = Seq(
+    "l_returnflag", "n", "qty_median", "p25c", "p50c", "p75c",
+    "CAST(n AS DOUBLE) AS nd",
+    "CAST(s1 AS DOUBLE) AS d1",
+    "CAST(s2 AS DOUBLE) AS d2",
+    "CAST(s3 AS DOUBLE) AS d3",
+    "CAST(s4 AS DOUBLE) AS d4",
+    "CAST(sy AS DOUBLE) AS dy",
+    "CAST(sxy AS DOUBLE) AS dxy",
+    "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu")
+
+  val momentOutExprs: Seq[String] = Seq(
+    "l_returnflag",
+    "n AS n_rows",
+    "mu AS qty_mean",
+    "(d2 - d1 * mu) / (nd - 1.0) AS qty_var",
+    "sqrt((d2 - d1 * mu) / (nd - 1.0)) AS qty_stddev",
+    "sqrt(nd) * (d3 - 3.0 * mu * d2 + 2.0 * mu * mu * d1) / pow(d2 - d1 * mu, 1.5) AS qty_skew",
+    "nd * (d4 - 4.0 * mu * d3 + 6.0 * mu * mu * d2 - 3.0 * mu * mu * mu * d1) / ((d2 - d1 * mu) * (d2 - d1 * mu)) - 3.0 AS qty_kurt",
+    "(dxy - d1 * (dy / nd)) / (nd - 1.0) / 100.0 AS qty_price_covar",
+    "qty_median",
+    "p25c / 100.0 AS price_p25",
+    "p50c / 100.0 AS price_p50",
+    "p75c / 100.0 AS price_p75")
+
+  /** Statistical moments + exact percentiles, hash-oracle-checkable:
+    * sample variance/stddev, population skewness g1 and excess kurtosis
+    * g2, sample covariance, and exact interpolated quartiles — all
+    * derived from exact integer power sums (see [[momentCastExprs]]).
+    * Percentiles run over integer-valued doubles, where Spark's
+    * `percentile` and DuckDB's `quantile_cont` interpolate identically.
+    */
+  def statsMoments(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(
+      col("l_returnflag"),
+      col("l_quantity").cast("long").as("q"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("long").as("pc"))
+    val sums = base.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("s1"),
+      sum(col("q") * col("q")).as("s2"),
+      sum(col("q") * col("q") * col("q")).as("s3"),
+      sum(col("q") * col("q") * col("q") * col("q")).as("s4"),
+      sum(col("pc")).as("sy"),
+      sum(col("q") * col("pc")).as("sxy"),
+      expr("percentile(CAST(q AS DOUBLE), 0.5)").as("qty_median"),
+      expr("percentile(CAST(pc AS DOUBLE), 0.25)").as("p25c"),
+      expr("percentile(CAST(pc AS DOUBLE), 0.5)").as("p50c"),
+      expr("percentile(CAST(pc AS DOUBLE), 0.75)").as("p75c"))
+    sums.selectExpr(momentCastExprs: _*)
+      .selectExpr(momentOutExprs: _*)
       .orderBy(col("l_returnflag"))
+  }
 
   /** Cast/null-handling family: try_cast (ANSI-safe lossy casts return
     * NULL instead of throwing), nvl, null predicates. Inputs include

@@ -314,15 +314,29 @@ class OpsSpec extends SparkTestBase {
     assert(vals(DoubleType) === Seq(null, -7.0, 3.5, null)) // try_cast semantics
   }
 
-  test("statistical moments land in sane envelopes") {
+  test("statistical moments land in sane envelopes and match the builtins") {
     val rows = Scalar.statsMoments(Tables.lineitem(spark, sf))
-      .select("l_returnflag", "qty_stddev", "qty_median", "qty_price_corr")
-      .as[(String, Double, Double, Double)].collect()
+      .select("l_returnflag", "qty_stddev", "qty_median", "qty_skew", "qty_kurt")
+      .as[(String, Double, Double, Double, Double)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (_, sd, med, c) =>
+    rows.foreach { case (_, sd, med, sk, ku) =>
       assert(sd > 0 && sd < 50)        // qty ∈ [1, 50]
       assert(med >= 1 && med <= 50)
-      assert(c >= -1.0 && c <= 1.0)
+      assert(math.abs(sk) < 2)         // near-uniform qty → mild skew
+      assert(ku > -3 && ku < 10)
+    }
+    // power-sum moments agree with Spark's builtin reductions to float tol
+    val builtin = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(stddev_samp(col("l_quantity")).as("sd"),
+           skewness(col("l_quantity")).as("sk"),
+           kurtosis(col("l_quantity")).as("ku"))
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double)].collect()
+    rows.sortBy(_._1).zip(builtin).foreach { case ((f1, sd, _, sk, ku), (f2, bsd, bsk, bku)) =>
+      assert(f1 === f2)
+      assert(math.abs(sd - bsd) < 1e-6)
+      assert(math.abs(sk - bsk) < 1e-6)
+      assert(math.abs(ku - bku) < 1e-6)
     }
   }
 
