@@ -167,6 +167,24 @@ object PlanAudit {
       ("at most two exchanges (co-partition + output sort)", p =>
         "Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 2))
 
+    // dedup application: the loser set is data-dependent (billions of
+    // rows at a realistic dup rate over 100 TB) — the anti-join must
+    // carry NO mandatory broadcast hint; AQE picks the strategy from the
+    // runtime size instead. Checked on the analyzed logical plan, where
+    // a user hint would survive as ResolvedHint.
+    {
+      val qe = SparkEntry.queries("dedup_apply")(spark, sfDir).queryExecution
+      val checks = Seq(
+        ("anti-join has no mandatory broadcast hint",
+          !qe.analyzed.toString.contains("ResolvedHint")),
+        ("planned as LeftAnti", qe.executedPlan.toString.contains("LeftAnti")))
+      checks.foreach { case (desc, ok) =>
+        if (!ok) failures += 1
+        val n = "dedup_apply"
+        println(f"${if (ok) "PASS" else "FAIL"}  $n%-24s $desc")
+      }
+    }
+
     println(s"== plan audit: ${if (failures == 0) "ALL PASS" else s"$failures FAILURES"} ==")
 
     // optional: dump formatted plans for review (`runMain graft.PlanAudit <sfDir> <outFile>`)

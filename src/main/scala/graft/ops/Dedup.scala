@@ -378,9 +378,12 @@ object Dedup {
 
   /** APPLY the dedup decision: the corpus with every non-canonical
     * near-dup cluster member removed — the pipeline's actual output
-    * table. Losers (doc_id ≠ canon_id) are a tiny set, so the final
-    * filter is a broadcast anti-join against the full corpus; documents
-    * in no cluster pass through untouched.
+    * table; documents in no cluster pass through untouched. The loser
+    * set is data-dependent (at a realistic 20–50% dup rate over 100 TB
+    * it is billions of rows), so the anti-join is deliberately
+    * UN-hinted: AQE broadcasts it when the runtime size actually fits
+    * and falls back to a shuffle anti-join when it doesn't — a
+    * mandatory `broadcast()` here would OOM the driver at scale.
     */
   def applyNearDupDedup(documents: DataFrame, w: Int = 3,
                         minJaccard: Double = 0.3): DataFrame = {
@@ -388,7 +391,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("canon_id"))
       .select(col("doc_id").as("drop_id"))
     documents
-      .join(broadcast(losers), col("doc_id") === col("drop_id"), "left_anti")
+      .join(losers, col("doc_id") === col("drop_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
