@@ -97,10 +97,15 @@ object PlanAudit {
       ("single hash exchange on user_id",
         p => "Exchange hashpartitioning".r.findAllIn(p).size <= 1))
 
-    // fuzzy match: tiny side broadcast for the theta join
+    // fuzzy match: gram-blocked equi-join candidates, never an
+    // all-pairs nested loop over the table
     audit("txt_fuzzy_match")(
-      ("theta self-join is broadcast NL, tiny build side",
-        _.contains("BroadcastNestedLoopJoin")),
+      ("no BroadcastNestedLoopJoin over the full table",
+        !_.contains("BroadcastNestedLoopJoin")),
+      ("no shuffle-based cartesian", !_.contains("CartesianProduct")))
+    audit("txt_fuzzy_parts")(
+      ("no BroadcastNestedLoopJoin over the full table",
+        !_.contains("BroadcastNestedLoopJoin")),
       ("no shuffle-based cartesian", !_.contains("CartesianProduct")))
 
     // scalar subqueries over the same table: merged/reused, not re-scanned

@@ -217,6 +217,8 @@ object SparkEntry {
         customer(s, d), nation(s, d))),
     "txt_fuzzy_match" -> ((s, d) =>
       Text.fuzzyNamePairs(nation(s, d), "n_nationkey", "n_name")),
+    "txt_fuzzy_parts" -> ((s, d) =>
+      Text.fuzzyDistinctNames(part(s, d), "p_name")),
     "sca_generators" -> ((s, d) => Scalar.generatorFamily(nation(s, d))),
     "sim_knn_classify" -> ((s, d) => Similarity.knnClassify(embeddings(s, d), 8, 5)),
     "rel_exists_subquery" -> ((s, d) =>
@@ -1415,11 +1417,25 @@ object SparkEntry {
         |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |             CAST(1 - l_discount AS DECIMAL(4,2))) DESC, c_custkey
         |LIMIT 20""".stripMargin,
+    // blocked semantics on both sides: candidates share a 3-gram
+    // (txt_fuzzy_match) or their first token (txt_fuzzy_parts), then the
+    // exact levenshtein verify runs per candidate
     "txt_fuzzy_match" ->
-      """SELECT a.n_name AS name1, b.n_name AS name2,
-        | CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
-        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
-        |WHERE levenshtein(a.n_name, b.n_name) <= 4
+      """WITH n AS (SELECT n_nationkey AS k, n_name AS nm FROM nation),
+        |g AS (SELECT DISTINCT k, nm, substring(nm, CAST(i AS INT), 3) AS gram
+        |      FROM n, unnest(generate_series(1, greatest(1, length(nm) - 2))) AS u(i)),
+        |c AS (SELECT DISTINCT a.nm AS name1, b.nm AS name2, a.k AS k1, b.k AS k2
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.k < b.k)
+        |SELECT name1, name2, CAST(levenshtein(name1, name2) AS BIGINT) AS dist
+        |FROM c WHERE levenshtein(name1, name2) <= 4
+        |ORDER BY name1, name2""".stripMargin,
+    "txt_fuzzy_parts" ->
+      """WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
+        |t AS (SELECT nm, split_part(nm, ' ', 1) AS tok FROM n)
+        |SELECT a.nm AS name1, b.nm AS name2,
+        | CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.tok = b.tok AND a.nm < b.nm
+        |WHERE levenshtein(a.nm, b.nm) <= 4
         |ORDER BY name1, name2""".stripMargin,
     "rel_nation_trade" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -289,20 +289,53 @@ object Text {
       .limit(k)
   }
 
-  /** Fuzzy string matching: all name pairs within an edit-distance
-    * budget. The pair space is a theta self-join (broadcast nested loop
-    * — the dimension side is tiny); at corpus scale the same predicate
-    * runs inside a blocking key (first letter, length band) exactly like
-    * [[Dedup.jaccardPairs]] buckets its shingle join.
+  /** Fuzzy string matching, BLOCKED: a candidate pair must share at
+    * least one character q-gram before the exact edit-distance verify
+    * runs. The all-pairs theta join this replaces is quadratic in the
+    * table (it planned as BroadcastNestedLoopJoin); the gram equi-join's
+    * cost is Σ_gram freq² — the same candidate-generation-then-verify
+    * shape as [[Dedup.jaccardPairs]], and the one that survives a corpus
+    * that doesn't fit one executor. Gram keys are ≤ q bytes, so the
+    * shuffle payload stays tiny. Names shorter than q contribute the
+    * whole name as their single gram.
     */
   def fuzzyNamePairs(named: DataFrame, key: String, name: String,
-                     maxDist: Int = 4): DataFrame = {
-    val a = named.select(col(key).as("key1"), col(name).as("name1"))
-    val b = named.select(col(key).as("key2"), col(name).as("name2"))
-    a.join(b, col("key1") < col("key2"))
+                     maxDist: Int = 4, q: Int = 3): DataFrame = {
+    val g = named.select(col(key).as("k"), col(name).as("nm"))
+      .select(col("k"), col("nm"),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, greatest(1, length(nm) - ${q - 1})), i -> substring(nm, i, $q))")))
+          .as("gram"))
+    // aliased self-join: both sides share one canonical exchange
+    val cand = g.alias("a")
+      .join(g.alias("b"),
+        col("a.gram") === col("b.gram") && col("a.k") < col("b.k"))
+      .select(col("a.nm").as("name1"), col("b.nm").as("name2"),
+        col("a.k").as("k1"), col("b.k").as("k2"))
+      .distinct()
+    cand
       .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("name1"), col("name2"), col("dist"))
+      .orderBy(col("name1"), col("name2"))
+  }
+
+  /** Distinct-name fuzzy matching over a larger table, blocked on the
+    * first token (category-style blocking: "red bolt" only ever matches
+    * other "red …" names). Identical names are excluded — exact
+    * duplicates are the dedup family's job; this surfaces the NEAR
+    * misses an entity-resolution pass would review.
+    */
+  def fuzzyDistinctNames(named: DataFrame, name: String,
+                         maxDist: Int = 4): DataFrame = {
+    val names = named.select(col(name).as("nm")).distinct()
+      .withColumn("tok", split(col("nm"), " ").getItem(0))
+    names.alias("a")
+      .join(names.alias("b"),
+        col("a.tok") === col("b.tok") && col("a.nm") < col("b.nm"))
+      .select(col("a.nm").as("name1"), col("b.nm").as("name2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= maxDist)
       .orderBy(col("name1"), col("name2"))
   }
 
