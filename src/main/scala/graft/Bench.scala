@@ -29,13 +29,18 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // measured pass
-    val results = names.map { name =>
+    // two measured passes, per-query MIN: a single pass still carries
+    // run-order noise (GC, lazy JIT tiers, OS page cache) that showed up
+    // as phantom 2-6x "regressions" on sub-second queries round-over-
+    // round; the min of two steady-state runs is the engine's cost
+    def pass(): Map[String, Double] = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    val p1 = pass(); val p2 = pass()
+    val results = names.map(n => n -> math.min(p1(n), p2(n)))
     println(renderLine(results, sfDir))
     spark.stop()
   }
