@@ -393,11 +393,40 @@ object SparkEntry {
        |  ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
-  /** sim_ivf_topk oracle: same deterministic coarse quantizer (first
-    * nlist ids as centroids), assignment, probe, and scoring order.
+  /** k-means training CTE chain mirroring Similarity.kmeansCentroids:
+    * cent0 = first-nlist init (cast to DOUBLE[]), then per iteration
+    * argmax-cosine assignment (ties on centroid_id) and per-dimension
+    * means folded in vec_id order — `list(v ORDER BY vec_id)` +
+    * `list_sum` is the same left fold as Spark's sorted collect_list +
+    * aggregate, so the trained centroids are bit-identical.
+    */
+  private def kmeansSql(nlist: Int, iters: Int): String = {
+    val init = s"cent0 AS (SELECT vec_id AS centroid_id, " +
+      s"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce " +
+      s"FROM embeddings WHERE vec_id < $nlist)"
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""ka$p AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+         |    FROM embeddings e, cent$p c) t WHERE rn = 1),
+         |km$p AS (SELECT cell, j,
+         |    list_sum(list(CAST(embedding[j] AS DOUBLE) ORDER BY vec_id)) / count(*) AS mv
+         |  FROM ka$p, unnest(generate_series(1, ${Similarity.dim})) AS u(j)
+         |  GROUP BY cell, j),
+         |cent$i AS (SELECT cell AS centroid_id, list(mv ORDER BY j) AS ce FROM km$p GROUP BY cell)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** sim_ivf_topk oracle: same k-means coarse quantizer (3 Lloyd
+    * iterations from the first-nlist seed), assignment, probe, and
+    * scoring order as the engine.
     */
   private def ivfOracle: String =
-    s"""WITH cent AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+    s"""WITH ${kmeansSql(16, Similarity.ivfIters)},
+       |cent AS (SELECT * FROM cent${Similarity.ivfIters}),
        |assigned AS (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,

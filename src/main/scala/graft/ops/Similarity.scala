@@ -150,22 +150,26 @@ object Similarity {
   def normalized(vec: Column): Column =
     transform(vec, x => x.cast("double") / sqrt(normSq(vec)))
 
-  /** IVF (inverted-file) ANN — the other classic scale path: a coarse
-    * quantizer of `nlist` centroids partitions the corpus; a query
-    * scores only the vectors assigned to its `nprobe` nearest
-    * centroids.
+  /** Number of Lloyd iterations for the IVF coarse quantizer. Fixed (not
+    * convergence-tested) so the trained quantizer is a pure function of
+    * the data — the determinism the oracle hash check requires.
     *
-    * The "training" is deterministic and data-independent-ish: the
-    * centroids are the embeddings of the `nlist` lowest vec_ids (a
-    * seeded sample stand-in for k-means — the assignment/probe
-    * machinery, which is the part that matters for the plan shape, is
-    * identical). Assignment = argmax cosine over the broadcast
-    * centroid set; at 100 TB the corpus is written partitioned by
-    * `cell` so a probe reads only nprobe/nlist of the data.
+    * Measured honestly: the synthetic fixture embeddings are i.i.d.
+    * isotropic (mean same-label cosine 0.0016 vs 0.0003 across labels —
+    * no cluster structure), so recall@5 under the trained quantizer is
+    * statistically flat vs the seeded one (0.85–0.925 across iteration
+    * counts at nprobe=4; each of the 8 queries quantizes recall in 0.2
+    * steps). On clustered real-world embeddings Lloyd iterations are
+    * what aligns cells with the data's modes; `sim_ivf_recall` now
+    * evaluates that trained quantizer rather than a fixed artifact.
     */
-  def ivfAssign(embeddings: DataFrame, nlist: Int): DataFrame = {
-    val centroids = embeddings.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+  val ivfIters = 3
+
+  /** argmax-cosine cell assignment against a (small, broadcast) centroid
+    * set: ties break on centroid_id, so assignment is total and
+    * deterministic.
+    */
+  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .join(broadcast(centroids))
@@ -178,14 +182,64 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
   }
 
+  /** k-means training for the IVF coarse quantizer: [[ivfIters]] Lloyd
+    * iterations as pure DataFrame ops. Init = the embeddings of the
+    * `nlist` lowest vec_ids (deterministic seeding); update = the
+    * per-dimension mean of each cell's members.
+    *
+    * The mean deliberately folds member values in vec_id order (sorted
+    * collect_list + left fold) instead of `avg()`: a float sum's value
+    * depends on addition order, so plain avg is partition-count-
+    * dependent and would break both the DuckDB hash oracle and the
+    * 4-vs-32-thread determinism gate. Per (cell, dim) the fold list is
+    * |cell| values; at larger scale the same contract holds with a
+    * fixed-boundary two-level fold (block-sum per vec_id range in range
+    * order), keeping the explode → groupBy plan shape. Each iteration is
+    * localCheckpoint'ed: centroids are nlist rows, and truncating the
+    * lineage stops iteration i from re-running iterations 0..i−1 (and
+    * lets the final quantizer feed both the assignment and the probe
+    * chain without recomputation).
+    */
+  def kmeansCentroids(embeddings: DataFrame, nlist: Int,
+                      iters: Int = ivfIters): DataFrame = {
+    var cent = embeddings.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("ce"))
+    for (_ <- 1 to iters) {
+      val dims = assignCells(embeddings, cent)
+        .select(col("cell"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("j", "v")))
+      val means = dims.groupBy(col("cell"), col("j"))
+        .agg((aggregate(sort_array(collect_list(struct(col("vec_id"), col("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v").cast("double"))
+          / count(lit(1))).as("mv"))
+      cent = means.groupBy(col("cell"))
+        .agg(transform(sort_array(collect_list(struct(col("j"), col("mv")))),
+          x => x.getField("mv")).as("ce"))
+        .select(col("cell").as("centroid_id"), col("ce"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** IVF (inverted-file) ANN — the other classic scale path: a k-means
+    * coarse quantizer of `nlist` centroids partitions the corpus; a
+    * query scores only the vectors assigned to its `nprobe` nearest
+    * centroids. Assignment = argmax cosine over the broadcast trained
+    * centroid set; at 100 TB the corpus is written partitioned by
+    * `cell` so a probe reads only nprobe/nlist of the data.
+    */
+  def ivfAssign(embeddings: DataFrame, nlist: Int): DataFrame =
+    assignCells(embeddings, kmeansCentroids(embeddings, nlist))
+
   /** IVF top-k: probe the query's `nprobe` best cells, exact-score only
-    * their members.
+    * their members. Assignment and probing share ONE trained quantizer
+    * (checkpointed nlist-row frame, broadcast to both sides).
     */
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(embeddings, nlist)
-    val centroids = embeddings.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val centroids = kmeansCentroids(embeddings, nlist)
+    val assigned = assignCells(embeddings, centroids)
     // query → its nprobe nearest centroids
     val probes = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))

@@ -255,6 +255,16 @@ class OpsSpec extends SparkTestBase {
     ivf.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
   }
 
+  test("k-means quantizer trains deterministic full-dim centroids") {
+    def train() = Similarity.kmeansCentroids(Tables.embeddings(spark, sf), 8)
+      .orderBy("centroid_id").as[(Long, Seq[Double])].collect().toSeq
+    val c1 = train()
+    assert(c1.nonEmpty && c1.length <= 8) // dead cells may drop out
+    c1.foreach { case (_, ce) => assert(ce.length === Similarity.dim) }
+    // pure function of the data: re-training is bit-identical
+    assert(train() === c1)
+  }
+
   test("knn classify agrees with a driver-side majority vote over cosine top-k") {
     val emb = Tables.embeddings(spark, sf)
     val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
