@@ -71,14 +71,44 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Replace `targetPath` with `stagingPath` WITHOUT a window where the
+    * only copy of the data has been deleted: the old target is renamed
+    * ASIDE (to `.old`) before the staging dir renames IN, and the aside
+    * copy is deleted only after the new data is in place. A crash at any
+    * step leaves at least one complete copy on disk:
+    *   - before step 2: target intact (staging is extra);
+    *   - between 2 and 3: `.old` holds the previous data, staging holds
+    *     the new — recovery is a rename of either into place;
+    *   - after 3: target holds the new data (`.old` cleanup may be
+    *     pending; stale `.old` dirs are cleared at the next swap).
+    * The previous delete-then-rename ordering could lose the table to a
+    * crash between its two steps. `onStep` is a fault-injection hook for
+    * the crash-window spec (no-op in production use).
+    */
+  private[graft] def swapInPlace(spark: SparkSession, stagingPath: String,
+                                 targetPath: String,
+                                 onStep: Int => Unit = _ => ()): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stagingPath), spark.sparkContext.hadoopConfiguration)
+    val tgt = new org.apache.hadoop.fs.Path(targetPath)
+    val stg = new org.apache.hadoop.fs.Path(stagingPath)
+    val old = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + ".old")
+    onStep(1); fs.delete(old, true)
+    onStep(2); if (fs.exists(tgt) && !fs.rename(tgt, old))
+      throw new java.io.IOException(s"rename-aside $tgt -> $old failed")
+    onStep(3); if (!fs.rename(stg, tgt))
+      throw new java.io.IOException(s"rename-in $stg -> $tgt failed")
+    onStep(4); fs.delete(old, true)
+  }
+
   /** O18 — bulk writeback: apply a keyed update set to a stored table
-    * (the reference's row-commit protocol, OBP.js:554-621, as a batch
-    * MERGE). Reads the target, left-joins the updates on the key, and
-    * rewrites with the updated column — the update set is broadcast, so
-    * the target is scanned exactly once and never shuffled. Parquet has
-    * no in-place update; the rewrite goes to a staging dir then
-    * replaces the target (the transactional-table pattern without a
-    * table format).
+    * (the reference's per-row commit protocol, OBP.js:554-621, as a
+    * batch MERGE). Reads the target, left-joins the updates on the key,
+    * and rewrites with the updated column — the update set is broadcast,
+    * so the target is scanned exactly once and never shuffled. Parquet
+    * has no in-place update; the rewrite goes to a staging dir then
+    * [[swapInPlace]] replaces the target (the transactional-table
+    * pattern without a table format).
     */
   def mergeColumnUpdate(spark: SparkSession, targetPath: String,
                         updates: DataFrame, key: String, column: String): Long = {
@@ -89,12 +119,7 @@ object Sources {
       .drop("__newval")
     val staging = targetPath.stripSuffix("/") + ".staging"
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    // swap staging into place
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    val tgt = new org.apache.hadoop.fs.Path(targetPath)
-    fs.delete(tgt, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), tgt)
+    swapInPlace(spark, staging, targetPath)
     spark.read.parquet(targetPath).count()
   }
 
@@ -113,11 +138,7 @@ object Sources {
       .unionByName(updates.select(target.columns.map(col): _*))
     val staging = targetPath.stripSuffix("/") + ".staging"
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    val tgt = new org.apache.hadoop.fs.Path(targetPath)
-    fs.delete(tgt, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), tgt)
+    swapInPlace(spark, staging, targetPath)
     spark.read.parquet(targetPath).count()
   }
 
@@ -134,11 +155,7 @@ object Sources {
     val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
     val staging = path.stripSuffix("/") + ".staging"
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(staging), spark.sparkContext.hadoopConfiguration)
-    val tgt = new org.apache.hadoop.fs.Path(path)
-    fs.delete(tgt, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), tgt)
+    swapInPlace(spark, staging, path)
     files.toLong
   }
 }

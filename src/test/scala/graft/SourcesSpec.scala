@@ -213,6 +213,36 @@ class SourcesSpec extends SparkTestBase {
       (3L, "old", 30L), (4L, "new", 40L)))
   }
 
+  test("staging swap keeps a complete copy alive through a crash at every step") {
+    case class Crash(step: Int) extends RuntimeException
+    val oldData = Set(1, 2, 3)
+    val newData = Set(4, 5, 6)
+    for (failAt <- 1 to 4) {
+      val tgt = tmp(s"swap$failAt")
+      val stg = tgt + ".staging"
+      oldData.toSeq.toDF("v").coalesce(1).write.parquet(tgt)
+      newData.toSeq.toDF("v").coalesce(1).write.parquet(stg)
+      intercept[Crash] {
+        Sources.swapInPlace(spark, stg, tgt,
+          s => if (s == failAt) throw Crash(s))
+      }
+      // the invariant the rename-aside ordering buys: no step sequence
+      // deletes the last complete copy — after ANY crash, target/.old/
+      // staging still contains at least one fully readable table
+      val survivors = Seq(tgt, tgt + ".old", stg)
+        .filter(p => new java.io.File(p).exists)
+        .flatMap(p => scala.util.Try(
+          spark.read.parquet(p).as[Int].collect().toSet).toOption)
+      assert(survivors.contains(oldData) || survivors.contains(newData),
+        s"failAt=$failAt left no complete copy")
+      // and finishing the interrupted swap (no injection) commits cleanly
+      if (new java.io.File(stg).exists) {
+        Sources.swapInPlace(spark, stg, tgt)
+        assert(spark.read.parquet(tgt).as[Int].collect().toSet === newData)
+      }
+    }
+  }
+
   test("compaction rewrites many small files into the target count") {
     val dir = tmp("compact")
     (1 to 8).foreach { i =>
