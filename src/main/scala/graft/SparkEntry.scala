@@ -170,6 +170,8 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))),
     "str_session" -> ((s, d) =>
       graft.streaming.StreamingOps.sessionize(events(s, d), 30)),
+    "str_click_attr" -> ((s, d) =>
+      graft.streaming.StreamingOps.clickAttributionBatch(events(s, d))),
 
     // ---- deduplication (LLM-pipeline operators) ----
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(documents(s, d))),
@@ -930,6 +932,20 @@ object SparkEntry {
         |             AS window_start, event_type
         |      FROM events) t
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // the stream-stream inner band join's batch-equivalent form (the
+    // watermark only bounds state, so the pair set is identical)
+    "str_click_attr" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts,
+        |             value AS purchase_value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id,
+        |  (epoch_us(p_ts) - epoch_us(c_ts)) // 60000000 AS mins_to_purchase,
+        |  purchase_value
+        |FROM c JOIN p ON c.user_id = p.user_id
+        | AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTE
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "str_session" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value,

@@ -202,11 +202,13 @@ object StreamingOps {
   def clickToPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                           windowMinutes: Int = 10): DataFrame =
     clicks
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      // rename (not project) the key/time columns: payload columns ride
+      // through the join — attribution needs them on the other side
+      .withColumnRenamed("user_id", "c_user").withColumnRenamed("ts", "c_ts")
       .withWatermark("c_ts", s"$windowMinutes minutes")
       .join(
         purchases
-          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withColumnRenamed("user_id", "p_user").withColumnRenamed("ts", "p_ts")
           .withWatermark("p_ts", s"$windowMinutes minutes"),
         expr(s"""c_user = p_user AND
                  p_ts >= c_ts AND
@@ -222,16 +224,40 @@ object StreamingOps {
   def clickToPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame,
                               windowMinutes: Int = 10): DataFrame =
     clicks
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withColumnRenamed("user_id", "c_user").withColumnRenamed("ts", "c_ts")
       .withWatermark("c_ts", s"$windowMinutes minutes")
       .join(
         purchases
-          .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .withColumnRenamed("user_id", "p_user").withColumnRenamed("ts", "p_ts")
           .withWatermark("p_ts", s"$windowMinutes minutes"),
         expr(s"""c_user = p_user AND
                  p_ts >= c_ts AND
                  p_ts <= c_ts + INTERVAL $windowMinutes MINUTES"""),
         "left_outer")
+
+  /** BATCH analog of [[clickToPurchaseJoin]] over the events table —
+    * identical inner-join semantics on complete data (the watermark
+    * only bounds state; it never changes which pairs an inner band join
+    * emits), so this form gets a DuckDB hash oracle and the spec
+    * cross-checks the true streaming operator against it. Planned as an
+    * equi-join on user_id with the band as a residual condition: the
+    * pair space is per-user, never the whole table.
+    */
+  def clickAttributionBatch(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 60000000")
+          .as("mins_to_purchase"),
+        col("purchase_value"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
 
   /** Streaming exact dedup: drop events whose key was already seen,
     * with state bounded by the watermark (an unbounded seen-set is the

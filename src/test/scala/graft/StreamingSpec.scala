@@ -231,6 +231,39 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Seq(1L))
   }
 
+  test("stream-stream band join on fixture events == its batch analog") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+    def side(kind: String) = ev.filter(col("event_type") === kind)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Long)]
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "event_id", "us")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    // the streaming operator keys pairs by (c_user, c_ts, p_ts); carry
+    // event ids through for an exact pair comparison
+    val q = StreamingOps.clickToPurchaseJoin(
+        withTs(clicks.toDF()).withColumnRenamed("event_id", "click_id"),
+        withTs(purchases.toDF()).withColumnRenamed("event_id", "purchase_id"),
+        windowMinutes = 10)
+      .writeStream.format("memory").queryName("ss_fixture_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(side("click"))
+      purchases.addData(side("purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ss_fixture_join")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    val batch = StreamingOps.clickAttributionBatch(ev)
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stream-stream LEFT OUTER join emits unmatched rows after watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
