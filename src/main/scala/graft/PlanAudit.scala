@@ -172,6 +172,16 @@ object PlanAudit {
       ("at most two exchanges (co-partition + output sort)", p =>
         "Exchange".r.findAllIn(p).size - "ReusedExchange".r.findAllIn(p).size <= 2))
 
+    // bloom prune: the probe table is reduced map-side — its join key is
+    // never hash-partitioned; the one-row (128-byte) filter arrives by
+    // broadcast (a BNL join against ONE row is a per-partition constant
+    // lookup, not a pair enumeration)
+    audit("xtr_bloom_prune")(
+      ("probe side never hash-partitioned on its key",
+        p => !p.contains("hashpartitioning(o_custkey")),
+      ("one-row filter broadcast to the probe",
+        p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")))
+
     // dedup application: the loser set is data-dependent (billions of
     // rows at a realistic dup rate over 100 TB) — the anti-join must
     // carry NO mandatory broadcast hint; AQE picks the strategy from the

@@ -283,7 +283,104 @@ object SparkEntry {
     "dedup_apply" -> ((s, d) => Dedup.applyNearDupDedup(documents(s, d))),
     "txt_clean_funnel" -> ((s, d) => Text.cleaningFunnel(documents(s, d))),
     "txt_langid_confusion" -> ((s, d) => Text.langIdConfusion(documents(s, d))),
+    "xtr_bloom_prune" -> ((s, d) => {
+      // semi-join reduction: orders pruned by a 1024-bit bloom filter
+      // over one nation's customer keys; output is the effectiveness
+      // accounting (pass/member/false-positive counts), which pins the
+      // filter's exact deterministic contents for the oracle
+      val dim = customer(s, d).filter(col("c_nationkey") === 7)
+      Bloom.pruneStats(orders(s, d), col("o_custkey"), dim, col("c_custkey"))
+    }),
+    "txt_winnow" -> ((s, d) => Text.winnowSketch(documents(s, d))),
+    "txt_winnow_pairs" -> ((s, d) => Text.winnowMatches(documents(s, d))),
+    // capacity sized to the fixture's ~54-token docs so shards actually
+    // span multiple bins (4096 would degenerate to one bin per shard)
+    "txt_pack_bins" -> ((s, d) => Text.packBins(documents(s, d), capacity = 512)),
+    "xtr_zorder_key" -> ((s, d) => {
+      // the clustering key behind Sources.writeZOrdered: Morton
+      // interleave of (l_partkey, l_suppkey), computed by the native
+      // codegen'd ZOrderKey expression (parity with the builtin twin is
+      // spec-asserted; the oracle mirrors the builtin formulation)
+      lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          graft.functions.ZOrderKey
+            .zorder_key(col("l_partkey"), col("l_suppkey")).as("z_key"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"))
+    }),
   )
+
+  /** xtr_bloom_prune oracle, generated from the same (a,b)/P/m bloom
+    * constants the Spark operator uses — DuckDB rebuilds the identical
+    * 16-lane bit array and reproduces the filter's exact false positives.
+    */
+  private def bloomPruneOracle: String = {
+    val pos = ops.Bloom.bloomAB.map { case (a, b) =>
+      s"(($a * v + $b) % ${ops.Bloom.P}) % ${ops.Bloom.numBits}"
+    }
+    val bpl = ops.Bloom.bitsPerLane
+    val checks = pos.map { p =>
+      s"(bl[CAST(($p) // $bpl AS INT) + 1] & (1::BIGINT << CAST(($p) % $bpl AS INT))) <> 0"
+    }.mkString("\n        |          AND ")
+    s"""WITH keys AS (SELECT DISTINCT c_custkey FROM customer WHERE c_nationkey = 7),
+        |hv AS (SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS v
+        |       FROM keys),
+        |hs AS (SELECT unnest([${pos.mkString(", ")}]) AS h FROM hv),
+        |lanebits AS (SELECT CAST(h // $bpl AS INT) AS lane,
+        |               bit_or(1::BIGINT << CAST(h % $bpl AS INT)) AS bits
+        |             FROM hs GROUP BY 1),
+        |full_lanes AS (SELECT CAST(i AS INT) AS lane, coalesce(b.bits, 0::BIGINT) AS bits
+        |               FROM range(0, ${ops.Bloom.numLanes}) t(i)
+        |               LEFT JOIN lanebits b ON b.lane = CAST(i AS INT)),
+        |filt AS (SELECT list(bits ORDER BY lane) AS bl FROM full_lanes),
+        |probe AS (SELECT o_custkey,
+        |            ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS v
+        |          FROM orders),
+        |chk AS (SELECT o_custkey,
+        |          ${checks} AS pass_bloom
+        |        FROM probe CROSS JOIN filt),
+        |q AS (SELECT o_custkey, pass_bloom,
+        |        o_custkey IN (SELECT c_custkey FROM keys) AS is_member FROM chk)
+        |SELECT count(*) AS n_rows,
+        |  count(CASE WHEN pass_bloom THEN 1 END) AS n_pass_bloom,
+        |  count(CASE WHEN is_member THEN 1 END) AS n_members,
+        |  count(CASE WHEN pass_bloom AND NOT is_member THEN 1 END) AS n_false_pos
+        |FROM q""".stripMargin
+  }
+
+  /** Shared winnowing CTE chain (positional gram hashes → window min →
+    * distinct selected fingerprints) behind txt_winnow and
+    * txt_winnow_pairs. DuckDB pos is 1-based (generate_series), Spark's
+    * posexplode is 0-based; the full-window bound differs accordingly
+    * (pos <= ng - win + 1 here vs pos <= ng - win there).
+    */
+  private def winnowCte(w: Int = 3, win: Int = 4): String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+        |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ls) - ${w - 1})) AS pos, ls
+        |       FROM tok WHERE len(ls) >= $w),
+        |g AS (SELECT doc_id, pos,
+        |        ('0x' || substr(md5(${(0 until w).map(o => s"ls[pos + $o]").mkString(" || ' ' || ")}), 1, 15))::BIGINT AS h
+        |      FROM g0),
+        |win AS (SELECT doc_id, pos,
+        |          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS BETWEEN CURRENT ROW AND ${win - 1} FOLLOWING) AS wmin,
+        |          count(*) OVER (PARTITION BY doc_id) AS ng
+        |        FROM g),
+        |sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM win
+        |        WHERE pos <= ng - ${win - 1})""".stripMargin
+
+  /** xtr_zorder_key oracle: the builtin-twin bit-interleave expanded to
+    * DuckDB SQL (generated from the same bit width as the native
+    * expression).
+    */
+  private def zorderOracle: String = {
+    val z = functions.ZOrderKey.zorderSqlDuckDb("l_partkey", "l_suppkey")
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST($z AS BIGINT) AS z_key
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+  }
 
   /** dedup_minhash oracle, generated from the same (a,b)/P/band
     * constants the Spark operator uses.
@@ -1632,5 +1729,29 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, effective_from, o_orderkey""".stripMargin,
+    "xtr_bloom_prune" -> bloomPruneOracle,
+    "xtr_zorder_key" -> zorderOracle,
+    "txt_winnow" -> (winnowCte() + """
+        |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max,
+        |  bit_xor(fp) AS fp_xor
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "txt_winnow_pairs" -> (winnowCte() + """,
+        |m AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
+        |      FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT doc1, doc2, n_shared FROM m WHERE n_shared >= 3
+        |ORDER BY doc1, doc2""".stripMargin),
+    "txt_pack_bins" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 8 AS INT) AS shard
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT shard, (cum - n_tokens) // 512 AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
   )
 }

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vectorDotDescriptor)
     e.injectFunction(GraftExtensions.minhashSigDescriptor)
     e.injectFunction(GraftExtensions.simhash32Descriptor)
+    e.injectFunction(GraftExtensions.zorderKeyDescriptor)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
@@ -48,9 +49,23 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
     (children: Seq[Expression]) => SimHash32(children.head))
 
+  /** `zorder_key(x, y)` — the codegen'd 16-bit Morton interleave
+    * (inputs cast to bigint at the SQL surface for ergonomics).
+    */
+  private[functions] val zorderKeyDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder_key"),
+    new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+    (children: Seq[Expression]) => ZOrderKey(
+      org.apache.spark.sql.catalyst.expressions.Cast(children(0),
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.catalyst.expressions.Cast(children(1),
+        org.apache.spark.sql.types.LongType), bits = 16))
+
   /** Runtime registration for an already-built session. */
   def register(spark: SparkSession): Unit = {
-    Seq(vectorDotDescriptor, minhashSigDescriptor, simhash32Descriptor)
+    Seq(vectorDotDescriptor, minhashSigDescriptor, simhash32Descriptor,
+        zorderKeyDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -503,4 +503,109 @@ object Text {
       .withColumn("ttr",
         col("n_types").cast("double") / col("n_tokens").cast("double"))
       .orderBy(col("doc_id"))
+
+  /** POSITIONAL w-gram hashes (1-based gram index, duplicates kept) —
+    * the rolling-hash stream winnowing selects from. Same gram/hash
+    * construction as the dedup family ([[Dedup.shinglesFromTokens]] +
+    * [[tokenHash60]]) but order-preserving.
+    */
+  private def gramHashes(t: Column, w: Int): Column =
+    when(size(t) >= w,
+        transform(sequence(lit(1), size(t) - (w - 1)),
+          i => tokenHash60(
+            concat_ws(" ", (0 until w).map(o => element_at(t, i + o)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Winnowing fingerprints (the MOSS sketch — Schleimer, Wilkerson &
+    * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): hash every w-token gram, slide a window of `win`
+    * consecutive gram positions, keep the minimum hash of each full
+    * window; the distinct selected hashes are the document's sketch.
+    * Winnowing guarantees any shared run of win+w-1 tokens between two
+    * documents contributes at least one SHARED fingerprint — the
+    * detection guarantee MinHash doesn't give — while sampling only
+    * ~2/(win+1) of the grams.
+    *
+    * Scale shape: one explode + one window function over (doc_id, pos)
+    * — a single hash-partitioned shuffle on doc_id; selection and
+    * dedup are partition-local. Output: (doc_id, fp) rows.
+    */
+  def winnowFingerprints(documents: DataFrame, w: Int = 3, win: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .withColumn("tk", tokens(col("text")))
+      .select(col("doc_id"), posexplode(gramHashes(col("tk"), w)).as(Seq("pos", "h")))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, win - 1)
+    g.withColumn("wmin", min(col("h")).over(frame))
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .filter(col("pos") <= col("ng") - win) // full windows only (pos is 0-based)
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
+
+  /** Per-document winnowing sketch summary — count, range, and xor of
+    * the fingerprint set (xor pins the exact set contents for the
+    * oracle without dumping every fingerprint row).
+    */
+  def winnowSketch(documents: DataFrame, w: Int = 3, win: Int = 4): DataFrame =
+    winnowFingerprints(documents, w, win)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        min(col("fp")).as("fp_min"),
+        max(col("fp")).as("fp_max"),
+        expr("bit_xor(fp)").as("fp_xor"))
+      .orderBy(col("doc_id"))
+
+  /** Cross-document fingerprint matches: pairs sharing at least
+    * `minShared` winnowing fingerprints — the plagiarism/overlap
+    * detector built on [[winnowFingerprints]]. Co-occurrence join on
+    * the fingerprint hash (same discipline as [[Dedup.jaccardPairs]]):
+    * pairs sharing nothing never materialize. At web scale, add the
+    * standard "stop fingerprint" guard first — drop fps whose document
+    * frequency exceeds a cap, which bounds the per-key join fan-out
+    * the same way stopword removal bounds a posting list.
+    */
+  def winnowMatches(documents: DataFrame, minShared: Int = 3,
+                    w: Int = 3, win: Int = 4): DataFrame = {
+    val fps = winnowFingerprints(documents, w, win)
+    fps.alias("a")
+      .join(fps.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Token-budget packing: assign documents to fixed-capacity training
+    * bins (context windows / output shards), hash-sharded so the
+    * cumulative-sum window never needs a global order — each shard
+    * packs independently, which is what makes this run at corpus scale
+    * (a single `Window.orderBy` would serialize 100 TB through one
+    * partition). Within a shard, documents pack greedily in doc_id
+    * order by START offset: a document goes to bin
+    * floor(preceding_tokens / capacity). Output: per-(shard, bin)
+    * occupancy — the shard manifest a data-loader consumes.
+    */
+  def packBins(documents: DataFrame, shards: Int = 8,
+               capacity: Long = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
+      (tokenHash(col("doc_id").cast("string")) % shards).cast("int").as("shard"))
+    val byShard = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    d.withColumn("cum", sum(col("n_tokens")).over(byShard))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $capacity"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
 }

@@ -71,6 +71,49 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Z-ordered parquet write: cluster rows by the Morton interleave of
+    * two columns ([[graft.functions.ZOrderKey]]) so every output file
+    * covers a tight bounding BOX in (c1, c2) — parquet footer min/max
+    * stats then skip files for predicates on EITHER column. A plain
+    * `orderBy(c1)` layout prunes only on c1; Z-order is the layout for
+    * tables queried by more than one dimension (the Delta/Iceberg
+    * Z-ORDER feature as a plain write path).
+    *
+    * Both columns are min/max-normalized to the full 2^bits range
+    * before interleaving — raw interleave gives the wider-ranged column
+    * all the high bits (a 1..200 key over a 1..10 key degrades to a
+    * plain sort on the first), which is why production Z-ORDER
+    * implementations cluster on per-column RANGE IDS, not raw values.
+    * The min/max pass is one tiny aggregate broadcast back to the scan;
+    * at 100 TB it comes from footer stats or a sample instead. (The
+    * linear scaling multiplies (x−min) by 2^bits, so column ranges
+    * above ~2^47 should pre-shift — documented, not fixture-relevant.)
+    *
+    * `repartitionByRange` on the z-key samples the distribution, so
+    * files are balanced even when the key space is sparse; the
+    * within-partition sort tightens each file's box at zero extra
+    * shuffle cost.
+    */
+  def writeZOrdered(df: DataFrame, path: String, files: Int,
+                    c1: String, c2: String, bits: Int = 16): Unit = {
+    val top = (1L << bits) - 1
+    val mm = df.agg(
+      min(col(c1)).cast("long").as("__min1"), max(col(c1)).cast("long").as("__max1"),
+      min(col(c2)).cast("long").as("__min2"), max(col(c2)).cast("long").as("__max2"))
+    def scale(c: String, mn: String, mx: String) = expr(
+      s"CAST((CAST($c AS BIGINT) - $mn) * $top DIV " +
+        s"greatest(CAST(1 AS BIGINT), $mx - $mn) AS BIGINT)")
+    val z = graft.functions.ZOrderKey.zorder_key(col("__n1"), col("__n2"), bits)
+    df.crossJoin(broadcast(mm))
+      .withColumn("__n1", scale(c1, "__min1", "__max1"))
+      .withColumn("__n2", scale(c2, "__min2", "__max2"))
+      .withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__n1", "__n2", "__z", "__min1", "__max1", "__min2", "__max2")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Replace `targetPath` with `stagingPath` WITHOUT a window where the
     * only copy of the data has been deleted: the old target is renamed
     * ASIDE (to `.old`) before the staging dir renames IN, and the aside

@@ -142,6 +142,34 @@ class FunctionsSpec extends SparkTestBase {
     assert(!line.contains("\n"))
   }
 
+  test("zorder_key native expression matches the builtin twin bit for bit") {
+    import graft.functions.ZOrderKey
+    val li = Tables.lineitem(spark, sf)
+    val mismatches = li.select(
+        ZOrderKey.zorder_key(col("l_partkey"), col("l_suppkey")).as("nat"),
+        ZOrderKey.zorderKeyBuiltin(col("l_partkey"), col("l_suppkey")).as("ref"))
+      .filter(col("nat") =!= col("ref"))
+      .count()
+    assert(mismatches === 0L)
+  }
+
+  test("zorder_key interleaves known bit patterns correctly") {
+    import graft.functions.ZOrderKey
+    // x = 0b1010 -> even positions, y = 0b0101 -> odd positions
+    val got = Seq((10L, 5L)).toDF("x", "y")
+      .select(ZOrderKey.zorder_key(col("x"), col("y"))).as[Long].head()
+    // x bits 1,3 -> z bits 2,6; y bits 0,2 -> z bits 1,5
+    assert(got === ((1L << 2) | (1L << 6) | (1L << 1) | (1L << 5)))
+    // scalar helper agrees
+    assert(ZOrderKey.interleave(10L) === ((1L << 2) | (1L << 6)))
+  }
+
+  test("zorder_key registered for SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val got = spark.sql("SELECT zorder_key(10, 5) AS z").as[Long].head()
+    assert(got === ((1L << 2) | (1L << 6) | (1L << 1) | (1L << 5)))
+  }
+
   test("scala UDF surface works (slow path, for API completeness only)") {
     val vowels = udf((s: String) => s.count("aeiou".contains(_)))
     val got = Seq("spark", "aeiou").toDF("s")

@@ -524,4 +524,62 @@ class OpsSpec extends SparkTestBase {
     assert(viaMap.length === viaExpr.length)
     viaMap.zip(viaExpr).foreach { case (a, b) => assert(a === b) }
   }
+
+  test("winnowing detection guarantee: a shared run of win+w-1 tokens " +
+      "yields a shared fingerprint") {
+    // w=3, win=4: any 6-token run shared between two documents must
+    // contribute at least one common selected fingerprint (SIGMOD'03 §2)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $shared three four five six seven"),
+      (2L, s"red blue green $shared yellow purple orange"),
+      (3L, "completely different tokens nothing in common here at all"))
+      .toDF("doc_id", "text")
+    val fps = Text.winnowFingerprints(docs)
+    val byDoc = fps.as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      s"docs sharing a 6-token run must share a fingerprint: $byDoc")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    // winnowing SAMPLES: the sketch is smaller than the gram stream
+    val grams1 = docs.filter(col("doc_id") === 1L)
+      .select(size(split(col("text"), " "))).as[Int].head() - 2
+    assert(byDoc(1L).size < grams1)
+  }
+
+  test("winnow matches surface the fixture's near-duplicate documents") {
+    val got = Text.winnowMatches(Tables.documents(spark, sf))
+    assert(got.count() > 0, "fixture near-dups should share >= 3 fingerprints")
+    // symmetric-free: doc1 < doc2 always
+    assert(got.filter(col("doc1") >= col("doc2")).count() === 0L)
+  }
+
+  test("packBins partitions every document into exactly one bin with " +
+      "conserved token totals") {
+    val docs = Tables.documents(spark, sf)
+    val packed = Text.packBins(docs, shards = 4, capacity = 256)
+    val (nDocs, nTokens) = docs
+      .agg(count(lit(1)), sum(size(split(col("text"), " ")).cast("long")))
+      .as[(Long, Long)].head()
+    val (pDocs, pTokens) = packed
+      .agg(sum(col("n_docs")), sum(col("sum_tokens"))).as[(Long, Long)].head()
+    assert(pDocs === nDocs)
+    assert(pTokens === nTokens)
+    // bins are contiguous from 0 within each shard
+    val bad = packed.groupBy("shard")
+      .agg(min(col("bin")).as("lo"), max(col("bin")).as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+      .count()
+    assert(bad === 0L)
+    // start-offset packing: a bin never opens at/after capacity boundary
+    // unless its documents overflowed from the previous bin, so every
+    // bin except a shard's last must hold >= capacity/2 tokens only if
+    // docs are small; assert the weaker invariant that no bin exceeds
+    // capacity + the largest single document
+    val maxDoc = docs.agg(max(size(split(col("text"), " ")).cast("long")))
+      .as[Long].head()
+    val over = packed.filter(col("sum_tokens") > lit(256L) + maxDoc).count()
+    assert(over === 0L)
+  }
 }

@@ -316,6 +316,50 @@ class SourcesSpec extends SparkTestBase {
     assert(df.filter(col("id").isNotNull).count() === 2)
   }
 
+  test("z-ordered layout gives per-file bounding boxes that prune BOTH dims") {
+    // write the same table twice: z-ordered on (l_partkey, l_suppkey)
+    // vs linearly sorted on l_partkey only; compare how many files a
+    // single-value l_suppkey predicate could touch, using the same
+    // min/max file statistics parquet pruning uses
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val nFiles = 8
+    val zPath = tmp("zorder")
+    val linPath = tmp("linear")
+    Sources.writeZOrdered(li, zPath, nFiles, "l_partkey", "l_suppkey")
+    li.repartitionByRange(nFiles, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(linPath)
+
+    def fileBoxes(path: String): Seq[(Long, Long, Long, Long)] = {
+      val files = new java.io.File(path).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      files.map { f =>
+        spark.read.parquet(f)
+          .agg(min("l_partkey"), max("l_partkey"),
+               min("l_suppkey"), max("l_suppkey"))
+          .as[(Long, Long, Long, Long)].head()
+      }
+    }
+    val zBoxes = fileBoxes(zPath)
+    val linBoxes = fileBoxes(linPath)
+    assert(zBoxes.size === nFiles)
+
+    def touching(boxes: Seq[(Long, Long, Long, Long)], sk: Long): Int =
+      boxes.count { case (_, _, lo, hi) => sk >= lo && sk <= hi }
+
+    val skProbe = 9L // high suppkey: z-order confines it to the upper boxes
+    val zTouch = touching(zBoxes, skProbe)
+    val linTouch = touching(linBoxes, skProbe)
+    // the partkey-sorted layout spreads every suppkey across every file
+    assert(linTouch === nFiles, s"linear layout expected no suppkey locality, got $linTouch")
+    // the z-ordered layout must actually prune on the SECOND dimension
+    assert(zTouch < nFiles, s"z-order did not prune suppkey=$skProbe: $zBoxes")
+    // and still prunes on the first dimension (tight partkey boxes)
+    val pkTouch = zBoxes.count { case (lo, hi, _, _) => 100L >= lo && 100L <= hi }
+    assert(pkTouch < nFiles, s"z-order did not prune l_partkey=100: $zBoxes")
+  }
+
   test("mapGroupsWithState keeps running per-user totals across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
