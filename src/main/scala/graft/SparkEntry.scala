@@ -291,6 +291,7 @@ object SparkEntry {
       val dim = customer(s, d).filter(col("c_nationkey") === 7)
       Bloom.pruneStats(orders(s, d), col("o_custkey"), dim, col("c_custkey"))
     }),
+    "xtr_cms_topk" -> ((s, d) => CountMin.heavyHitters(documents(s, d))),
     "txt_winnow" -> ((s, d) => Text.winnowSketch(documents(s, d))),
     "txt_winnow_pairs" -> ((s, d) => Text.winnowMatches(documents(s, d))),
     // capacity sized to the fixture's ~54-token docs so shards actually
@@ -347,6 +348,34 @@ object SparkEntry {
         |  count(CASE WHEN is_member THEN 1 END) AS n_members,
         |  count(CASE WHEN pass_bloom AND NOT is_member THEN 1 END) AS n_false_pos
         |FROM q""".stripMargin
+  }
+
+  /** xtr_cms_topk oracle: the count-min counter matrix and point
+    * estimates rebuilt from the same (a,b)/P/width constants.
+    */
+  private def cmsOracle: String = {
+    import ops.CountMin.{cmAB, P, width}
+    val rows = cmAB.zipWithIndex.map { case ((a, b), j) =>
+      s"SELECT $j AS row, (($a * v + $b) % $P) % $width AS col FROM v"
+    }.mkString("\n        |  UNION ALL ")
+    val ests = cmAB.zipWithIndex.map { case ((a, b), j) =>
+      s"""coalesce((SELECT n FROM counters c
+          |      WHERE c.row = $j AND c.col = (($a * e.v + $b) % $P) % $width), 0::BIGINT)"""
+        .stripMargin
+    }.mkString(",\n        |    ")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |v AS (SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT AS v FROM tok),
+        |bkt AS (
+        |  $rows),
+        |counters AS (SELECT row, col, count(*) AS n FROM bkt GROUP BY 1, 2),
+        |exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY token
+        |          ORDER BY exact_n DESC, token LIMIT 20),
+        |e AS (SELECT token, exact_n,
+        |        ('0x' || substr(md5(token), 1, 8))::BIGINT AS v FROM exact),
+        |est AS (SELECT token, exact_n, least(
+        |    $ests) AS est_n FROM e)
+        |SELECT token, exact_n, est_n, est_n - exact_n AS overcount
+        |FROM est ORDER BY exact_n DESC, token""".stripMargin
   }
 
   /** Shared winnowing CTE chain (positional gram hashes → window min →
@@ -1731,6 +1760,7 @@ object SparkEntry {
         |ORDER BY o_custkey, effective_from, o_orderkey""".stripMargin,
     "xtr_bloom_prune" -> bloomPruneOracle,
     "xtr_zorder_key" -> zorderOracle,
+    "xtr_cms_topk" -> cmsOracle,
     "txt_winnow" -> (winnowCte() + """
         |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max,
         |  bit_xor(fp) AS fp_xor

@@ -554,6 +554,31 @@ class OpsSpec extends SparkTestBase {
     assert(got.filter(col("doc1") >= col("doc2")).count() === 0L)
   }
 
+  test("count-min sketch never underestimates and stays fixed-size") {
+    val docs = Tables.documents(spark, sf)
+    val tok = docs.select(explode(split(col("text"), " ")).as("token"))
+    val counters = CountMin.sketch(tok, col("token"))
+    assert(counters.count() <= CountMin.depth.toLong * CountMin.width)
+    // one-sided error over EVERY distinct token, not just the head
+    val allTokens = tok.groupBy("token").agg(count(lit(1)).as("exact_n"))
+    val under = CountMin.estimate(allTokens, "token", counters)
+      .filter(col("est_n") < col("exact_n")).count()
+    assert(under === 0L)
+  }
+
+  test("count-min sketches merge by counter addition") {
+    val docs = Tables.documents(spark, sf)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split(col("text"), " ")).as("token"))
+    val merged = CountMin.sketch(toks(a), col("token"))
+      .unionByName(CountMin.sketch(toks(b), col("token")))
+      .groupBy("row", "col").agg(sum("n").as("n"))
+    val whole = CountMin.sketch(toks(docs), col("token"))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
   test("packBins partitions every document into exactly one bin with " +
       "conserved token totals") {
     val docs = Tables.documents(spark, sf)
