@@ -182,6 +182,40 @@ object PlanAudit {
       ("one-row filter broadcast to the probe",
         p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")))
 
+    // Q19 shape: the disjunctive predicate must not break the equi-join
+    audit("rel_disjunctive")(
+      ("join stays hash-based despite the OR residual",
+        _.contains("BroadcastHashJoin")),
+      ("no cartesian fallback", p => !p.contains("CartesianProduct")))
+
+    // Q21 shape: decorrelated to window passes — no correlated re-scan,
+    // top-k never global-sorts
+    audit("rel_waiting_supp")(
+      ("top-k via TakeOrderedAndProject", _.contains("TakeOrderedAndProject")),
+      ("no cartesian", p => !p.contains("CartesianProduct")),
+      ("bounded exchanges (group, window, final agg)", p =>
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 3))
+
+    // Q22 shape: anti join against a date-pruned scan
+    audit("rel_idle_rich")(
+      ("anti join planned as LeftAnti", _.contains("LeftAnti")),
+      ("recent-order cutoff pushed to the orders scan",
+        _.contains("GreaterThanOrEqual(o_orderdate")))
+
+    // winnowing overlap pairs: fingerprint equi-join, never all-pairs
+    audit("txt_winnow_pairs")(
+      ("no cartesian/BNL pair enumeration", p =>
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
+
+    // count-min: estimates join the fixed-size counter matrix by
+    // broadcast; the head is TakeOrderedAndProject
+    audit("xtr_cms_topk")(
+      ("counter-matrix joins broadcast", _.contains("BroadcastHashJoin")),
+      ("no vocabulary-wide range sort under the joins (head is a " +
+        "materialized TakeOrderedAndProject)",
+        p => !p.contains("Exchange rangepartitioning")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // dedup application: the loser set is data-dependent (billions of
     // rows at a realistic dup rate over 100 TB) — the anti-join must
     // carry NO mandatory broadcast hint; AQE picks the strategy from the

@@ -292,6 +292,12 @@ object SparkEntry {
       Bloom.pruneStats(orders(s, d), col("o_custkey"), dim, col("c_custkey"))
     }),
     "xtr_cms_topk" -> ((s, d) => CountMin.heavyHitters(documents(s, d))),
+    "rel_disjunctive" -> ((s, d) =>
+      Relational.disjunctiveRevenue(lineitem(s, d), part(s, d))),
+    "rel_waiting_supp" -> ((s, d) =>
+      Relational.waitingSuppliers(lineitem(s, d), orders(s, d), supplier(s, d))),
+    "rel_idle_rich" -> ((s, d) =>
+      Relational.idleRichCustomers(customer(s, d), orders(s, d))),
     "txt_winnow" -> ((s, d) => Text.winnowSketch(documents(s, d))),
     "txt_winnow_pairs" -> ((s, d) => Text.winnowMatches(documents(s, d))),
     // capacity sized to the fixture's ~54-token docs so shards actually
@@ -1761,6 +1767,50 @@ object SparkEntry {
     "xtr_bloom_prune" -> bloomPruneOracle,
     "xtr_zorder_key" -> zorderOracle,
     "xtr_cms_topk" -> cmsOracle,
+    "rel_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |   CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |        AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "rel_waiting_supp" ->
+      """WITH f AS (
+        |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |ps AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS my_max
+        |       FROM f GROUP BY 1, 2),
+        |w AS (SELECT s.l_orderkey, s.l_suppkey FROM ps s
+        |      WHERE EXISTS (SELECT 1 FROM ps x
+        |                    WHERE x.l_orderkey = s.l_orderkey
+        |                      AND x.l_suppkey <> s.l_suppkey)
+        |        AND NOT EXISTS (SELECT 1 FROM ps y
+        |                        WHERE y.l_orderkey = s.l_orderkey
+        |                          AND y.l_suppkey <> s.l_suppkey
+        |                          AND y.my_max >= s.my_max))
+        |SELECT sp.s_suppkey, sp.s_name, count(*) AS numwait
+        |FROM w JOIN supplier sp ON w.l_suppkey = sp.s_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, sp.s_suppkey
+        |LIMIT 10""".stripMargin,
+    "rel_idle_rich" ->
+      """WITH t AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS s_bal,
+        |         count(*) AS n_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, t
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_bal > s_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "txt_winnow" -> (winnowCte() + """
         |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max,
         |  bit_xor(fp) AS fp_xor

@@ -90,8 +90,12 @@ object CountMin {
         col("doc_id"))
       .select(explode(Text.tokens(col("text"))).as("token"))
     val counters = sketch(tok, col("token"))
+    // the head is materialized (k rows) so the top-k runs as a terminal
+    // TakeOrderedAndProject job — left inline, a mid-plan orderBy+limit
+    // plans as a full range-sort of the vocabulary under the joins
     val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("token")).limit(k)
+      .localCheckpoint()
     estimate(exact, "token", counters)
       .select(col("token"), col("exact_n"), col("est_n"),
         (col("est_n") - col("exact_n")).as("overcount"))

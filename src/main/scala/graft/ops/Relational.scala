@@ -992,4 +992,88 @@ object Relational {
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q19 shape (disjunctive discounted revenue): a join whose
+    * residual predicate is an OR of brand/size/quantity conjunctions.
+    * The shape matters to the optimizer: Catalyst extracts the common
+    * `p_partkey` equi-condition so the join stays hash-based, and
+    * factors the disjunction's part-only conjuncts below the join onto
+    * the (broadcast) part side — the fact side never pays a cartesian.
+    * One aggregate row of exact-decimal revenue.
+    */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50))))
+      .agg(outD(sum(discPrice)).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q21 shape (suppliers who kept the order waiting): for 'F'
+    * orders with lines from >1 supplier, count per supplier the orders
+    * where that supplier's LAST ship date is not beaten by any other
+    * supplier's — the classic EXISTS + NOT-EXISTS double correlation.
+    * Decorrelated into ONE windowed pass over per-(order, supplier)
+    * maxima: supplier s "kept it waiting" iff its per-order max STRICTLY
+    * dominates every other supplier's (it holds the order max and is
+    * its unique holder). The oracle states the same predicate as
+    * correlated EXISTS + NOT EXISTS (no other supplier with
+    * my_max >= mine), so the differential check proves the
+    * decorrelation. Two shuffles total: (orderkey, suppkey) then
+    * orderkey.
+    */
+  def waitingSuppliers(lineitem: DataFrame, orders: DataFrame,
+                       supplier: DataFrame, k: Int = 10): DataFrame = {
+    val perSupp = lineitem
+      .join(orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("my_max"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val flagged = perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("max1", max(col("my_max")).over(w))
+      .withColumn("n_at_max",
+        sum(when(col("my_max") === col("max1"), 1).otherwise(0)).over(w))
+      .filter(col("n_supp") > 1)
+      .filter(col("my_max") === col("max1") && col("n_at_max") === 1)
+    flagged
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q22 shape (global-customer analysis): customers whose
+    * balance beats the positive-balance average (uncorrelated scalar
+    * aggregate — ONE row broadcast into the filter) and who have no
+    * RECENT orders (anti join against a date-pruned scan), grouped by
+    * nation. The "above average" comparison is cross-multiplied
+    * (balance·n > Σbalance) so both engines compare exact decimals —
+    * an avg() would put a division-rounding boundary under the filter.
+    */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+                        recentCutoff: String = "2000-01-01"): DataFrame = {
+    val avgBal = customer.filter(col("c_acctbal") > 0)
+      .agg(sum(money(col("c_acctbal"))).as("s_bal"),
+        count(lit(1)).as("n_bal"))
+    customer
+      .join(broadcast(avgBal))
+      .filter(money(col("c_acctbal")) * col("n_bal") > col("s_bal"))
+      .join(orders
+          .filter(col("o_orderdate") >= lit(recentCutoff).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        outD(sum(money(col("c_acctbal")))).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
 }
