@@ -66,6 +66,38 @@ class BloomSpec extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("engine-native runtime bloom filter injects for a selective join " +
+      "(the optimizer twin of ops.Bloom)") {
+    // Spark's own runtime filter has driver-tuned thresholds sized for
+    // clusters; lower them so the fixture-scale join qualifies, then
+    // assert the optimizer injected a BloomFilterMightContain on the
+    // probe side — the same semi-join reduction Bloom.pruneForJoin
+    // expresses explicitly (and portably).
+    val conf = spark.conf
+    val key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val enabled = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val old = (conf.getOption(key), conf.getOption(enabled), conf.getOption(bcast))
+    try {
+      conf.set(enabled, "true")
+      conf.set(key, "0")
+      // the optimizer only injects for shuffle joins (a broadcast build
+      // already ships the exact key set); force the shuffle path
+      conf.set(bcast, "-1")
+      val q = Tables.lineitem(spark, sf)
+        .join(Tables.supplier(spark, sf).filter(col("s_acctbal") > 9000),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") ||
+        optimized.contains("BloomFilter"), optimized.take(1500))
+    } finally {
+      old._1.fold(conf.unset(key))(v => conf.set(key, v))
+      old._2.fold(conf.unset(enabled))(v => conf.set(enabled, v))
+      old._3.fold(conf.unset(bcast))(v => conf.set(bcast, v))
+    }
+  }
+
   test("pruneStats accounting is internally consistent") {
     val row = Bloom.pruneStats(fact, col("o_custkey"), dim, col("c_custkey"))
       .as[(Long, Long, Long, Long)].head()
