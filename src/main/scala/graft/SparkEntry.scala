@@ -298,6 +298,8 @@ object SparkEntry {
       Relational.waitingSuppliers(lineitem(s, d), orders(s, d), supplier(s, d))),
     "rel_idle_rich" -> ((s, d) =>
       Relational.idleRichCustomers(customer(s, d), orders(s, d))),
+    "rel_event_paths" -> ((s, d) => Relational.eventPaths(events(s, d))),
+    "xtr_outliers" -> ((s, d) => Scalar.robustOutliers(events(s, d))),
     "txt_winnow" -> ((s, d) => Text.winnowSketch(documents(s, d))),
     "txt_winnow_pairs" -> ((s, d) => Text.winnowMatches(documents(s, d))),
     // capacity sized to the fixture's ~54-token docs so shards actually
@@ -1798,6 +1800,33 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, sp.s_suppkey
         |LIMIT 10""".stripMargin,
+    "xtr_outliers" ->
+      """WITH ranked AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |quart AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1,
+        |    min(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3
+        |  FROM ranked WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+        |  GROUP BY event_type),
+        |j AS (SELECT e.event_type, CAST(e.value AS DECIMAL(12,2)) AS v,
+        |        q.q1, q.q3, q.q3 - q.q1 AS iqr
+        |      FROM events e JOIN quart q USING (event_type))
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(min(q1) AS DOUBLE) AS q1, CAST(min(q3) AS DOUBLE) AS q3,
+        |  count(CASE WHEN v < q1 - iqr * 1.5 OR v > q3 + iqr * 1.5 THEN 1 END) AS n_outliers
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "rel_event_paths" ->
+      """WITH s AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |           FROM events GROUP BY user_id),
+        |g AS (SELECT unnest(list_transform(generate_series(1, len(seq) - 2),
+        |        i -> seq[i] || '>' || seq[i+1] || '>' || seq[i+2])) AS path
+        |      FROM s WHERE len(seq) >= 3)
+        |SELECT path, count(*) AS n FROM g
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "rel_idle_rich" ->
       """WITH t AS (
         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS s_bal,

@@ -616,6 +616,34 @@ object Relational {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** Behavioral path mining: the top length-3 event-type sequences
+    * across users — the sequence-n-gram operator (the event-stream
+    * analog of text shingling, same gram construction as
+    * [[Dedup.shinglesFromTokens]]). One shuffle assembles each user's
+    * ordered path (collect_list + array_sort on a (ts, event_id, type)
+    * struct — the sort key is total, so assembly is partition-order
+    * free); trigram expansion is array-local, and the count shuffles
+    * grams, not events. Top-k by (count desc, path asc) is a total
+    * order → deterministic limit.
+    */
+  def eventPaths(events: DataFrame, k: Int = 20): DataFrame = {
+    val seqs = events
+      .groupBy(col("user_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")).as("seq"))
+    val grams = seqs
+      .select(explode(when(size(col("seq")) >= 3,
+          transform(sequence(lit(1), size(col("seq")) - 2),
+            i => concat_ws(">", element_at(col("seq"), i),
+              element_at(col("seq"), i + 1), element_at(col("seq"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("path"))
+    grams.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** Skew-resilient JOIN via salting: the probe side gets a
     * deterministic salt in [0, salts); the build side replicates once
     * per salt value (explode, not a crossJoin). The join key becomes

@@ -443,4 +443,47 @@ object Scalar {
           .cast("double").as("capped_bal"),
         greatest(col("c_nationkey"), lit(10)).cast("long").as("floored_nation"))
       .orderBy(col("c_custkey"))
+
+  /** Robust outlier detection (Tukey fences) per event type: discrete
+    * quartiles picked by INTEGER rank — q1 at row ⌈n/4⌉, q3 at ⌈3n/4⌉
+    * of the (value, event_id)-ordered partition — so both engines
+    * select the same concrete data point (interpolated percentiles are
+    * a float boundary; rank selection is exact). Fences are exact
+    * decimal arithmetic (1.5·IQR is a power-of-two-friendly multiplier
+    * but the decimals make it engine-exact regardless). One window
+    * pass + one tiny fence join; the outlier count shuffles only the
+    * group key.
+    */
+  def robustOutliers(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col("value").cast("decimal(12,2)")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("v").asc, col("event_id").asc)
+    val ranked = events
+      .select(col("event_type"), col("event_id"), v.as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val quart = ranked
+      .filter(col("rn") === expr("(n + 3) div 4") ||
+        col("rn") === expr("(3 * n + 3) div 4"))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rn") === expr("(n + 3) div 4"), col("v"))).as("q1"),
+        min(when(col("rn") === expr("(3 * n + 3) div 4"), col("v"))).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    // q1/q3 are constant within a group, so they ride through the
+    // aggregate (min) instead of a second quart join — `quart` feeds
+    // exactly one downstream chain
+    events.select(col("event_type"), v.as("v"))
+      .join(broadcast(quart), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("q1")).cast("double").as("q1"),
+        min(col("q3")).cast("double").as("q3"),
+        count(when(col("v") < col("q1") - col("iqr") * lit(1.5).cast("decimal(2,1)") ||
+          col("v") > col("q3") + col("iqr") * lit(1.5).cast("decimal(2,1)"), 1))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("q1"), col("q3"),
+        col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
 }
