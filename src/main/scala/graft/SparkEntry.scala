@@ -318,7 +318,20 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"))
     }),
+    "txt_repetition" -> ((s, d) => Text.repetitionStats(documents(s, d))),
+    "txt_mixture_sample" -> ((s, d) =>
+      Text.mixtureSample(documents(s, d), mixtureRates)),
+    "txt_novel_bigrams" -> ((s, d) => Text.novelBigrams(documents(s, d))),
+    "rel_pagerank" -> ((s, d) =>
+      Graph.nationPageRank(nation(s, d), lineitem(s, d), orders(s, d),
+        customer(s, d), supplier(s, d))),
   )
+
+  /** Target mixture for txt_mixture_sample (basis-point keep rates):
+    * boost English, downsample Chinese, default 10% elsewhere. The
+    * oracle CASE is generated from this same map.
+    */
+  private val mixtureRates: Map[String, Int] = Map("en" -> 2500, "zh" -> 500)
 
   /** xtr_bloom_prune oracle, generated from the same (a,b)/P/m bloom
     * constants the Spark operator uses — DuckDB rebuilds the identical
@@ -1862,5 +1875,114 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "txt_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |           FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST(len(tk) AS BIGINT) AS n_tokens,
+        |        CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bigrams,
+        |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_types
+        |      FROM d),
+        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |        i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |      FROM d WHERE len(tk) > 1),
+        |t AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+        |      FROM (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY doc_id, bg)
+        |      GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.n_bigrams, b.n_types,
+        |  COALESCE(t.top_bigram_n, 0) AS top_bigram_n,
+        |  CASE WHEN b.n_bigrams > 0
+        |       THEN CAST(COALESCE(t.top_bigram_n, 0) AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+        |       ELSE 0.0 END AS top_bigram_frac,
+        |  CASE WHEN b.n_tokens > 0
+        |       THEN CAST(b.n_tokens - b.n_types AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+        |       ELSE 0.0 END AS dup_token_frac,
+        |  (CASE WHEN b.n_bigrams > 0
+        |        THEN CAST(COALESCE(t.top_bigram_n, 0) AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
+        |        ELSE 0.0 END > 0.18
+        |   OR CASE WHEN b.n_tokens > 0
+        |           THEN CAST(b.n_tokens - b.n_types AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+        |           ELSE 0.0 END > 0.60) AS is_repetitive
+        |FROM b LEFT JOIN t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "txt_mixture_sample" -> mixtureSampleOracle,
+    "rel_pagerank" -> pageRankOracle(3),
+    "txt_novel_bigrams" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id,
+        |              unnest(list_transform(generate_series(1, len(tk) - 1),
+        |                i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |            FROM d WHERE len(tk) > 1) u),
+        |p AS (SELECT doc_id, count(*) AS n_bigrams FROM g GROUP BY doc_id),
+        |n AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY h HAVING count(*) = 1),
+        |nn AS (SELECT doc_id, count(*) AS n_novel FROM n GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_bigrams,
+        |  CAST(COALESCE(nn.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(COALESCE(nn.n_novel, 0) AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS novelty
+        |FROM p LEFT JOIN nn USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
   )
+
+  /** txt_mixture_sample oracle: the keep-rate CASE is generated from
+    * the same `mixtureRates` map the Spark operator uses.
+    */
+  private def mixtureSampleOracle: String = {
+    val cases = mixtureRates.toSeq.sortBy(_._1)
+      .map { case (l, bp) => s"WHEN '$l' THEN $bp" }.mkString(" ")
+    val rate = s"CASE lang $cases ELSE 1000 END"
+    s"""WITH k AS (
+       |  SELECT lang, $rate AS target_bp,
+       |    CASE WHEN (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+       |           < ($rate) THEN 1 ELSE 0 END AS keep
+       |  FROM documents),
+       |p AS (SELECT lang, max(target_bp) AS target_bp, count(*) AS n_total,
+       |        CAST(sum(keep) AS BIGINT) AS n_kept
+       |      FROM k GROUP BY lang),
+       |t AS (SELECT CAST(sum(keep) AS BIGINT) AS n_kept_all FROM k)
+       |SELECT lang, target_bp, n_total, n_kept,
+       |  CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE) AS keep_rate,
+       |  CAST(n_kept AS DOUBLE) / CAST(n_kept_all AS DOUBLE) AS mix_share
+       |FROM p, t ORDER BY lang""".stripMargin
+  }
+
+  /** rel_pagerank oracle: the same fixed-point integer recurrence as
+    * `Graph.pageRank`, unrolled to `iters` CTE rounds (the Scala loop
+    * and this generator share `Graph.scale` and the 15/85/100
+    * constants, so they cannot drift apart).
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val sc = ops.Graph.scale
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""r$i AS (
+         |  SELECT n.id,
+         |    CAST((15 * $sc) // (100 * cnt.n_nodes)
+         |      + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n CROSS JOIN cnt
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS contrib
+         |    FROM edges e JOIN r$p r ON e.src = r.id
+         |    JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) c ON n.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+       |cnt AS (SELECT count(*) AS n_nodes FROM nodes),
+       |edges AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+       |                 CAST(s.s_nationkey AS BIGINT) AS dst
+       |          FROM lineitem l
+       |          JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |          JOIN customer c ON o.o_custkey = c.c_custkey
+       |          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |          WHERE c.c_nationkey <> s.s_nationkey),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT id, CAST($sc // cnt.n_nodes AS BIGINT) AS rank
+       |       FROM nodes CROSS JOIN cnt),
+       |$rounds
+       |SELECT n.n_nationkey, n.n_name, r.rank AS rank_scaled
+       |FROM r$iters r JOIN nation n ON r.id = CAST(n.n_nationkey AS BIGINT)
+       |ORDER BY rank_scaled DESC, n.n_nationkey""".stripMargin
+  }
 }

@@ -608,4 +608,139 @@ object Text {
         max(col("doc_id")).as("last_doc"))
       .orderBy(col("shard"), col("bin"))
   }
+
+  /** Gopher-style repetition filters (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * §A1.1): a document is low-quality when a single n-gram dominates
+    * it or most tokens are repeats. Two per-doc signals:
+    * top-bigram fraction (count of the most frequent bigram over all
+    * bigrams) and duplicate-token fraction (1 - types/tokens).
+    *
+    * Scale shape: ZERO shuffle — the top-bigram count is the longest
+    * equal run in the doc's SORTED bigram array, computed with one
+    * `aggregate` fold per row; no explode, no (doc, bigram) grouping.
+    * Each ratio is one division of two exact integers, so it
+    * hash-matches across engines.
+    */
+  def repetitionStats(documents: DataFrame,
+                      topBigramMax: Double = 0.18,
+                      dupTokenMax: Double = 0.60): DataFrame = {
+    val base = documents
+      .withColumn("tk", tokens(lower(col("text"))))
+      .withColumn("bg", when(size(col("tk")) > 1,
+          sort_array(transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat_ws(" ",
+              element_at(col("tk"), i), element_at(col("tk"), i + 1)))))
+        .otherwise(array().cast("array<string>")))
+    // longest equal run over the sorted bigrams: fold state is
+    // (previous element, current run length, best run length)
+    val top = aggregate(col("bg"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    base.select(
+        col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("tk"))).cast("long").as("n_types"),
+        top.as("top_bigram_n"))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0,
+          col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("dup_token_frac",
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("n_types")).cast("double") /
+            col("n_tokens").cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("is_repetitive",
+        col("top_bigram_frac") > topBigramMax ||
+          col("dup_token_frac") > dupTokenMax)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Domain-mixture sampling: downsample each language/source stratum
+    * to a TARGET mixture (basis-point keep rates) with the same
+    * deterministic md5 rule as [[hashSample]] — re-runnable across
+    * runs, engines, and partitionings, unlike seeded `df.sample`. The
+    * salt decorrelates the keep decision from the other hash-keyed
+    * assignments (split, shard) built on the same hash family.
+    *
+    * Output is the mixture report: per-stratum totals, kept counts,
+    * the realized keep rate, and each stratum's share of the sampled
+    * corpus (single-row broadcast join, no global window). At 100 TB
+    * the same expression drives the actual `filter` — the report and
+    * the sample come from one scan.
+    */
+  def mixtureSample(documents: DataFrame, ratesBp: Map[String, Int],
+                    defaultBp: Int = 1000): DataFrame = {
+    val u = conv(substring(md5(concat(lit("mix:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 10000
+    val rate = coalesce(
+      element_at(
+        map(ratesBp.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("lang")),
+      lit(defaultBp))
+    val kept = documents
+      .withColumn("target_bp", rate)
+      .withColumn("keep", (u < col("target_bp")).cast("long"))
+    val perLang = kept.groupBy(col("lang"))
+      .agg(max(col("target_bp")).as("target_bp"),
+        count(lit(1)).as("n_total"),
+        sum(col("keep")).as("n_kept"))
+    val total = kept.agg(sum(col("keep")).as("n_kept_all"))
+    perLang.join(broadcast(total))
+      .select(col("lang"), col("target_bp"), col("n_total"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_total").cast("double"))
+          .as("keep_rate"),
+        (col("n_kept").cast("double") / col("n_kept_all").cast("double"))
+          .as("mix_share"))
+      .orderBy(col("lang"))
+  }
+
+  /** Corpus-novelty scoring: the fraction of a document's DISTINCT
+    * bigrams that occur in no other document — high novelty marks
+    * fresh content, near-zero novelty marks boilerplate/templated text
+    * the dedup family should look at. Complements
+    * [[contaminationScores]] (which checks overlap against a specific
+    * split) with an unsupervised corpus-wide signal.
+    *
+    * Scale shape: bigrams travel as 60-bit md5-prefix hashes
+    * ([[tokenHash60]] — 8-byte shuffle keys, not strings). A bigram
+    * with document frequency 1 belongs to exactly ONE doc, so the
+    * novel counts come straight off the frequency aggregation
+    * (min(doc_id) = THE doc) — no join-back of the full bigram set.
+    */
+  def novelBigrams(documents: DataFrame): DataFrame = {
+    val tk = tokens(lower(col("text")))
+    val bigramHashes = when(size(col("tk")) > 1,
+        array_distinct(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => tokenHash60(concat_ws(" ",
+            element_at(col("tk"), i), element_at(col("tk"), i + 1))))))
+      .otherwise(array().cast("array<bigint>"))
+    val base = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .withColumn("tk", tk)
+      .select(col("doc_id"), explode(bigramHashes).as("h"))
+    val perDoc = base.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"))
+    val novel = base.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_bigrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -607,4 +607,101 @@ class OpsSpec extends SparkTestBase {
     val over = packed.filter(col("sum_tokens") > lit(256L) + maxDoc).count()
     assert(over === 0L)
   }
+
+  test("repetition stats: the array-native fold finds the exact top-bigram count") {
+    val docs = Seq(
+      (1L, "a b a b a b c", "en"),   // "a b" x3 of 6 bigrams
+      (2L, "x y z w v u t s r q p", "en"),  // 10 unique bigrams → frac 0.1
+      (3L, "t t t t", "en")          // "t t" x3 of 3, all dup tokens
+    ).toDF("doc_id", "text", "lang")
+    val r = Text.repetitionStats(docs).collect()
+    val byId = r.map(x => x.getLong(0) -> x).toMap
+    assert(byId(1L).getAs[Long]("top_bigram_n") === 3L)
+    assert(byId(1L).getAs[Long]("n_bigrams") === 6L)
+    assert(byId(2L).getAs[Long]("top_bigram_n") === 1L)
+    assert(byId(2L).getAs[Boolean]("is_repetitive") === false)
+    assert(byId(3L).getAs[Long]("top_bigram_n") === 3L)
+    assert(byId(3L).getAs[Double]("dup_token_frac") === 0.75)
+    assert(byId(3L).getAs[Boolean]("is_repetitive") === true)
+    // and it agrees with the explode+groupBy formulation on real data
+    val real = Tables.documents(spark, sf)
+    val folded = Text.repetitionStats(real)
+      .select(col("doc_id"), col("top_bigram_n"))
+    val exploded = real
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(split(lower(text), ' ')) - 1), " +
+        "i -> concat_ws(' ', element_at(split(lower(text), ' '), i), " +
+        "element_at(split(lower(text), ' '), i + 1)))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+    assert(folded.exceptAll(exploded).isEmpty && exploded.exceptAll(folded).isEmpty)
+  }
+
+  test("mixture sample hits each stratum's target rate in expectation") {
+    val docs = Tables.documents(spark, sf)
+    val r = Text.mixtureSample(docs, Map("en" -> 2500, "zh" -> 500))
+      .collect().map(x => x.getString(0) -> x).toMap
+    // deterministic md5 rule: re-running yields the identical report
+    val r2 = Text.mixtureSample(docs, Map("en" -> 2500, "zh" -> 500))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keySet === r2.keySet)
+    r.keys.foreach { l =>
+      assert(r(l).getAs[Long]("n_kept") === r2(l).getAs[Long]("n_kept"))
+      // kept never exceeds total; rate sits in a loose band around target
+      assert(r(l).getAs[Long]("n_kept") <= r(l).getAs[Long]("n_total"))
+    }
+    assert(r("en").getAs[Int]("target_bp") === 2500)
+    assert(r("zh").getAs[Int]("target_bp") === 500)
+    assert(r("de").getAs[Int]("target_bp") === 1000)
+  }
+
+  test("novel bigrams: corpus-unique bigrams are credited to their only doc") {
+    val docs = Seq(
+      (1L, "a b c", "en"),  // bigrams: "a b", "b c"
+      (2L, "a b d", "en"),  // bigrams: "a b", "b d"
+      (3L, "e f", "en")     // bigram: "e f"
+    ).toDF("doc_id", "text", "lang")
+    val r = Text.novelBigrams(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Long]("n_bigrams") === 2L)
+    assert(r(1L).getAs[Long]("n_novel") === 1L)   // "b c"
+    assert(r(2L).getAs[Long]("n_novel") === 1L)   // "b d"
+    assert(r(3L).getAs[Long]("n_novel") === 1L)   // "e f"
+    assert(r(3L).getAs[Double]("novelty") === 1.0)
+  }
+
+  test("pagerank: a directed cycle stays uniform, a dangling node keeps base rank") {
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    // 0 -> 1 -> 2 -> 0 cycle; 3 is dangling (no in- or out-edges)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val r = Graph.pageRank(nodes, edges, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val start = Graph.scale / 4
+    // cycle: each node forwards its whole rank, so rank is a fixpoint of
+    // base + 85% of the incoming (uniform) rank — all three stay equal
+    assert(r(0L) === r(1L) && r(1L) === r(2L))
+    // dangling node: base share only
+    val base = (15L * Graph.scale) / (100L * 4)
+    assert(r(3L) === base)
+    // cycle nodes beat the dangling node and no node exceeds start + mass
+    assert(r(0L) > r(3L))
+    assert(r.values.forall(_ <= Graph.scale))
+    // total mass never grows (dangling leak + floor losses only shrink it)
+    assert(r.values.sum <= 4 * start)
+  }
+
+  test("nation pagerank is deterministic and covers every nation") {
+    val pr = Graph.nationPageRank(Tables.nation(spark, sf),
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.supplier(spark, sf))
+    val rows = pr.collect()
+    assert(rows.length === 25)
+    val again = Graph.nationPageRank(Tables.nation(spark, sf),
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.supplier(spark, sf)).collect()
+    assert(rows.map(_.toSeq.toList).toList === again.map(_.toSeq.toList).toList)
+    // ranks are positive and mass-bounded
+    assert(rows.forall(_.getAs[Long]("rank_scaled") > 0))
+    assert(rows.map(_.getAs[Long]("rank_scaled")).sum <= Graph.scale)
+  }
 }
