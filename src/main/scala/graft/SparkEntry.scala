@@ -172,6 +172,8 @@ object SparkEntry {
       graft.streaming.StreamingOps.sessionize(events(s, d), 30)),
     "str_click_attr" -> ((s, d) =>
       graft.streaming.StreamingOps.clickAttributionBatch(events(s, d))),
+    "str_dedup" -> ((s, d) =>
+      graft.streaming.StreamingOps.firstEventPerKey(events(s, d))),
 
     // ---- deduplication (LLM-pipeline operators) ----
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(documents(s, d))),
@@ -1907,6 +1909,19 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "txt_mixture_sample" -> mixtureSampleOracle,
     "rel_pagerank" -> pageRankOracle(3),
+    "str_dedup" ->
+      """WITH k AS (
+        |  SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
+        |    event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
+        |                       ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)) AS n
+        |  FROM events)
+        |SELECT user_id, event_type, minute,
+        |  event_id AS first_event_id, ts AS first_ts,
+        |  CAST(n AS BIGINT) AS n_dups
+        |FROM k WHERE rn = 1
+        |ORDER BY user_id, event_type, minute""".stripMargin,
     "txt_novel_bigrams" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
         |           FROM documents),

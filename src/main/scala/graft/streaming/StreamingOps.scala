@@ -271,6 +271,29 @@ object StreamingOps {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Deterministic batch equivalent of [[streamingDedup]]: one row per
+    * dedup key — the EARLIEST by (ts, event_id), which is exactly what
+    * the streaming path emits when events arrive in event-time order
+    * (cross-checked in StreamingSpec). The key here is the standard
+    * at-least-once collapse: same user, same action, same minute.
+    *
+    * Scale shape: single hash aggregation; the "first row" rides a
+    * min(struct(...)) — an associative partial-aggregable min, not a
+    * window sort, so map-side combine applies and no per-key ordering
+    * materializes.
+    */
+  def firstEventPerKey(events: DataFrame): DataFrame =
+    events
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .groupBy(col("user_id"), col("event_type"), col("minute"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"),
+        count(lit(1)).as("n_dups"))
+      .select(col("user_id"), col("event_type"), col("minute"),
+        col("f.event_id").as("first_event_id"),
+        col("f.ts").as("first_ts"),
+        col("n_dups"))
+      .orderBy(col("user_id"), col("event_type"), col("minute"))
+
   case class SessionRow(user_id: Long, session_start: Long, session_end: Long,
                         n_events: Long)
   // must be public: the state encoder's generated code instantiates it

@@ -187,6 +187,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("streaming dedup in event-time order matches the batch first-per-key analog") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // (event_id, user_id, event_type, ts_ms): three keys, two with dups
+    val rows = Seq(
+      (10L, 1L, "click", 1000L), (11L, 1L, "click", 2000L),
+      (12L, 1L, "view", 3000L),
+      (13L, 2L, "click", 61000L), (14L, 2L, "click", 61500L),
+      (15L, 2L, "click", 130000L))
+    def mkDf(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_id", "user_id", "event_type", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withColumn("minute", date_trunc("minute", col("ts")))
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val q = StreamingOps.streamingDedup(mkDf(input.toDF()),
+        Seq("user_id", "event_type", "minute"), "10 minutes")
+      .writeStream.format("memory").queryName("sdedup2").outputMode("append")
+      .start()
+    try {
+      rows.foreach { r => input.addData(r) } // event-time arrival order
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sdedup2")
+      .select("user_id", "event_type", "event_id").as[(Long, String, Long)]
+      .collect().sorted
+    val batch = StreamingOps.firstEventPerKey(mkDf(rows.toDF()))
+      .select(col("user_id"), col("event_type"),
+        col("first_event_id").as("event_id"))
+      .as[(Long, String, Long)].collect().sorted
+    assert(streamed.toSeq === batch.toSeq)
+    // the batch analog also reports the collapse counts
+    val nDups = StreamingOps.firstEventPerKey(mkDf(rows.toDF()))
+      .agg(sum(col("n_dups"))).as[Long].head()
+    assert(nDups === rows.length)
+  }
+
   test("flatMapGroupsWithState emits a session row only when the session closes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps.UserStamp
