@@ -327,6 +327,8 @@ object SparkEntry {
     "rel_pagerank" -> ((s, d) =>
       Graph.nationPageRank(nation(s, d), lineitem(s, d), orders(s, d),
         customer(s, d), supplier(s, d))),
+    "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(embeddings(s, d), 8, 5)),
+    "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(embeddings(s, d), 8, 5)),
   )
 
   /** Target mixture for txt_mixture_sample (basis-point keep rates):
@@ -1909,6 +1911,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "txt_mixture_sample" -> mixtureSampleOracle,
     "rel_pagerank" -> pageRankOracle(3),
+    "sim_pq_topk" -> pqTopkOracle(8, 5),
+    "sim_pq_recall" -> pqRecallOracle(8, 5),
     "str_dedup" ->
       """WITH k AS (
         |  SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
@@ -1962,6 +1966,95 @@ object SparkEntry {
        |  CAST(n_kept AS DOUBLE) / CAST(n_kept_all AS DOUBLE) AS mix_share
        |FROM p, t ORDER BY lang""".stripMargin
   }
+
+  /** In-order double dot product over two DuckDB lists — the SQL twin
+    * of the engine's codegen'd `vector_dot` fold.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+  /** Squared L2 as three in-order dot folds — textual twin of
+    * `Similarity.l2sq` (same association: (d_aa - 2·d_ac) + d_cc).
+    */
+  private def l2Sql(a: String, c: String): String =
+    s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, c)} + ${dotSql(c, c)})"
+
+  /** sim_pq_topk oracle: the full PQ pipeline — unit-normalize, train
+    * M per-subspace L2 k-means codebooks (first-ksub seed, ordered-fold
+    * means), encode, LUT + in-order ADC fold — generated from the same
+    * `Similarity.pqM/pqDsub/pqKsub/pqIters` constants as the engine.
+    */
+  private def pqTopkOracle(nq: Int, k: Int): String = {
+    import Similarity.{pqM, pqDsub, pqKsub, pqIters}
+    val subspaces = (0 until pqM).map { m =>
+      val lo = m * pqDsub + 1
+      val hi = (m + 1) * pqDsub
+      val rounds = (1 to pqIters).map { i =>
+        val p = i - 1
+        s"""pq${m}a$p AS (SELECT vec_id, sv, cell FROM (
+           |    SELECT s.vec_id, s.sv, c.centroid_id AS cell,
+           |      row_number() OVER (PARTITION BY s.vec_id
+           |        ORDER BY ${l2Sql("s.sv", "c.ce")} ASC, c.centroid_id) AS rn
+           |    FROM pq${m}s s, pq${m}c$p c) t WHERE rn = 1),
+           |pq${m}k$p AS (SELECT cell, j,
+           |    list_sum(list(CAST(sv[j] AS DOUBLE) ORDER BY vec_id)) / count(*) AS mv
+           |  FROM pq${m}a$p, unnest(generate_series(1, $pqDsub)) AS u(j)
+           |  GROUP BY cell, j),
+           |pq${m}c$i AS (SELECT cell AS centroid_id, list(mv ORDER BY j) AS ce
+           |  FROM pq${m}k$p GROUP BY cell)""".stripMargin
+      }.mkString(",\n")
+      s"""pq${m}s AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS sv FROM un),
+         |pq${m}c0 AS (SELECT vec_id AS centroid_id, sv AS ce
+         |  FROM pq${m}s WHERE vec_id < $pqKsub),
+         |$rounds""".stripMargin
+    }.mkString(",\n")
+    val cbUnion = (0 until pqM).map(m =>
+      s"SELECT $m AS m, CAST(centroid_id AS BIGINT) AS code, ce FROM pq${m}c$pqIters")
+      .mkString("\n  UNION ALL ")
+    s"""WITH un AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)
+       |      / sqrt(${dotSql("embedding", "embedding")})) AS embedding
+       |  FROM embeddings),
+       |$subspaces,
+       |cb AS ($cbUnion),
+       |subs AS (SELECT vec_id, u.m,
+       |    list_slice(embedding, u.m * $pqDsub + 1, u.m * $pqDsub + $pqDsub) AS sv
+       |  FROM un, unnest(generate_series(0, ${pqM - 1})) AS u(m)),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${l2Sql("s.sv", "c.ce")} ASC, c.code) AS rn
+       |    FROM subs s JOIN cb c ON s.m = c.m) t WHERE rn = 1),
+       |qs AS (SELECT vec_id AS query_id, u.m,
+       |    list_slice(embedding, u.m * $pqDsub + 1, u.m * $pqDsub + $pqDsub) AS qsv
+       |  FROM un, unnest(generate_series(0, ${pqM - 1})) AS u(m)
+       |  WHERE vec_id < $nq),
+       |lut AS (SELECT query_id, q.m, c.code, ${dotSql("q.qsv", "c.ce")} AS pd
+       |  FROM qs q JOIN cb c ON q.m = c.m),
+       |adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+       |    list_sum(list(l.pd ORDER BY l.m)) AS adc
+       |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
+       |  WHERE e.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, adc, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** sim_pq_recall oracle: recall@k of PQ/ADC vs the brute-force
+    * cosine ground truth (same join shape as sim_ivf_recall).
+    */
+  private def pqRecallOracle(nq: Int, k: Int): String =
+    s"""WITH pq AS (${pqTopkOracle(nq, k)}),
+       |bf AS ($cosineTopkOracle)
+       |SELECT bf.query_id,
+       |  CAST(count(pq.neighbor_id) AS DOUBLE) / $k AS recall_at_k
+       |FROM bf LEFT JOIN pq
+       |  ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
   /** rel_pagerank oracle: the same fixed-point integer recurrence as
     * `Graph.pageRank`, unrolled to `iters` CTE rounds (the Scala loop

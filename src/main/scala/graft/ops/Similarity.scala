@@ -264,6 +264,164 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---- Product quantization (Jégou, Douze & Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011) ----
+
+  /** PQ geometry: M subspaces of dsub dims, ksub centroids each. A
+    * vector compresses to M small codes — at 100 TB THE memory story:
+    * 4 bytes/vector here vs 256 bytes of float32, so a trillion-vector
+    * index fits a modest cluster's RAM while full vectors stay in
+    * cold storage for optional re-ranking.
+    */
+  val pqM = 4
+  val pqDsub: Int = dim / pqM
+  val pqKsub = 16
+  val pqIters = 2
+
+  /** 1-based subvector slice of subspace m. */
+  def subvec(vec: Column, m: Int): Column = slice(vec, m * pqDsub + 1, pqDsub)
+
+  /** Squared L2 via three in-order dot folds — the exact shape the
+    * oracle mirrors with three list_sums, so distances (and therefore
+    * argmin assignments) are bit-identical across engines.
+    */
+  def l2sq(a: Column, c: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, c) + dot(c, c)
+
+  /** argmin-L2 cell assignment of (vec_id, sv) rows against a small
+    * broadcast centroid set; ties break on centroid_id.
+    */
+  private def assignCellsL2(sub: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = sub.join(broadcast(cent))
+      .select(col("vec_id"), col("sv"), col("centroid_id"),
+        l2sq(col("sv"), col("ce")).as("d2"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("sv"), col("centroid_id").as("cell"))
+  }
+
+  /** Per-subspace k-means (L2): same deterministic contract as
+    * [[kmeansCentroids]] — first-ksub seed, fixed iterations, ordered
+    * fold for the mean — but on subvectors with L2 assignment (PQ
+    * codebooks quantize raw coordinates, not directions).
+    */
+  def pqSubCodebook(sub: DataFrame, ksub: Int = pqKsub,
+                    iters: Int = pqIters): DataFrame = {
+    var cent = sub.filter(col("vec_id") < ksub)
+      .select(col("vec_id").as("centroid_id"),
+        transform(col("sv"), x => x.cast("double")).as("ce"))
+    for (_ <- 1 to iters) {
+      val dims = assignCellsL2(sub, cent)
+        .select(col("cell"), col("vec_id"),
+          posexplode(col("sv")).as(Seq("j", "v")))
+      val means = dims.groupBy(col("cell"), col("j"))
+        .agg((aggregate(sort_array(collect_list(struct(col("vec_id"), col("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v").cast("double"))
+          / count(lit(1))).as("mv"))
+      cent = means.groupBy(col("cell"))
+        .agg(transform(sort_array(collect_list(struct(col("j"), col("mv")))),
+          x => x.getField("mv")).as("ce"))
+        .select(col("cell").as("centroid_id"), col("ce"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** L2-normalized corpus as double vectors: PQ here approximates
+    * COSINE (train/encode/score on unit vectors), so the brute-force
+    * cosine top-k stays the ground truth for recall.
+    */
+  private def unitVectors(embeddings: DataFrame): DataFrame =
+    embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+      .select(col("vec_id"), normalized(col("embedding")).as("embedding"))
+
+  /** All M codebooks, tagged by subspace: (m, code, ce) — M×ksub rows,
+    * always the broadcast side.
+    */
+  def pqCodebooks(unit: DataFrame): DataFrame =
+    (0 until pqM).map { m =>
+      pqSubCodebook(unit.select(col("vec_id"),
+          subvec(col("embedding"), m).as("sv")))
+        .select(lit(m).as("m"), col("centroid_id").cast("long").as("code"),
+          col("ce"))
+    }.reduce(_ unionByName _)
+
+  /** PQ encoding: per vector, the argmin-L2 code of each subvector —
+    * (vec_id, codes[M]). One corpus scan, a broadcast of the M×ksub
+    * codebook, and a (vec_id, m)-partitioned argmin; the corpus never
+    * joins itself.
+    */
+  def pqEncode(unit: DataFrame, codebooks: DataFrame): DataFrame = {
+    val subs = unit.select(col("vec_id"), posexplode(
+        array((0 until pqM).map(m => subvec(col("embedding"), m)): _*))
+        .as(Seq("m", "sv")))
+    val scored = subs.join(broadcast(codebooks), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        l2sq(col("sv"), col("ce")).as("d2"))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("code"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(transform(sort_array(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code")).as("codes"))
+  }
+
+  /** PQ/ADC top-k (asymmetric distance computation): each query
+    * precomputes a LUT of partial dot products against every codebook
+    * entry (M×ksub doubles); scoring a compressed vector is then M map
+    * lookups + an IN-ORDER fold — no decompression, no full-width
+    * arithmetic. The LUT rides a broadcast keyed by query; the corpus
+    * side touches only the M-byte code arrays. The fold's addition
+    * order (m = 0..M-1, seed 0.0) is mirrored by the oracle's
+    * `list_sum(list(pd ORDER BY m))`, so ADC scores hash-match.
+    */
+  def pqTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val unit = unitVectors(embeddings)
+    val codebooks = pqCodebooks(unit).localCheckpoint()
+    val codes = pqEncode(unit, codebooks)
+    val qsubs = unit.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), posexplode(
+        array((0 until pqM).map(m => subvec(col("embedding"), m)): _*))
+        .as(Seq("m", "qsv")))
+    val lut = qsubs.join(broadcast(codebooks), Seq("m"))
+      .select(col("query_id"),
+        (col("m") * pqKsub + col("code")).as("mk"),
+        dot(col("qsv"), col("ce")).as("pd"))
+    val lutMaps = lut.groupBy(col("query_id"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("mk"), col("pd"))))).as("lut"))
+    val scored = codes.join(broadcast(lutMaps))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(pqM - 1)), lit(0.0),
+          (acc, m) => acc + element_at(col("lut"),
+            m * pqKsub + element_at(col("codes"), m + 1))).as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** recall@k of PQ/ADC against brute-force cosine — the compression
+    * quality gate next to [[ivfRecall]]'s probe quality gate.
+    */
+  def pqRecall(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val bf = cosineTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = pqTopK(embeddings, nQueries, k)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    bf.join(pq,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("n2")).cast("double") / k).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Banded random-hyperplane LSH for embedding-cosine NEAR-DUP
     * detection: `numBands` independent bands of `rowsPerBand` sign bits
     * each. Fewer bits per band than the top-k bucket key (4 vs 8)

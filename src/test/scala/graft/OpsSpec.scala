@@ -670,6 +670,42 @@ class OpsSpec extends SparkTestBase {
     assert(r(3L).getAs[Double]("novelty") === 1.0)
   }
 
+  test("PQ codes are well-formed and ADC retrieves cluster structure") {
+    // synthetic clustered corpus: 4 well-separated axis clusters of 12
+    // vectors each; within a cluster vectors differ by a small ripple
+    val rows = for (c <- 0 until 4; i <- 0 until 12) yield {
+      val base = Array.fill(Similarity.dim)(0.05f)
+      base(c * 16) = 10f // one dominant axis per cluster
+      base((c * 16 + 7) % Similarity.dim) = 1f + 0.01f * i
+      ((c * 12 + i).toLong, base.toSeq, c)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    // codes: exactly pqM entries, each within [0, pqKsub)
+    val unit = emb.select(col("vec_id"),
+      Similarity.normalized(col("embedding")).as("embedding"))
+    val cb = Similarity.pqCodebooks(unit)
+    val codes = Similarity.pqEncode(unit, cb).collect()
+    assert(codes.length === 48)
+    codes.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.length === Similarity.pqM)
+      assert(cs.forall(c => c >= 0 && c < Similarity.pqKsub))
+    }
+    // ADC top-5 of each query lands in the query's own cluster
+    val topk = Similarity.pqTopK(emb, nQueries = 8, k = 5).collect()
+    assert(topk.length === 40)
+    topk.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("neighbor_id")
+      assert(q / 12 === n / 12,
+        s"query $q retrieved cross-cluster neighbor $n")
+    }
+    // and against brute force the recall on separable data is perfect
+    val rec = Similarity.pqRecall(emb, 8, 5).collect()
+    assert(rec.forall(_.getAs[Double]("recall_at_k") === 1.0))
+  }
+
   test("pagerank: a directed cycle stays uniform, a dangling node keeps base rank") {
     val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
     // 0 -> 1 -> 2 -> 0 cycle; 3 is dangling (no in- or out-edges)
