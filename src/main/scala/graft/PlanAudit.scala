@@ -216,6 +216,44 @@ object PlanAudit {
         p => !p.contains("Exchange rangepartitioning")),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // repetition stats: the whole computation is per-row array folds —
+    // NO generator explosion, NO aggregation shuffle; the only exchange
+    // is the final deterministic output sort
+    audit("txt_repetition")(
+      ("no explode/generate in the plan", !_.contains("Generate")),
+      ("no hash-partitioned shuffle (per-row fold only)",
+        p => !p.contains("Exchange hashpartitioning")))
+
+    // bigram novelty: hash-keyed aggregations, df=1 credit comes off the
+    // frequency agg (no join-back of the exploded bigram set)
+    audit("txt_novel_bigrams")(
+      ("no cartesian", p => !p.contains("CartesianProduct")),
+      ("bounded exchanges (doc partition, hash agg, credit re-key)", p =>
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 4))
+
+    // pagerank: rank/node tables are |V| — never broadcast; only the
+    // one-row count and the 25-row dims may ride broadcasts
+    audit("rel_pagerank")(
+      ("no cartesian pair enumeration", p => !p.contains("CartesianProduct")),
+      ("per-round contribution agg is hash-partitioned", p =>
+        p.contains("Exchange hashpartitioning")))
+
+    // PQ/ADC: codebooks and query LUTs broadcast; the corpus code table
+    // never self-joins and the scoring fold uses the native dot
+    audit("sim_pq_topk")(
+      ("codebook/LUT sides broadcast", p =>
+        "BroadcastExchange".r.findAllIn(p).size >= 2),
+      ("native vector_dot in the LUT build", _.contains("vector_dot")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
+    // streaming dedup batch analog: ONE hash aggregation, min(struct)
+    // partial-aggregated map-side — no window sort anywhere
+    audit("str_dedup")(
+      ("no window operator (first-row via associative min)",
+        !_.contains("Window")),
+      ("two-phase hash aggregation", p =>
+        "HashAggregate".r.findAllIn(p).size >= 2))
+
     // dedup application: the loser set is data-dependent (billions of
     // rows at a realistic dup rate over 100 TB) — the anti-join must
     // carry NO mandatory broadcast hint; AQE picks the strategy from the

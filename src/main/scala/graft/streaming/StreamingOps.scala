@@ -277,20 +277,27 @@ object StreamingOps {
     * (cross-checked in StreamingSpec). The key here is the standard
     * at-least-once collapse: same user, same action, same minute.
     *
-    * Scale shape: single hash aggregation; the "first row" rides a
-    * min(struct(...)) — an associative partial-aggregable min, not a
-    * window sort, so map-side combine applies and no per-key ordering
-    * materializes.
+    * Scale shape: the argmin pair is PACKED into one orderable decimal
+    * (epoch-µs × 10^10 + event_id — lexicographic order preserved while
+    * event_id < 10^10). min(struct(...)) would be semantically
+    * identical but structs are not hash-aggregable: Spark plans them as
+    * SortAggregate, which sorts every input partition by the group key
+    * — n·log n over the full table. The packed scalar keeps the plan a
+    * two-phase HashAggregate with map-side combine (plan-audited).
     */
   def firstEventPerKey(events: DataFrame): DataFrame =
     events
       .withColumn("minute", date_trunc("minute", col("ts")))
       .groupBy(col("user_id"), col("event_type"), col("minute"))
-      .agg(min(struct(col("ts"), col("event_id"))).as("f"),
+      .agg(min(expr(
+          "CAST(unix_micros(ts) AS DECIMAL(18,0)) * 10000000000 + event_id"))
+          .as("p"),
         count(lit(1)).as("n_dups"))
       .select(col("user_id"), col("event_type"), col("minute"),
-        col("f.event_id").as("first_event_id"),
-        col("f.ts").as("first_ts"),
+        expr("CAST(p % 10000000000 AS BIGINT)").as("first_event_id"),
+        timestamp_micros(
+          expr("CAST((p - p % 10000000000) / 10000000000 AS BIGINT)"))
+          .as("first_ts"),
         col("n_dups"))
       .orderBy(col("user_id"), col("event_type"), col("minute"))
 
