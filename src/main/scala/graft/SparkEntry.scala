@@ -329,6 +329,10 @@ object SparkEntry {
         customer(s, d), supplier(s, d))),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(embeddings(s, d), 8, 5)),
     "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(embeddings(s, d), 8, 5)),
+    "txt_gopher_gate" -> ((s, d) => Text.gopherGate(documents(s, d))),
+    "rel_triangles" -> ((s, d) =>
+      Graph.nationTriangles(lineitem(s, d), orders(s, d), customer(s, d),
+        supplier(s, d))),
   )
 
   /** Target mixture for txt_mixture_sample (basis-point keep rates):
@@ -1913,6 +1917,32 @@ object SparkEntry {
     "rel_pagerank" -> pageRankOracle(3),
     "sim_pq_topk" -> pqTopkOracle(8, 5),
     "sim_pq_recall" -> pqRecallOracle(8, 5),
+    "txt_gopher_gate" -> gopherGateOracle,
+    "rel_triangles" ->
+      """WITH edges AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+        |                 CAST(s.s_nationkey AS BIGINT) AS dst
+        |          FROM lineitem l
+        |          JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |          JOIN customer c ON o.o_custkey = c.c_custkey
+        |          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |          WHERE c.c_nationkey <> s.s_nationkey),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM edges WHERE src <> dst),
+        |deg AS (SELECT id, count(*) AS deg FROM (
+        |          SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) u
+        |        GROUP BY id),
+        |k AS (SELECT id, deg * 4294967296 + id AS k FROM deg),
+        |o AS (SELECT CASE WHEN ka.k < kb.k THEN ka.k ELSE kb.k END AS u,
+        |             CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS v
+        |      FROM und JOIN k ka ON und.a = ka.id JOIN k kb ON und.b = kb.id),
+        |w AS (SELECT x.v AS p, y.v AS q FROM o x JOIN o y
+        |      ON x.u = y.u AND x.v < y.v),
+        |t AS (SELECT count(*) AS n_triangles
+        |      FROM w JOIN o z ON w.p = z.u AND w.q = z.v)
+        |SELECT (SELECT count(*) FROM und) AS n_edges,
+        |       (SELECT count(*) FROM w) AS n_wedges,
+        |       n_triangles
+        |FROM t""".stripMargin,
     "str_dedup" ->
       """WITH k AS (
         |  SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
@@ -2055,6 +2085,53 @@ object SparkEntry {
        |FROM bf LEFT JOIN pq
        |  ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+
+  /** txt_gopher_gate oracle: per-rule violation counts, generated with
+    * the same stopword list and thresholds as the engine's gate.
+    */
+  private def gopherGateOracle: String = {
+    val stops = ops.Text.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tk
+       |           FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+       |        i -> tk[i] || ' ' || tk[i+1])) AS bg
+       |      FROM d WHERE len(tk) > 1),
+       |t AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_n
+       |      FROM (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY doc_id, bg)
+       |      GROUP BY doc_id),
+       |f AS (SELECT
+       |    CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END AS len_ok,
+       |    CASE WHEN len(tk) >= 10 AND len(tk) <= 10000 THEN 1 ELSE 0 END AS tok_ok,
+       |    CASE WHEN CAST(len(list_filter(tk, x -> x IN ($stops))) AS DOUBLE)
+       |             / CAST(len(tk) AS DOUBLE) >= 0.05
+       |          AND CAST(len(list_filter(tk, x -> x IN ($stops))) AS DOUBLE)
+       |             / CAST(len(tk) AS DOUBLE) <= 0.6
+       |         THEN 1 ELSE 0 END AS stop_ok,
+       |    CASE WHEN (CASE WHEN greatest(len(tk) - 1, 0) > 0
+       |                    THEN CAST(COALESCE(t.top_n, 0) AS DOUBLE)
+       |                         / CAST(greatest(len(tk) - 1, 0) AS DOUBLE)
+       |                    ELSE 0.0 END) <= 0.18 THEN 1 ELSE 0 END AS rep_ok,
+       |    CASE WHEN CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE)
+       |             / CAST(len(tk) AS DOUBLE) <= 0.60 THEN 1 ELSE 0 END AS dup_ok
+       |  FROM d LEFT JOIN t USING (doc_id)),
+       |a AS (SELECT count(*) AS total,
+       |    CAST(sum(1 - len_ok) AS BIGINT) AS v_len,
+       |    CAST(sum(1 - tok_ok) AS BIGINT) AS v_tok,
+       |    CAST(sum(1 - stop_ok) AS BIGINT) AS v_stop,
+       |    CAST(sum(1 - rep_ok) AS BIGINT) AS v_rep,
+       |    CAST(sum(1 - dup_ok) AS BIGINT) AS v_dup,
+       |    CAST(sum(len_ok * tok_ok * stop_ok * rep_ok * dup_ok) AS BIGINT) AS pass
+       |  FROM f)
+       |SELECT rule, n_docs FROM (
+       |  SELECT '0_total' AS rule, total AS n_docs FROM a
+       |  UNION ALL SELECT '1_min_chars', v_len FROM a
+       |  UNION ALL SELECT '2_token_range', v_tok FROM a
+       |  UNION ALL SELECT '3_stopword_band', v_stop FROM a
+       |  UNION ALL SELECT '4_repetition', v_rep FROM a
+       |  UNION ALL SELECT '5_dup_tokens', v_dup FROM a
+       |  UNION ALL SELECT '6_pass_all', pass FROM a) u
+       |ORDER BY rule""".stripMargin
+  }
 
   /** rel_pagerank oracle: the same fixed-point integer recurrence as
     * `Graph.pageRank`, unrolled to `iters` CTE rounds (the Scala loop

@@ -76,6 +76,51 @@ object Graph {
     ranks
   }
 
+  /** Triangle counting by DEGREE ORIENTATION (the "forward" algorithm,
+    * Schank & Wagner, "Finding, Counting and Listing All Triangles in
+    * Large Graphs", WEA 2005): orient every undirected edge from the
+    * lower (degree, id) endpoint to the higher, enumerate wedges only
+    * from common SOURCES, and close each wedge with one more edge
+    * lookup. Out-degrees under this orientation are O(√m), so the
+    * wedge join materializes O(m^1.5) rows instead of the Σ deg² a
+    * naive orientation pays — the difference between hours and
+    * forever on a power-law web graph.
+    *
+    * Everything is equi-joins on (deg·2^32 + id) packed keys; counts
+    * are exact integers. Each triangle is counted exactly once.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val key = col("deg") * lit(4294967296L) + col("id")
+    val keyed = deg.select(col("id"), key.as("k"))
+    // orient toward the higher (deg, id) endpoint
+    val oriented = und
+      .join(keyed.select(col("id").as("a"), col("k").as("ka")), Seq("a"))
+      .join(keyed.select(col("id").as("b"), col("k").as("kb")), Seq("b"))
+      .select(when(col("ka") < col("kb"), col("ka")).otherwise(col("kb")).as("u"),
+        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("v"))
+    val wedges = oriented.alias("x")
+      .join(oriented.alias("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("p"), col("y.v").as("q"))
+    val triangles = wedges
+      .join(oriented.alias("z"),
+        col("p") === col("z.u") && col("q") === col("z.v"))
+    und.agg(count(lit(1)).as("n_edges"))
+      .join(wedges.agg(count(lit(1)).as("n_wedges")))
+      .join(triangles.agg(count(lit(1)).as("n_triangles")))
+  }
+
+  /** Registry shape: triangle census of the nation trade graph. */
+  def nationTriangles(lineitem: DataFrame, orders: DataFrame,
+                      customer: DataFrame, supplier: DataFrame): DataFrame =
+    triangleStats(tradeEdges(lineitem, orders, customer, supplier))
+
   /** Registry shape: PageRank of the nation trade graph, labeled and
     * rank-ordered. `rank_scaled` is the fixed-point integer — the
     * hash-checkable value; divide by 10^12 for the conventional score.

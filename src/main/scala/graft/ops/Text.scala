@@ -743,4 +743,65 @@ object Text {
         col("n_novel").cast("double") / col("n_bigrams").cast("double"))
       .orderBy(col("doc_id"))
   }
+
+  /** Composite Gopher-style quality gate: every rule evaluated
+    * INDEPENDENTLY over one scan (conditional sums — the complement of
+    * [[cleaningFunnel]]'s sequential survivor counts): per-rule
+    * violation counts tell a pipeline owner which filter bites before
+    * they commit to an order. Thresholds shared with [[qualityScore]] /
+    * [[repetitionStats]]. One row per rule plus the all-rules pass
+    * count; a doc can violate several rules, so violations may sum past
+    * the total.
+    */
+  def gopherGate(documents: DataFrame): DataFrame = {
+    val tk = tokens(lower(col("text")))
+    val bg = when(size(col("tk")) > 1,
+        sort_array(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => concat_ws(" ",
+            element_at(col("tk"), i), element_at(col("tk"), i + 1)))))
+      .otherwise(array().cast("array<string>"))
+    val top = aggregate(col("bg"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val nTok = size(col("tk")).cast("double")
+    val nStop = size(filter(col("tk"),
+      t => t.isin(stopwords.map(lit(_)): _*))).cast("double")
+    val flagged = documents
+      .withColumn("tk", tk).withColumn("bg", bg)
+      .select(
+        (length(col("text")) >= 100).cast("long").as("len_ok"),
+        (size(col("tk")) >= 10 && size(col("tk")) <= 10000)
+          .cast("long").as("tok_ok"),
+        (nStop / nTok >= 0.05 && nStop / nTok <= 0.6)
+          .cast("long").as("stop_ok"),
+        (when(size(col("bg")) > 0,
+            top.cast("double") / size(col("bg")).cast("double"))
+          .otherwise(lit(0.0)) <= 0.18).cast("long").as("rep_ok"),
+        ((size(col("tk")) - size(array_distinct(col("tk")))).cast("double") /
+          size(col("tk")).cast("double") <= 0.60).cast("long").as("dup_ok"))
+    flagged
+      .agg(count(lit(1)).as("total"),
+        sum(lit(1) - col("len_ok")).as("v_len"),
+        sum(lit(1) - col("tok_ok")).as("v_tok"),
+        sum(lit(1) - col("stop_ok")).as("v_stop"),
+        sum(lit(1) - col("rep_ok")).as("v_rep"),
+        sum(lit(1) - col("dup_ok")).as("v_dup"),
+        sum(col("len_ok") * col("tok_ok") * col("stop_ok") *
+          col("rep_ok") * col("dup_ok")).as("pass"))
+      .select(explode(map(
+        lit("0_total"), col("total"),
+        lit("1_min_chars"), col("v_len"),
+        lit("2_token_range"), col("v_tok"),
+        lit("3_stopword_band"), col("v_stop"),
+        lit("4_repetition"), col("v_rep"),
+        lit("5_dup_tokens"), col("v_dup"),
+        lit("6_pass_all"), col("pass"))).as(Seq("rule", "n_docs")))
+      .orderBy(col("rule"))
+  }
 }

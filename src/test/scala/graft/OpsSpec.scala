@@ -726,6 +726,36 @@ class OpsSpec extends SparkTestBase {
     assert(r.values.sum <= 4 * start)
   }
 
+  test("triangle census: K4 has 4 triangles, C4 has none, counts exact") {
+    // complete graph K4 (as directed noisy input: dups + both directions)
+    val k4 = Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L),
+      (1L,0L),(3L,2L),(0L,1L)).toDF("src", "dst")
+    val r1 = Graph.triangleStats(k4).head()
+    assert(r1.getAs[Long]("n_edges") === 6L)
+    assert(r1.getAs[Long]("n_triangles") === 4L)
+    // 4-cycle: wedges exist but no triangle closes
+    val c4 = Seq((0L,1L),(1L,2L),(2L,3L),(3L,0L)).toDF("src", "dst")
+    val r2 = Graph.triangleStats(c4).head()
+    assert(r2.getAs[Long]("n_edges") === 4L)
+    assert(r2.getAs[Long]("n_triangles") === 0L)
+    assert(r2.getAs[Long]("n_wedges") > 0L)
+  }
+
+  test("gopher gate: violation counts are independent and pass is conjunctive") {
+    val docs = Tables.documents(spark, sf)
+    val gate = Text.gopherGate(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = gate("0_total")
+    assert(total === docs.count())
+    // every rule's violations and the pass count are bounded by total
+    gate.foreach { case (_, n) => assert(n >= 0 && n <= total) }
+    // conjunctive pass can never exceed any single rule's survivors
+    Seq("1_min_chars", "2_token_range", "3_stopword_band",
+        "4_repetition", "5_dup_tokens").foreach { rule =>
+      assert(gate("6_pass_all") <= total - gate(rule), rule)
+    }
+  }
+
   test("nation pagerank is deterministic and covers every nation") {
     val pr = Graph.nationPageRank(Tables.nation(spark, sf),
       Tables.lineitem(spark, sf), Tables.orders(spark, sf),
