@@ -330,6 +330,7 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(embeddings(s, d), 8, 5)),
     "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(embeddings(s, d), 8, 5)),
     "txt_gopher_gate" -> ((s, d) => Text.gopherGate(documents(s, d))),
+    "xtr_kmv_overlap" -> ((s, d) => Text.langTokenOverlap(documents(s, d))),
     "rel_triangles" -> ((s, d) =>
       Graph.nationTriangles(lineitem(s, d), orders(s, d), customer(s, d),
         supplier(s, d))),
@@ -1918,6 +1919,34 @@ object SparkEntry {
     "sim_pq_topk" -> pqTopkOracle(8, 5),
     "sim_pq_recall" -> pqRecallOracle(8, 5),
     "txt_gopher_gate" -> gopherGateOracle,
+    "xtr_kmv_overlap" ->
+      """WITH tok AS (SELECT lang,
+        |        ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv
+        |      FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+        |            FROM documents) u),
+        |h AS (SELECT DISTINCT lang, hv FROM tok),
+        |r AS (SELECT lang, hv,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+        |      FROM h),
+        |sk AS (SELECT lang, list(hv ORDER BY hv) AS s
+        |       FROM r WHERE rn <= 64 GROUP BY lang),
+        |p AS (SELECT a.lang AS lang1, b.lang AS lang2, a.s AS sa, b.s AS sb
+        |      FROM sk a JOIN sk b ON a.lang < b.lang),
+        |u2 AS (SELECT lang1, lang2, sa, sb,
+        |        list_slice(list_sort(list_distinct(sa || sb)), 1, 64) AS su
+        |       FROM p),
+        |e AS (SELECT lang1, lang2,
+        |    CASE WHEN len(sa) < 64 THEN CAST(len(sa) AS DOUBLE)
+        |         ELSE 63.0 * 4294967296.0 / CAST(sa[64] AS DOUBLE) END AS est_1,
+        |    CASE WHEN len(sb) < 64 THEN CAST(len(sb) AS DOUBLE)
+        |         ELSE 63.0 * 4294967296.0 / CAST(sb[64] AS DOUBLE) END AS est_2,
+        |    CASE WHEN len(su) < 64 THEN CAST(len(su) AS DOUBLE)
+        |         ELSE 63.0 * 4294967296.0 / CAST(su[64] AS DOUBLE) END AS est_union
+        |  FROM u2)
+        |SELECT lang1, lang2, est_1, est_2, est_union,
+        |  greatest(est_1 + est_2 - est_union, 0.0) AS est_inter,
+        |  greatest(est_1 + est_2 - est_union, 0.0) / est_union AS jaccard_est
+        |FROM e ORDER BY lang1, lang2""".stripMargin,
     "rel_triangles" ->
       """WITH edges AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
         |                 CAST(s.s_nationkey AS BIGINT) AS dst

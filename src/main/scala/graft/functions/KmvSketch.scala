@@ -72,3 +72,24 @@ object KmvSketch extends Aggregator[Long, Seq[Long], Double] {
   /** Column form over a hash column (use `Text.tokenHash` to build it). */
   def estimate(hashCol: Column): Column = udaf(KmvSketch).apply(hashCol)
 }
+
+/** The same KMV sketch, finishing to the sketch ITSELF (the sorted
+  * bottom-k hash array) instead of the estimate — the composable form:
+  * two groups' sketches union into the union-set's sketch with plain
+  * array expressions (`slice(array_sort(array_union(a, b)), 1, k)`),
+  * which is what powers set-OVERLAP estimation between groups without
+  * rescanning either group's rows.
+  */
+object KmvSketchState extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  override def zero: Seq[Long] = KmvSketch.zero
+  override def reduce(b: Seq[Long], h: Long): Seq[Long] = KmvSketch.reduce(b, h)
+  override def merge(x: Seq[Long], y: Seq[Long]): Seq[Long] = KmvSketch.merge(x, y)
+  override def finish(r: Seq[Long]): Seq[Long] = r
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+
+  /** Column form: the sketch array for downstream set algebra. */
+  def sketch(hashCol: Column): Column = udaf(KmvSketchState).apply(hashCol)
+}

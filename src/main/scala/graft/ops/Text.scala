@@ -744,6 +744,46 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Pairwise token-set overlap between language strata, estimated
+    * from KMV sketches — the sketch-algebra pattern for "how much do
+    * these corpora share?" at 100 TB: each stratum compresses to a
+    * 64-long bottom-k sketch (one aggregation, map-side combining),
+    * pairs combine sketch ARRAYS with plain array expressions (the
+    * bottom-k of a union of sets is the bottom-k of the union of
+    * their sketches), and inclusion–exclusion gives the intersection
+    * and Jaccard estimates. No pair of strata ever rescans rows.
+    *
+    * Like [[graft.functions.KmvSketch]], everything is deterministic
+    * cross-engine (md5 hashes, set minima, one IEEE expression tree) —
+    * the oracle hash-checks the ESTIMATES, not an error band.
+    */
+  def langTokenOverlap(documents: DataFrame): DataFrame = {
+    import graft.functions.{KmvSketch, KmvSketchState}
+    val k = KmvSketch.k
+    def est(s: Column): Column =
+      when(size(s) < k, size(s).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+          element_at(s, k).cast("double"))
+    val hashes = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("t"))
+      .select(col("lang"), tokenHash(col("t")).as("hv"))
+    val sk = hashes.groupBy(col("lang"))
+      .agg(KmvSketchState.sketch(col("hv")).as("s"))
+    sk.alias("a").join(sk.alias("b"), col("a.lang") < col("b.lang"))
+      .select(col("a.lang").as("lang1"), col("b.lang").as("lang2"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .withColumn("su", slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+      .select(col("lang1"), col("lang2"),
+        est(col("sa")).as("est_1"), est(col("sb")).as("est_2"),
+        est(col("su")).as("est_union"))
+      .withColumn("est_inter",
+        greatest(col("est_1") + col("est_2") - col("est_union"), lit(0.0)))
+      .withColumn("jaccard_est", col("est_inter") / col("est_union"))
+      .orderBy(col("lang1"), col("lang2"))
+  }
+
   /** Composite Gopher-style quality gate: every rule evaluated
     * INDEPENDENTLY over one scan (conditional sums — the complement of
     * [[cleaningFunnel]]'s sequential survivor counts): per-rule

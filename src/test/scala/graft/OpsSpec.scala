@@ -726,6 +726,23 @@ class OpsSpec extends SparkTestBase {
     assert(r.values.sum <= 4 * start)
   }
 
+  test("KMV sketch algebra: union-of-sketches estimate equals the direct estimate") {
+    val docs = Tables.documents(spark, sf)
+    val pair = Text.langTokenOverlap(docs)
+      .filter(col("lang1") === "de" && col("lang2") === "en").head()
+    // the same estimate computed directly over the combined rows —
+    // bottom-k of a set union IS the bottom-k of the sketches' union
+    val direct = docs.filter(col("lang").isin("de", "en"))
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .agg(graft.functions.KmvSketch.estimate(
+        Text.tokenHash(col("t"))).as("e")).as[Double].head()
+    assert(pair.getAs[Double]("est_union") === direct)
+    assert(pair.getAs[Double]("jaccard_est") >= 0.0)
+    assert(pair.getAs[Double]("jaccard_est") <= 1.0)
+    assert(pair.getAs[Double]("est_inter") <=
+      pair.getAs[Double]("est_1") + pair.getAs[Double]("est_2"))
+  }
+
   test("triangle census: K4 has 4 triangles, C4 has none, counts exact") {
     // complete graph K4 (as directed noisy input: dups + both directions)
     val k4 = Seq((0L,1L),(0L,2L),(0L,3L),(1L,2L),(1L,3L),(2L,3L),
