@@ -331,6 +331,8 @@ object SparkEntry {
     "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(embeddings(s, d), 8, 5)),
     "txt_gopher_gate" -> ((s, d) => Text.gopherGate(documents(s, d))),
     "xtr_kmv_overlap" -> ((s, d) => Text.langTokenOverlap(documents(s, d))),
+    "xtr_approx_quantile" -> ((s, d) => Scalar.approxQuantileGate(events(s, d))),
+    "rel_resample_ffill" -> ((s, d) => Relational.resampleFfill(events(s, d))),
     "rel_triangles" -> ((s, d) =>
       Graph.nationTriangles(lineitem(s, d), orders(s, d), customer(s, d),
         supplier(s, d))),
@@ -1947,6 +1949,27 @@ object SparkEntry {
         |  greatest(est_1 + est_2 - est_union, 0.0) AS est_inter,
         |  greatest(est_1 + est_2 - est_union, 0.0) / est_union AS jaccard_est
         |FROM e ORDER BY lang1, lang2""".stripMargin,
+    "xtr_approx_quantile" -> approxQuantileOracle,
+    "rel_resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS day_value,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day),
+        |    INTERVAL 1 DAY)) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT g.user_id, g.day,
+        |  CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+        |  CAST(last_value(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS filled_value,
+        |  d.day_value IS NULL AS is_gap
+        |FROM grid g LEFT JOIN daily d
+        |  ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
     "rel_triangles" ->
       """WITH edges AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
         |                 CAST(s.s_nationkey AS BIGINT) AS dst
@@ -2114,6 +2137,23 @@ object SparkEntry {
        |FROM bf LEFT JOIN pq
        |  ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+
+  /** xtr_approx_quantile oracle: exact rank-based median; the rank-band
+    * pass flag is the engine-computed accuracy gate (same design as
+    * xtr_approx_distinct — the oracle states the EXPECTED verdict, so a
+    * sketch regression fails the hash check).
+    */
+  private val approxQuantileOracle: String =
+    """WITH ranked AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(min(CASE WHEN rn = (n + 1) // 2 THEN v END) AS DOUBLE) AS exact_p50,
+      |  true AS approx_in_rank_band
+      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** txt_gopher_gate oracle: per-rule violation counts, generated with
     * the same stopword list and thresholds as the engine's gate.

@@ -1104,4 +1104,39 @@ object Relational {
         outD(sum(money(col("c_acctbal")))).as("totacctbal"))
       .orderBy(col("c_nationkey"))
   }
+
+  /** Time-series regularization: resample each user's event stream
+    * onto a daily grid (gap rows materialized from the user's own
+    * [min, max] span) and FORWARD-FILL values across the gaps — the
+    * standard prep before feature windows or model training joins, and
+    * the canonical "make the time axis dense" operator.
+    *
+    * Scale shape: the per-user span is two aggregates; the grid is a
+    * per-row `sequence` explode (no driver calendar); the fill is one
+    * `last(ignoreNulls)` running window — all partitioned by user_id,
+    * so the whole operator is TWO hash shuffles on the same key (agg +
+    * window) and AQE can chain them. Day sums are exact decimals.
+    */
+  def resampleFfill(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("v")).as("day_value"), count(lit(1)).as("n_events"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_value",
+        last(col("day_value"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("filled_value").cast("double").as("filled_value"),
+        col("day_value").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
 }

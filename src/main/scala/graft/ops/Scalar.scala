@@ -203,6 +203,36 @@ object Scalar {
           <= lit(0.1) * col("exact_parts")).as("approx_within_10pct"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate median (KLL sketch via approx_percentile) gated by an
+    * exact RANK envelope: the sketch's answer must land between the
+    * exact 45th and 55th percentile values — the rank-error bound KLL
+    * actually guarantees, checked in-engine. The oracle hash-checks the
+    * exact median and the (engine-computed) pass flag, the same
+    * accuracy-gate design as [[approxDistinct]].
+    */
+  def approxQuantileGate(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col("value").cast("decimal(12,2)")
+    val byType = Window.partitionBy(col("event_type"))
+    val ranked = events
+      .select(col("event_type"), v.as("v"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("v"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    val qs = ranked.groupBy(col("event_type")).agg(
+      min(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("exact_p50"),
+      min(when(col("rn") === expr("greatest((45 * n) div 100, 1)"), col("v"))).as("p45"),
+      min(when(col("rn") === expr("(55 * n) div 100"), col("v"))).as("p55"))
+    val ap = events.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5, 10000)").as("approx"))
+    qs.join(ap, Seq("event_type"))
+      .select(col("event_type"),
+        col("exact_p50").cast("double").as("exact_p50"),
+        (col("approx") >= col("p45").cast("double") &&
+          col("approx") <= col("p55").cast("double")).as("approx_in_rank_band"))
+      .orderBy(col("event_type"))
+  }
+
   /** KMV bottom-k distinct sketch vs exact — unlike the HLL entry,
     * the md5-based hash makes the ESTIMATE itself engine-portable, so
     * the oracle hash-checks the sketch's actual output.

@@ -726,6 +726,25 @@ class OpsSpec extends SparkTestBase {
     assert(r.values.sum <= 4 * start)
   }
 
+  test("resample+ffill: dense daily grid, gaps carry the last seen value") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 5.0),
+      (1L, "2024-01-01 12:00:00", 7.0),
+      (1L, "2024-01-04 09:00:00", 3.0), // 2-day gap before this
+      (2L, "2024-02-10 00:00:00", 1.0)
+    ).toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val r = Relational.resampleFfill(ev).collect()
+    val u1 = r.filter(_.getLong(0) == 1L)
+    assert(u1.length === 4) // Jan 1..4 dense
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 0L, 0L, 1L))
+    assert(u1.map(_.getAs[Double]("filled_value")).toSeq === Seq(12.0, 12.0, 12.0, 3.0))
+    assert(u1.map(_.getAs[Boolean]("is_gap")).toSeq === Seq(false, true, true, false))
+    val u2 = r.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && !u2.head.getAs[Boolean]("is_gap"))
+  }
+
   test("KMV sketch algebra: union-of-sketches estimate equals the direct estimate") {
     val docs = Tables.documents(spark, sf)
     val pair = Text.langTokenOverlap(docs)
