@@ -254,6 +254,28 @@ object PlanAudit {
       ("two-phase hash aggregation", p =>
         "HashAggregate".r.findAllIn(p).size >= 2))
 
+    // triangle counting: every step is an equi-join on packed keys —
+    // the wedge enumeration must never fall back to a cross product
+    audit("rel_triangles")(
+      ("no cartesian in wedge/closure joins",
+        p => !p.contains("CartesianProduct")))
+
+    // resample+ffill: grid, join, and fill all partition on user_id
+    audit("rel_resample_ffill")(
+      ("bounded exchanges on the single key", p =>
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 3),
+      ("no cartesian grid", p => !p.contains("CartesianProduct")))
+
+    // KMV overlap: strata compress to sketches BEFORE pairing — the
+    // pair join runs on aggregated rows, so no unjoined-row rescan
+    audit("xtr_kmv_overlap")(
+      ("two-phase sketch aggregation (map-side partials)", p =>
+        "ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
+          "SortAggregate".r.findAllIn(p).size >= 2),
+      ("single token explode feeds both sketch sides", p =>
+        "Generate explode".r.findAllIn(p).size <= 1 ||
+          p.contains("ReusedExchange")))
+
     // dedup application: the loser set is data-dependent (billions of
     // rows at a realistic dup rate over 100 TB) — the anti-join must
     // carry NO mandatory broadcast hint; AQE picks the strategy from the
@@ -282,7 +304,8 @@ object PlanAudit {
         "rel_shipping_priority", "dedup_minhash",
         "dedup_jaccard", "sim_cosine_topk", "sim_ivf_topk", "str_session",
         "txt_fuzzy_match", "rel_asof_merge", "rel_nation_trade",
-        "rel_market_basket")
+        "rel_market_basket", "rel_pagerank", "rel_triangles",
+        "sim_pq_topk", "txt_repetition", "str_dedup", "rel_resample_ffill")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(
