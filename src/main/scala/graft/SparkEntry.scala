@@ -333,6 +333,17 @@ object SparkEntry {
     "xtr_kmv_overlap" -> ((s, d) => Text.langTokenOverlap(documents(s, d))),
     "xtr_approx_quantile" -> ((s, d) => Scalar.approxQuantileGate(events(s, d))),
     "rel_resample_ffill" -> ((s, d) => Relational.resampleFfill(events(s, d))),
+    "dedup_incremental" -> ((s, d) => {
+      // the train split plays the historical corpus; test+val arrive
+      // as the incoming batch and dedup against train's hash index
+      val docs = documents(s, d)
+      val split = Text.trainValSplit(docs).select(col("doc_id"), col("split"))
+      val withSplit = docs.join(split, Seq("doc_id"))
+      val seen = withSplit.filter(col("split") === "train")
+        .select(md5(col("text")).as("seen_hash")).distinct()
+      Dedup.incrementalDedup(
+        withSplit.filter(col("split") =!= "train"), seen)
+    }),
     "rel_triangles" -> ((s, d) =>
       Graph.nationTriangles(lineitem(s, d), orders(s, d), customer(s, d),
         supplier(s, d))),
@@ -1950,6 +1961,21 @@ object SparkEntry {
         |  greatest(est_1 + est_2 - est_union, 0.0) / est_union AS jaccard_est
         |FROM e ORDER BY lang1, lang2""".stripMargin,
     "xtr_approx_quantile" -> approxQuantileOracle,
+    "dedup_incremental" ->
+      """WITH s AS (SELECT doc_id, lang, source, text,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |seen AS (SELECT DISTINCT md5(text) AS h FROM s WHERE split = 'train'),
+        |inc AS (SELECT doc_id, lang, source, text FROM s
+        |        WHERE split <> 'train'
+        |          AND md5(text) NOT IN (SELECT h FROM seen)),
+        |r AS (SELECT doc_id, lang, source,
+        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |      FROM inc)
+        |SELECT doc_id, lang, source FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "rel_resample_ffill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

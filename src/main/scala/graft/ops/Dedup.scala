@@ -114,6 +114,25 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** INCREMENTAL exact dedup — the production pipeline shape: an
+    * incoming batch dedups against the EXISTING corpus index (a table
+    * of already-seen content hashes), not against itself — a left-anti
+    * join on the 16-byte md5, so the nightly batch never rescans the
+    * historical corpus text (the index is the only thing that grows,
+    * and it shuffles hashes, not documents). Within-batch duplicates
+    * then collapse with the same keep-lowest-id rule as [[exactDedup]].
+    */
+  def incrementalDedup(incoming: DataFrame, seenHashes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    incoming
+      .join(seenHashes.select(col("seen_hash")),
+        md5(col("text")) === col("seen_hash"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-duplicate group statistics (empty when the corpus is clean). */
   def exactDupStats(documents: DataFrame): DataFrame =
     documents.groupBy(md5(col("text")).as("text_hash"))

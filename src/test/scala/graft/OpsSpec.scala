@@ -726,6 +726,20 @@ class OpsSpec extends SparkTestBase {
     assert(r.values.sum <= 4 * start)
   }
 
+  test("incremental dedup drops seen content and collapses within-batch dups") {
+    val incoming = Seq(
+      (10L, "already seen text", "en", "s1"),
+      (11L, "fresh text one", "en", "s1"),
+      (12L, "fresh text two", "de", "s2"),
+      (13L, "fresh text one", "fr", "s3") // within-batch dup of 11
+    ).toDF("doc_id", "text", "lang", "source")
+    val seen = Seq("already seen text").toDF("t")
+      .select(md5(col("t")).as("seen_hash"))
+    val kept = Dedup.incrementalDedup(incoming, seen)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(11L, 12L))
+  }
+
   test("resample+ffill: dense daily grid, gaps carry the last seen value") {
     val ev = Seq(
       (1L, "2024-01-01 10:00:00", 5.0),
