@@ -329,6 +329,7 @@ object SparkEntry {
         customer(s, d), supplier(s, d))),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(embeddings(s, d), 8, 5)),
     "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(embeddings(s, d), 8, 5)),
+    "sim_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(embeddings(s, d), 8, 5)),
     "txt_gopher_gate" -> ((s, d) => Text.gopherGate(documents(s, d))),
     "xtr_kmv_overlap" -> ((s, d) => Text.langTokenOverlap(documents(s, d))),
     "xtr_approx_quantile" -> ((s, d) => Scalar.approxQuantileGate(events(s, d))),
@@ -1931,6 +1932,7 @@ object SparkEntry {
     "rel_pagerank" -> pageRankOracle(3),
     "sim_pq_topk" -> pqTopkOracle(8, 5),
     "sim_pq_recall" -> pqRecallOracle(8, 5),
+    "sim_pq_rerank" -> pqRerankOracle(8, 5, 20),
     "txt_gopher_gate" -> gopherGateOracle,
     "xtr_kmv_overlap" ->
       """WITH tok AS (SELECT lang,
@@ -2151,6 +2153,23 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, adc, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** sim_pq_rerank oracle: exact-cosine re-rank of the PQ shortlist. */
+  private def pqRerankOracle(nq: Int, k: Int, shortlist: Int): String =
+    s"""WITH pq AS (${pqTopkOracle(nq, shortlist)}),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |      WHERE vec_id < $nq),
+       |s AS (SELECT pq.query_id, pq.neighbor_id,
+       |        ${cosSql("q.qe", "c.embedding")} AS sim
+       |      FROM pq
+       |      JOIN embeddings c ON c.vec_id = pq.neighbor_id
+       |      JOIN q ON q.query_id = pq.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 
   /** sim_pq_recall oracle: recall@k of PQ/ADC vs the brute-force
     * cosine ground truth (same join shape as sim_ivf_recall).

@@ -406,6 +406,32 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Two-stage retrieval: PQ/ADC shortlists `shortlist` candidates
+    * per query from the compressed index, then ONLY those rows pay the
+    * exact full-width cosine and the top-k re-ranks — the standard
+    * production stack (compressed recall, exact precision). The
+    * shortlist join touches `shortlist` rows per query, so the exact
+    * arithmetic cost is independent of corpus size.
+    */
+  def pqRerankTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                   shortlist: Int = 20): DataFrame = {
+    val cands = pqTopK(embeddings, nQueries, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = cands
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** recall@k of PQ/ADC against brute-force cosine — the compression
     * quality gate next to [[ivfRecall]]'s probe quality gate.
     */

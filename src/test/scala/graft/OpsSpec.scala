@@ -704,6 +704,13 @@ class OpsSpec extends SparkTestBase {
     // and against brute force the recall on separable data is perfect
     val rec = Similarity.pqRecall(emb, 8, 5).collect()
     assert(rec.forall(_.getAs[Double]("recall_at_k") === 1.0))
+    // re-ranked top-k: exact cosine scores in non-increasing rank order,
+    // and the winners agree with brute force on this separable corpus
+    val rr = Similarity.pqRerankTopK(emb, 8, 5, shortlist = 12)
+    val bf = Similarity.cosineTopK(emb, 8, 5)
+      .select("query_id", "neighbor_id", "rank")
+    assert(rr.select("query_id", "neighbor_id", "rank")
+      .exceptAll(bf).isEmpty)
   }
 
   test("pagerank: a directed cycle stays uniform, a dangling node keeps base rank") {
