@@ -510,6 +510,23 @@ class OpsSpec extends SparkTestBase {
       Tables.events(spark, sf).limit(0), emptyOrders).isEmpty)
     assert(graft.streaming.StreamingOps.nativeSessionWindows(
       Tables.events(spark, sf).limit(0)).isEmpty)
+    // round-3 second-sitting operators
+    val emptyEvents = Tables.events(spark, sf).limit(0)
+    assert(Text.repetitionStats(emptyDocs).isEmpty)
+    assert(Text.novelBigrams(emptyDocs).isEmpty)
+    assert(Text.mixtureSample(emptyDocs, Map("en" -> 2500)).isEmpty)
+    assert(Text.gopherGate(emptyDocs).count() === 7) // rule rows, zero counts
+    assert(Text.langTokenOverlap(emptyDocs).isEmpty)
+    assert(Dedup.incrementalDedup(emptyDocs,
+      emptyDocs.select(md5(col("text")).as("seen_hash"))).isEmpty)
+    assert(Relational.resampleFfill(emptyEvents).isEmpty)
+    assert(Scalar.approxQuantileGate(emptyEvents).isEmpty)
+    assert(graft.streaming.StreamingOps.firstEventPerKey(emptyEvents).isEmpty)
+    val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(Seq.empty[Long].toDF("id"), emptyEdges).isEmpty)
+    val triEmpty = Graph.triangleStats(emptyEdges).head()
+    assert(triEmpty.getAs[Long]("n_edges") === 0L)
+    assert(triEmpty.getAs[Long]("n_triangles") === 0L)
   }
 
   test("multimodal: batched mapPartitions decode agrees with expression twin") {
