@@ -330,6 +330,20 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(embeddings(s, d), 8, 5)),
     "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(embeddings(s, d), 8, 5)),
     "sim_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(embeddings(s, d), 8, 5)),
+    "rel_snapshot_diff" -> ((s, d) => {
+      // deterministic synthetic "next snapshot": every 97th key deleted,
+      // every 11th price bumped, every 101st key re-inserted shifted
+      val prev = orders(s, d)
+      val next = prev
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(prev.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+      Relational.snapshotDiff(prev, next, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"))
+    }),
     "txt_gopher_gate" -> ((s, d) => Text.gopherGate(documents(s, d))),
     "xtr_kmv_overlap" -> ((s, d) => Text.langTokenOverlap(documents(s, d))),
     "xtr_approx_quantile" -> ((s, d) => Scalar.approxQuantileGate(events(s, d))),
@@ -1933,6 +1947,26 @@ object SparkEntry {
     "sim_pq_topk" -> pqTopkOracle(8, 5),
     "sim_pq_recall" -> pqRecallOracle(8, 5),
     "sim_pq_rerank" -> pqRerankOracle(8, 5, 20),
+    "rel_snapshot_diff" ->
+      """WITH next AS (
+        |  SELECT o_orderkey,
+        |    o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |d AS (SELECT
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |         WHEN n.o_orderkey IS NULL THEN 'delete'
+        |         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |           THEN 'update'
+        |         ELSE 'same' END AS op
+        |  FROM orders o FULL OUTER JOIN next n
+        |    ON o.o_orderkey = n.o_orderkey)
+        |SELECT op, count(*) AS n_rows FROM d GROUP BY op ORDER BY op""".stripMargin,
     "txt_gopher_gate" -> gopherGateOracle,
     "xtr_kmv_overlap" ->
       """WITH tok AS (SELECT lang,

@@ -1105,6 +1105,29 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Snapshot diff (CDC delta): classify every key across two versions
+    * of a table as insert / delete / update / same — the change feed a
+    * downstream incremental pipeline consumes when the source can't
+    * emit one. ONE full-outer join on the key; change detection is a
+    * null-safe comparison over the tracked columns (`<=>` so NULL
+    * transitions count as changes), no per-column joins.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+                   cols: Seq[String]): DataFrame = {
+    val o = oldSnap.select((key +: cols).map(c => col(c).as("o_" + c)): _*)
+    val n = newSnap.select((key +: cols).map(c => col(c).as("n_" + c)): _*)
+    val changed = cols.map(c => !(col("o_" + c) <=> col("n_" + c)))
+      .reduce(_ || _)
+    o.join(n, col("o_" + key) === col("n_" + key), "full_outer")
+      .select(
+        when(col("o_" + key).isNull, "insert")
+          .when(col("n_" + key).isNull, "delete")
+          .when(changed, "update")
+          .otherwise("same").as("op"))
+      .groupBy(col("op")).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("op"))
+  }
+
   /** Time-series regularization: resample each user's event stream
     * onto a daily grid (gap rows materialized from the user's own
     * [min, max] span) and FORWARD-FILL values across the gaps — the

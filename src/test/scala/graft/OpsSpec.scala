@@ -750,6 +750,19 @@ class OpsSpec extends SparkTestBase {
     assert(r.values.sum <= 4 * start)
   }
 
+  test("snapshot diff classifies inserts, deletes, updates, and null transitions") {
+    val prev = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0),
+      (4L, null.asInstanceOf[String], 40.0)).toDF("k", "status", "price")
+    val next = Seq((1L, "A", 10.0),        // same
+      (2L, "B", 25.0),                     // update (price)
+      (4L, "D", 40.0),                     // update (null -> D)
+      (5L, "E", 50.0)                      // insert; 3 deleted
+    ).toDF("k", "status", "price")
+    val r = Relational.snapshotDiff(prev, next, "k", Seq("status", "price"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r === Map("same" -> 1L, "update" -> 2L, "delete" -> 1L, "insert" -> 1L))
+  }
+
   test("incremental dedup drops seen content and collapses within-batch dups") {
     val incoming = Seq(
       (10L, "already seen text", "en", "s1"),
