@@ -553,10 +553,13 @@ object SparkEntry {
   private val cosineSql = cosSql("qe", "ce")
 
   /** Brute-force cosine top-k oracle body (shared by sim_cosine_topk
-    * and as the ground truth inside sim_ivf_recall).
+    * and as the ground truth inside the recall oracles). `nq`/`k` are
+    * threaded from every caller so the registered parameters can't
+    * silently desynchronize between the approximate side and the
+    * ground-truth side.
     */
-  private def cosineTopkOracle: String =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+  private def cosineTopkOracle(nq: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $nq),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
        |s AS (SELECT query_id, neighbor_id,
        |        $cosineSql AS sim
@@ -564,17 +567,17 @@ object SparkEntry {
        |r AS (SELECT query_id, neighbor_id, sim,
        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
-  /** sim_ivf_recall oracle: recall@5 of the IVF result against the
+  /** sim_ivf_recall oracle: recall@k of the IVF result against the
     * brute-force ground truth, both recomputed independently.
     */
-  private def ivfRecallOracle: String =
-    s"""WITH ivf AS ($ivfOracle),
-       |bf AS ($cosineTopkOracle)
+  private def ivfRecallOracle(nq: Int, k: Int): String =
+    s"""WITH ivf AS (${ivfOracle(nq, k)}),
+       |bf AS (${cosineTopkOracle(nq, k)})
        |SELECT bf.query_id,
-       |  CAST(count(ivf.neighbor_id) AS DOUBLE) / 5 AS recall_at_k
+       |  CAST(count(ivf.neighbor_id) AS DOUBLE) / $k AS recall_at_k
        |FROM bf LEFT JOIN ivf
        |  ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
@@ -610,8 +613,9 @@ object SparkEntry {
     * iterations from the first-nlist seed), assignment, probe, and
     * scoring order as the engine.
     */
-  private def ivfOracle: String =
-    s"""WITH ${kmeansSql(16, Similarity.ivfIters)},
+  private def ivfOracle(nq: Int, k: Int, nlist: Int = 16,
+                        nprobe: Int = 4): String =
+    s"""WITH ${kmeansSql(nlist, Similarity.ivfIters)},
        |cent AS (SELECT * FROM cent${Similarity.ivfIters}),
        |assigned AS (
        |  SELECT vec_id, embedding, cell FROM (
@@ -624,7 +628,7 @@ object SparkEntry {
        |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.centroid_id AS cell,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM (SELECT * FROM embeddings WHERE vec_id < 8) q, cent c) t WHERE rn <= 4),
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $nq) q, cent c) t WHERE rn <= $nprobe),
        |s AS (SELECT query_id, a.vec_id AS neighbor_id,
        |        ${cosSql("p.qe", "a.embedding")} AS sim
        |      FROM probes p JOIN assigned a USING (cell)
@@ -632,7 +636,7 @@ object SparkEntry {
        |r AS (SELECT query_id, neighbor_id, sim,
        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
   /** sim_near_dup oracle: 8 bands × 4 sign bits, plane literals
@@ -1180,11 +1184,11 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.hs, b.hs))) >= 0.3
         |ORDER BY doc1, doc2""".stripMargin,
-    "sim_cosine_topk" -> cosineTopkOracle,
+    "sim_cosine_topk" -> cosineTopkOracle(8, 5),
     "sim_lsh_topk" -> lshOracle,
     "sim_near_dup" -> nearDupOracle,
-    "sim_ivf_topk" -> ivfOracle,
-    "sim_ivf_recall" -> ivfRecallOracle,
+    "sim_ivf_topk" -> ivfOracle(8, 5),
+    "sim_ivf_recall" -> ivfRecallOracle(8, 5),
     "txt_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
@@ -2210,7 +2214,7 @@ object SparkEntry {
     */
   private def pqRecallOracle(nq: Int, k: Int): String =
     s"""WITH pq AS (${pqTopkOracle(nq, k)}),
-       |bf AS ($cosineTopkOracle)
+       |bf AS (${cosineTopkOracle(nq, k)})
        |SELECT bf.query_id,
        |  CAST(count(pq.neighbor_id) AS DOUBLE) / $k AS recall_at_k
        |FROM bf LEFT JOIN pq

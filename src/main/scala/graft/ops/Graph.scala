@@ -96,7 +96,14 @@ object Graph {
       .filter(col("a") =!= col("b")).distinct()
     val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
-    val key = col("deg") * lit(4294967296L) + col("id")
+    // the packed (deg, id) key is total only while id ∈ [0, 2^32) and
+    // deg < 2^31 — generic inputs outside that domain would alias keys
+    // and silently mis-orient edges, so the guard fails loudly in-plan
+    val key = when(col("id") < 0 || col("id") >= lit(4294967296L)
+          || col("deg") >= lit(2147483648L),
+        raise_error(lit("triangleStats: node id/degree outside packed-key domain"))
+          .cast("long"))
+      .otherwise(col("deg") * lit(4294967296L) + col("id"))
     val keyed = deg.select(col("id"), key.as("k"))
     // orient toward the higher (deg, id) endpoint
     val oriented = und

@@ -222,7 +222,7 @@ object Scalar {
     val qs = ranked.groupBy(col("event_type")).agg(
       min(when(col("rn") === expr("(n + 1) div 2"), col("v"))).as("exact_p50"),
       min(when(col("rn") === expr("greatest((45 * n) div 100, 1)"), col("v"))).as("p45"),
-      min(when(col("rn") === expr("(55 * n) div 100"), col("v"))).as("p55"))
+      min(when(col("rn") === expr("greatest((55 * n) div 100, 1)"), col("v"))).as("p55"))
     val ap = events.groupBy(col("event_type"))
       .agg(expr("approx_percentile(value, 0.5, 10000)").as("approx"))
     qs.join(ap, Seq("event_type"))

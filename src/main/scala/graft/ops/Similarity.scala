@@ -146,7 +146,11 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Vector L2-normalization as a reusable projection. */
+  /** Vector L2-normalization as a reusable projection. NOTE: the norm
+    * is re-evaluated inside the (interpreted) lambda per ELEMENT —
+    * O(dim²) per vector. Fine for one-off projections; hot paths use
+    * the hoisted two-step form in [[unitVectors]] instead.
+    */
   def normalized(vec: Column): Column =
     transform(vec, x => x.cast("double") / sqrt(normSq(vec)))
 
@@ -296,7 +300,14 @@ object Similarity {
     embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
         col("vec_id"))
-      .select(col("vec_id"), normalized(col("embedding")).as("embedding"))
+      // norm hoisted to its own projection: one dot fold per vector,
+      // then the divide lambda references the materialized column —
+      // O(dim) instead of [[normalized]]'s O(dim²) re-fold per element
+      .select(col("vec_id"), col("embedding"),
+        sqrt(normSq(col("embedding"))).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / col("nrm"))
+          .as("embedding"))
 
   /** All M codebooks, tagged by subspace: (m, code, ce) — M×ksub rows,
     * always the broadcast side.

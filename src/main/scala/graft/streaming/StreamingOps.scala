@@ -290,7 +290,13 @@ object StreamingOps {
       .withColumn("minute", date_trunc("minute", col("ts")))
       .groupBy(col("user_id"), col("event_type"), col("minute"))
       .agg(min(expr(
-          "CAST(unix_micros(ts) AS DECIMAL(18,0)) * 10000000000 + event_id"))
+          // the packing is total only while event_id ∈ [0, 10^10) and ts
+          // is post-epoch (decimal % takes the dividend's sign) — guarded
+          // in-plan so a violating input fails loudly instead of silently
+          // corrupting first_event_id/first_ts
+          "CASE WHEN event_id < 0 OR event_id >= 10000000000 OR unix_micros(ts) < 0 " +
+          "THEN CAST(raise_error('firstEventPerKey: event_id/ts outside packed-decimal domain') AS DECIMAL(18,0)) " +
+          "ELSE CAST(unix_micros(ts) AS DECIMAL(18,0)) * 10000000000 + event_id END"))
           .as("p"),
         count(lit(1)).as("n_dups"))
       .select(col("user_id"), col("event_type"), col("minute"),
