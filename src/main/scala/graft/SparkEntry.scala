@@ -582,15 +582,28 @@ object SparkEntry {
        |  ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
+  /** The training-sample predicate twin of `Similarity.trainingSample`
+    * (md5-prefix hash of vec_id, same device as txt_hash_sample).
+    */
+  private val trainSampleSql =
+    s"('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100" +
+      s" < ${Similarity.trainPct}"
+
   /** k-means training CTE chain mirroring Similarity.kmeansCentroids:
-    * cent0 = first-nlist init (cast to DOUBLE[]), then per iteration
-    * argmax-cosine assignment (ties on centroid_id) and per-dimension
-    * means folded in vec_id order — `list(v ORDER BY vec_id)` +
+    * cent0 = first-nlist init from the FULL corpus (cast to DOUBLE[]),
+    * then per iteration argmax-cosine assignment of the hash-SAMPLE
+    * (ties on centroid_id) and per-dimension means via the same
+    * fixed-boundary two-level fold as `Similarity.twoLevelMean`: block
+    * sums fold in vec_id order within vec_id div trainBlock blocks,
+    * then block sums fold in block order — `list(x ORDER BY k)` +
     * `list_sum` is the same left fold as Spark's sorted collect_list +
-    * aggregate, so the trained centroids are bit-identical.
+    * aggregate at BOTH levels, so the trained centroids are
+    * bit-identical.
     */
   private def kmeansSql(nlist: Int, iters: Int): String = {
-    val init = s"cent0 AS (SELECT vec_id AS centroid_id, " +
+    val blk = Similarity.trainBlock
+    val init = s"ksamp AS (SELECT * FROM embeddings WHERE $trainSampleSql),\n" +
+      s"cent0 AS (SELECT vec_id AS centroid_id, " +
       s"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce " +
       s"FROM embeddings WHERE vec_id < $nlist)"
     val steps = (1 to iters).map { i =>
@@ -599,11 +612,15 @@ object SparkEntry {
          |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-         |    FROM embeddings e, cent$p c) t WHERE rn = 1),
-         |km$p AS (SELECT cell, j,
-         |    list_sum(list(CAST(embedding[j] AS DOUBLE) ORDER BY vec_id)) / count(*) AS mv
+         |    FROM ksamp e, cent$p c) t WHERE rn = 1),
+         |kb$p AS (SELECT cell, j, vec_id // $blk AS blk,
+         |    list_sum(list(CAST(embedding[j] AS DOUBLE) ORDER BY vec_id)) AS bsum,
+         |    count(*) AS bn
          |  FROM ka$p, unnest(generate_series(1, ${Similarity.dim})) AS u(j)
-         |  GROUP BY cell, j),
+         |  GROUP BY cell, j, blk),
+         |km$p AS (SELECT cell, j,
+         |    list_sum(list(bsum ORDER BY blk)) / sum(bn) AS mv
+         |  FROM kb$p GROUP BY cell, j),
          |cent$i AS (SELECT cell AS centroid_id, list(mv ORDER BY j) AS ce FROM km$p GROUP BY cell)""".stripMargin
     }
     (init +: steps).mkString(",\n")
@@ -2128,12 +2145,15 @@ object SparkEntry {
     s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, c)} + ${dotSql(c, c)})"
 
   /** sim_pq_topk oracle: the full PQ pipeline — unit-normalize, train
-    * M per-subspace L2 k-means codebooks (first-ksub seed, ordered-fold
-    * means), encode, LUT + in-order ADC fold — generated from the same
-    * `Similarity.pqM/pqDsub/pqKsub/pqIters` constants as the engine.
+    * M per-subspace L2 k-means codebooks (first-ksub seed from the full
+    * corpus, hash-sampled training input, two-level block-fold means),
+    * encode, LUT + in-order ADC fold — generated from the same
+    * `Similarity.pqM/pqDsub/pqKsub/pqIters/trainPct/trainBlock`
+    * constants as the engine.
     */
   private def pqTopkOracle(nq: Int, k: Int): String = {
     import Similarity.{pqM, pqDsub, pqKsub, pqIters}
+    val blk = Similarity.trainBlock
     val subspaces = (0 until pqM).map { m =>
       val lo = m * pqDsub + 1
       val hi = (m + 1) * pqDsub
@@ -2143,15 +2163,20 @@ object SparkEntry {
            |    SELECT s.vec_id, s.sv, c.centroid_id AS cell,
            |      row_number() OVER (PARTITION BY s.vec_id
            |        ORDER BY ${l2Sql("s.sv", "c.ce")} ASC, c.centroid_id) AS rn
-           |    FROM pq${m}s s, pq${m}c$p c) t WHERE rn = 1),
-           |pq${m}k$p AS (SELECT cell, j,
-           |    list_sum(list(CAST(sv[j] AS DOUBLE) ORDER BY vec_id)) / count(*) AS mv
+           |    FROM pq${m}t s, pq${m}c$p c) t WHERE rn = 1),
+           |pq${m}b$p AS (SELECT cell, j, vec_id // $blk AS blk,
+           |    list_sum(list(CAST(sv[j] AS DOUBLE) ORDER BY vec_id)) AS bsum,
+           |    count(*) AS bn
            |  FROM pq${m}a$p, unnest(generate_series(1, $pqDsub)) AS u(j)
-           |  GROUP BY cell, j),
+           |  GROUP BY cell, j, blk),
+           |pq${m}k$p AS (SELECT cell, j,
+           |    list_sum(list(bsum ORDER BY blk)) / sum(bn) AS mv
+           |  FROM pq${m}b$p GROUP BY cell, j),
            |pq${m}c$i AS (SELECT cell AS centroid_id, list(mv ORDER BY j) AS ce
            |  FROM pq${m}k$p GROUP BY cell)""".stripMargin
       }.mkString(",\n")
       s"""pq${m}s AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS sv FROM un),
+         |pq${m}t AS (SELECT * FROM pq${m}s WHERE $trainSampleSql),
          |pq${m}c0 AS (SELECT vec_id AS centroid_id, sv AS ce
          |  FROM pq${m}s WHERE vec_id < $pqKsub),
          |$rounds""".stripMargin

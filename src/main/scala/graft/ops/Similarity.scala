@@ -186,19 +186,57 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
   }
 
-  /** k-means training for the IVF coarse quantizer: [[ivfIters]] Lloyd
-    * iterations as pure DataFrame ops. Init = the embeddings of the
-    * `nlist` lowest vec_ids (deterministic seeding); update = the
-    * per-dimension mean of each cell's members.
-    *
-    * The mean deliberately folds member values in vec_id order (sorted
-    * collect_list + left fold) instead of `avg()`: a float sum's value
-    * depends on addition order, so plain avg is partition-count-
+  /** Quantizer-training sample rate (percent) and fold block width.
+    * Production quantizers train on a bounded sample, never the full
+    * corpus — at 100 TB the training input must not scale with the
+    * data. 50% here keeps the tiny fixtures trainable; at scale the
+    * same knob is 0.1–1%.
+    */
+  val trainPct = 50
+  val trainBlock = 256
+
+  /** Deterministic md5 hash-sample of the corpus feeding quantizer
+    * TRAINING (same device as `Text.hashSample`: reproducible across
+    * runs, engines, and partition layouts, unlike seeded `df.sample`).
+    */
+  def trainingSample(embeddings: DataFrame): DataFrame =
+    embeddings.filter(
+      Text.tokenHash(col("vec_id").cast("string")) % 100 < trainPct)
+
+  /** Deterministic per-group mean of `v`, folded with FIXED block
+    * boundaries: rows group by (keys, vec_id div [[trainBlock]]), each
+    * block left-folds its ≤[[trainBlock]] members in vec_id order, and
+    * the block sums left-fold in block order. A float sum's value
+    * depends on addition order, so plain `avg()` is partition-count-
     * dependent and would break both the DuckDB hash oracle and the
-    * 4-vs-32-thread determinism gate. Per (cell, dim) the fold list is
-    * |cell| values; at larger scale the same contract holds with a
-    * fixed-boundary two-level fold (block-sum per vec_id range in range
-    * order), keeping the explode → groupBy plan shape. Each iteration is
+    * 4-vs-32-thread determinism gate; a single-level sorted fold is
+    * deterministic but materializes a WHOLE cell in one aggregation
+    * buffer (multi-GB for a hot cell at 100×). The two-level fold keeps
+    * every buffer ≤[[trainBlock]] structs (inner) or one struct per
+    * block (outer) while remaining a pure function of the data.
+    * Expects columns `vec_id`, `v`; emits keys + `mv`.
+    */
+  private def twoLevelMean(dims: DataFrame, keys: Seq[String]): DataFrame = {
+    val kcols = keys.map(col)
+    val blocks = dims
+      .withColumn("blk", expr(s"vec_id div $trainBlock"))
+      .groupBy(kcols :+ col("blk"): _*)
+      .agg(aggregate(sort_array(collect_list(struct(col("vec_id"), col("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v").cast("double")).as("bsum"),
+        count(lit(1)).as("bn"))
+    blocks.groupBy(kcols: _*)
+      .agg((aggregate(sort_array(collect_list(struct(col("blk"), col("bsum")))),
+        lit(0.0), (acc, x) => acc + x.getField("bsum"))
+        / sum(col("bn"))).as("mv"))
+  }
+
+  /** k-means training for the IVF coarse quantizer: [[ivfIters]] Lloyd
+    * iterations as pure DataFrame ops over the [[trainingSample]] —
+    * training input is a bounded hash-sample, not the corpus. Init =
+    * the embeddings of the `nlist` lowest vec_ids of the FULL corpus
+    * (deterministic, sample-independent seeding); update = the
+    * per-dimension [[twoLevelMean]] of each cell's sampled members, so
+    * no aggregation buffer ever holds a whole cell. Each iteration is
     * localCheckpoint'ed: centroids are nlist rows, and truncating the
     * lineage stops iteration i from re-running iterations 0..i−1 (and
     * lets the final quantizer feed both the assignment and the probe
@@ -206,17 +244,16 @@ object Similarity {
     */
   def kmeansCentroids(embeddings: DataFrame, nlist: Int,
                       iters: Int = ivfIters): DataFrame = {
+    // the sample is re-scanned every iteration — checkpoint the filter
+    val sample = trainingSample(embeddings).localCheckpoint()
     var cent = embeddings.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("centroid_id"),
         transform(col("embedding"), x => x.cast("double")).as("ce"))
     for (_ <- 1 to iters) {
-      val dims = assignCells(embeddings, cent)
+      val dims = assignCells(sample, cent)
         .select(col("cell"), col("vec_id"),
           posexplode(col("embedding")).as(Seq("j", "v")))
-      val means = dims.groupBy(col("cell"), col("j"))
-        .agg((aggregate(sort_array(collect_list(struct(col("vec_id"), col("v")))),
-          lit(0.0), (acc, x) => acc + x.getField("v").cast("double"))
-          / count(lit(1))).as("mv"))
+      val means = twoLevelMean(dims, Seq("cell", "j"))
       cent = means.groupBy(col("cell"))
         .agg(transform(sort_array(collect_list(struct(col("j"), col("mv")))),
           x => x.getField("mv")).as("ce"))
@@ -323,11 +360,17 @@ object Similarity {
     * [[kmeansCentroids]], quantizing raw coordinates, not directions.
     */
   def pqCodebooks(unit: DataFrame): DataFrame = {
-    val subs = unit.select(col("vec_id"), posexplode(
+    // training reads only the hash-sample (bounded input at scale);
+    // seeds stay the FULL corpus's first-ksub vectors so seeding is
+    // sample-independent, matching [[kmeansCentroids]]
+    val subs = trainingSample(unit).select(col("vec_id"), posexplode(
         array((0 until pqM).map(m => subvec(col("embedding"), m)): _*))
         .as(Seq("m", "sv")))
       .localCheckpoint() // re-read every round; don't re-slice the corpus
-    var cent = subs.filter(col("vec_id") < pqKsub)
+    var cent = unit.filter(col("vec_id") < pqKsub)
+      .select(col("vec_id"), posexplode(
+        array((0 until pqM).map(m => subvec(col("embedding"), m)): _*))
+        .as(Seq("m", "sv")))
       .select(col("m"), col("vec_id").as("code"),
         transform(col("sv"), x => x.cast("double")).as("ce"))
     for (_ <- 1 to pqIters) {
@@ -341,10 +384,7 @@ object Similarity {
         .select(col("m"), col("vec_id"), col("sv"), col("code").as("cell"))
       val dims = assigned.select(col("m"), col("cell"), col("vec_id"),
         posexplode(col("sv")).as(Seq("j", "v")))
-      val means = dims.groupBy(col("m"), col("cell"), col("j"))
-        .agg((aggregate(sort_array(collect_list(struct(col("vec_id"), col("v")))),
-          lit(0.0), (acc, x) => acc + x.getField("v").cast("double"))
-          / count(lit(1))).as("mv"))
+      val means = twoLevelMean(dims, Seq("m", "cell", "j"))
       cent = means.groupBy(col("m"), col("cell"))
         .agg(transform(sort_array(collect_list(struct(col("j"), col("mv")))),
           x => x.getField("mv")).as("ce"))

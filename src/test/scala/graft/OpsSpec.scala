@@ -265,6 +265,38 @@ class OpsSpec extends SparkTestBase {
     assert(train() === c1)
   }
 
+  test("sampled quantizer training is invariant to partition layout and shuffle width") {
+    import spark.implicits._
+    // vec_ids span several fold blocks (0..599 → blk 0..2), so the
+    // two-level mean's outer (block-order) fold is actually exercised
+    val rows = (0 until 600).map { i =>
+      (i.toLong, (0 until Similarity.dim).map(j => math.sin(i * 31 + j).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def train(parts: Int, shuffleParts: Int): Seq[(Long, Seq[Double])] = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", shuffleParts)
+      try Similarity.kmeansCentroids(emb.repartition(parts), 8)
+        .orderBy("centroid_id").as[(Long, Seq[Double])].collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    val narrow = train(2, 2)
+    val wide = train(32, 32)
+    assert(narrow.nonEmpty && narrow.map(_._1) === wide.map(_._1))
+    // bit-identical across layouts: float folds with different addition
+    // orders would differ in the low mantissa bits — raw-bits compare
+    narrow.zip(wide).foreach { case ((id, a), (_, b)) =>
+      assert(a.length === b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToRawLongBits(x) ===
+          java.lang.Double.doubleToRawLongBits(y), s"centroid $id differs") }
+    }
+    // training input really is the bounded hash-sample, not the corpus
+    val nSample = Similarity.trainingSample(emb).count()
+    assert(nSample > 0 && nSample < 600)
+  }
+
   test("knn classify agrees with a driver-side majority vote over cosine top-k") {
     val emb = Tables.embeddings(spark, sf)
     val labels = emb.select("vec_id", "label").as[(Long, Int)].collect().toMap
@@ -718,9 +750,14 @@ class OpsSpec extends SparkTestBase {
       assert(q / 12 === n / 12,
         s"query $q retrieved cross-cluster neighbor $n")
     }
-    // and against brute force the recall on separable data is perfect
+    // against brute force: high recall on separable data (training sees
+    // only the hash-sample — ~24 of 48 vectors — so ordering WITHIN a
+    // tight cluster may swap one neighbor; cross-cluster containment
+    // above stays exact)
     val rec = Similarity.pqRecall(emb, 8, 5).collect()
-    assert(rec.forall(_.getAs[Double]("recall_at_k") === 1.0))
+      .map(_.getAs[Double]("recall_at_k"))
+    assert(rec.forall(_ >= 0.8))
+    assert(rec.sum / rec.length >= 0.9)
     // re-ranked top-k: exact cosine scores in non-increasing rank order,
     // and the winners agree with brute force on this separable corpus
     val rr = Similarity.pqRerankTopK(emb, 8, 5, shortlist = 12)
