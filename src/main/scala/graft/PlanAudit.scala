@@ -246,6 +246,18 @@ object PlanAudit {
       ("native vector_dot in the LUT build", _.contains("vector_dot")),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // IVFADC: the ADC scoring join must be CONDITIONED on the probed
+    // cell — a hash equi-join with `cell` in its keys — never the flat
+    // unconditioned broadcast over the full code table (pqTopK's
+    // legitimate-but-O(N) shape). The only nested-loop joins allowed
+    // are the nlist-row centroid broadcasts.
+    audit("sim_ivfpq_topk")(
+      ("ADC candidate join is hash-keyed on the probed cell",
+        p => "BroadcastHashJoin \\[cell#".r.findAllIn(p).nonEmpty),
+      ("probe/LUT and query sides broadcast", p =>
+        "BroadcastExchange".r.findAllIn(p).size >= 3),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // streaming dedup batch analog: ONE hash aggregation, min(struct)
     // partial-aggregated map-side — no window sort anywhere
     audit("str_dedup")(

@@ -330,6 +330,8 @@ object SparkEntry {
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(embeddings(s, d), 8, 5)),
     "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(embeddings(s, d), 8, 5)),
     "sim_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(embeddings(s, d), 8, 5)),
+    "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(embeddings(s, d), 8, 5)),
+    "sim_ivfpq_recall" -> ((s, d) => Similarity.ivfpqRecall(embeddings(s, d), 8, 5)),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -1968,6 +1970,8 @@ object SparkEntry {
     "sim_pq_topk" -> pqTopkOracle(8, 5),
     "sim_pq_recall" -> pqRecallOracle(8, 5),
     "sim_pq_rerank" -> pqRerankOracle(8, 5, 20),
+    "sim_ivfpq_topk" -> ivfpqOracle(8, 5),
+    "sim_ivfpq_recall" -> ivfpqRecallOracle(8, 5),
     "rel_snapshot_diff" ->
       """WITH next AS (
         |  SELECT o_orderkey,
@@ -2144,14 +2148,16 @@ object SparkEntry {
   private def l2Sql(a: String, c: String): String =
     s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, c)} + ${dotSql(c, c)})"
 
-  /** sim_pq_topk oracle: the full PQ pipeline — unit-normalize, train
-    * M per-subspace L2 k-means codebooks (first-ksub seed from the full
-    * corpus, hash-sampled training input, two-level block-fold means),
-    * encode, LUT + in-order ADC fold — generated from the same
+  /** Shared PQ CTE chain (un → codebooks → codes → query LUTs):
+    * unit-normalize, train M per-subspace L2 k-means codebooks
+    * (first-ksub seed from the full corpus, hash-sampled training
+    * input, two-level block-fold means), encode, per-query LUT —
+    * generated from the same
     * `Similarity.pqM/pqDsub/pqKsub/pqIters/trainPct/trainBlock`
-    * constants as the engine.
+    * constants as the engine. Consumed by the flat-PQ oracles (ADC
+    * over every code) and the IVFADC oracle (ADC over probed cells).
     */
-  private def pqTopkOracle(nq: Int, k: Int): String = {
+  private def pqCtes(nq: Int): String = {
     import Similarity.{pqM, pqDsub, pqKsub, pqIters}
     val blk = Similarity.trainBlock
     val subspaces = (0 until pqM).map { m =>
@@ -2184,7 +2190,7 @@ object SparkEntry {
     val cbUnion = (0 until pqM).map(m =>
       s"SELECT $m AS m, CAST(centroid_id AS BIGINT) AS code, ce FROM pq${m}c$pqIters")
       .mkString("\n  UNION ALL ")
-    s"""WITH un AS (SELECT vec_id,
+    s"""un AS (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)
        |      / sqrt(${dotSql("embedding", "embedding")})) AS embedding
        |  FROM embeddings),
@@ -2203,7 +2209,14 @@ object SparkEntry {
        |  FROM un, unnest(generate_series(0, ${pqM - 1})) AS u(m)
        |  WHERE vec_id < $nq),
        |lut AS (SELECT query_id, q.m, c.code, ${dotSql("q.qsv", "c.ce")} AS pd
-       |  FROM qs q JOIN cb c ON q.m = c.m),
+       |  FROM qs q JOIN cb c ON q.m = c.m)""".stripMargin
+  }
+
+  /** sim_pq_topk oracle tail over [[pqCtes]]: full-corpus ADC fold +
+    * per-query rank.
+    */
+  private def pqTopkOracle(nq: Int, k: Int): String =
+    s"""WITH ${pqCtes(nq)},
        |adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
        |    list_sum(list(l.pd ORDER BY l.m)) AS adc
        |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
@@ -2215,7 +2228,69 @@ object SparkEntry {
        |  FROM adc)
        |SELECT query_id, neighbor_id, adc, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** sim_ivfpq_topk oracle: the IVFADC composition — the PQ CTE chain
+    * ([[pqCtes]]) for codebooks/codes/LUTs, the k-means CTE chain
+    * ([[kmeansSql]]) for the coarse quantizer, candidates restricted to
+    * the query's nprobe probed cells, ADC fold in subspace order, then
+    * exact-cosine re-rank of the ADC shortlist.
+    */
+  private def ivfpqOracle(nq: Int, k: Int, nlist: Int = 16,
+                          nprobe: Int = 4, shortlist: Int = 20): String =
+    s"""WITH ${pqCtes(nq)},
+       |${kmeansSql(nlist, Similarity.ivfIters)},
+       |cent AS (SELECT * FROM cent${Similarity.ivfIters}),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e, cent c) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $nq) q, cent c) t WHERE rn <= $nprobe),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.query_id),
+       |adcs AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    list_sum(list(l.pd ORDER BY l.m)) AS adc
+       |  FROM cand cd JOIN enc e ON e.vec_id = cd.vec_id
+       |  JOIN lut l ON l.query_id = cd.query_id
+       |    AND l.m = e.m AND l.code = e.code
+       |  GROUP BY 1, 2),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc DESC, neighbor_id) AS rn
+       |    FROM adcs) t WHERE rn <= $shortlist),
+       |qq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $nq),
+       |s AS (SELECT sh.query_id, sh.neighbor_id,
+       |        ${cosSql("qq.qe", "c.embedding")} AS sim
+       |      FROM short sh
+       |      JOIN embeddings c ON c.vec_id = sh.neighbor_id
+       |      JOIN qq ON qq.query_id = sh.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** sim_ivfpq_recall oracle: recall@k of IVFADC vs brute-force cosine
+    * (same join shape as the other recall gates).
+    */
+  private def ivfpqRecallOracle(nq: Int, k: Int): String =
+    s"""WITH iv AS (${ivfpqOracle(nq, k)}),
+       |bf AS (${cosineTopkOracle(nq, k)})
+       |SELECT bf.query_id,
+       |  CAST(count(iv.neighbor_id) AS DOUBLE) / $k AS recall_at_k
+       |FROM bf LEFT JOIN iv
+       |  ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
   /** sim_pq_rerank oracle: exact-cosine re-rank of the PQ shortlist. */
   private def pqRerankOracle(nq: Int, k: Int, shortlist: Int): String =

@@ -495,6 +495,108 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  // ---- IVFADC: IVF cell pruning × PQ compressed scoring ----
+
+  /** IVFADC (Jégou, Douze & Schmid 2011, §IV; the FAISS `IVFPQ` index
+    * with `by_residual=false`): the coarse quantizer prunes the search
+    * to `nprobe` cells, the probed candidates are scored from their
+    * 4-byte PQ codes via the query's ADC LUT, and only the ADC
+    * `shortlist` pays the exact full-width cosine re-rank. This is the
+    * composition production retrieval runs: per query batch the
+    * scoring work is ~(nprobe/nlist)·N code-table lookups — not N
+    * full-width dot products ([[ivfTopK]]) and not N ADC folds
+    * ([[pqTopK]]) — and the exact arithmetic is `shortlist` rows per
+    * query regardless of corpus size.
+    *
+    * The no-residual variant quantizes unit vectors directly, so ONE
+    * compressed code table serves both flat PQ and IVFADC; at 100 TB
+    * it is stored partitioned by cell
+    * ([[graft.sources.Sources.writeIvfCells]]) so a probe also READS
+    * only nprobe/nlist of the index from storage.
+    *
+    * The candidate join is an equi-join on `cell` against the
+    * broadcast (query, probed-cell, LUT) frame — never an
+    * unconditioned join against the full code table (plan-audited).
+    */
+  def ivfpqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                shortlist: Int = 20): DataFrame = {
+    val unit = unitVectors(embeddings).localCheckpoint()
+    val centroids = kmeansCentroids(embeddings, nlist)
+    val codebooks = pqCodebooks(unit).localCheckpoint()
+    // index build (once per corpus, the write-side cost): cell
+    // assignment ⋈ PQ codes on vec_id — co-partitioned equi-join
+    val codesCells = pqEncode(unit, codebooks)
+      .join(assignCells(embeddings, centroids)
+        .select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // query side: nprobe best cells (same ranking as ivfTopK)…
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        cosine(col("qe"), col("ce")).as("cs"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+    val probeCells = probes.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    // …and the per-query ADC LUT (same build as pqTopK)
+    val qsubs = unit.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), posexplode(
+        array((0 until pqM).map(m => subvec(col("embedding"), m)): _*))
+        .as(Seq("m", "qsv")))
+    val lut = qsubs.join(broadcast(codebooks), Seq("m"))
+      .select(col("query_id"), (col("m") * pqKsub + col("code")).as("mk"),
+        dot(col("qsv"), col("ce")).as("pd"))
+    val lutMaps = lut.groupBy(col("query_id"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("mk"), col("pd"))))).as("lut"))
+    val probeLuts = probeCells.join(lutMaps, Seq("query_id"))
+    // ADC-score ONLY the probed cells' codes: hash equi-join on cell
+    val adc = codesCells.join(broadcast(probeLuts), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(pqM - 1)), lit(0.0),
+          (acc, m) => acc + element_at(col("lut"),
+            m * pqKsub + element_at(col("codes"), m + 1))).as("adc"))
+    val sw = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cands = adc.withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the shortlist (same tail as pqRerankTopK)
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = cands
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** recall@k of IVFADC against brute-force cosine — probe pruning and
+    * compression loss measured together, the number a production index
+    * actually monitors.
+    */
+  def ivfpqRecall(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val bf = cosineTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val iv = ivfpqTopK(embeddings, nQueries, k)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    bf.join(iv,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("n2")).cast("double") / k).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Banded random-hyperplane LSH for embedding-cosine NEAR-DUP
     * detection: `numBands` independent bands of `rowsPerBand` sign bits
     * each. Fewer bits per band than the top-k bucket key (4 vs 8)

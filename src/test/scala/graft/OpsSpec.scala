@@ -255,6 +255,18 @@ class OpsSpec extends SparkTestBase {
     ivf.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
   }
 
+  test("IVFADC re-ranked scores agree exactly with brute force on shared neighbors") {
+    val iv = Similarity.ivfpqTopK(Tables.embeddings(spark, sf), 4, 5)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    val brute = Similarity.cosineTopK(Tables.embeddings(spark, sf), 4, 1000)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    assert(iv.nonEmpty)
+    // the shortlist is ADC-approximate but every emitted sim is the
+    // exact full-width cosine — identical to the brute-force score
+    iv.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
+  }
+
   test("k-means quantizer trains deterministic full-dim centroids") {
     def train() = Similarity.kmeansCentroids(Tables.embeddings(spark, sf), 8)
       .orderBy("centroid_id").as[(Long, Seq[Double])].collect().toSeq
