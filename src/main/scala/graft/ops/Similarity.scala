@@ -268,7 +268,9 @@ object Similarity {
     * query scores only the vectors assigned to its `nprobe` nearest
     * centroids. Assignment = argmax cosine over the broadcast trained
     * centroid set; at 100 TB the corpus is written partitioned by
-    * `cell` so a probe reads only nprobe/nlist of the data.
+    * `cell` ([[graft.sources.Sources.writeIvfCells]]) so a probe reads
+    * only nprobe/nlist of the data — partition pruning on the probe
+    * scan is asserted in SourcesSpec, not just claimed here.
     */
   def ivfAssign(embeddings: DataFrame, nlist: Int): DataFrame =
     assignCells(embeddings, kmeansCentroids(embeddings, nlist))

@@ -58,6 +58,24 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
+  /** ANN index storage layout: the corpus written partitioned by its
+    * TRAINED IVF cell, so a probe reads only its nprobe cell
+    * directories — the storage half of the IVF contract
+    * ([[graft.ops.Similarity.ivfTopK]]): compute prunes to
+    * nprobe/nlist of the vectors AND the scan prunes to nprobe/nlist
+    * of the bytes (PartitionFilters on `cell`, proven in SourcesSpec).
+    * Returns the trained centroids — the probe side needs the same
+    * quantizer the layout was built with, so they travel together.
+    */
+  def writeIvfCells(embeddings: DataFrame, path: String,
+                    nlist: Int): DataFrame = {
+    val centroids = graft.ops.Similarity
+      .kmeansCentroids(embeddings, nlist).localCheckpoint()
+    val assigned = graft.ops.Similarity.assignCells(embeddings, centroids)
+    writePartitioned(assigned, path, "cell")
+    centroids
+  }
+
   /** Bucketed table write: co-locates (and pre-sorts) rows by the join
     * key so equi-joins between tables bucketed the same way need NO
     * shuffle at read time — the bucketing metadata lives in the catalog

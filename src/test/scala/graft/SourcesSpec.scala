@@ -66,6 +66,41 @@ class SourcesSpec extends SparkTestBase {
       s"expected partition pruning in:\n$scanned")
   }
 
+  test("IVF cell layout: the probe scan prunes to the probed cell directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val emb = Tables.embeddings(spark, sf)
+    val path = tmp("ivfcells")
+    val centroids = Sources.writeIvfCells(emb, path, nlist = 8)
+    assert(centroids.count() > 0)
+    val stored = spark.read.parquet(path)
+    val cells = stored.select("cell").distinct().as[Long].collect().sorted
+    assert(cells.length >= 3, s"layout did not fan out: ${cells.toSeq}")
+    assert(stored.count() === emb.count()) // every vector landed in a cell
+    // probe two cells, as an nprobe=2 query would
+    val probed = cells.take(2).toSeq
+    val probe = stored.filter(col("cell").isin(probed: _*))
+    probe.collect()
+    val scan = (probe.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collect { case f: FileSourceScanExec => f }.head
+    // the cell predicate became a PARTITION filter (metadata-only prune),
+    // not a data filter evaluated against every row
+    assert(scan.metadata("PartitionFilters").contains("cell"),
+      s"no partition filter in ${scan.metadata}")
+    // and the scan opened exactly the probed directories' files
+    def parquetFilesUnder(cs: Seq[Long]): Int = cs.map { c =>
+      Option(new java.io.File(path, s"cell=$c").listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+    }.sum
+    val probedFiles = parquetFilesUnder(probed)
+    val allFiles = parquetFilesUnder(cells.toSeq)
+    assert(probedFiles > 0 && probedFiles < allFiles)
+    assert(scan.metrics("numFiles").value === probedFiles,
+      s"scan read ${scan.metrics("numFiles").value} files, dirs hold $probedFiles")
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     // the 100 TB star-join lever: the fact side is partitioned on the
     // join key, the dim filter is only known at runtime, and DPP turns
