@@ -258,6 +258,14 @@ object PlanAudit {
         "BroadcastExchange".r.findAllIn(p).size >= 3),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // salted IVF probing: the candidate join must key on (cell, salt)
+    // so a hot cell spreads across `salts` reducers when the probe
+    // side shuffles instead of broadcasting
+    audit("sim_ivf_salted")(
+      ("candidate join keyed on (cell, salt)",
+        p => "\\[cell#\\d+L?, salt#".r.findAllIn(p).nonEmpty),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // streaming dedup batch analog: ONE hash aggregation, min(struct)
     // partial-aggregated map-side — no window sort anywhere
     audit("str_dedup")(

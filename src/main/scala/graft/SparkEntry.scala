@@ -332,6 +332,7 @@ object SparkEntry {
     "sim_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(embeddings(s, d), 8, 5)),
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(embeddings(s, d), 8, 5)),
     "sim_ivfpq_recall" -> ((s, d) => Similarity.ivfpqRecall(embeddings(s, d), 8, 5)),
+    "sim_ivf_salted" -> ((s, d) => Similarity.ivfTopKSalted(embeddings(s, d), 8, 5)),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -1972,6 +1973,9 @@ object SparkEntry {
     "sim_pq_rerank" -> pqRerankOracle(8, 5, 20),
     "sim_ivfpq_topk" -> ivfpqOracle(8, 5),
     "sim_ivfpq_recall" -> ivfpqRecallOracle(8, 5),
+    // salting is a physical-plan device: the oracle is the UNSALTED
+    // plan, so the hash check proves result-identity under salting
+    "sim_ivf_salted" -> ivfOracle(8, 5),
     "rel_snapshot_diff" ->
       """WITH next AS (
         |  SELECT o_orderkey,

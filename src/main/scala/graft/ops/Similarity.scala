@@ -307,6 +307,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Skew-guarded IVF probe scoring for the MANY-QUERIES regime. When
+    * the (query, probed-cell) frame is too large to broadcast, probing
+    * becomes a shuffle join on `cell` — and cell sizes are
+    * data-dependent, so at 100× one hot cell would land on a single
+    * reducer and own the stage. The salted variant splits every cell
+    * into `salts` shards: the corpus side's shard is a deterministic
+    * hash of vec_id, the probe side replicates each probed cell once
+    * per shard (an `salts`-row explode, not a crossJoin — the
+    * [[Relational.saltedSupplierRevenue]] pattern), and the join key
+    * becomes (cell, salt), so a hot cell spreads over `salts`
+    * reducers. Results are IDENTICAL to [[ivfTopK]] — the registry
+    * oracle computes the unsalted plan — and the per-shard candidate
+    * bound is asserted in OpsSpec.
+    */
+  def ivfTopKSalted(embeddings: DataFrame, nQueries: Int, k: Int,
+                    nlist: Int = 16, nprobe: Int = 4,
+                    salts: Int = 8): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nlist)
+    val assigned = assignCells(embeddings, centroids)
+      .withColumn("salt",
+        pmod(Text.tokenHash(col("vec_id").cast("string")), lit(salts.toLong)))
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("centroid_id"),
+        cosine(col("qe"), col("ce")).as("cs"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+    val probeCells = probes.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("centroid_id").as("cell"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    val scored = assigned.join(probeCells, Seq("cell", "salt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- Product quantization (Jégou, Douze & Schmid, "Product
   // Quantization for Nearest Neighbor Search", TPAMI 2011) ----
 

@@ -267,6 +267,38 @@ class OpsSpec extends SparkTestBase {
     iv.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
   }
 
+  test("salted IVF probing matches the unsalted plan and bounds per-shard candidates") {
+    val emb = Tables.embeddings(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val plain = Similarity.ivfTopK(emb, 4, 5).collect().map(key).toSeq
+    val salted = Similarity.ivfTopKSalted(emb, 4, 5).collect().map(key).toSeq
+    assert(plain.nonEmpty && salted === plain) // salting never changes results
+    // shard bound: with the md5 salt, no (cell, salt) shard holds more
+    // than a small multiple of its fair share of the cell's members —
+    // the property that keeps one hot cell off a single reducer
+    val salts = 8
+    val assigned = Similarity
+      .assignCells(emb, Similarity.kmeansCentroids(emb, 16))
+      .withColumn("salt",
+        pmod(graft.ops.Text.tokenHash(col("vec_id").cast("string")),
+          lit(salts.toLong)))
+    val cellTotals = assigned.groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    val shardCounts = assigned.groupBy("cell", "salt").count()
+      .as[(Long, Long, Long)].collect()
+    shardCounts.foreach { case (cell, _, n) =>
+      val fair = math.ceil(cellTotals(cell).toDouble / salts)
+      assert(n <= 3 * fair,
+        s"cell $cell shard holds $n of ${cellTotals(cell)} (fair ~$fair)")
+    }
+    // and cells big enough to split actually do
+    cellTotals.filter(_._2 >= salts).keys.foreach { cell =>
+      val nShards = shardCounts.count(_._1 == cell)
+      assert(nShards >= 2, s"cell $cell (${cellTotals(cell)} rows) never split")
+    }
+  }
+
   test("k-means quantizer trains deterministic full-dim centroids") {
     def train() = Similarity.kmeansCentroids(Tables.embeddings(spark, sf), 8)
       .orderBy("centroid_id").as[(Long, Seq[Double])].collect().toSeq
