@@ -258,6 +258,16 @@ object PlanAudit {
         "BroadcastExchange".r.findAllIn(p).size >= 3),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // multimodal near-dup: banded-Hamming candidates come from an
+    // equi-join per (band_idx, band_val) bucket — all-pairs never
+    // enumerated; the banded exchange feeds both join sides once
+    audit("mm_phash_dups")(
+      ("no cartesian/BNL pair enumeration", p =>
+        !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      ("banded-fingerprint exchange reused across the self-join",
+        _.contains("ReusedExchange")))
+
     // salted IVF probing: the candidate join must key on (cell, salt)
     // so a hot cell spreads across `salts` reducers when the probe
     // side shuffles instead of broadcasting

@@ -280,6 +280,7 @@ object SparkEntry {
     "rel_dq_audit" -> ((s, d) =>
       Relational.dataQualityAudit(customer(s, d), orders(s, d), lineitem(s, d))),
     "mm_embed" -> ((s, d) => Multimodal.embedStub(documents(s, d))),
+    "mm_phash_dups" -> ((s, d) => Multimodal.phashDups(documents(s, d))),
     "rel_supplier_dist" -> ((s, d) =>
       Relational.partTypeSuppliers(lineitem(s, d), part(s, d))),
     "dedup_apply" -> ((s, d) => Dedup.applyNearDupDedup(documents(s, d))),
@@ -1768,6 +1769,7 @@ object SparkEntry {
         | ('0x' || substr(md5(text), 13, 2))::BIGINT / 255.0 AS e6,
         | ('0x' || substr(md5(text), 15, 2))::BIGINT / 255.0 AS e7
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_phash_dups" -> phashDupsOracle(4),
     "rel_dq_audit" ->
       """SELECT 'orders_fk_customer' AS "check",
         |  (SELECT count(*) FROM orders o LEFT JOIN customer c
@@ -2138,6 +2140,39 @@ object SparkEntry {
        |  CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE) AS keep_rate,
        |  CAST(n_kept AS DOUBLE) / CAST(n_kept_all AS DOUBLE) AS mix_share
        |FROM p, t ORDER BY lang""".stripMargin
+  }
+
+  /** mm_phash_dups oracle: band sums, banding, candidate join, and
+    * Hamming verification generated from the same
+    * `Multimodal.phashChunkLen/phashBandBits/phashNBands` constants as
+    * the engine (integer arithmetic throughout — order-free).
+    */
+  private def phashDupsOracle(maxHamming: Int): String = {
+    import Multimodal.{phashChunks, phashBandBits, phashNBands}
+    def bandSql(b: Int) = (0 until phashBandBits).map { r =>
+      val i = b * phashBandBits + r
+      s"(('0x' || substr(md5(substr(text, 1 + $i * clen, clen)), 1, 1))::BIGINT % 2) * ${1L << r}"
+    }.mkString("(", " + ", ")")
+    val fpCols = (0 until phashNBands).map(b => s"${bandSql(b)} AS b$b").mkString(",\n    ")
+    val bandArr = (0 until phashNBands).map(b => s"b$b").mkString("[", ", ", "]")
+    val hamSql = (0 until phashNBands)
+      .map(b => s"bit_count(xor(a.b$b, b.b$b))").mkString(" + ")
+    s"""WITH sized AS (SELECT doc_id, text,
+       |    greatest(1, length(text) // $phashChunks) AS clen FROM documents),
+       |fp AS (SELECT doc_id,
+       |    $fpCols
+       |  FROM sized),
+       |banded AS (SELECT doc_id, unnest($bandArr) AS band_val,
+       |    generate_subscripts($bandArr, 1) AS band_idx FROM fp),
+       |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM banded x JOIN banded y
+       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |       AND x.doc_id < y.doc_id),
+       |h AS (SELECT id1, id2, CAST($hamSql AS BIGINT) AS hamming
+       |  FROM cand JOIN fp a ON a.doc_id = cand.id1
+       |            JOIN fp b ON b.doc_id = cand.id2)
+       |SELECT id1, id2, hamming FROM h WHERE hamming <= $maxHamming
+       |ORDER BY id1, id2""".stripMargin
   }
 
   /** In-order double dot product over two DuckDB lists — the SQL twin

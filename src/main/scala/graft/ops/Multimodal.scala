@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as
@@ -184,6 +184,82 @@ object Multimodal {
           .as(s"e$i")
       }: _*)
       .orderBy(col("doc_id"))
+  }
+
+  /** pHash-style perceptual fingerprint geometry: 64 bits as 4 × 16-bit
+    * BAND values — the band is both the LSH bucketing unit and keeps
+    * every value comfortably inside a signed BIGINT on both engines.
+    */
+  val phashBandBits = 16
+  val phashNBands = 4
+  val phashChunks: Int = phashNBands * phashBandBits
+
+  /** The 4 band columns of the stub perceptual hash. Like real pHash
+    * resizes every image to fixed dimensions before hashing, the
+    * payload is cut into exactly [[phashChunks]] chunks of
+    * length-PROPORTIONAL width (clen = len div 64) — a short payload
+    * still fills all 64 bits; a fixed chunk width would leave short
+    * docs sharing constant empty-tail bits and make every pair of
+    * short docs a false near-dup. Bit i = parity of chunk i's md5:
+    * CHUNK-LOCAL, so an edit flips only the touched chunks' bits and
+    * Hamming distance tracks the edited area — the locality a real
+    * blockhash/pHash gets from block means over pixels. Swapping
+    * chunk-parity for DCT sign bits over a real decode changes only
+    * this projection; the banding, candidate generation, and
+    * verification around it are the production shape.
+    */
+  def phashBandCols(text: Column, clen: Column): Seq[Column] =
+    (0 until phashNBands).map { b =>
+      (0 until phashBandBits).map { r =>
+        val i = b * phashBandBits + r
+        val chunk = substr(text, lit(1L) + lit(i.toLong) * clen, clen)
+        val bit = conv(substring(md5(chunk), 1, 1), 16, 10).cast("long") % 2
+        bit * lit(1L << r)
+      }.reduce(_ + _)
+    }
+
+  /** Per-document fingerprint: (doc_id, b0..b3). One projection, no
+    * shuffle — the fingerprint pass streams over the corpus once.
+    */
+  def phashFingerprints(documents: DataFrame): DataFrame = {
+    val sized = documents.select(col("doc_id"), col("text"),
+      greatest(lit(1L), expr(s"length(text) div $phashChunks").cast("long"))
+        .as("clen"))
+    sized.select(col("doc_id") +: phashBandCols(col("text"), col("clen"))
+      .zipWithIndex.map { case (c, b) => c.as(s"b$b") }: _*)
+  }
+
+  /** Multimodal near-dup pairs via banded Hamming LSH over the pHash
+    * fingerprint — the [[graft.ops.Dedup]] tier applied to media: a
+    * candidate pair must share at least one EXACT 16-bit band (equi-
+    * join per (band_idx, band_val) bucket — all-pairs are never
+    * enumerated, plan-audited), then only candidates pay the exact
+    * 64-bit Hamming verification. A pair within `maxHamming` bits
+    * differs in at most that many chunks of the normalized view.
+    */
+  def phashDups(documents: DataFrame, maxHamming: Int = 4): DataFrame = {
+    val fp = phashFingerprints(documents)
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+    val banded = fp.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "band_val")))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    val f1 = fp.select(col("doc_id").as("id1"), col("b0").as("x0"),
+      col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3"))
+    val f2 = fp.select(col("doc_id").as("id2"), col("b0").as("y0"),
+      col("b1").as("y1"), col("b2").as("y2"), col("b3").as("y3"))
+    cand.join(f1, Seq("id1")).join(f2, Seq("id2"))
+      .select(col("id1"), col("id2"),
+        expr("CAST(bit_count(x0 ^ y0) + bit_count(x1 ^ y1) + " +
+          "bit_count(x2 ^ y2) + bit_count(x3 ^ y3) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id1"), col("id2"))
   }
 
   def metaExpr(documents: DataFrame): DataFrame = {

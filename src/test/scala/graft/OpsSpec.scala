@@ -267,6 +267,31 @@ class OpsSpec extends SparkTestBase {
     iv.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
   }
 
+  test("pHash near-dup: identical and lightly-edited payloads pair up, edits stay chunk-local") {
+    import graft.ops.Multimodal
+    val base = (0 until 1200).map(i => ('a' + i % 23).toChar).mkString
+    // doc 1 = doc 0; doc 2 edits ONE 16-char chunk; doc 3 is unrelated
+    val edited = base.substring(0, 320) + "XXXXXXXXXXXXXXXX" + base.substring(336)
+    val other = (0 until 1200).map(i => ('A' + (i * 7) % 26).toChar).mkString
+    val docs = Seq((0L, base), (1L, base), (2L, edited), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.phashDups(docs, maxHamming = 4)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) === 0L)          // identical → Hamming 0
+    // clen = 1200 div 64 = 18; the 16-char edit at 320..335 touches
+    // chunks 17-18 only → at most 2 bits flip
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) <= 2L)
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
+    // fingerprints are chunk-local: bands untouched by the edit match
+    val fps = Multimodal.phashFingerprints(docs)
+      .collect().map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // chunks 17-18 live in band 1 (bits 16..31); bands 0, 2, 3 unchanged
+    assert(fps(0L)(0) === fps(2L)(0))
+    assert(fps(0L)(2) === fps(2L)(2))
+    assert(fps(0L)(3) === fps(2L)(3))
+  }
+
   test("salted IVF probing matches the unsalted plan and bounds per-shard candidates") {
     val emb = Tables.embeddings(spark, sf)
     def key(r: org.apache.spark.sql.Row) =
