@@ -430,6 +430,58 @@ class StreamingSpec extends SparkTestBase {
     assert(got === Seq(1L, 2L, 3L, 4L, 5L)) // each row exactly once
   }
 
+  test("foreachBatch MERGE survives an injected mid-batch crash: replay after restart neither loses nor duplicates rows") {
+    import org.apache.spark.sql.types._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-crash-src").toString
+    val tgt = java.nio.file.Files.createTempDirectory("graft-crash-tgt").toString + "/table"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-crash-ckpt").toString
+    Seq((1L, "old"), (2L, "old"), (3L, "old")).toDF("key", "value")
+      .coalesce(1).write.mode("overwrite").parquet(tgt)
+    val schema = StructType(Seq(
+      StructField("key", LongType), StructField("value", StringType)))
+    val merges = new java.util.concurrent.atomic.AtomicInteger(0)
+    def start() = StreamingOps.fileStream(spark, srcDir, schema)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.Sources.upsert(spark, tgt, batch, "key")
+          // crash AFTER the merge but BEFORE the checkpoint commits the
+          // batch — the worst window: the sink committed, the source
+          // offset didn't, so restart MUST replay this batch
+          if (merges.incrementAndGet() == 1)
+            throw new RuntimeException("injected crash before checkpoint commit")
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    Seq((2L, "new"), (10L, "ins")).toDF("key", "value")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    try q1.processAllAvailable() catch { case _: Throwable => () }
+    assert(q1.exception.isDefined, "injected failure did not surface")
+    try q1.stop() catch { case _: Throwable => () }
+    // the merge DID land before the crash — the replay must not undo
+    // or double-apply it
+    assert(spark.read.parquet(tgt).as[(Long, String)].collect().toMap
+      === Map(1L -> "old", 2L -> "new", 3L -> "old", 10L -> "ins"))
+
+    // second incarnation over the SAME checkpoint: the uncommitted
+    // batch replays (at-least-once delivery) and the keyed MERGE makes
+    // the replay idempotent (exactly-once OUTCOME); later batches flow
+    val q2 = start()
+    try {
+      Seq((3L, "upd")).toDF("key", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(merges.get() >= 3, s"batch was not replayed (merges=${merges.get()})")
+    val rows = spark.read.parquet(tgt).as[(Long, String)].collect().toSeq
+    assert(rows.map(_._1).distinct.length === rows.length, "duplicated keys")
+    assert(rows.toMap ===
+      Map(1L -> "old", 2L -> "new", 3L -> "upd", 10L -> "ins"))
+  }
+
   test("sessionize respects the gap rule on a crafted trace") {
     val rows = Seq(
       (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
