@@ -335,7 +335,8 @@ object PlanAudit {
         "dedup_jaccard", "sim_cosine_topk", "sim_ivf_topk", "str_session",
         "txt_fuzzy_match", "rel_asof_merge", "rel_nation_trade",
         "rel_market_basket", "rel_pagerank", "rel_triangles",
-        "sim_pq_topk", "txt_repetition", "str_dedup", "rel_resample_ffill")
+        "sim_pq_topk", "txt_repetition", "str_dedup", "rel_resample_ffill",
+        "sim_ivfpq_topk", "sim_ivf_salted", "mm_phash_dups")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(
