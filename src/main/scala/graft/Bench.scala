@@ -41,8 +41,25 @@ object Bench {
     }.toMap
     val p1 = pass(); val p2 = pass()
     val results = names.map(n => n -> math.min(p1(n), p2(n)))
+    // full per-query history: the driver tail keeps only the 12 slowest,
+    // so regressions on the other ~150 queries would be invisible
+    // round-over-round; bench_full.json (committed per round) makes
+    // every query's minimum diffable against the previous round
+    writeFull(results, sfDir)
     println(renderLine(results, sfDir))
     spark.stop()
+  }
+
+  /** All per-query minimums → bench_full.json in the repo root (or
+    * SPARK_GRAFT_BENCH_FULL when set).
+    */
+  def writeFull(results: Seq[(String, Double)], sfDir: String): Unit = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    val qs = results.sortBy(_._1)
+      .map { case (k, v) => "  \"" + k + "\": " + f"$v%.3f" }
+      .mkString("{\n", ",\n", ",\n")
+    val tail = s"""  "_total": ${f"${results.map(_._2).sum}%.3f"},\n  "_sf": "$sfDir"\n}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), qs + tail)
   }
 
   /** The emitted line must stay well under the driver's output-tail

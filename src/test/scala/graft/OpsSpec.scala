@@ -628,6 +628,11 @@ class OpsSpec extends SparkTestBase {
     val triEmpty = Graph.triangleStats(emptyEdges).head()
     assert(triEmpty.getAs[Long]("n_edges") === 0L)
     assert(triEmpty.getAs[Long]("n_triangles") === 0L)
+    // round-4 operators
+    val emptyEmb = Tables.embeddings(spark, sf).limit(0)
+    assert(Similarity.ivfpqTopK(emptyEmb, 8, 5).isEmpty)
+    assert(Similarity.ivfTopKSalted(emptyEmb, 8, 5).isEmpty)
+    assert(Multimodal.phashDups(emptyDocs).isEmpty)
   }
 
   test("multimodal: batched mapPartitions decode agrees with expression twin") {
