@@ -334,6 +334,7 @@ object SparkEntry {
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(embeddings(s, d), 8, 5)),
     "sim_ivfpq_recall" -> ((s, d) => Similarity.ivfpqRecall(embeddings(s, d), 8, 5)),
     "sim_ivf_salted" -> ((s, d) => Similarity.ivfTopKSalted(embeddings(s, d), 8, 5)),
+    "sim_kmeans_cells" -> ((s, d) => Similarity.kmeansCellStats(embeddings(s, d), 16)),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -659,6 +660,22 @@ object SparkEntry {
        |      FROM s)
        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** sim_kmeans_cells oracle: the trained quantizer's cell census —
+    * same k-means CTE chain and argmax-cosine assignment as the IVF
+    * oracles, reduced to (cell, size, smallest member).
+    */
+  private def kmeansCellsOracle(nlist: Int): String =
+    s"""WITH ${kmeansSql(nlist, Similarity.ivfIters)},
+       |cent AS (SELECT * FROM cent${Similarity.ivfIters}),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e, cent c) t WHERE rn = 1)
+       |SELECT cell, count(*) AS n_members, min(vec_id) AS first_vec
+       |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
 
   /** sim_near_dup oracle: 8 bands × 4 sign bits, plane literals
     * generated from the same `Similarity.planeValue` constants.
@@ -1978,6 +1995,7 @@ object SparkEntry {
     // salting is a physical-plan device: the oracle is the UNSALTED
     // plan, so the hash check proves result-identity under salting
     "sim_ivf_salted" -> ivfOracle(8, 5),
+    "sim_kmeans_cells" -> kmeansCellsOracle(16),
     "rel_snapshot_diff" ->
       """WITH next AS (
         |  SELECT o_orderkey,

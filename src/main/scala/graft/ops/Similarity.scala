@@ -275,6 +275,17 @@ object Similarity {
   def ivfAssign(embeddings: DataFrame, nlist: Int): DataFrame =
     assignCells(embeddings, kmeansCentroids(embeddings, nlist))
 
+  /** Embedding k-means clustering as a first-class output: the trained
+    * quantizer's cell census (size + smallest member id per cell) — the
+    * corpus-segmentation / topic-bucketing read of the same artifact
+    * the ANN index probes. One assignment scan + one count aggregation.
+    */
+  def kmeansCellStats(embeddings: DataFrame, nlist: Int): DataFrame =
+    ivfAssign(embeddings, nlist)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("first_vec"))
+      .orderBy(col("cell"))
+
   /** IVF top-k: probe the query's `nprobe` best cells, exact-score only
     * their members. Assignment and probing share ONE trained quantizer
     * (checkpointed nlist-row frame, broadcast to both sides).
