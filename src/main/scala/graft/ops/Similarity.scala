@@ -172,6 +172,13 @@ object Similarity {
   /** argmax-cosine cell assignment against a (small, broadcast) centroid
     * set: ties break on centroid_id, so assignment is total and
     * deterministic.
+    *
+    * Shape note: argmax is `max_by` over a TOTAL ordering key, not a
+    * `row_number` window — the aggregation partial-combines map-side
+    * (nlist·N scored rows collapse to N before any shuffle) and never
+    * sorts, where the window shuffles the full fan-out and sorts each
+    * partition. (cs, -centroid_id) makes the ordering total, so the
+    * map-side combine order cannot change the result.
     */
   def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
     val scored = embeddings
@@ -179,11 +186,11 @@ object Similarity {
       .join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         cosine(col("embedding"), col("ce")).as("cs"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cs").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("centroid_id")),
+        struct(col("cs"), -col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.centroid_id").as("cell"))
   }
 
   /** Quantizer-training sample rate (percent) and fold block width.
@@ -430,14 +437,16 @@ object Similarity {
       .select(col("m"), col("vec_id").as("code"),
         transform(col("sv"), x => x.cast("double")).as("ce"))
     for (_ <- 1 to pqIters) {
+      // argmin-L2 as min_by over the total (d2, code) key: map-side
+      // partial combine, no window sort (same device as assignCells)
       val scored = subs.join(broadcast(cent), Seq("m"))
         .select(col("m"), col("vec_id"), col("sv"), col("code"),
           l2sq(col("sv"), col("ce")).as("d2"))
-      val w = Window.partitionBy(col("m"), col("vec_id"))
-        .orderBy(col("d2").asc, col("code"))
-      val assigned = scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("m"), col("vec_id"), col("sv"), col("code").as("cell"))
+      val assigned = scored.groupBy(col("m"), col("vec_id"))
+        .agg(min_by(struct(col("sv"), col("code")),
+          struct(col("d2"), col("code"))).as("best"))
+        .select(col("m"), col("vec_id"), col("best.sv").as("sv"),
+          col("best.code").as("cell"))
       val dims = assigned.select(col("m"), col("cell"), col("vec_id"),
         posexplode(col("sv")).as(Seq("j", "v")))
       val means = twoLevelMean(dims, Seq("m", "cell", "j"))
@@ -462,9 +471,11 @@ object Similarity {
     val scored = subs.join(broadcast(codebooks), Seq("m"))
       .select(col("vec_id"), col("m"), col("code"),
         l2sq(col("sv"), col("ce")).as("d2"))
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2").asc, col("code"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // argmin-L2 via min_by (map-side combine: M·ksub·N scored rows
+    // collapse to M·N before the shuffle, no window sort), then the
+    // per-vector code array assembles on the second, M×-smaller pass
+    scored.groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
       .groupBy(col("vec_id"))
       .agg(transform(sort_array(collect_list(struct(col("m"), col("code")))),
         x => x.getField("code")).as("codes"))
