@@ -58,10 +58,15 @@ object PlanAudit {
         "Exchange".r.findAllIn(p).size <= 1),
       ("conditional update stays in codegen", _.contains("*(")))
 
-    // similarity: custom codegen'd expression present, queries broadcast
+    // similarity: custom codegen'd expression present, queries broadcast,
+    // and the top-k is the two-phase HEAP node — the full scored set is
+    // never shuffled into #queries partitions nor sorted (the rank
+    // window afterwards touches only the k×queries survivors)
     audit("sim_cosine_topk")(
       ("native vector_dot expression in plan", _.contains("vector_dot")),
-      ("query side broadcast", _.contains("BroadcastExchange")))
+      ("query side broadcast", _.contains("BroadcastExchange")),
+      ("two-phase heap top-k (map-side partial prune)", p =>
+        p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")))
 
     // minhash: signature exchange reused, not recomputed per join side
     audit("dedup_minhash")(
@@ -256,6 +261,8 @@ object PlanAudit {
         p => "BroadcastHashJoin \\[cell#".r.findAllIn(p).nonEmpty),
       ("probe/LUT and query sides broadcast", p =>
         "BroadcastExchange".r.findAllIn(p).size >= 3),
+      ("shortlist + re-rank both use the heap top-k node", p =>
+        "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
     // multimodal near-dup: banded-Hamming candidates come from an

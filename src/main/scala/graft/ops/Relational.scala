@@ -513,7 +513,7 @@ object Relational {
     org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
         orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           combo.as("__ord")),
-        Seq("o_custkey"), "__ord", k)
+        Seq("o_custkey"), Seq("__ord"), k)
       .drop("__ord")
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }

@@ -40,9 +40,32 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(normSq(a)) / sqrt(normSq(b))
 
+  /** Per-query descending top-k + rank over a scored frame, through
+    * the custom [[graft.plans.TopKPerKeyPlan]] heap node: the map-side
+    * PARTIAL heap prunes every input partition to ≤k rows per query
+    * BEFORE any shuffle, and nothing ever sorts the full candidate
+    * set. The window formulation would shuffle ALL scored rows into
+    * nQueries hash partitions — a parallelism ceiling of #queries,
+    * fatal on a 1000-executor cluster scoring a large corpus — then
+    * sort each. The rank window here touches only the ≤ k×queries
+    * survivors. Ordering is (score DESC, neighbor_id ASC), made total
+    * by the negated-id tiebreak in the heap's second component.
+    */
+  private def topKRanked(scored: DataFrame, scoreCol: String,
+                         k: Int): DataFrame = {
+    val pruned = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        scored.withColumn("__tie", -col("neighbor_id")),
+        Seq("query_id"), Seq(scoreCol, "__tie"), k)
+      .drop("__tie")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Brute-force cosine top-k: corpus ⋈ broadcast(queries), score,
-    * per-query ranked window. Exact; O(corpus × queries) scoring but a
-    * single corpus scan.
+    * per-query heap top-k ([[topKRanked]]). Exact; O(corpus × queries)
+    * scoring but a single corpus scan and no full-candidate shuffle.
     */
   def cosineTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val queries = embeddings.filter(col("vec_id") < nQueries)
@@ -52,11 +75,7 @@ object Similarity {
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKRanked(scored, "sim", k)
   }
 
   /** k-NN majority-vote classification over the `label` column — the
@@ -139,11 +158,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKRanked(scored, "sim", k)
   }
 
   /** Vector L2-normalization as a reusable projection. NOTE: the norm
@@ -318,11 +333,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKRanked(scored, "sim", k)
   }
 
   /** Skew-guarded IVF probe scoring for the MANY-QUERIES regime. When
@@ -361,11 +372,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKRanked(scored, "sim", k)
   }
 
   // ---- Product quantization (Jégou, Douze & Schmid, "Product
@@ -513,11 +520,7 @@ object Similarity {
         aggregate(sequence(lit(0), lit(pqM - 1)), lit(0.0),
           (acc, m) => acc + element_at(col("lut"),
             m * pqKsub + element_at(col("codes"), m + 1))).as("adc"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKRanked(scored, "adc", k)
   }
 
   /** Two-stage retrieval: PQ/ADC shortlists `shortlist` candidates
@@ -539,11 +542,7 @@ object Similarity {
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKRanked(scored, "sim", k)
   }
 
   /** recall@k of PQ/ADC against brute-force cosine — the compression
@@ -626,10 +625,10 @@ object Similarity {
         aggregate(sequence(lit(0), lit(pqM - 1)), lit(0.0),
           (acc, m) => acc + element_at(col("lut"),
             m * pqKsub + element_at(col("codes"), m + 1))).as("adc"))
-    val sw = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    val cands = adc.withColumn("rn", row_number().over(sw))
-      .filter(col("rn") <= shortlist)
+    // ADC shortlist via the heap node (map-side pruning, no sort)
+    val cands = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        adc.withColumn("__tie", -col("neighbor_id")),
+        Seq("query_id"), Seq("adc", "__tie"), shortlist)
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank of the shortlist (same tail as pqRerankTopK)
     val q = embeddings.filter(col("vec_id") < nQueries)
@@ -640,11 +639,7 @@ object Similarity {
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    topKRanked(scored, "sim", k)
   }
 
   /** recall@k of IVFADC against brute-force cosine — probe pruning and

@@ -13,15 +13,15 @@ import graft.plans.{TopKPerKeyPlan, TopKPerKeyStrategy}
   */
 object PlanBridge {
 
-  /** Per-key descending top-k over the LongType column `orderCol`
-    * (callers materialize the ordering value — with a unique tiebreak
-    * folded in — as a column first, so every expression the node holds
-    * is an already-resolved AttributeReference of the analyzed child).
-    * Registers the planner strategy idempotently on first use; the
-    * strategy is also injectable up front via
-    * `graft.functions.GraftExtensions`.
+  /** Per-key DESCENDING lexicographic top-k over 1-2 LONG/DOUBLE
+    * ordering columns (callers materialize the ordering values — with
+    * a unique tiebreak folded into the last one — as columns first, so
+    * every expression the node holds is an already-resolved
+    * AttributeReference of the analyzed child). Registers the planner
+    * strategy idempotently on first use; the strategy is also
+    * injectable up front via `graft.functions.GraftExtensions`.
     */
-  def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
                  k: Int, registerStrategy: Boolean = true): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[ClassicSparkSession]
     if (registerStrategy &&
@@ -33,7 +33,7 @@ object PlanBridge {
     def attr(name: String) = child.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
         s"column $name not in ${child.output.map(_.name).mkString(", ")}"))
-    val node = TopKPerKeyPlan(keyCols.map(attr), attr(orderCol), k, child)
+    val node = TopKPerKeyPlan(keyCols.map(attr), orderCols.map(attr), k, child)
     ClassicDataset.ofRows(spark, node)
   }
 }

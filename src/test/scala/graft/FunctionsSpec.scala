@@ -123,7 +123,7 @@ class FunctionsSpec extends SparkTestBase {
       val df = Seq((1L, 5L), (1L, 9L), (1L, 7L), (2L, 3L))
         .toDF("key", "ord")
       val got = org.apache.spark.sql.graftbridge.PlanBridge
-        .topKPerKey(df, Seq("key"), "ord", 2, registerStrategy = false)
+        .topKPerKey(df, Seq("key"), Seq("ord"), 2, registerStrategy = false)
         .as[(Long, Long)].collect().toSet
       assert(got === Set((1L, 9L), (1L, 7L), (2L, 3L)))
     } finally {

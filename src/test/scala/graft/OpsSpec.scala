@@ -406,7 +406,7 @@ class OpsSpec extends SparkTestBase {
     val df = new scala.util.Random(7).shuffle(rows)
       .toDF("key", "ord")
     val got = org.apache.spark.sql.graftbridge.PlanBridge
-      .topKPerKey(df.repartition(4), Seq("key"), "ord", 3)
+      .topKPerKey(df.repartition(4), Seq("key"), Seq("ord"), 3)
       .as[(Long, Long)].collect().toSet
     val expected = Set((1L, 10L), (2L, 101L), (2L, 102L), (2L, 103L),
       (3L, 1198L), (3L, 1199L), (3L, 1200L))
