@@ -187,6 +187,26 @@ object PlanAudit {
       ("one-row filter broadcast to the probe",
         p => p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange")))
 
+    // Q6 shape: the pure scan reduction — every predicate reaches the
+    // parquet scan, nothing joins, nothing shuffles but the one agg
+    audit("rel_forecast_revenue")(
+      // the PushedFilters list is elided in toString — assert its
+      // visible prefix plus the 4-column pruned ReadSchema
+      ("predicates pushed to the scan, columns pruned", p =>
+        p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+          "IsNotNull(l_discount), IsNotNull(l_quantity), " +
+          "GreaterThanOrEqual(l_shipda") &&
+        p.contains("ReadSchema: struct<l_quantity:double," +
+          "l_extendedprice:double,l_discount:double,l_shipdate:timestamp")),
+      ("no join anywhere", p => !p.contains("Join")))
+
+    // Q8 shape: dims broadcast, region prune is a semi join, single agg
+    audit("rel_market_share")(
+      ("part/supplier/customer sides broadcast", p =>
+        "BroadcastHashJoin".r.findAllIn(p).size >= 3),
+      ("region-customer prune is a semi join", _.contains("LeftSemi")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // Q19 shape: the disjunctive predicate must not break the equi-join
     audit("rel_disjunctive")(
       ("join stays hash-based despite the OR residual",

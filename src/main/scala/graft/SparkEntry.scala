@@ -335,6 +335,13 @@ object SparkEntry {
     "sim_ivfpq_recall" -> ((s, d) => Similarity.ivfpqRecall(embeddings(s, d), 8, 5)),
     "sim_ivf_salted" -> ((s, d) => Similarity.ivfTopKSalted(embeddings(s, d), 8, 5)),
     "sim_kmeans_cells" -> ((s, d) => Similarity.kmeansCellStats(embeddings(s, d), 16)),
+    "rel_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(lineitem(s, d))),
+    "rel_promo_revenue" -> ((s, d) => Relational.promoRevenue(lineitem(s, d), part(s, d))),
+    "rel_top_supplier" -> ((s, d) => Relational.topSupplier(lineitem(s, d), supplier(s, d))),
+    "rel_small_qty" -> ((s, d) => Relational.smallQtyRevenue(lineitem(s, d), part(s, d))),
+    "rel_market_share" -> ((s, d) => Relational.marketShare(lineitem(s, d),
+      orders(s, d), customer(s, d), nation(s, d), region(s, d),
+      supplier(s, d), part(s, d))),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -1996,6 +2003,75 @@ object SparkEntry {
     // plan, so the hash check proves result-identity under salting
     "sim_ivf_salted" -> ivfOracle(8, 5),
     "sim_kmeans_cells" -> kmeansCellsOracle(16),
+    "rel_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "rel_promo_revenue" ->
+      """WITH a AS (
+        |  SELECT sum(CASE WHEN p_type = 'PROMO'
+        |           THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(1 - l_discount AS DECIMAL(4,2)) END) AS promo_dec,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * CAST(1 - l_discount AS DECIMAL(4,2))) AS total_dec
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01')
+        |SELECT 100.0 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS promo_pct,
+        |  CAST(promo_dec AS DOUBLE) AS promo_revenue,
+        |  CAST(total_dec AS DOUBLE) AS total_revenue
+        |FROM a""".stripMargin,
+    "rel_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "rel_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,4)) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+        |    sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |      OVER (PARTITION BY l_partkey) AS sum_qty,
+        |    count(*) OVER (PARTITION BY l_partkey) AS n_items
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1')
+        |SELECT CAST(sum(price) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM li WHERE qty * 5 * n_items < sum_qty""".stripMargin,
+    "rel_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(1 - l_discount AS DECIMAL(4,2)) AS vol,
+        |    (SELECT n_name FROM nation WHERE n_nationkey = s_nationkey) AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE p_type = 'PROMO'
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |    AND o_custkey IN (
+        |      SELECT c_custkey FROM customer
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      JOIN region ON n_regionkey = r_regionkey
+        |      WHERE r_name = 'ASIA'))
+        |SELECT o_year,
+        |  CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol END), 0) AS DOUBLE)
+        |    / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+        |  CAST(sum(vol) AS DOUBLE) AS total_volume
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
     "rel_snapshot_diff" ->
       """WITH next AS (
         |  SELECT o_orderkey,

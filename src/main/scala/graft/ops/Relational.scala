@@ -138,6 +138,133 @@ object Relational {
       .select(col("c_custkey"), col("c_name"),
         outD(col("rev_dec")).as("revenue"), col("n_name"))
 
+  /** TPC-H Q6 shape (forecasting revenue change): the pure scan-side
+    * reduction — every predicate pushes into the parquet scan
+    * (plan-audited), no join, one global aggregate. At 100 TB this
+    * query is ENTIRELY I/O-bound on the pruned scan, which is the
+    * point: the engine's job is to make sure nothing else happens.
+    */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(outD(sum(money(col("l_extendedprice")) * rate(col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q14 shape (promotion effect): one year of lineitem joined
+    * to the broadcast part dim; the promo share is a conditional sum
+    * riding the SAME single aggregation as the total. Money stays
+    * decimal until one final double division (mirrored textually by
+    * the oracle, so even the percentage hash-matches).
+    */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", discPrice)).as("promo_dec"),
+        sum(discPrice).as("total_dec"))
+      .select(
+        (lit(100.0) * outD(col("promo_dec")) / outD(col("total_dec")))
+          .as("promo_pct"),
+        outD(col("promo_dec")).as("promo_revenue"),
+        outD(col("total_dec")).as("total_revenue"))
+
+  /** TPC-H Q15 shape (top supplier): per-supplier quarterly revenue,
+    * then the max-revenue supplier(s) selected by an exact DECIMAL
+    * equality against the one-row broadcast max — a double revenue
+    * could drop a tied winner to representation error; decimal can't.
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).as("rev_dec"))
+    val mx = rev.agg(max(col("rev_dec")).as("mx"))
+    rev.join(broadcast(mx), col("rev_dec") === col("mx"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        outD(col("rev_dec")).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue), container→brand
+    * adapted to the fixture schema: revenue locked up in one brand's
+    * below-20%-of-average-quantity orders. The per-part average
+    * threshold is a WINDOW over the brand-pruned join (one shuffle,
+    * one scan — no second join back), and the 0.2·avg comparison is
+    * restated multiplicatively (5·qty·n < Σqty) so the whole predicate
+    * is exact integer-decimal arithmetic — no division anywhere for
+    * engines to round differently.
+    */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame,
+                      brand: String = "Brand#1"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    lineitem
+      .join(broadcast(part.filter(col("p_brand") === brand)
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .withColumn("sum_qty", sum(dec(col("l_quantity"))).over(w))
+      .withColumn("n_items", count(lit(1)).over(w))
+      .filter(dec(col("l_quantity")) * 5 * col("n_items") < col("sum_qty"))
+      .agg((outD(sum(money(col("l_extendedprice")))) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  /** TPC-H Q8 shape (national market share): one nation's suppliers'
+    * share of a region's import volume of one part type, by order
+    * year. Every dimension is a broadcast build (part-type prune,
+    * region-customer semi, supplier-nation tag); the national and
+    * total volumes ride ONE aggregation as a conditional sum. Years
+    * with no national volume coalesce to 0 (total, not null).
+    */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, nation: DataFrame, region: DataFrame,
+                  supplier: DataFrame, part: DataFrame,
+                  regionName: String = "ASIA",
+                  supplierNation: String = "NATION_3",
+                  partType: String = "PROMO"): DataFrame = {
+    val natRegion = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val custInRegion = customer
+      .join(broadcast(natRegion), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supNation = supplier
+      .join(broadcast(nation.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val vol = lineitem
+      .join(broadcast(part.filter(col("p_type") === partType)
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custInRegion),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        discPrice.as("vol"), col("supp_nation"))
+    vol.groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === supplierNation, col("vol")))
+          .as("nat_dec"),
+        sum(col("vol")).as("tot_dec"))
+      .select(col("o_year"),
+        (outD(coalesce(col("nat_dec"), lit(0))) / outD(col("tot_dec")))
+          .as("mkt_share"),
+        outD(col("tot_dec")).as("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
   /** Left-semi join: EXISTS. The orders side is reduced to its join key
     * before the shuffle (semi join needs no payload columns).
     */
