@@ -342,6 +342,8 @@ object SparkEntry {
     "rel_market_share" -> ((s, d) => Relational.marketShare(lineitem(s, d),
       orders(s, d), customer(s, d), nation(s, d), region(s, d),
       supplier(s, d), part(s, d))),
+    "txt_epoch_shuffle" -> ((s, d) => Text.epochShuffle(documents(s, d), 1)),
+    "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -2003,6 +2005,23 @@ object SparkEntry {
     // plan, so the hash check proves result-identity under salting
     "sim_ivf_salted" -> ivfOracle(8, 5),
     "sim_kmeans_cells" -> kmeansCellsOracle(16),
+    "txt_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+        |    ('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "sim_label_centroids" ->
+      s"""WITH d AS (SELECT CAST(label AS BIGINT) AS label, vec_id, j,
+        |    CAST(embedding[j] AS DOUBLE) AS v
+        |  FROM embeddings, unnest(generate_series(1, ${Similarity.dim})) AS u(j)),
+        |b AS (SELECT label, j, vec_id // ${Similarity.trainBlock} AS blk,
+        |    list_sum(list(v ORDER BY vec_id)) AS bsum, count(*) AS bn
+        |  FROM d GROUP BY label, j, blk)
+        |SELECT label, CAST(j AS BIGINT) AS dim_idx,
+        |  list_sum(list(bsum ORDER BY blk)) / sum(bn) AS mean_v
+        |FROM b GROUP BY label, j ORDER BY label, dim_idx""".stripMargin,
     "rel_forecast_revenue" ->
       """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |         * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,

@@ -297,6 +297,26 @@ object Similarity {
   def ivfAssign(embeddings: DataFrame, nlist: Int): DataFrame =
     assignCells(embeddings, kmeansCentroids(embeddings, nlist))
 
+  /** Per-label centroid embeddings — the class-prototype vectors a
+    * weak-supervision / nearest-centroid-classification pipeline
+    * derives from labeled embeddings — through the same deterministic
+    * [[twoLevelMean]] as quantizer training: block-bounded buffers,
+    * bit-stable across partitionings, hash-checkable. Output is
+    * flattened to (label, dim_idx, mean_v) rows for the cross-engine
+    * compare.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val dims = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("j", "v")))
+    twoLevelMean(dims, Seq("label", "j"))
+      .select(col("label"), (col("j") + 1).cast("long").as("dim_idx"),
+        col("mv").as("mean_v"))
+      .orderBy(col("label"), col("dim_idx"))
+  }
+
   /** Embedding k-means clustering as a first-class output: the trained
     * quantizer's cell census (size + smallest member id per cell) — the
     * corpus-segmentation / topic-bucketing read of the same artifact

@@ -188,6 +188,27 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic EPOCH SHUFFLE: the reproducible global permutation
+    * a training run reads each epoch, in its scale-correct form —
+    * rows shard by an epoch-salted md5 hash and take positions WITHIN
+    * their shard (a bounded window per shard), never a global
+    * row_number (a single-partition sort at 100 TB). A reader streams
+    * shard 0..n, position 0..k — the same total order every rerun,
+    * different every epoch, stable under input repartitioning.
+    */
+  def epochShuffle(documents: DataFrame, epoch: Int,
+                   shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = tokenHash(concat(lit(s"ep$epoch:"), col("doc_id").cast("string")))
+    documents.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Train/test CONTAMINATION detection: for each test-split document,
     * the fraction of its distinct 3-token shingles that also occur in
     * ANY train-split document — the decontamination scan every eval
