@@ -285,6 +285,19 @@ object PlanAudit {
         "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // residual IVFADC: same conditioning contract as sim_ivfpq_topk —
+    // the per-(query, cell) LUT join must stay keyed on the probed
+    // cell; residual construction only adds nlist-row centroid
+    // broadcasts, never a full-corpus nested loop
+    audit("sim_ivfpq_res")(
+      ("ADC candidate join is hash-keyed on the probed cell",
+        p => "BroadcastHashJoin \\[cell#".r.findAllIn(p).nonEmpty),
+      ("probe/LUT and query sides broadcast", p =>
+        "BroadcastExchange".r.findAllIn(p).size >= 3),
+      ("shortlist + re-rank both use the heap top-k node", p =>
+        "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // multimodal near-dup: banded-Hamming candidates come from an
     // equi-join per (band_idx, band_val) bucket — all-pairs never
     // enumerated; the banded exchange feeds both join sides once
@@ -363,7 +376,8 @@ object PlanAudit {
         "txt_fuzzy_match", "rel_asof_merge", "rel_nation_trade",
         "rel_market_basket", "rel_pagerank", "rel_triangles",
         "sim_pq_topk", "txt_repetition", "str_dedup", "rel_resample_ffill",
-        "sim_ivfpq_topk", "sim_ivf_salted", "mm_phash_dups")
+        "sim_ivfpq_topk", "sim_ivf_salted", "mm_phash_dups",
+        "sim_ivfpq_res")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(

@@ -343,6 +343,8 @@ object SparkEntry {
       orders(s, d), customer(s, d), nation(s, d), region(s, d),
       supplier(s, d), part(s, d))),
     "txt_epoch_shuffle" -> ((s, d) => Text.epochShuffle(documents(s, d), 1)),
+    "sim_ivfpq_res" -> ((s, d) => Similarity.ivfpqResidualTopK(embeddings(s, d), 8, 5)),
+    "sim_ivfpq_res_recall" -> ((s, d) => Similarity.ivfpqResidualRecall(embeddings(s, d), 8, 5)),
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
@@ -614,12 +616,13 @@ object SparkEntry {
     * aggregate at BOTH levels, so the trained centroids are
     * bit-identical.
     */
-  private def kmeansSql(nlist: Int, iters: Int): String = {
+  private def kmeansSql(nlist: Int, iters: Int,
+                        src: String = "embeddings"): String = {
     val blk = Similarity.trainBlock
-    val init = s"ksamp AS (SELECT * FROM embeddings WHERE $trainSampleSql),\n" +
+    val init = s"ksamp AS (SELECT * FROM $src WHERE $trainSampleSql),\n" +
       s"cent0 AS (SELECT vec_id AS centroid_id, " +
       s"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce " +
-      s"FROM embeddings WHERE vec_id < $nlist)"
+      s"FROM $src WHERE vec_id < $nlist)"
     val steps = (1 to iters).map { i =>
       val p = i - 1
       s"""ka$p AS (SELECT vec_id, embedding, cell FROM (
@@ -2001,6 +2004,8 @@ object SparkEntry {
     "sim_pq_rerank" -> pqRerankOracle(8, 5, 20),
     "sim_ivfpq_topk" -> ivfpqOracle(8, 5),
     "sim_ivfpq_recall" -> ivfpqRecallOracle(8, 5),
+    "sim_ivfpq_res" -> ivfpqResidualOracle(8, 5),
+    "sim_ivfpq_res_recall" -> ivfpqResidualRecallOracle(8, 5),
     // salting is a physical-plan device: the oracle is the UNSALTED
     // plan, so the hash check proves result-identity under salting
     "sim_ivf_salted" -> ivfOracle(8, 5),
@@ -2309,7 +2314,17 @@ object SparkEntry {
     * constants as the engine. Consumed by the flat-PQ oracles (ADC
     * over every code) and the IVFADC oracle (ADC over probed cells).
     */
-  private def pqCtes(nq: Int): String = {
+  /** Unit-normalized corpus CTE (the `un` table every PQ oracle uses). */
+  private def unCte: String =
+    s"""un AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)
+       |      / sqrt(${dotSql("embedding", "embedding")})) AS embedding
+       |  FROM embeddings)""".stripMargin
+
+  /** PQ training + encoding CTE chain over `src` (vec_id, embedding):
+    * per-subspace sampled k-means → `cb` codebooks → `enc` codes.
+    */
+  private def pqTrainEncCtes(src: String): String = {
     import Similarity.{pqM, pqDsub, pqKsub, pqIters}
     val blk = Similarity.trainBlock
     val subspaces = (0 until pqM).map { m =>
@@ -2333,7 +2348,7 @@ object SparkEntry {
            |pq${m}c$i AS (SELECT cell AS centroid_id, list(mv ORDER BY j) AS ce
            |  FROM pq${m}k$p GROUP BY cell)""".stripMargin
       }.mkString(",\n")
-      s"""pq${m}s AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS sv FROM un),
+      s"""pq${m}s AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS sv FROM $src),
          |pq${m}t AS (SELECT * FROM pq${m}s WHERE $trainSampleSql),
          |pq${m}c0 AS (SELECT vec_id AS centroid_id, sv AS ce
          |  FROM pq${m}s WHERE vec_id < $pqKsub),
@@ -2342,27 +2357,31 @@ object SparkEntry {
     val cbUnion = (0 until pqM).map(m =>
       s"SELECT $m AS m, CAST(centroid_id AS BIGINT) AS code, ce FROM pq${m}c$pqIters")
       .mkString("\n  UNION ALL ")
-    s"""un AS (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)
-       |      / sqrt(${dotSql("embedding", "embedding")})) AS embedding
-       |  FROM embeddings),
-       |$subspaces,
+    s"""$subspaces,
        |cb AS ($cbUnion),
        |subs AS (SELECT vec_id, u.m,
        |    list_slice(embedding, u.m * $pqDsub + 1, u.m * $pqDsub + $pqDsub) AS sv
-       |  FROM un, unnest(generate_series(0, ${pqM - 1})) AS u(m)),
+       |  FROM $src, unnest(generate_series(0, ${pqM - 1})) AS u(m)),
        |enc AS (SELECT vec_id, m, code FROM (
        |    SELECT s.vec_id, s.m, c.code,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
        |        ORDER BY ${l2Sql("s.sv", "c.ce")} ASC, c.code) AS rn
-       |    FROM subs s JOIN cb c ON s.m = c.m) t WHERE rn = 1),
-       |qs AS (SELECT vec_id AS query_id, u.m,
+       |    FROM subs s JOIN cb c ON s.m = c.m) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** Flat-PQ query-side LUT CTEs (one LUT per query over `src`). */
+  private def pqQueryLutCtes(nq: Int, src: String = "un"): String = {
+    import Similarity.{pqM, pqDsub}
+    s"""qs AS (SELECT vec_id AS query_id, u.m,
        |    list_slice(embedding, u.m * $pqDsub + 1, u.m * $pqDsub + $pqDsub) AS qsv
-       |  FROM un, unnest(generate_series(0, ${pqM - 1})) AS u(m)
+       |  FROM $src, unnest(generate_series(0, ${pqM - 1})) AS u(m)
        |  WHERE vec_id < $nq),
        |lut AS (SELECT query_id, q.m, c.code, ${dotSql("q.qsv", "c.ce")} AS pd
        |  FROM qs q JOIN cb c ON q.m = c.m)""".stripMargin
   }
+
+  private def pqCtes(nq: Int): String =
+    s"$unCte,\n${pqTrainEncCtes("un")},\n${pqQueryLutCtes(nq)}"
 
   /** sim_pq_topk oracle tail over [[pqCtes]]: full-corpus ADC fold +
     * per-query rank.
@@ -2431,6 +2450,85 @@ object SparkEntry {
        |      FROM s)
        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** sim_ivfpq_res oracle: TRUE residual IVFADC — coarse k-means over
+    * the unit corpus, PQ codebooks trained on residuals r = x − c(x),
+    * per-(query, probed-cell) LUTs with the dot(q, c) offset, ADC fold
+    * in subspace order, exact-cosine re-rank of the shortlist. Every
+    * stage is generated from the same Similarity constants the engine
+    * uses.
+    */
+  private def ivfpqResidualOracle(nq: Int, k: Int, nlist: Int = 16,
+                                  nprobe: Int = 4,
+                                  shortlist: Int = 20): String = {
+    import Similarity.{pqM, pqDsub}
+    s"""WITH $unCte,
+       |${kmeansSql(nlist, Similarity.ivfIters, "un")},
+       |cent AS (SELECT * FROM cent${Similarity.ivfIters}),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM un e, cent c) t WHERE rn = 1),
+       |res AS (SELECT a.vec_id,
+       |    list_transform(list_zip(a.embedding, c.ce), p -> p[1] - p[2]) AS embedding,
+       |    a.cell
+       |  FROM assigned a JOIN cent c ON a.cell = c.centroid_id),
+       |${pqTrainEncCtes("res")},
+       |probes AS (
+       |  SELECT query_id, qe, cell FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM (SELECT * FROM un WHERE vec_id < $nq) q, cent c) t WHERE rn <= $nprobe),
+       |qres AS (SELECT p.query_id, p.cell,
+       |    list_transform(list_zip(p.qe, c.ce), z -> z[1] - z[2]) AS qr,
+       |    ${dotSql("p.qe", "c.ce")} AS qc
+       |  FROM probes p JOIN cent c ON p.cell = c.centroid_id),
+       |rqs AS (SELECT query_id, cell, qc, u.m,
+       |    list_slice(qr, u.m * $pqDsub + 1, u.m * $pqDsub + $pqDsub) AS qsv
+       |  FROM qres, unnest(generate_series(0, ${pqM - 1})) AS u(m)),
+       |rlut AS (SELECT query_id, cell, qc, q.m, c.code,
+       |    ${dotSql("q.qsv", "c.ce")} AS pd
+       |  FROM rqs q JOIN cb c ON q.m = c.m),
+       |cand AS (SELECT p.query_id, a.vec_id, a.cell
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.query_id),
+       |adcs AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    l.qc + list_sum(list(l.pd ORDER BY l.m)) AS adc
+       |  FROM cand cd JOIN enc e ON e.vec_id = cd.vec_id
+       |  JOIN rlut l ON l.query_id = cd.query_id AND l.cell = cd.cell
+       |    AND l.m = e.m AND l.code = e.code
+       |  GROUP BY cd.query_id, cd.vec_id, l.qc),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc DESC, neighbor_id) AS rn
+       |    FROM adcs) t WHERE rn <= $shortlist),
+       |qq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $nq),
+       |s AS (SELECT sh.query_id, sh.neighbor_id,
+       |        ${cosSql("qq.qe", "c.embedding")} AS sim
+       |      FROM short sh
+       |      JOIN embeddings c ON c.vec_id = sh.neighbor_id
+       |      JOIN qq ON qq.query_id = sh.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def ivfpqResidualRecallOracle(nq: Int, k: Int): String =
+    s"""WITH iv AS (${ivfpqResidualOracle(nq, k)}),
+       |bf AS (${cosineTopkOracle(nq, k)})
+       |SELECT bf.query_id,
+       |  CAST(count(iv.neighbor_id) AS DOUBLE) / $k AS recall_at_k
+       |FROM bf LEFT JOIN iv
+       |  ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
   /** sim_ivfpq_recall oracle: recall@k of IVFADC vs brute-force cosine
     * (same join shape as the other recall gates).

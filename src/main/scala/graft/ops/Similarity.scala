@@ -662,6 +662,96 @@ object Similarity {
     topKRanked(scored, "sim", k)
   }
 
+  /** TRUE residual IVFADC (Jégou §IV-A; FAISS `IVFPQ` with
+    * `by_residual=true`): PQ quantizes the RESIDUAL r = x − c(x)
+    * after the coarse quantizer, which has far less variance than x,
+    * so the same 4-byte code budget buys materially lower distortion.
+    * The coarse quantizer here trains on UNIT vectors, so
+    * dot(q, x̂) = dot(q, c) + dot(q, r̂) estimates cosine: the
+    * per-(query, probed-cell) constant dot(q, c) plus M LUT lookups.
+    * The price vs the no-residual variant: the query LUT is PER
+    * (query, cell) — nq·nprobe·M·ksub partial dots, still
+    * broadcast-sized — and the scoring join is unchanged (cell-keyed,
+    * compressed codes only).
+    */
+  def ivfpqResidualTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                        nlist: Int = 16, nprobe: Int = 4,
+                        shortlist: Int = 20): DataFrame = {
+    val unit = unitVectors(embeddings).localCheckpoint()
+    val cent = kmeansCentroids(unit, nlist)
+    val assigned = assignCells(unit, cent)
+    // residuals feed BOTH codebook training and encoding — checkpoint
+    val res = assigned.join(broadcast(cent), col("cell") === col("centroid_id"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("ce"), (x, c) => x - c).as("embedding"),
+        col("cell"))
+      .localCheckpoint()
+    val codebooks = pqCodebooks(res.select(col("vec_id"), col("embedding")))
+      .localCheckpoint()
+    val codesCells = pqEncode(res.select(col("vec_id"), col("embedding")),
+        codebooks)
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val probes = unit.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(cent))
+      .select(col("query_id"), col("qe"), col("centroid_id"),
+        cosine(col("qe"), col("ce")).as("cs"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+    val probeCells = probes.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("centroid_id").as("cell"))
+    // per (query, probed cell): residual query + the dot(q, c) offset
+    val qres = probeCells.join(broadcast(cent), col("cell") === col("centroid_id"))
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qe"), col("ce"), (x, c) => x - c).as("qr"),
+        dot(col("qe"), col("ce")).as("qc"))
+    val qsubs = qres.select(col("query_id"), col("cell"), col("qc"),
+      posexplode(array((0 until pqM).map(m => subvec(col("qr"), m)): _*))
+        .as(Seq("m", "qsv")))
+    val lut = qsubs.join(broadcast(codebooks), Seq("m"))
+      .select(col("query_id"), col("cell"), col("qc"),
+        (col("m") * pqKsub + col("code")).as("mk"),
+        dot(col("qsv"), col("ce")).as("pd"))
+    val probeLuts = lut.groupBy(col("query_id"), col("cell"), col("qc"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("mk"), col("pd"))))).as("lut"))
+    val adc = codesCells.join(broadcast(probeLuts), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("qc") + aggregate(sequence(lit(0), lit(pqM - 1)), lit(0.0),
+          (acc, m) => acc + element_at(col("lut"),
+            m * pqKsub + element_at(col("codes"), m + 1)))).as("adc"))
+    val cands = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        adc.withColumn("__tie", -col("neighbor_id")),
+        Seq("query_id"), Seq("adc", "__tie"), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = cands
+      .join(embeddings.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("sim"))
+    topKRanked(scored, "sim", k)
+  }
+
+  /** recall@k of residual IVFADC against brute-force cosine. */
+  def ivfpqResidualRecall(embeddings: DataFrame, nQueries: Int,
+                          k: Int): DataFrame = {
+    val bf = cosineTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val iv = ivfpqResidualTopK(embeddings, nQueries, k)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    bf.join(iv,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("n2")).cast("double") / k).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
   /** recall@k of IVFADC against brute-force cosine — probe pruning and
     * compression loss measured together, the number a production index
     * actually monitors.

@@ -267,6 +267,18 @@ class OpsSpec extends SparkTestBase {
     iv.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
   }
 
+  test("residual IVFADC re-ranked scores agree exactly with brute force on shared neighbors") {
+    val iv = Similarity.ivfpqResidualTopK(Tables.embeddings(spark, sf), 4, 5)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+    val brute = Similarity.cosineTopK(Tables.embeddings(spark, sf), 4, 1000)
+      .select("query_id", "neighbor_id", "sim").as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    assert(iv.nonEmpty)
+    // residual coding changes the SHORTLIST, never the emitted score —
+    // the re-rank is the exact full-width cosine
+    iv.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
+  }
+
   test("pHash near-dup: identical and lightly-edited payloads pair up, edits stay chunk-local") {
     import graft.ops.Multimodal
     val base = (0 until 1200).map(i => ('a' + i % 23).toChar).mkString
@@ -631,6 +643,7 @@ class OpsSpec extends SparkTestBase {
     // round-4 operators
     val emptyEmb = Tables.embeddings(spark, sf).limit(0)
     assert(Similarity.ivfpqTopK(emptyEmb, 8, 5).isEmpty)
+    assert(Similarity.ivfpqResidualTopK(emptyEmb, 8, 5).isEmpty)
     assert(Similarity.ivfTopKSalted(emptyEmb, 8, 5).isEmpty)
     assert(Multimodal.phashDups(emptyDocs).isEmpty)
   }
