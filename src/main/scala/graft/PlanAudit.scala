@@ -207,6 +207,29 @@ object PlanAudit {
       ("region-customer prune is a semi join", _.contains("LeftSemi")),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // Q2 shape: the correlated per-part min decorrelates to
+    // aggregate-then-join, with the dimension-sized minima and
+    // supplier×nation builds broadcast — the fact scans once, the part
+    // filter is pushed into it via the broadcast prune
+    audit("rel_min_cost_supp")(
+      ("per-part minima and supplier dim broadcast", p =>
+        "BroadcastHashJoin".r.findAllIn(p).size >= 3),
+      ("cost aggregation is two-phase hash", p =>
+        "HashAggregate".r.findAllIn(p).size >= 2),
+      ("no cartesian from the decorrelation", p =>
+        !p.contains("CartesianProduct")))
+
+    // Q9 shape: all three dims broadcast; the only shuffle join is
+    // lineitem ⋈ orders on the order key
+    audit("rel_nation_profit")(
+      ("part and supplier-nation dims broadcast", p =>
+        "BroadcastHashJoin".r.findAllIn(p).size >= 2),
+      ("part name filter pushed to the scan", p =>
+        p.contains("PushedFilters: [IsNotNull(p_name)") ||
+        "StringContains\\(p_name".r.findAllIn(p).nonEmpty ||
+        p.contains("p_name LIKE")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // Q19 shape: the disjunctive predicate must not break the equi-join
     audit("rel_disjunctive")(
       ("join stays hash-based despite the OR residual",

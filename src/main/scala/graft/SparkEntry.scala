@@ -342,6 +342,18 @@ object SparkEntry {
     "rel_market_share" -> ((s, d) => Relational.marketShare(lineitem(s, d),
       orders(s, d), customer(s, d), nation(s, d), region(s, d),
       supplier(s, d), part(s, d))),
+    "rel_min_cost_supp" -> ((s, d) => Relational.minCostSupplier(
+      lineitem(s, d), part(s, d), supplier(s, d), nation(s, d))),
+    "rel_priority_count" -> ((s, d) =>
+      Relational.priorityOrderCounts(orders(s, d), lineitem(s, d))),
+    "rel_nation_profit" -> ((s, d) => Relational.nationProfit(lineitem(s, d),
+      orders(s, d), part(s, d), supplier(s, d), nation(s, d))),
+    "rel_top_value_parts" -> ((s, d) => Relational.topValueParts(
+      lineitem(s, d), supplier(s, d), nation(s, d))),
+    "rel_priority_mix" -> ((s, d) =>
+      Relational.priorityMix(lineitem(s, d), orders(s, d))),
+    "rel_bulk_suppliers" -> ((s, d) => Relational.bulkSuppliers(
+      lineitem(s, d), part(s, d), supplier(s, d))),
     "txt_epoch_shuffle" -> ((s, d) => Text.epochShuffle(documents(s, d), 1)),
     "sim_ivfpq_res" -> ((s, d) => Similarity.ivfpqResidualTopK(embeddings(s, d), 8, 5)),
     "sim_ivfpq_res_recall" -> ((s, d) => Similarity.ivfpqResidualRecall(embeddings(s, d), 8, 5)),
@@ -2096,6 +2108,81 @@ object SparkEntry {
         |    / CAST(sum(vol) AS DOUBLE) AS mkt_share,
         |  CAST(sum(vol) AS DOUBLE) AS total_volume
         |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "rel_min_cost_supp" ->
+      """WITH pp AS (SELECT p_partkey FROM part
+        |  WHERE p_size <= 15 AND p_type = 'ECONOMY'),
+        |costs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+        |  FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |  GROUP BY l_partkey, l_suppkey)
+        |SELECT c.l_partkey AS p_partkey, s_suppkey, s_name, n_name,
+        |  s_acctbal, CAST(cost AS DOUBLE) AS supply_cost
+        |FROM costs c
+        |JOIN supplier ON c.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE cost = (SELECT min(cost) FROM costs c2
+        |              WHERE c2.l_partkey = c.l_partkey)
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey""".stripMargin,
+    "rel_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "rel_nation_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(1 - l_discount AS DECIMAL(4,2))
+        |    - CAST(p_retailprice AS DECIMAL(12,2))
+        |      * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%ring%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "rel_top_value_parts" ->
+      """WITH suppin AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'),
+        |vals AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS val_dec
+        |  FROM lineitem JOIN suppin ON l_suppkey = s_suppkey
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS part_value
+        |FROM vals
+        |WHERE val_dec * 1000 > (SELECT sum(val_dec) FROM vals)
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    "rel_priority_mix" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "rel_bulk_suppliers" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        |qual AS (
+        |  SELECT l_suppkey FROM lineitem JOIN pp ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 50)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+        |ORDER BY s_suppkey""".stripMargin,
     "rel_snapshot_diff" ->
       """WITH next AS (
         |  SELECT o_orderkey,

@@ -265,6 +265,157 @@ object Relational {
       .orderBy(col("o_year"))
   }
 
+  /** TPC-H Q2 shape (min-cost supplier), with the supply-cost table
+    * DERIVED from lineitem (the fixtures carry no partsupp): cost per
+    * (part, supplier) = min observed extended price. The correlated
+    * `cost = (SELECT min(cost) ... WHERE same part)` decorrelates to
+    * aggregate-then-join; because the part filter is selective, the
+    * per-part minima table is broadcast — the classic plan when the
+    * probe side has already been pruned to a dimension-sized set.
+    */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame, nation: DataFrame,
+                      maxSize: Int = 15, pType: String = "ECONOMY"): DataFrame = {
+    val parts = part
+      .filter(col("p_size") <= maxSize && col("p_type") === pType)
+      .select(col("p_partkey"))
+    val costs = lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(money(col("l_extendedprice"))).as("cost"))
+    val minCost = costs.groupBy(col("l_partkey").as("mk"))
+      .agg(min(col("cost")).as("min_cost"))
+    costs
+      .join(broadcast(minCost),
+        col("l_partkey") === col("mk") && col("cost") === col("min_cost"))
+      .join(broadcast(supplier
+          .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"),
+            col("s_acctbal"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+        col("s_name"), col("n_name"),
+        col("s_acctbal").cast("double").as("s_acctbal"),
+        outD(col("cost")).as("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
+  }
+
+  /** TPC-H Q4 shape (order priority checking): orders in one quarter
+    * with EXISTS a returned line item, counted by priority. The semi
+    * join reduces lineitem to its key column before any shuffle and
+    * carries no payload; both sides stay partitioned on the order key
+    * so AQE is free to pick shuffle-hash vs broadcast by actual size.
+    */
+  def priorityOrderCounts(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .join(lineitem.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q9 shape (product-type profit by nation and year), cost
+    * proxied by p_retailprice·quantity (no partsupp in the fixtures).
+    * The name-pruned part dim and supplier→nation tag broadcast; the
+    * one fact-fact shuffle is lineitem ⋈ orders on the order key. All
+    * arithmetic is exact decimal until the final double cast, so the
+    * nation/year sums are partition-order independent.
+    */
+  def nationProfit(lineitem: DataFrame, orders: DataFrame, part: DataFrame,
+                   supplier: DataFrame, nation: DataFrame,
+                   namePattern: String = "%ring%"): DataFrame = {
+    val amount = discPrice - money(col("p_retailprice")) * dec(col("l_quantity"))
+    lineitem
+      .join(broadcast(part.filter(col("p_name").like(namePattern))
+        .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier
+          .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(outD(sum(amount)).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important stock): per-part value from one
+    * nation's suppliers, kept only where it exceeds a fixed fraction
+    * of the GLOBAL total — a scalar subquery in HAVING. The global
+    * total joins back as a broadcast one-row build, and the fraction
+    * test is restated multiplicatively (value·1000 > total) so the
+    * comparison is exact integer-decimal arithmetic on both engines.
+    */
+  def topValueParts(lineitem: DataFrame, supplier: DataFrame,
+                    nation: DataFrame,
+                    nationName: String = "NATION_3"): DataFrame = {
+    val suppIn = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = lineitem
+      .join(broadcast(suppIn), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(money(col("l_extendedprice"))).as("val_dec"))
+    val total = vals.agg(sum(col("val_dec")).as("tot_dec"))
+    vals.join(broadcast(total), col("val_dec") * 1000 > col("tot_dec"))
+      .select(col("l_partkey").as("p_partkey"),
+        outD(col("val_dec")).as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 shape (shipping-mode priority mix), return flag standing
+    * in for the missing l_shipmode: one year of lineitem joined to the
+    * orders dim, with high- and low-priority order counts riding one
+    * aggregation as conditional sums.
+    */
+  def priorityMix(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .join(orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q20 shape (bulk suppliers): suppliers whose shipped volume
+    * of name-pruned parts crossed a threshold in one year — a nested
+    * semi: qualified (supplier, part) pairs come from a HAVING over the
+    * part-pruned fact scan, then supplier semi-joins the distinct
+    * qualifying supplier set. The qualifying set is aggregate output
+    * (dimension-sized), so its semi join broadcasts.
+    */
+  def bulkSuppliers(lineitem: DataFrame, part: DataFrame,
+                    supplier: DataFrame, namePattern: String = "small%",
+                    minQty: Int = 50): DataFrame = {
+    val qualified = lineitem
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .join(broadcast(part.filter(col("p_name").like(namePattern))
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > minQty)
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(broadcast(qualified), col("s_suppkey") === col("l_suppkey"),
+        "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Left-semi join: EXISTS. The orders side is reduced to its join key
     * before the shuffle (semi join needs no payload columns).
     */
