@@ -321,6 +321,22 @@ object PlanAudit {
         "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // MMR: the corpus is scanned ONCE into the checkpointed heap-node
+    // shortlist (the checkpoint boundary is the audited RDD scan —
+    // without it each of the k greedy chains would rescan the corpus);
+    // every greedy step re-joins queries×nCand state via broadcast
+    audit("sim_mmr")(
+      ("greedy steps read the checkpointed shortlist, not the corpus",
+        p => p.contains("Scan ExistingRDD") && !p.contains("parquet")),
+      ("greedy pick tables broadcast back onto the shortlist", p =>
+        "BroadcastExchange".r.findAllIn(p).size >= 3),
+      ("every greedy argmax is the two-phase heap node (k=1)", p =>
+        "TopKPerKeyPartial".r.findAllIn(p).size >= 5),
+      ("nothing sort-aggregates the candidate state", p =>
+        !p.contains("SortAggregate")),
+      ("no window over the candidate relation", p => !p.contains("Window")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // multimodal near-dup: banded-Hamming candidates come from an
     // equi-join per (band_idx, band_val) bucket — all-pairs never
     // enumerated; the banded exchange feeds both join sides once

@@ -174,6 +174,8 @@ object SparkEntry {
       graft.streaming.StreamingOps.clickAttributionBatch(events(s, d))),
     "str_dedup" -> ((s, d) =>
       graft.streaming.StreamingOps.firstEventPerKey(events(s, d))),
+    "str_late_data" -> ((s, d) =>
+      graft.streaming.StreamingOps.lateDataAudit(events(s, d))),
 
     // ---- deduplication (LLM-pipeline operators) ----
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(documents(s, d))),
@@ -358,6 +360,7 @@ object SparkEntry {
     "sim_ivfpq_res" -> ((s, d) => Similarity.ivfpqResidualTopK(embeddings(s, d), 8, 5)),
     "sim_ivfpq_res_recall" -> ((s, d) => Similarity.ivfpqResidualRecall(embeddings(s, d), 8, 5)),
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
+    "sim_mmr" -> ((s, d) => Similarity.mmrTopK(embeddings(s, d), 8)),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -2018,6 +2021,7 @@ object SparkEntry {
     "sim_ivfpq_recall" -> ivfpqRecallOracle(8, 5),
     "sim_ivfpq_res" -> ivfpqResidualOracle(8, 5),
     "sim_ivfpq_res_recall" -> ivfpqResidualRecallOracle(8, 5),
+    "sim_mmr" -> mmrOracle(8, 5, 20, 0.7),
     // salting is a physical-plan device: the oracle is the UNSALTED
     // plan, so the hash check proves result-identity under salting
     "sim_ivf_salted" -> ivfOracle(8, 5),
@@ -2306,6 +2310,32 @@ object SparkEntry {
         |  CAST(n AS BIGINT) AS n_dups
         |FROM k WHERE rn = 1
         |ORDER BY user_id, event_type, minute""".stripMargin,
+    // watermark semantics modeled in batch: arrival = event time plus
+    // an md5-keyed 0-60 min transport jitter, micro-batch = arrival
+    // hour, and the watermark advances at batch boundaries
+    // (strictly-previous frame: the first batch never drops); mirrors
+    // StreamingOps.lateDataAudit constant-for-constant
+    "str_late_data" ->
+      """WITH b AS (SELECT event_type, epoch_us(ts) AS tsu,
+        |    (epoch_us(ts)
+        |      + (('0x' || substr(md5('lda:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        |         % 3600) * 1000000) // 3600000000 AS batch_id
+        |  FROM events),
+        |bm AS (SELECT batch_id, max(tsu) AS bmax FROM b GROUP BY batch_id),
+        |wm AS (SELECT batch_id,
+        |    max(bmax) OVER (ORDER BY batch_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - 1800000000 AS wmu
+        |  FROM bm),
+        |t AS (SELECT event_type,
+        |    (wmu IS NOT NULL AND tsu < wmu) AS late
+        |  FROM b JOIN wm USING (batch_id))
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time,
+        |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS late_share
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     "txt_novel_bigrams" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
         |           FROM documents),
@@ -2606,6 +2636,57 @@ object SparkEntry {
        |      FROM s)
        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** sim_mmr oracle: the SAME unrolled greedy recursion as
+    * [[graft.ops.Similarity.mmrTopK]] — shortlist by cosine, then k
+    * argmax steps each keeping a running max-sim-to-picked column. λ
+    * and (1−λ) are interpolated from the identical Scala doubles
+    * (including 1−0.7's last-ulp representation), so the float scores
+    * and therefore the selection hash-match exactly.
+    */
+  private def mmrOracle(nq: Int, k: Int, nCand: Int,
+                        lambda: Double): String = {
+    val om = 1.0 - lambda
+    val steps = (2 to k).map { i =>
+      val p = i - 1
+      val sel =
+        s"""s$i AS (SELECT query_id, cand_id, cemb, simq FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY simq * $lambda - ms * $om DESC, cand_id) AS rn
+           |    FROM r$p) t WHERE rn = 1)""".stripMargin
+      val rec = if (i < k)
+        s""",
+           |r$i AS (SELECT r.query_id, r.cand_id, r.cemb, r.simq,
+           |    greatest(r.ms, ${cosSql("r.cemb", "s.cemb")}) AS ms
+           |  FROM r$p r JOIN s$i s ON r.query_id = s.query_id
+           |    AND r.cand_id <> s.cand_id)""".stripMargin
+      else ""
+      sel + rec
+    }.mkString(",\n")
+    val unioned = (1 to k).map(i =>
+      s"""SELECT query_id, cand_id AS neighbor_id, simq AS sim,
+         |    CAST($i AS BIGINT) AS mmr_rank FROM s$i""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |  FROM embeddings WHERE vec_id < $nq),
+       |sc AS (SELECT q.query_id, e.vec_id AS cand_id, e.embedding AS cemb,
+       |    ${cosSql("q.qe", "e.embedding")} AS simq
+       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+       |cands AS (SELECT query_id, cand_id, cemb, simq FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY simq DESC, cand_id) AS rn FROM sc) t
+       |  WHERE rn <= $nCand),
+       |s1 AS (SELECT query_id, cand_id, cemb, simq FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY simq DESC, cand_id) AS rn FROM cands) t WHERE rn = 1),
+       |r1 AS (SELECT c.query_id, c.cand_id, c.cemb, c.simq,
+       |    ${cosSql("c.cemb", "s.cemb")} AS ms
+       |  FROM cands c JOIN s1 s ON c.query_id = s.query_id
+       |    AND c.cand_id <> s.cand_id),
+       |$steps
+       |SELECT query_id, neighbor_id, sim, mmr_rank FROM ($unioned)
+       |ORDER BY query_id, mmr_rank""".stripMargin
   }
 
   private def ivfpqResidualRecallOracle(nq: Int, k: Int): String =

@@ -752,6 +752,75 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Maximal Marginal Relevance (Carbonell-Goldstein): diversity-aware
+    * top-k — greedily pick argmax of λ·sim(q,c) − (1−λ)·max_{s∈S}
+    * sim(c,s) over the unpicked candidates. The retrieval stack's
+    * answer to near-duplicate corpora: plain top-k returns k copies of
+    * one document, MMR penalizes each candidate by its similarity to
+    * what's already picked.
+    *
+    * Shape: the candidate shortlist (top-nCand cosine via the map-side
+    * heap node) is checkpointed once; each of the k greedy steps is a
+    * broadcast of the nQueries-row pick table back onto the shortlist
+    * plus a max_by argmax over a TOTAL (score, −id) key, maintaining a
+    * running max-sim-to-picked column — so the greedy recursion never
+    * rescans the corpus, and per-step state is queries×nCand rows
+    * regardless of corpus size. λ and (1−λ) are interpolated into the
+    * oracle from these same constants, so even the float scores
+    * hash-match.
+    */
+  def mmrTopK(embeddings: DataFrame, nQueries: Int, k: Int = 5,
+              nCand: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val oneMinus = 1.0 - lambda
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cemb"))
+      .join(broadcast(queries), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), col("cemb"),
+        cosine(col("qe"), col("cemb")).as("simq"))
+    val cands = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        scored.withColumn("__tie", -col("cand_id")),
+        Seq("query_id"), Seq("simq", "__tie"), nCand)
+      .drop("__tie")
+      .localCheckpoint() // shortlist feeds all k greedy steps
+    // per-query argmax = the two-phase heap node with k=1: map-side
+    // partials prune every partition to one row per query before the
+    // shuffle. A max_by carrying the embedding payload would plan
+    // SortAggregate (array-typed buffers can't hash-aggregate); the
+    // heap node keeps whole rows and never sorts.
+    def argmax(df: DataFrame, score: Column): DataFrame =
+      org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+          df.withColumn("__s", score).withColumn("__tie", -col("cand_id")),
+          Seq("query_id"), Seq("__s", "__tie"), 1)
+        .select(col("query_id"), col("cand_id").as("sel_id"),
+          col("cemb").as("semb"), col("simq").as("sel_simq"))
+    val first = argmax(cands, col("simq"))
+    var picked = first.select(col("query_id"),
+      col("sel_id").as("neighbor_id"), col("sel_simq").as("sim"),
+      lit(1L).as("mmr_rank"))
+    var rem = cands.join(broadcast(first), Seq("query_id"))
+      .filter(col("cand_id") =!= col("sel_id"))
+      .select(col("query_id"), col("cand_id"), col("cemb"), col("simq"),
+        cosine(col("cemb"), col("semb")).as("maxsel"))
+    for (i <- 2 to k) {
+      val next = argmax(rem,
+        col("simq") * lambda - col("maxsel") * oneMinus)
+      picked = picked.unionByName(next.select(col("query_id"),
+        col("sel_id").as("neighbor_id"), col("sel_simq").as("sim"),
+        lit(i.toLong).as("mmr_rank")))
+      if (i < k)
+        rem = rem.join(broadcast(next), Seq("query_id"))
+          .filter(col("cand_id") =!= col("sel_id"))
+          .select(col("query_id"), col("cand_id"), col("cemb"), col("simq"),
+            greatest(col("maxsel"),
+              cosine(col("cemb"), col("semb"))).as("maxsel"))
+    }
+    picked.orderBy(col("query_id"), col("mmr_rank"))
+  }
+
   /** recall@k of IVFADC against brute-force cosine — probe pruning and
     * compression loss measured together, the number a production index
     * actually monitors.

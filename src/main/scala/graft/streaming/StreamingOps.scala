@@ -357,4 +357,54 @@ object StreamingOps {
 
   def cancel(spark: SparkSession, group: String): Unit =
     spark.sparkContext.cancelJobGroup(group)
+
+  /** Deterministic batch model of WATERMARK late-data accounting.
+    * Structured Streaming advances the event-time watermark at
+    * micro-batch boundaries: during batch n the watermark is the max
+    * event time seen in batches < n minus the allowed delay, and
+    * stateful operators drop rows older than it. The fixture's events
+    * are perfectly time-ordered, so ARRIVAL is modeled as event time
+    * plus a deterministic md5-keyed transport jitter (0–60 min — the
+    * portable-hash device of `Text.tokenHash`), and micro-batches are
+    * fixed wall-clock arrival windows, exactly like a trigger
+    * interval. Every per-event step is a stateless projection; the
+    * watermark table has #batches rows (grows with wall-clock, not
+    * volume), so the one unpartitioned running-max window runs over
+    * BATCH AGGREGATES and rejoins the fact as a broadcast. Output: per
+    * event type, total/late/on-time counts and the late share — the
+    * accounting a pipeline publishes to decide whether its delay
+    * budget is right.
+    */
+  def lateDataAudit(events: DataFrame, delayMinutes: Int = 30,
+                    batchSeconds: Long = 3600L,
+                    jitterSeconds: Long = 3600L): DataFrame = {
+    // arrival = event time + md5-keyed jitter; batch = arrival hour.
+    // `div` (not `/`): double division loses integer µs precision
+    val batchExpr =
+      s"""(unix_micros(ts) + pmod(cast(conv(substring(md5(
+         |  concat('lda:', cast(event_id as string))), 1, 8), 16, 10)
+         |  as bigint), $jitterSeconds) * 1000000L)
+         |  div ${batchSeconds * 1000000L}L""".stripMargin
+    val withBatch = events.select(col("event_type"),
+      unix_micros(col("ts")).as("tsu"),
+      expr(batchExpr).as("batch_id"))
+    val batchMax = withBatch.groupBy(col("batch_id"))
+      .agg(max(col("tsu")).as("bmax"))
+    // strictly-previous frame: the first batch sees no watermark
+    // (NULL → keep), matching a stream's cold start
+    val w = Window.orderBy(col("batch_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wm = batchMax.select(col("batch_id"),
+      (max(col("bmax")).over(w) - lit(delayMinutes * 60000000L)).as("wmu"))
+    withBatch.join(broadcast(wm), Seq("batch_id"))
+      .withColumn("late", col("wmu").isNotNull && col("tsu") < col("wmu"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("late"), 0L).otherwise(1L)).as("n_on_time"))
+      .select(col("event_type"), col("n_events"), col("n_late"),
+        col("n_on_time"),
+        (col("n_late").cast("double") / col("n_events")).as("late_share"))
+      .orderBy(col("event_type"))
+  }
 }

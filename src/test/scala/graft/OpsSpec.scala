@@ -279,6 +279,39 @@ class OpsSpec extends SparkTestBase {
     iv.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
   }
 
+  test("MMR: rank 1 is the cosine top-1, and the picked set is more diverse than plain top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val k = 5
+    val mmr = Similarity.mmrTopK(emb, 4, k)
+      .select("query_id", "neighbor_id", "mmr_rank")
+      .as[(Long, Long, Long)].collect()
+    val plain = Similarity.cosineTopK(emb, 4, k)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    // λ=1 on the first pick: pure relevance — identical to top-1
+    assert(mmr.filter(_._3 == 1L).map(t => (t._1, t._2)).toSet ===
+      plain.filter(_._3 == 1L).map(t => (t._1, t._2)).toSet)
+    // diversity: mean pairwise cosine within each query's picked set
+    // must not exceed plain top-k's (the whole point of the penalty)
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    def meanPairwise(sel: Array[(Long, Long, Long)]): Double = {
+      val byQ = sel.groupBy(_._1).values.toSeq
+      val sims = byQ.flatMap { g =>
+        val ids = g.map(_._2)
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield cos(vecs(ids(i)), vecs(ids(j)))
+      }
+      sims.sum / sims.size
+    }
+    assert(meanPairwise(mmr) <= meanPairwise(plain) + 1e-12)
+  }
+
   test("pHash near-dup: identical and lightly-edited payloads pair up, edits stay chunk-local") {
     import graft.ops.Multimodal
     val base = (0 until 1200).map(i => ('a' + i % 23).toChar).mkString
@@ -644,6 +677,9 @@ class OpsSpec extends SparkTestBase {
     val emptyEmb = Tables.embeddings(spark, sf).limit(0)
     assert(Similarity.ivfpqTopK(emptyEmb, 8, 5).isEmpty)
     assert(Similarity.ivfpqResidualTopK(emptyEmb, 8, 5).isEmpty)
+    assert(Similarity.mmrTopK(emptyEmb, 8).isEmpty)
+    assert(graft.streaming.StreamingOps.lateDataAudit(
+      Tables.events(spark, sf).limit(0)).isEmpty)
     assert(Similarity.ivfTopKSalted(emptyEmb, 8, 5).isEmpty)
     assert(Multimodal.phashDups(emptyDocs).isEmpty)
   }

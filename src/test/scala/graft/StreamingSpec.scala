@@ -482,6 +482,23 @@ class StreamingSpec extends SparkTestBase {
       Map(1L -> "old", 2L -> "new", 3L -> "upd", 10L -> "ins"))
   }
 
+  test("lateDataAudit: time-ordered arrival (no jitter) never drops; jitter creates real lates") {
+    val ev = graft.Tables.events(spark, sf)
+    // jitterSeconds=1 -> pmod(h,1)=0 -> arrival == event time: an event
+    // in arrival-hour H has ts >= H's start >= every earlier batch's
+    // max ts, so nothing can be behind the watermark
+    val ordered = StreamingOps.lateDataAudit(ev, 30, 3600L, 1L)
+      .agg(sum("n_late")).as[Long].collect().head
+    assert(ordered === 0L)
+    val jittered = StreamingOps.lateDataAudit(ev)
+      .select("n_events", "n_late", "n_on_time")
+      .as[(Long, Long, Long)].collect()
+    assert(jittered.map(_._2).sum > 0, "jittered arrival produced no lates")
+    jittered.foreach { case (n, l, o) => assert(l + o === n) }
+    // accounting must not lose events
+    assert(jittered.map(_._1).sum === ev.count())
+  }
+
   test("sessionize respects the gap rule on a crafted trace") {
     val rows = Seq(
       (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
