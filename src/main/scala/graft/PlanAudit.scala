@@ -207,6 +207,19 @@ object PlanAudit {
       ("region-customer prune is a semi join", _.contains("LeftSemi")),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // join-strategy control: the merge hint must actually produce a
+    // sort-merge join (completing broadcast / shuffle-hash / merge)
+    audit("rel_merge_join")(
+      ("hint honored: SortMergeJoin planned", _.contains("SortMergeJoin")),
+      ("no broadcast of the hinted side", p =>
+        !p.contains("BroadcastHashJoin")))
+
+    // interpolation: both bracket windows ride ONE (user_id, day) sort
+    audit("rel_resample_interp")(
+      ("both window passes share one partitioning", p =>
+        "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 2),
+      ("no cartesian grid", p => !p.contains("CartesianProduct")))
+
     // Q2 shape: the correlated per-part min decorrelates to
     // aggregate-then-join, with the dimension-sized minima and
     // supplier×nation builds broadcast — the fact scans once, the part
@@ -416,7 +429,8 @@ object PlanAudit {
         "rel_market_basket", "rel_pagerank", "rel_triangles",
         "sim_pq_topk", "txt_repetition", "str_dedup", "rel_resample_ffill",
         "sim_ivfpq_topk", "sim_ivf_salted", "mm_phash_dups",
-        "sim_ivfpq_res")
+        "sim_ivfpq_res", "sim_mmr", "rel_min_cost_supp",
+        "rel_nation_profit", "rel_merge_join", "str_late_data")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(

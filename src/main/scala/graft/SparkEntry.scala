@@ -210,6 +210,8 @@ object SparkEntry {
     "rel_scalar_subquery" -> ((s, d) => Relational.aboveAverageOrders(orders(s, d))),
     "rel_shuffle_hash_join" -> ((s, d) =>
       Relational.supplierRevenueHashJoin(lineitem(s, d), supplier(s, d))),
+    "rel_merge_join" -> ((s, d) =>
+      Relational.supplierRevenueMergeJoin(lineitem(s, d), supplier(s, d))),
     "sca_cast" -> ((s, d) => Scalar.castFamily(s)),
     "sca_hof" -> ((s, d) => Scalar.hofFamily(documents(s, d))),
     "sca_sequence" -> ((s, d) => Scalar.sequenceFamily(nation(s, d))),
@@ -379,6 +381,7 @@ object SparkEntry {
     "xtr_kmv_overlap" -> ((s, d) => Text.langTokenOverlap(documents(s, d))),
     "xtr_approx_quantile" -> ((s, d) => Scalar.approxQuantileGate(events(s, d))),
     "rel_resample_ffill" -> ((s, d) => Relational.resampleFfill(events(s, d))),
+    "rel_resample_interp" -> ((s, d) => Relational.resampleInterp(events(s, d))),
     "dedup_incremental" -> ((s, d) => {
       // the train split plays the historical corpus; test+val arrive
       // as the incoming batch and dedup against train's hash index
@@ -1354,6 +1357,13 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    // same relation as rel_shuffle_hash_join — the oracle proves the
+    // merge-hinted plan is result-identical to the hash-strategy one
+    "rel_merge_join" ->
+      """SELECT s_name, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "sca_cast" ->
       """SELECT raw,
         | TRY_CAST(raw AS DOUBLE) AS as_double,
@@ -2272,6 +2282,41 @@ object SparkEntry {
         |FROM grid g LEFT JOIN daily d
         |  ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
+    "rel_resample_interp" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    sum(CAST(value AS DECIMAL(12,2))) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day),
+        |    INTERVAL 1 DAY)) AS day
+        |  FROM daily GROUP BY user_id),
+        |br AS (
+        |  SELECT g.user_id, g.day, d.day_value,
+        |    last_value(d.day_value IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+        |      IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    first_value(d.day_value IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+        |      IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.day
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, day,
+        |  CASE WHEN day_value IS NOT NULL THEN CAST(day_value AS DOUBLE)
+        |    ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+        |      * (CAST(date_diff('day', CAST(pd AS DATE), CAST(day AS DATE)) AS DOUBLE)
+        |         / CAST(date_diff('day', CAST(pd AS DATE), CAST(nd AS DATE)) AS DOUBLE))
+        |  END AS interp_value,
+        |  day_value IS NULL AS is_gap
+        |FROM br ORDER BY user_id, day""".stripMargin,
     "rel_triangles" ->
       """WITH edges AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
         |                 CAST(s.s_nationkey AS BIGINT) AS dst

@@ -1040,6 +1040,22 @@ object Relational {
            outD(sum(money(col("l_extendedprice")))).as("revenue"))
       .orderBy(col("s_name"))
 
+  /** Join-strategy control, third leg: the same equi-join forced to
+    * SORT-MERGE via hint. The right default when BOTH sides are large
+    * and neither hash table fits executor memory — merge degrades
+    * gracefully to spill, hash does not. With [[supplierRevenueHashJoin]]
+    * and the broadcast dims everywhere else, all three distributed
+    * equi-join strategies are exercised and result-identical.
+    */
+  def supplierRevenueMergeJoin(lineitem: DataFrame, supplier: DataFrame): DataFrame =
+    lineitem
+      .join(supplier.select(col("s_suppkey"), col("s_name")).hint("merge"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+           outD(sum(money(col("l_extendedprice")))).as("revenue"))
+      .orderBy(col("s_name"))
+
   /** As-of join: latest order at-or-before each event timestamp for the
     * matching customer. Spark lacks a native ASOF join; the scalable
     * composition is equi-join on the key + max_by aggregation (one
@@ -1437,6 +1453,50 @@ object Relational {
       .select(col("user_id"), col("day"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         col("filled_value").cast("double").as("filled_value"),
+        col("day_value").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Linear interpolation across resampled gaps — [[resampleFfill]]'s
+    * numeric twin (ffill for state-like series, interp for
+    * measurement-like ones). Each gap day takes
+    * prev + (next − prev) · Δt/Δspan from the bracketing observations.
+    *
+    * Scale shape identical to ffill: the bracketing values come from
+    * two running windows (last-non-null backward, first-non-null
+    * forward) over the SAME (user_id, day) sort — one shuffle, one
+    * sort, two window passes. The grid guarantees both brackets exist
+    * (its span is [min obs, max obs]), so the interpolation expression
+    * is total. Division happens once per row in double — deterministic
+    * and mirrored textually by the oracle.
+    */
+  def resampleInterp(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("v")).as("day_value"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("day_value"), ignoreNulls = true).over(back))
+      .withColumn("pd", last(when(col("day_value").isNotNull, col("day")),
+        ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("day_value"), ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(when(col("day_value").isNotNull, col("day")),
+        ignoreNulls = true).over(fwd))
+      .select(col("user_id"), col("day"),
+        when(col("day_value").isNotNull, outD(col("day_value")))
+          .otherwise(outD(col("pv")) + (outD(col("nv")) - outD(col("pv")))
+            * (datediff(col("day"), col("pd")).cast("double")
+               / datediff(col("nd"), col("pd")).cast("double")))
+          .as("interp_value"),
         col("day_value").isNull.as("is_gap"))
       .orderBy(col("user_id"), col("day"))
   }

@@ -666,6 +666,7 @@ class OpsSpec extends SparkTestBase {
     assert(Dedup.incrementalDedup(emptyDocs,
       emptyDocs.select(md5(col("text")).as("seen_hash"))).isEmpty)
     assert(Relational.resampleFfill(emptyEvents).isEmpty)
+    assert(Relational.resampleInterp(emptyEvents).isEmpty)
     assert(Scalar.approxQuantileGate(emptyEvents).isEmpty)
     assert(graft.streaming.StreamingOps.firstEventPerKey(emptyEvents).isEmpty)
     val emptyEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
@@ -954,6 +955,24 @@ class OpsSpec extends SparkTestBase {
     assert(u1.map(_.getAs[Boolean]("is_gap")).toSeq === Seq(false, true, true, false))
     val u2 = r.filter(_.getLong(0) == 2L)
     assert(u2.length === 1 && !u2.head.getAs[Boolean]("is_gap"))
+  }
+
+  test("resample+interp: gap days take the linear blend of the bracketing observations") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 10.0),
+      (1L, "2024-01-04 09:00:00", 40.0), // 2 gap days: 20, 30
+      (2L, "2024-02-10 00:00:00", 1.0)
+    ).toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+      .withColumn("event_id", monotonically_increasing_id())
+    val r = Relational.resampleInterp(ev).collect()
+    val u1 = r.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getAs[Double]("interp_value")).toSeq ===
+      Seq(10.0, 20.0, 30.0, 40.0))
+    assert(u1.map(_.getAs[Boolean]("is_gap")).toSeq ===
+      Seq(false, true, true, false))
+    val u2 = r.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && u2.head.getAs[Double]("interp_value") === 1.0)
   }
 
   test("KMV sketch algebra: union-of-sketches estimate equals the direct estimate") {
