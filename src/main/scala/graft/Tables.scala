@@ -37,22 +37,30 @@ object Tables {
       df.createOrReplaceTempView(n)
     }
 
-  /** `events.ts` is physically INT64 TIMESTAMP(NANOS) parquet
-    * (FIXTURES.md). Spark's vectorized reader cannot decode nanos as
-    * TimestampType; read them as raw longs (legacy conf) and convert to
-    * microsecond timestamps ourselves so downstream window/watermark
-    * logic sees a plain TimestampType column.
+  /** `events.ts` normalization to plain TimestampType, dispatched on
+    * the PHYSICAL encoding the fixture writer chose — the generator has
+    * shipped both INT64 TIMESTAMP(NANOS) (read as raw longs under the
+    * legacy conf, converted with integral division: micros since epoch
+    * exceed 2^53 in nanos, so a double round-trip would lose µs) and
+    * untagged µs timestamps (isAdjustedToUTC=false, which Spark 4
+    * infers as TIMESTAMP_NTZ; under the session's fixed UTC zone the
+    * NTZ→LTZ cast is an exact reinterpretation). Downstream
+    * window/watermark logic always sees TimestampType.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // integral division: `/` on longs is double division, and micros
-        // since epoch exceed 2^53 in nanos — double round-trip loses µs
+      case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // already a timestamp (reader handled nanos natively)
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // already TimestampType
     }
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(table(s, d, "events"))
   }
 }

@@ -36,7 +36,7 @@ class StreamingSpec extends SparkTestBase {
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
     val stream = StreamingOps.fileStream(spark, eventsDir, rawSchema,
         maxFilesPerTrigger = 1)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
     val q = StreamingOps.tumblingCounts(stream, "1 hour")
       .writeStream.outputMode("complete")
       .format("memory").queryName("tumbling_out").start()
@@ -57,7 +57,7 @@ class StreamingSpec extends SparkTestBase {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
     val stream = StreamingOps.fileStream(spark, eventsDir, rawSchema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
     val q = StreamingOps.watermarkedCounts(stream, "1 hour", "10 minutes")
       .writeStream.outputMode("append")
       .format("memory").queryName("wm_out").start()
@@ -104,7 +104,7 @@ class StreamingSpec extends SparkTestBase {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
     val stream = StreamingOps.fileStream(spark, eventsDir, rawSchema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
     val q = stream
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
