@@ -368,6 +368,58 @@ object PlanAudit {
         p => "\\[cell#\\d+L?, salt#".r.findAllIn(p).nonEmpty),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // SemDeDup: the pair comparison must be the within-cluster
+    // equi-join on `cell` — never an all-pairs cartesian/BNL over the
+    // corpus (the exact blow-up clustering exists to avoid); the only
+    // nested-loop joins allowed are the nlist-row centroid broadcasts
+    audit("sim_semdedup")(
+      ("pair candidates keyed on the cluster cell",
+        p => "Join \\[cell#".r.findAllIn(p).nonEmpty),
+      ("no cartesian pair enumeration", p =>
+        !p.contains("CartesianProduct")),
+      ("native vector_dot scores the in-cell pairs",
+        _.contains("vector_dot")))
+
+    // SQ8: params are a one-row broadcast carrier on both the encode
+    // and decode sides; scoring uses the heap top-k node, and nothing
+    // ever pairs corpus rows with each other
+    audit("sim_sq_topk")(
+      ("param/query sides broadcast", p =>
+        "BroadcastExchange".r.findAllIn(p).size >= 2),
+      ("two-phase heap top-k", p =>
+        p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
+      ("native vector_dot in scoring", _.contains("vector_dot")))
+
+    // duplicated-ngram coverage: the unique credit comes straight off
+    // the totals aggregation (min(doc_id) of a count-1 gram = THE doc)
+    // — the gram pipeline feeds exactly ONE chain, so the corpus is
+    // tokenized/exploded once and no data-row join-back exists
+    audit("txt_dup_ngrams")(
+      ("single gram explode (no recomputed pipeline)", p =>
+        "Generate explode".r.findAllIn(p).size == 1),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
+    // quota sampling: the per-stratum fill is the heap node (map-side
+    // prune to ≤k before the stratum shuffle); the apportionment rides
+    // broadcasts, and the rank window sees only heap survivors
+    audit("txt_quota_sample")(
+      ("two-phase heap top-k fill", p =>
+        p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
+      ("quota/total sides broadcast", p =>
+        "BroadcastExchange".r.findAllIn(p).size >= 2),
+      ("no cartesian over data rows", p =>
+        !p.contains("CartesianProduct")))
+
+    // connected components: the edge build and the final labeling are
+    // equi-joins; the star rounds in between are localCheckpoint'ed
+    // (their plans are audited implicitly by the loop's composition —
+    // groupBy-min + equi-join per round, nothing else)
+    audit("rel_concomp")(
+      ("no cartesian in edge build or labeling",
+        p => !p.contains("CartesianProduct")),
+      ("no broadcast of the full node set", p =>
+        !p.contains("BroadcastNestedLoopJoin")))
+
     // streaming dedup batch analog: ONE hash aggregation, min(struct)
     // partial-aggregated map-side — no window sort anywhere
     audit("str_dedup")(
@@ -430,7 +482,8 @@ object PlanAudit {
         "sim_pq_topk", "txt_repetition", "str_dedup", "rel_resample_ffill",
         "sim_ivfpq_topk", "sim_ivf_salted", "mm_phash_dups",
         "sim_ivfpq_res", "sim_mmr", "rel_min_cost_supp",
-        "rel_nation_profit", "rel_merge_join", "str_late_data")
+        "rel_nation_profit", "rel_merge_join", "str_late_data",
+        "sim_semdedup", "sim_sq_topk")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(

@@ -329,6 +329,10 @@ object SparkEntry {
     "txt_mixture_sample" -> ((s, d) =>
       Text.mixtureSample(documents(s, d), mixtureRates)),
     "txt_novel_bigrams" -> ((s, d) => Text.novelBigrams(documents(s, d))),
+    "txt_dup_ngrams" -> ((s, d) => Text.ngramCoverage(documents(s, d))),
+    "txt_quota_sample" -> ((s, d) => Text.quotaSample(documents(s, d))),
+    "rel_concomp" -> ((s, d) =>
+      Graph.copurchaseComponents(lineitem(s, d), orders(s, d))),
     "rel_pagerank" -> ((s, d) =>
       Graph.nationPageRank(nation(s, d), lineitem(s, d), orders(s, d),
         customer(s, d), supplier(s, d))),
@@ -363,6 +367,9 @@ object SparkEntry {
     "sim_ivfpq_res_recall" -> ((s, d) => Similarity.ivfpqResidualRecall(embeddings(s, d), 8, 5)),
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
     "sim_mmr" -> ((s, d) => Similarity.mmrTopK(embeddings(s, d), 8)),
+    "sim_semdedup" -> ((s, d) => Similarity.semDedup(embeddings(s, d), 16, 0.2)),
+    "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(embeddings(s, d), 8, 5)),
+    "sim_sq_recall" -> ((s, d) => Similarity.sqRecall(embeddings(s, d), 8, 5)),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -706,6 +713,76 @@ object SparkEntry {
        |    FROM embeddings e, cent c) t WHERE rn = 1)
        |SELECT cell, count(*) AS n_members, min(vec_id) AS first_vec
        |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
+
+  /** sim_semdedup oracle: the same trained coarse quantizer (k-means
+    * CTE chain), argmax-cosine assignment of the full corpus, then the
+    * one-pass SemDeDup decision — a vector is pruned iff an earlier
+    * same-cell member sits at ≥ threshold cosine; the smallest such
+    * member is the exemplar. The threshold literal is interpolated from
+    * the same Scala double the engine filters on.
+    */
+  private def semDedupOracle(nlist: Int, threshold: Double): String =
+    s"""WITH ${kmeansSql(nlist, Similarity.ivfIters)},
+       |cent AS (SELECT * FROM cent${Similarity.ivfIters}),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e, cent c) t WHERE rn = 1),
+       |pruned AS (
+       |  SELECT b.vec_id AS cand_id, min(a.vec_id) AS exemplar
+       |  FROM assigned a JOIN assigned b USING (cell)
+       |  WHERE a.vec_id < b.vec_id
+       |    AND ${cosSql("a.embedding", "b.embedding")} >= $threshold
+       |  GROUP BY b.vec_id)
+       |SELECT s.vec_id, s.cell, p.exemplar IS NULL AS kept,
+       |  coalesce(p.exemplar, s.vec_id) AS exemplar_id
+       |FROM assigned s LEFT JOIN pruned p ON s.vec_id = p.cand_id
+       |ORDER BY s.vec_id""".stripMargin
+
+  /** sim_sq_topk oracle: per-dimension min/max training, floor-encode
+    * to 0..255 (floor not round — identical tie behavior across
+    * engines), dequantize x̂_j = mn_j + code_j·span_j/255 with the same
+    * association order as the engine's zip_with chain, then cosine
+    * top-k against the reconstruction.
+    */
+  private def sqTopkOracle(nq: Int, k: Int): String =
+    s"""WITH dims AS (
+       |  SELECT j, min(CAST(embedding[j] AS DOUBLE)) AS mn,
+       |         max(CAST(embedding[j] AS DOUBLE)) AS mx
+       |  FROM embeddings, unnest(generate_series(1, ${Similarity.dim})) AS u(j)
+       |  GROUP BY j),
+       |codes AS (
+       |  SELECT e.vec_id, d.j, d.mn, d.mx - d.mn AS sp,
+       |    CASE WHEN d.mx - d.mn = 0 THEN 0.0
+       |         ELSE least(floor((CAST(e.embedding[d.j] AS DOUBLE) - d.mn) * 255.0 / (d.mx - d.mn)), 255.0)
+       |    END AS code
+       |  FROM embeddings e, dims d),
+       |recon AS (
+       |  SELECT vec_id, list(mn + (code * sp / 255.0) ORDER BY j) AS ce
+       |  FROM codes GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $nq),
+       |s AS (SELECT query_id, r.vec_id AS neighbor_id,
+       |        ${cosSql("qe", "ce")} AS sim
+       |      FROM q, recon r WHERE r.vec_id <> q.query_id),
+       |rk AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rank FROM rk WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** sim_sq_recall oracle: recall@k of the SQ8 result vs brute force,
+    * both independently re-derived.
+    */
+  private def sqRecallOracle(nq: Int, k: Int): String =
+    s"""WITH sq AS (${sqTopkOracle(nq, k)}),
+       |bf AS (${cosineTopkOracle(nq, k)})
+       |SELECT bf.query_id,
+       |  CAST(count(sq.neighbor_id) AS DOUBLE) / $k AS recall_at_k
+       |FROM bf LEFT JOIN sq
+       |  ON bf.query_id = sq.query_id AND bf.neighbor_id = sq.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
   /** sim_near_dup oracle: 8 bands × 4 sign bits, plane literals
     * generated from the same `Similarity.planeValue` constants.
@@ -2036,6 +2113,12 @@ object SparkEntry {
     // plan, so the hash check proves result-identity under salting
     "sim_ivf_salted" -> ivfOracle(8, 5),
     "sim_kmeans_cells" -> kmeansCellsOracle(16),
+    "sim_semdedup" -> semDedupOracle(16, 0.2),
+    "sim_sq_topk" -> sqTopkOracle(8, 5),
+    "sim_sq_recall" -> sqRecallOracle(8, 5),
+    "txt_dup_ngrams" -> ngramCoverageOracle(5),
+    "txt_quota_sample" -> quotaSampleOracle(50),
+    "rel_concomp" -> concompOracle,
     "txt_epoch_shuffle" ->
       s"""WITH h AS (SELECT doc_id,
         |    ('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
@@ -2885,4 +2968,85 @@ object SparkEntry {
        |FROM r$iters r JOIN nation n ON r.id = CAST(n.n_nationkey AS BIGINT)
        |ORDER BY rank_scaled DESC, n.n_nationkey""".stripMargin
   }
+
+  /** txt_dup_ngrams oracle: same 60-bit hashed w-grams with position
+    * multiplicity, duplicated = corpus-wide occurrence count ≥ 2.
+    */
+  private def ngramCoverageOracle(w: Int): String = {
+    val gram = (0 until w)
+      .map(o => if (o == 0) "tk[i]" else s"tk[i+$o]")
+      .mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |           FROM documents),
+       |pg0 AS (SELECT doc_id, ('0x' || substr(md5(gm), 1, 15))::BIGINT AS h
+       |      FROM (SELECT doc_id,
+       |              unnest(list_transform(generate_series(1, len(tk) - ${w - 1}),
+       |                i -> $gram)) AS gm
+       |            FROM d WHERE len(tk) >= $w) x),
+       |pg AS (SELECT h, doc_id, count(*) AS c FROM pg0 GROUP BY h, doc_id),
+       |u AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_uniq
+       |      FROM (SELECT min(doc_id) AS doc_id FROM pg
+       |            GROUP BY h HAVING sum(c) = 1) s
+       |      GROUP BY doc_id),
+       |p AS (SELECT doc_id,
+       |        CAST(greatest(len(string_split(lower(text), ' ')) - ${w - 1}, 0) AS BIGINT)
+       |          AS n_positions
+       |      FROM documents)
+       |SELECT p.doc_id, p.n_positions,
+       |  CAST(p.n_positions - coalesce(u.n_uniq, 0) AS BIGINT) AS n_dup,
+       |  CASE WHEN p.n_positions > 0
+       |       THEN CAST(p.n_positions - coalesce(u.n_uniq, 0) AS DOUBLE) / CAST(p.n_positions AS DOUBLE)
+       |       ELSE 0.0 END AS dup_frac
+       |FROM p LEFT JOIN u USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+  }
+
+  /** txt_quota_sample oracle: exact largest-remainder apportionment
+    * over strata, per-stratum fill by smallest md5 key.
+    */
+  private def quotaSampleOracle(k: Int): String =
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |t AS (SELECT count(*) AS n_total FROM documents),
+       |q0 AS (SELECT lang, n, ($k * n) // n_total AS base,
+       |              ($k * n) % n_total AS rem
+       |       FROM c CROSS JOIN t),
+       |s AS (SELECT sum(base) AS base_sum FROM q0),
+       |q AS (SELECT lang,
+       |        CAST(base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+       |                            <= $k - base_sum THEN 1 ELSE 0 END) AS BIGINT) AS quota
+       |      FROM q0 CROSS JOIN s),
+       |h AS (SELECT doc_id, lang,
+       |        ('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |      FROM documents),
+       |r AS (SELECT lang, doc_id,
+       |        CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT)
+       |          AS pick_rank
+       |      FROM h)
+       |SELECT r.lang, q.quota, r.doc_id, r.pick_rank
+       |FROM r JOIN q USING (lang) WHERE r.pick_rank <= q.quota
+       |ORDER BY r.lang, r.pick_rank""".stripMargin
+
+  /** rel_concomp oracle: the algorithm-independent FIXPOINT —
+    * component(id) = min node reachable over the symmetrized edge set,
+    * re-derived by a recursive min-reachability closure. The engine's
+    * large-star/small-star rounds must land on exactly this labeling,
+    * so the oracle checks the RESULT contract, not the round structure.
+    */
+  private def concompOracle: String =
+    s"""WITH RECURSIVE li AS (
+       |  SELECT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderpriority = '1-URGENT' AND l_quantity >= 45),
+       |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |reach AS (
+       |  SELECT src AS id, src AS anc FROM sym
+       |  UNION
+       |  SELECT r.id, s.dst AS anc FROM reach r JOIN sym s ON r.anc = s.src),
+       |m AS (SELECT id, min(anc) AS component FROM reach GROUP BY id),
+       |sz AS (SELECT component, count(*) AS n_members FROM m GROUP BY component)
+       |SELECT m.id AS part_id, m.component, sz.n_members
+       |FROM m JOIN sz USING (component)
+       |ORDER BY part_id""".stripMargin
 }

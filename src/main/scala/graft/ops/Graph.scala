@@ -123,6 +123,94 @@ object Graph {
       .join(triangles.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the MapReduce-native CC that converges in
+    * O(log² n) rounds on ANY graph shape, including the deep chains
+    * that make per-round min-label propagation ([[Dedup.nearDupClusters]],
+    * fine for clique-ish LSH components) take O(diameter) rounds.
+    *
+    * large-star: every node u connects its strictly-larger neighbors
+    * to m(u) = min(N(u) ∪ {u}); small-star (over edges oriented
+    * hi→lo): every node hi re-points its smaller neighbors and itself
+    * at its minimum neighbor. Both are one groupBy-min + one equi-join
+    * per round — never a collect, never a broadcast of |V| — and the
+    * driver loop only composes plans (each round localCheckpoint'ed so
+    * round k doesn't replay rounds 0..k−1). At the fixpoint the edge
+    * set IS the component assignment: a star from every member to its
+    * component's minimum id.
+    *
+    * Output: (id, component, n_members) for every node that appears in
+    * ≥1 edge; component = min member id — the same canonical-minimum
+    * convention as the dedup family, and exactly the fixpoint the
+    * oracle's recursive min-reachability re-derives.
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("hi"), col("lo")).as("hi"),
+        least(col("hi"), col("lo")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+    var cur = canon(edges.select(col("src").as("hi"), col("dst").as("lo")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxRounds) {
+      // large-star over the SYMMETRIZED neighborhood
+      val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val afterLarge = canon(
+        sym.join(mins, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("hi"), col("m").as("lo")))
+        .localCheckpoint()
+      // small-star over the hi→lo orientation
+      val minsS = afterLarge.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val afterSmall = canon(
+        afterLarge.join(minsS, Seq("hi"))
+          .filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo"))
+          .unionAll(minsS.select(col("hi"), col("m").as("lo"))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = afterSmall.unionAll(cur).groupBy(col("hi"), col("lo"))
+        .agg(count(lit(1)).as("n")).filter(col("n") === 1).count()
+      cur.unpersist()
+      cur = afterSmall
+      rounds += 1
+    }
+    val members = cur.select(col("hi").as("id"), col("lo").as("component"))
+      .unionAll(cur.select(col("lo").as("id"), col("lo").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+    val sizes = members.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+    members.join(sizes, Seq("component"))
+      .select(col("id"), col("component"), col("n_members"))
+  }
+
+  /** Registry shape: components of the URGENT high-quantity co-purchase
+    * graph — parts that co-occur on the same urgent order at quantity
+    * ≥ 45 are linked; components are the product clusters. The edge
+    * build reduces lineitem to (orderkey, partkey) BEFORE the self-join
+    * and dedups on 2×8-byte keys.
+    */
+  def copurchaseComponents(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val li = lineitem
+      .join(orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.alias("a").join(li.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+    connectedComponents(e)
+      .select(col("id").as("part_id"), col("component"), col("n_members"))
+      .orderBy(col("part_id"))
+  }
+
   /** Registry shape: triangle census of the nation trade graph. */
   def nationTriangles(lineitem: DataFrame, orders: DataFrame,
                       customer: DataFrame, supplier: DataFrame): DataFrame =

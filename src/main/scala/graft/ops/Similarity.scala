@@ -861,6 +861,145 @@ object Similarity {
     array(keys: _*)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embedding space with the same
+    * trained coarse quantizer the ANN index uses, then compare pairs
+    * ONLY within a cluster and prune every vector whose cosine to an
+    * earlier (lower vec_id) cluster member reaches the threshold. The
+    * earlier member becomes the exemplar — the same canonical-minimum
+    * convention as [[graft.ops.Dedup.nearDupClusters]], here as the
+    * one-pass variant (pruned-by-earliest, no sequential within-cluster
+    * greedy) so the decision is a pure join + min aggregation.
+    *
+    * Scale shape: the all-pairs comparison SemDeDup exists to avoid is
+    * replaced by a self-join keyed on `cell` — candidate volume is
+    * Σ|cell|², and production nlist grows with the corpus so |cell|
+    * stays bounded; a hot cell takes the (cell, salt) spreading of
+    * [[ivfTopKSalted]]. One assignment pass (localCheckpoint'ed) feeds
+    * both join sides; training reads the bounded hash-sample.
+    *
+    * Output: one row per vector — (vec_id, cell, kept, exemplar_id),
+    * kept = no earlier in-cell member at ≥ threshold cosine.
+    */
+  def semDedup(embeddings: DataFrame, nlist: Int = 16,
+               threshold: Double = 0.2): DataFrame = {
+    val assigned =
+      assignCells(embeddings, kmeansCentroids(embeddings, nlist))
+        .localCheckpoint()
+    val keep = assigned.select(col("cell"), col("vec_id").as("keep_id"),
+      col("embedding").as("keep_emb"))
+    val cand = assigned.select(col("cell"), col("vec_id").as("cand_id"),
+      col("embedding").as("cand_emb"))
+    val prunedBy = keep.join(cand, Seq("cell"))
+      .filter(col("keep_id") < col("cand_id") &&
+        cosine(col("keep_emb"), col("cand_emb")) >= threshold)
+      .groupBy(col("cand_id"))
+      .agg(min(col("keep_id")).as("exemplar"))
+    assigned.join(prunedBy, assigned("vec_id") === prunedBy("cand_id"),
+        "left")
+      .select(col("vec_id"), col("cell"),
+        col("exemplar").isNull.as("kept"),
+        coalesce(col("exemplar"), col("vec_id")).as("exemplar_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Quantization levels for the SQ8 scalar quantizer (codes 0..255,
+    * one byte per dimension — 4× smaller than float32, vs PQ's 64×;
+    * the standard middle rung of the compression ladder).
+    */
+  val sqLevels = 255
+
+  /** SQ8 training: per-dimension [min, max] over the corpus. min/max
+    * are order-independent (unlike float sums), so this needs no
+    * two-level fold — one posexplode + hash aggregation, exact and
+    * partition-layout-proof. Output: one row per dimension.
+    */
+  def sqParams(embeddings: DataFrame): DataFrame =
+    embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+      .select(posexplode(col("embedding")).as(Seq("j", "v")))
+      .groupBy(col("j"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+
+  /** The trained SQ params packed to dim-length arrays (mins + spans)
+    * in ONE row — the broadcastable artifact encode/decode carries.
+    */
+  def sqParamArrays(embeddings: DataFrame): DataFrame =
+    sqParams(embeddings)
+      .withColumn("sp", col("mx") - col("mn"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("j"), col("mn")))),
+          x => x.getField("mn")).as("mns"),
+        transform(sort_array(collect_list(struct(col("j"), col("sp")))),
+          x => x.getField("sp")).as("sps"))
+
+  /** SQ8 encode: code_j = floor((x_j − mn_j) · 255 / span_j), clamped
+    * to 255 (floor, not round — round's half-way tie rule differs
+    * between engines; floor is bit-identical). Zero-span dimensions
+    * (constant across the corpus) encode as 0. The params row is a
+    * one-row broadcast carrier, so encoding is a single corpus scan.
+    */
+  def sqEncode(embeddings: DataFrame): DataFrame =
+    embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+      .crossJoin(broadcast(sqParamArrays(embeddings)))
+      .select(col("vec_id"),
+        zip_with(
+          zip_with(col("embedding"), col("mns"),
+            (x, mn) => x.cast("double") - mn),
+          col("sps"),
+          (d, s) => when(s === lit(0.0), lit(0.0))
+            .otherwise(least(floor(d * lit(255.0) / s).cast("double"),
+              lit(255.0)))
+            .cast("int")).as("codes"))
+
+  /** SQ8 top-k: score queries against the DEQUANTIZED corpus —
+    * x̂_j = mn_j + code_j·span_j/255. Reconstruction is per corpus row
+    * (not per pair): decode once, then the codegen'd float_dot scores
+    * each (query, x̂) pair. At 100 TB the 4×-compressed code table is
+    * what sits on disk/in cache; the float corpus is only read to
+    * train (min/max) and encode.
+    */
+  def sqTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val recon = sqEncode(embeddings)
+      .crossJoin(broadcast(sqParamArrays(embeddings)))
+      .select(col("vec_id").as("neighbor_id"),
+        zip_with(
+          zip_with(col("codes"), col("sps"),
+            (c, s) => c.cast("double") * s / lit(255.0)),
+          col("mns"), (t, mn) => mn + t).as("ce"))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = recon.join(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("sim"))
+    topKRanked(scored, "sim", k)
+  }
+
+  /** recall@k of SQ8 against brute force — the quantization-quality
+    * gate, same shape as [[pqRecall]]. SQ8's per-dimension resolution
+    * is 8 bits (vs PQ's 8 bits per 16-dim subspace), so its recall
+    * floor is far higher; the gate documents the compression/quality
+    * trade numerically.
+    */
+  def sqRecall(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val bf = cosineTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val sq = sqTopK(embeddings, nQueries, k)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    bf.join(sq,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("n2")).cast("double") / k).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding-cosine near-dup pairs: banded LSH candidates + exact
     * cosine verification. O(n·candidates): the corpus is scanned once
     * to band, the self-join runs per (band, key) bucket, and only

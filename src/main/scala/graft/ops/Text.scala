@@ -765,6 +765,107 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicated n-gram span coverage (the per-document measurement
+    * behind substring-level training-data dedup — Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": a
+    * document whose token positions are largely covered by n-grams
+    * that occur elsewhere is boilerplate/near-dup even when no
+    * document-level fingerprint fires). A position is DUPLICATED when
+    * its w-gram occurs ≥ 2 times corpus-wide (counting within-document
+    * repeats — any other occurrence makes the span redundant).
+    *
+    * Scale shape: grams travel as 60-bit md5-prefix hashes; the
+    * per-(gram, doc) pre-aggregation collapses repeat positions before
+    * the global count, and the count joins back on the SAME 8-byte
+    * hash key partitioning (exchange reuse), never on strings.
+    */
+  def ngramCoverage(documents: DataFrame, w: Int = 5): DataFrame = {
+    val tk = tokens(lower(col("text")))
+    val gramHashes = when(size(col("tk")) >= w,
+        transform(sequence(lit(1), size(col("tk")) - (w - 1)),
+          i => tokenHash60(concat_ws(" ",
+            (0 until w).map(o => element_at(col("tk"), i + o)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+    val parallelism =
+      documents.sparkSession.sparkContext.defaultParallelism
+    // n_dup = n_positions − n_unique, and a gram with corpus count 1
+    // has exactly ONE (doc, position) — so the unique credit comes
+    // straight off the totals aggregation (min(doc_id) = THE doc, the
+    // [[novelBigrams]] device) and the gram pipeline feeds exactly one
+    // chain: no join-back of data rows, one Generate, plan-audited.
+    // The explicit h-repartition after the explode makes both gram
+    // aggregations run on one partitioning (hashpartitioning(h)
+    // satisfies the (h, doc_id) clustering too).
+    val base = documents
+      .repartition(parallelism, col("doc_id"))
+      .withColumn("tk", tk)
+      .select(col("doc_id"), explode(gramHashes).as("h"))
+      .repartition(parallelism, col("h"))
+    val perDocGram = base.groupBy(col("h"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val uniq = perDocGram.groupBy(col("h"))
+      .agg(sum(col("c")).as("tot"), min(col("doc_id")).as("doc_id"))
+      .filter(col("tot") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
+    val perDoc = documents
+      .select(col("doc_id"),
+        greatest(size(tk) - (w - 1), lit(0)).cast("long").as("n_positions"))
+    perDoc.join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_positions"),
+        (col("n_positions") - coalesce(col("n_uniq"), lit(0L))).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_positions") > 0,
+          col("n_dup").cast("double") / col("n_positions").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic quota sampling: apportion a FIXED total of `k`
+    * sample slots across language strata by exact largest-remainder
+    * (Hamilton) apportionment — base_l = ⌊k·n_l/N⌋, leftover slots to
+    * the largest remainders (k·n_l mod N, ties on lang) — then fill
+    * each stratum's quota with its smallest md5-keyed documents. All
+    * integer arithmetic, so the sample is a pure function of the data
+    * (contrast [[stratifiedSample]], which keeps an expected RATE per
+    * stratum; this keeps an exact global budget — the "sample exactly
+    * 10k docs for eval, proportionally by language" pipeline ask).
+    *
+    * Scale shape: the apportionment windows run over #strata rows,
+    * never data rows; the per-stratum fill is the two-phase heap node
+    * capped at k (every input partition prunes to ≤ k rows map-side
+    * before the single stratum shuffle), and the rank window touches
+    * only the ≤ k×strata survivors.
+    */
+  def quotaSample(documents: DataFrame, k: Int = 50): DataFrame = {
+    val counts = documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val total = documents.agg(count(lit(1)).as("n_total"))
+    val quotas0 = counts.join(broadcast(total))
+      .select(col("lang"), col("n"),
+        expr(s"($k * n) div n_total").as("base"),
+        expr(s"($k * n) % n_total").as("rem"))
+    val baseSum = quotas0.agg(sum(col("base")).as("base_sum"))
+    val wSeat = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("lang"))
+    val quotas = quotas0.join(broadcast(baseSum))
+      .withColumn("seat_rank", row_number().over(wSeat))
+      .select(col("lang"),
+        (col("base") + when(col("seat_rank") <= lit(k.toLong) - col("base_sum"),
+          1L).otherwise(0L)).as("quota"))
+    val hashed = documents.select(col("doc_id"), col("lang"),
+      tokenHash(concat(lit("quota:"), col("doc_id").cast("string"))).as("h"))
+    val pruned = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        hashed.withColumn("o1", -col("h")).withColumn("o2", -col("doc_id")),
+        Seq("lang"), Seq("o1", "o2"), k)
+      .drop("o1", "o2")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    pruned.withColumn("pick_rank", row_number().over(wRank).cast("long"))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("pick_rank") <= col("quota"))
+      .select(col("lang"), col("quota"), col("doc_id"), col("pick_rank"))
+      .orderBy(col("lang"), col("pick_rank"))
+  }
+
   /** Pairwise token-set overlap between language strata, estimated
     * from KMV sketches — the sketch-algebra pattern for "how much do
     * these corpora share?" at 100 TB: each stratum compresses to a

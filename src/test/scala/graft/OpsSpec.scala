@@ -279,6 +279,99 @@ class OpsSpec extends SparkTestBase {
     iv.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
   }
 
+  test("large-star/small-star CC labels a deep path graph (and small components) correctly") {
+    // a 30-node path (diameter 29 — the shape per-round min-label
+    // propagation is slow on), plus a triangle and a disjoint pair
+    val path = (0L until 29L).map(i => (i, i + 1))
+    val tri = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    val pair = Seq((200L, 201L))
+    val edges = (path ++ tri ++ pair).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got.size === 35)
+    (0L to 29L).foreach(i => assert(got(i) === ((0L, 30L))))
+    Seq(100L, 101L, 102L).foreach(i => assert(got(i) === ((100L, 3L))))
+    Seq(200L, 201L).foreach(i => assert(got(i) === ((200L, 2L))))
+  }
+
+  test("quota sample: exactly the budget, per-stratum fills match the quotas") {
+    val k = 20
+    val rows = Text.quotaSample(Tables.documents(spark, sf), k)
+      .select("lang", "quota", "doc_id", "pick_rank")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.length === k) // largest-remainder quotas sum to k exactly
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val quota = rs.head._2
+      assert(rs.forall(_._2 === quota) && rs.length === quota)
+      assert(rs.map(_._4).sorted.toSeq === (1L to quota))
+    }
+  }
+
+  test("ngram coverage: identical docs are fully covered, unique docs not at all") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "u v w x y z")
+    ).toDF("doc_id", "text")
+    val got = Text.ngramCoverage(docs, 5)
+      .select("doc_id", "n_positions", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(got(1L) === ((1L, 2L, 2L, 1.0)))
+    assert(got(2L) === ((2L, 2L, 2L, 1.0)))
+    assert(got(3L) === ((3L, 2L, 0L, 0.0)))
+  }
+
+  test("SemDeDup: kept/pruned decisions match the within-cell definition exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.semDedup(emb, 16, 0.2)
+      .select("vec_id", "cell", "kept", "exemplar_id")
+      .as[(Long, Long, Boolean, Long)].collect()
+    assert(out.nonEmpty)
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na) / math.sqrt(nb)
+    }
+    val byCell = out.groupBy(_._2)
+    out.foreach { case (id, cell, kept, ex) =>
+      val earlier = byCell(cell).filter(_._1 < id)
+        .filter(o => cos(vecs(o._1), vecs(id)) >= 0.2).map(_._1)
+      if (kept) assert(earlier.isEmpty && ex === id)
+      else assert(earlier.nonEmpty && ex === earlier.min)
+    }
+    // it actually deduplicates AND actually keeps survivors
+    assert(out.exists(_._3) && out.exists(!_._3))
+  }
+
+  test("SQ8: codes are bytes and reconstruction error is within one quantization step") {
+    val emb = Tables.embeddings(spark, sf)
+    val codes = Similarity.sqEncode(emb)
+      .as[(Long, Array[Int])].collect().toMap
+    assert(codes.nonEmpty)
+    codes.values.foreach(cs => cs.foreach(c => assert(c >= 0 && c <= 255)))
+    val params = Similarity.sqParamArrays(emb)
+      .as[(Array[Double], Array[Double])].head()
+    val (mns, sps) = params
+    val vecs = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    vecs.foreach { case (id, v) =>
+      val cs = codes(id)
+      v.indices.foreach { j =>
+        val xhat = mns(j) + cs(j).toDouble * sps(j) / 255.0
+        // floor quantization: x̂ ≤ x < x̂ + step (one step of slack for
+        // the clamp at the top of the range)
+        assert(math.abs(v(j) - xhat) <= sps(j) / 255.0 + 1e-12,
+          s"vec $id dim $j: ${v(j)} vs $xhat")
+      }
+    }
+  }
+
   test("MMR: rank 1 is the cosine top-1, and the picked set is more diverse than plain top-k") {
     val emb = Tables.embeddings(spark, sf)
     val k = 5
