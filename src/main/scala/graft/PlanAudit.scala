@@ -360,6 +360,13 @@ object PlanAudit {
       ("banded-fingerprint exchange reused across the self-join",
         _.contains("ReusedExchange")))
 
+    // phash clusters: the CC capstone over the banded pairs — the
+    // composed edge-build + labeling plan must stay equi-join-only
+    audit("mm_phash_clusters")(
+      ("no cartesian/BNL anywhere in edge build or labeling", p =>
+        !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
+
     // salted IVF probing: the candidate join must key on (cell, salt)
     // so a hot cell spreads across `salts` reducers when the probe
     // side shuffles instead of broadcasting

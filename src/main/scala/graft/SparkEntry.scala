@@ -285,6 +285,8 @@ object SparkEntry {
       Relational.dataQualityAudit(customer(s, d), orders(s, d), lineitem(s, d))),
     "mm_embed" -> ((s, d) => Multimodal.embedStub(documents(s, d))),
     "mm_phash_dups" -> ((s, d) => Multimodal.phashDups(documents(s, d))),
+    "mm_phash_clusters" -> ((s, d) =>
+      Multimodal.phashClusters(documents(s, d))),
     "rel_supplier_dist" -> ((s, d) =>
       Relational.partTypeSuppliers(lineitem(s, d), part(s, d))),
     "dedup_apply" -> ((s, d) => Dedup.applyNearDupDedup(documents(s, d))),
@@ -520,19 +522,19 @@ object SparkEntry {
   private val clusterCte: String =
     """WITH RECURSIVE
       |tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),
-      |sh AS (SELECT doc_id, lang, len(ls) AS ntok,
+      |sh AS MATERIALIZED (SELECT doc_id, lang, len(ls) AS ntok,
       |         list_distinct(list_transform(
       |           list_distinct(list_transform(generate_series(1, len(ls) - 2),
       |             i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])),
       |           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs FROM tok),
-      |d AS (SELECT doc_id,
+      |d AS MATERIALIZED (SELECT doc_id,
       |        lang || '#' || CAST(CAST(floor(ntok / 20) AS BIGINT) AS VARCHAR) AS bucket, hs
       |      FROM sh WHERE len(hs) > 0),
-      |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2
+      |pairs AS MATERIALIZED (SELECT a.doc_id AS doc1, b.doc_id AS doc2
       |          FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
       |          WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
       |              len(list_distinct(list_concat(a.hs, b.hs))) >= 0.3),
-      |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+      |edges AS MATERIALIZED (SELECT doc1 AS src, doc2 AS dst FROM pairs
       |          UNION SELECT doc2, doc1 FROM pairs),
       |reach(id, lab) AS (SELECT src, src FROM edges
       |          UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
@@ -644,8 +646,8 @@ object SparkEntry {
   private def kmeansSql(nlist: Int, iters: Int,
                         src: String = "embeddings"): String = {
     val blk = Similarity.trainBlock
-    val init = s"ksamp AS (SELECT * FROM $src WHERE $trainSampleSql),\n" +
-      s"cent0 AS (SELECT vec_id AS centroid_id, " +
+    val init = s"ksamp AS MATERIALIZED (SELECT * FROM $src WHERE $trainSampleSql),\n" +
+      s"cent0 AS MATERIALIZED (SELECT vec_id AS centroid_id, " +
       s"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce " +
       s"FROM $src WHERE vec_id < $nlist)"
     val steps = (1 to iters).map { i =>
@@ -663,7 +665,7 @@ object SparkEntry {
          |km$p AS (SELECT cell, j,
          |    list_sum(list(bsum ORDER BY blk)) / sum(bn) AS mv
          |  FROM kb$p GROUP BY cell, j),
-         |cent$i AS (SELECT cell AS centroid_id, list(mv ORDER BY j) AS ce FROM km$p GROUP BY cell)""".stripMargin
+         |cent$i AS MATERIALIZED (SELECT cell AS centroid_id, list(mv ORDER BY j) AS ce FROM km$p GROUP BY cell)""".stripMargin
     }
     (init +: steps).mkString(",\n")
   }
@@ -675,14 +677,14 @@ object SparkEntry {
   private def ivfOracle(nq: Int, k: Int, nlist: Int = 16,
                         nprobe: Int = 4): String =
     s"""WITH ${kmeansSql(nlist, Similarity.ivfIters)},
-       |cent AS (SELECT * FROM cent${Similarity.ivfIters}),
-       |assigned AS (
+       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
+       |assigned AS MATERIALIZED (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
        |    FROM embeddings e, cent c) t WHERE rn = 1),
-       |probes AS (
+       |probes AS MATERIALIZED (
        |  SELECT query_id, qe, cell FROM (
        |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.centroid_id AS cell,
        |      row_number() OVER (PARTITION BY q.vec_id
@@ -704,8 +706,8 @@ object SparkEntry {
     */
   private def kmeansCellsOracle(nlist: Int): String =
     s"""WITH ${kmeansSql(nlist, Similarity.ivfIters)},
-       |cent AS (SELECT * FROM cent${Similarity.ivfIters}),
-       |assigned AS (
+       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
+       |assigned AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.centroid_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -723,8 +725,8 @@ object SparkEntry {
     */
   private def semDedupOracle(nlist: Int, threshold: Double): String =
     s"""WITH ${kmeansSql(nlist, Similarity.ivfIters)},
-       |cent AS (SELECT * FROM cent${Similarity.ivfIters}),
-       |assigned AS (
+       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
+       |assigned AS MATERIALIZED (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -1314,12 +1316,12 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),
-        |sh AS (SELECT doc_id, lang, len(ls) AS ntok,
+        |sh AS MATERIALIZED (SELECT doc_id, lang, len(ls) AS ntok,
         |         list_distinct(list_transform(
         |           list_distinct(list_transform(generate_series(1, len(ls) - 2),
         |             i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])),
         |           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs FROM tok),
-        |d AS (SELECT doc_id,
+        |d AS MATERIALIZED (SELECT doc_id,
         |        lang || '#' || CAST(CAST(floor(ntok / 20) AS BIGINT) AS VARCHAR) AS bucket, hs
         |      FROM sh WHERE len(hs) > 0)
         |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
@@ -1901,6 +1903,7 @@ object SparkEntry {
         | ('0x' || substr(md5(text), 15, 2))::BIGINT / 255.0 AS e7
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_phash_dups" -> phashDupsOracle(4),
+    "mm_phash_clusters" -> phashClustersOracle(4),
     "rel_dq_audit" ->
       """SELECT 'orders_fk_customer' AS "check",
         |  (SELECT count(*) FROM orders o LEFT JOIN customer c
@@ -2401,20 +2404,20 @@ object SparkEntry {
         |  day_value IS NULL AS is_gap
         |FROM br ORDER BY user_id, day""".stripMargin,
     "rel_triangles" ->
-      """WITH edges AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+      """WITH edges AS MATERIALIZED (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
         |                 CAST(s.s_nationkey AS BIGINT) AS dst
         |          FROM lineitem l
         |          JOIN orders o ON l.l_orderkey = o.o_orderkey
         |          JOIN customer c ON o.o_custkey = c.c_custkey
         |          JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |          WHERE c.c_nationkey <> s.s_nationkey),
-        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
         |        FROM edges WHERE src <> dst),
         |deg AS (SELECT id, count(*) AS deg FROM (
         |          SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) u
         |        GROUP BY id),
-        |k AS (SELECT id, deg * 4294967296 + id AS k FROM deg),
-        |o AS (SELECT CASE WHEN ka.k < kb.k THEN ka.k ELSE kb.k END AS u,
+        |k AS MATERIALIZED (SELECT id, deg * 4294967296 + id AS k FROM deg),
+        |o AS MATERIALIZED (SELECT CASE WHEN ka.k < kb.k THEN ka.k ELSE kb.k END AS u,
         |             CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS v
         |      FROM und JOIN k ka ON und.a = ka.id JOIN k kb ON und.b = kb.id),
         |w AS (SELECT x.v AS p, y.v AS q FROM o x JOIN o y
@@ -2538,6 +2541,26 @@ object SparkEntry {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** mm_phash_clusters oracle: the pair chain of [[phashDupsOracle]]
+    * closed into components by recursive min-reachability — the same
+    * algorithm-independent fixpoint contract as rel_concomp's oracle,
+    * so the engine's star-contraction rounds are checked against the
+    * RESULT, not the round structure.
+    */
+  private def phashClustersOracle(maxHamming: Int): String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (${phashDupsOracle(maxHamming)}),
+       |sym AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs
+       |        UNION SELECT id2, id1 FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS anc FROM sym
+       |  UNION
+       |  SELECT r.id, s.dst AS anc FROM reach r JOIN sym s ON r.anc = s.src),
+       |m AS (SELECT id, min(anc) AS canon_id FROM reach GROUP BY id),
+       |sz AS (SELECT canon_id, count(*) AS n_members FROM m GROUP BY canon_id)
+       |SELECT m.id AS doc_id, m.canon_id, sz.n_members
+       |FROM m JOIN sz USING (canon_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** In-order double dot product over two DuckDB lists — the SQL twin
     * of the engine's codegen'd `vector_dot` fold.
     */
@@ -2561,7 +2584,7 @@ object SparkEntry {
     */
   /** Unit-normalized corpus CTE (the `un` table every PQ oracle uses). */
   private def unCte: String =
-    s"""un AS (SELECT vec_id,
+    s"""un AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)
        |      / sqrt(${dotSql("embedding", "embedding")})) AS embedding
        |  FROM embeddings)""".stripMargin
@@ -2590,11 +2613,11 @@ object SparkEntry {
            |pq${m}k$p AS (SELECT cell, j,
            |    list_sum(list(bsum ORDER BY blk)) / sum(bn) AS mv
            |  FROM pq${m}b$p GROUP BY cell, j),
-           |pq${m}c$i AS (SELECT cell AS centroid_id, list(mv ORDER BY j) AS ce
+           |pq${m}c$i AS MATERIALIZED (SELECT cell AS centroid_id, list(mv ORDER BY j) AS ce
            |  FROM pq${m}k$p GROUP BY cell)""".stripMargin
       }.mkString(",\n")
-      s"""pq${m}s AS (SELECT vec_id, list_slice(embedding, $lo, $hi) AS sv FROM $src),
-         |pq${m}t AS (SELECT * FROM pq${m}s WHERE $trainSampleSql),
+      s"""pq${m}s AS MATERIALIZED (SELECT vec_id, list_slice(embedding, $lo, $hi) AS sv FROM $src),
+         |pq${m}t AS MATERIALIZED (SELECT * FROM pq${m}s WHERE $trainSampleSql),
          |pq${m}c0 AS (SELECT vec_id AS centroid_id, sv AS ce
          |  FROM pq${m}s WHERE vec_id < $pqKsub),
          |$rounds""".stripMargin
@@ -2603,11 +2626,11 @@ object SparkEntry {
       s"SELECT $m AS m, CAST(centroid_id AS BIGINT) AS code, ce FROM pq${m}c$pqIters")
       .mkString("\n  UNION ALL ")
     s"""$subspaces,
-       |cb AS ($cbUnion),
+       |cb AS MATERIALIZED ($cbUnion),
        |subs AS (SELECT vec_id, u.m,
        |    list_slice(embedding, u.m * $pqDsub + 1, u.m * $pqDsub + $pqDsub) AS sv
        |  FROM $src, unnest(generate_series(0, ${pqM - 1})) AS u(m)),
-       |enc AS (SELECT vec_id, m, code FROM (
+       |enc AS MATERIALIZED (SELECT vec_id, m, code FROM (
        |    SELECT s.vec_id, s.m, c.code,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
        |        ORDER BY ${l2Sql("s.sv", "c.ce")} ASC, c.code) AS rn
@@ -2655,14 +2678,14 @@ object SparkEntry {
                           nprobe: Int = 4, shortlist: Int = 20): String =
     s"""WITH ${pqCtes(nq)},
        |${kmeansSql(nlist, Similarity.ivfIters)},
-       |cent AS (SELECT * FROM cent${Similarity.ivfIters}),
-       |assigned AS (
+       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
+       |assigned AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.centroid_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
        |    FROM embeddings e, cent c) t WHERE rn = 1),
-       |probes AS (
+       |probes AS MATERIALIZED (
        |  SELECT query_id, cell FROM (
        |    SELECT q.vec_id AS query_id, c.centroid_id AS cell,
        |      row_number() OVER (PARTITION BY q.vec_id
@@ -2709,19 +2732,19 @@ object SparkEntry {
     import Similarity.{pqM, pqDsub}
     s"""WITH $unCte,
        |${kmeansSql(nlist, Similarity.ivfIters, "un")},
-       |cent AS (SELECT * FROM cent${Similarity.ivfIters}),
-       |assigned AS (
+       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
+       |assigned AS MATERIALIZED (
        |  SELECT vec_id, embedding, cell FROM (
        |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
        |    FROM un e, cent c) t WHERE rn = 1),
-       |res AS (SELECT a.vec_id,
+       |res AS MATERIALIZED (SELECT a.vec_id,
        |    list_transform(list_zip(a.embedding, c.ce), p -> p[1] - p[2]) AS embedding,
        |    a.cell
        |  FROM assigned a JOIN cent c ON a.cell = c.centroid_id),
        |${pqTrainEncCtes("res")},
-       |probes AS (
+       |probes AS MATERIALIZED (
        |  SELECT query_id, qe, cell FROM (
        |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.centroid_id AS cell,
        |      row_number() OVER (PARTITION BY q.vec_id
@@ -2953,14 +2976,14 @@ object SparkEntry {
     }.mkString(",\n")
     s"""WITH nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
        |cnt AS (SELECT count(*) AS n_nodes FROM nodes),
-       |edges AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+       |edges AS MATERIALIZED (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
        |                 CAST(s.s_nationkey AS BIGINT) AS dst
        |          FROM lineitem l
        |          JOIN orders o ON l.l_orderkey = o.o_orderkey
        |          JOIN customer c ON o.o_custkey = c.c_custkey
        |          JOIN supplier s ON l.l_suppkey = s.s_suppkey
        |          WHERE c.c_nationkey <> s.s_nationkey),
-       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
        |r0 AS (SELECT id, CAST($sc // cnt.n_nodes AS BIGINT) AS rank
        |       FROM nodes CROSS JOIN cnt),
        |$rounds
@@ -3033,13 +3056,13 @@ object SparkEntry {
     * so the oracle checks the RESULT contract, not the round structure.
     */
   private def concompOracle: String =
-    s"""WITH RECURSIVE li AS (
+    s"""WITH RECURSIVE li AS MATERIALIZED (
        |  SELECT l_orderkey AS ok, l_partkey AS pk
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  WHERE o_orderpriority = '1-URGENT' AND l_quantity >= 45),
-       |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |e AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
        |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-       |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
        |reach AS (
        |  SELECT src AS id, src AS anc FROM sym
        |  UNION

@@ -237,6 +237,25 @@ object Multimodal {
     * 64-bit Hamming verification. A pair within `maxHamming` bits
     * differs in at most that many chunks of the normalized view.
     */
+  /** Perceptual near-dup CLUSTERS: connected components over the
+    * banded-Hamming pair set — A~B, B~C collapse to ONE canonical
+    * medium even when A~C never shared a band (pairs alone don't
+    * dedup; same capstone as [[graft.ops.Dedup.nearDupClusters]]),
+    * through the O(log² n) star-contraction CC
+    * ([[graft.ops.Graph.connectedComponents]]) so even deep duplicate
+    * chains — re-encodes of re-encodes, each within `maxHamming` of
+    * the previous generation — converge in logarithmic rounds.
+    * Output: (doc_id, canon_id, n_members) for every medium in ≥1
+    * near-dup pair; doc_id = canon_id marks the survivor.
+    */
+  def phashClusters(documents: DataFrame, maxHamming: Int = 4): DataFrame =
+    graft.ops.Graph.connectedComponents(
+        phashDups(documents, maxHamming)
+          .select(col("id1").as("src"), col("id2").as("dst")))
+      .select(col("id").as("doc_id"), col("component").as("canon_id"),
+        col("n_members"))
+      .orderBy(col("doc_id"))
+
   def phashDups(documents: DataFrame, maxHamming: Int = 4): DataFrame = {
     val fp = phashFingerprints(documents)
       .repartition(documents.sparkSession.sparkContext.defaultParallelism,

@@ -279,6 +279,23 @@ class OpsSpec extends SparkTestBase {
     iv.foreach { case (q, n, s) => assert(math.abs(brute((q, n)) - s) < 1e-12) }
   }
 
+  test("phash clusters collapse transitive duplicate groups to one canonical id") {
+    // three byte-identical payloads (pairwise Hamming 0), a separate
+    // pair, and a singleton — clusters must be {1,2,3}→1, {4,5}→4,
+    // and the singleton absent (it joins no near-dup pair)
+    val t1 = ("alpha bravo charlie delta echo foxtrot golf hotel " * 5).trim
+    val t2 = ("india juliett kilo lima mike november oscar papa " * 5).trim
+    val t3 = ("quebec romeo sierra tango uniform victor whiskey " * 5).trim
+    val docs = Seq((1L, t1), (2L, t1), (3L, t1), (4L, t2), (5L, t2), (6L, t3))
+      .toDF("doc_id", "text")
+    val got = Multimodal.phashClusters(docs)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got === Map(
+      1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L)),
+      4L -> ((4L, 2L)), 5L -> ((4L, 2L))))
+  }
+
   test("large-star/small-star CC labels a deep path graph (and small components) correctly") {
     // a 30-node path (diameter 29 — the shape per-round min-label
     // propagation is slow on), plus a triangle and a disjoint pair
