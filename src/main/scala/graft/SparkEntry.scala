@@ -2259,7 +2259,8 @@ object SparkEntry {
         |  GROUP BY l_partkey)
         |SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS part_value
         |FROM vals
-        |WHERE val_dec * 1000 > (SELECT sum(val_dec) FROM vals)
+        |WHERE val_dec * (SELECT count(*) FROM vals)
+        |      > (SELECT sum(val_dec) FROM vals) * 2
         |ORDER BY part_value DESC, p_partkey""".stripMargin,
     "rel_priority_mix" ->
       """SELECT l_returnflag,

@@ -365,8 +365,17 @@ object Relational {
       .join(broadcast(suppIn), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(money(col("l_extendedprice"))).as("val_dec"))
-    val total = vals.agg(sum(col("val_dec")).as("tot_dec"))
-    vals.join(broadcast(total), col("val_dec") * 1000 > col("tot_dec"))
+    // TPC-H Q11 scales its fraction by 1/SF for exactly this reason: a
+    // FIXED share-of-total threshold empties as the part count grows.
+    // The data-driven restatement — keep parts worth > 2× the MEAN
+    // per-part value (val · n_parts > 2 · total) — is scale-invariant,
+    // stays all-integer×decimal (exact, hash-checkable), and still
+    // exercises the Q11 shape: a global-scalar HAVING restated
+    // multiplicatively against a one-row broadcast.
+    val total = vals.agg(sum(col("val_dec")).as("tot_dec"),
+      count(lit(1)).as("n_parts"))
+    vals.join(broadcast(total),
+        col("val_dec") * col("n_parts") > col("tot_dec") * 2)
       .select(col("l_partkey").as("p_partkey"),
         outD(col("val_dec")).as("part_value"))
       .orderBy(col("part_value").desc, col("p_partkey"))
