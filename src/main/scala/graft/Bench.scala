@@ -12,6 +12,60 @@ import org.apache.spark.sql.SparkSession
   * numbers meaningless across rounds).
   */
 object Bench {
+
+  /** Codegen-fallback tripwire: a generated class that fails janino
+    * compilation makes Spark log a warning and silently run
+    * INTERPRETED — correct answers, wrong execution mode (exactly how
+    * the 64-chunk pHash projection shipped unnoticed in round 4). This
+    * log4j2 appender watches the codegen loggers for the three
+    * fallback messages during the bench, so any expression that drops
+    * out of codegen is caught in-round: the count lands in the bench
+    * line (`codegen_fallbacks`) and the messages in bench_full.json.
+    */
+  object CodegenWatch {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.{LoggerConfig, Property}
+
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+    private val needles = Seq("codegen disabled",
+      "falling back to interpreter", "failed to compile")
+
+    def install(): Unit = {
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val app = new AbstractAppender("graftCodegenWatch", null, null, true,
+          Property.EMPTY_ARRAY) {
+        override def append(ev: LogEvent): Unit = {
+          val m = ev.getMessage.getFormattedMessage
+          val low = m.toLowerCase
+          if (needles.exists(low.contains))
+            hits.add(m.linesIterator.next().take(300))
+        }
+      }
+      app.start()
+      cfg.addAppender(app)
+      // the two loggers that announce fallbacks, pinned to WARN so the
+      // bench's ERROR root level can't filter them; additivity off so
+      // the captured events don't also spam the console
+      Seq("org.apache.spark.sql.catalyst.expressions.codegen",
+          "org.apache.spark.sql.execution.WholeStageCodegenExec")
+        .foreach { name =>
+          val lc = new LoggerConfig(name, Level.WARN, false)
+          lc.addAppender(app, Level.WARN, null)
+          cfg.addLogger(name, lc)
+        }
+      ctx.updateLoggers()
+    }
+
+    def distinctHits: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      hits.iterator().asScala.toSeq.distinct
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,6 +76,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    CodegenWatch.install()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup: full pass, untimed
@@ -45,35 +100,46 @@ object Bench {
     // so regressions on the other ~150 queries would be invisible
     // round-over-round; bench_full.json (committed per round) makes
     // every query's minimum diffable against the previous round
-    writeFull(results, sfDir)
-    println(renderLine(results, sfDir))
+    writeFull(results, sfDir, CodegenWatch.distinctHits)
+    println(renderLine(results, sfDir, CodegenWatch.distinctHits.size))
     spark.stop()
   }
 
   /** All per-query minimums → bench_full.json in the repo root (or
-    * SPARK_GRAFT_BENCH_FULL when set).
+    * SPARK_GRAFT_BENCH_FULL when set), plus any codegen-fallback
+    * messages the watcher caught (distinct, truncated).
     */
-  def writeFull(results: Seq[(String, Double)], sfDir: String): Unit = {
+  def writeFull(results: Seq[(String, Double)], sfDir: String,
+                fallbacks: Seq[String] = Nil): Unit = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     val qs = results.sortBy(_._1)
       .map { case (k, v) => "  \"" + k + "\": " + f"$v%.3f" }
       .mkString("{\n", ",\n", ",\n")
-    val tail = s"""  "_total": ${f"${results.map(_._2).sum}%.3f"},\n  "_sf": "$sfDir"\n}"""
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "; case c => c.toString }
+    val fb = fallbacks.map(m => "\"" + esc(m) + "\"").mkString("[", ", ", "]")
+    val tail = s"""  "_total": ${f"${results.map(_._2).sum}%.3f"},
+                  |  "_codegen_fallbacks": $fb,
+                  |  "_sf": "$sfDir"
+                  |}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), qs + tail)
   }
 
   /** The emitted line must stay well under the driver's output-tail
     * capture (~2 KB) or it cannot be parsed (round 1 failed exactly
     * this way): report per-query seconds only for the headline
-    * (heaviest) queries, ms precision, and the total over ALL
-    * registered queries. Guarded by a length regression test.
+    * (heaviest) queries, ms precision, the total over ALL registered
+    * queries, and the codegen-fallback count (0 = every expression
+    * stayed compiled; details in bench_full.json).
     */
-  def renderLine(results: Seq[(String, Double)], sfDir: String): String = {
+  def renderLine(results: Seq[(String, Double)], sfDir: String,
+                 nFallbacks: Int = 0): String = {
     val headline = results.sortBy(-_._2).take(12).sortBy(_._1)
     def r(v: Double): String = f"$v%.3f"
     val qs = headline.map { case (k, v) => "\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${r(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r(total)},"unit":"sec","n_queries":${results.size},"codegen_fallbacks":$nFallbacks,"queries":$qs,"sf":"$sfDir"}"""
   }
 }

@@ -358,12 +358,25 @@ object PlanAudit {
         !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),
       ("banded-fingerprint exchange reused across the self-join",
-        _.contains("ReusedExchange")))
+        _.contains("ReusedExchange")),
+      // the fingerprint is the native phash_bands expression INSIDE a
+      // whole-stage-codegen stage ("*(n)" prefix on its Project) — the
+      // builtin 64-tree formulation blew janino's 64 KB method limit
+      // and silently ran interpreted
+      ("native phash_bands fingerprint inside whole-stage codegen", p =>
+        p.linesIterator.exists(l =>
+          l.contains("phash_bands") && l.contains("*("))))
 
-    // phash clusters: the CC capstone over the banded pairs — the
-    // composed edge-build + labeling plan must stay equi-join-only
+    // phash clusters: the CC capstone over the banded pairs. The edge
+    // build's plan contract is audited via mm_phash_dups above; the
+    // returned labeling is MATERIALIZED behind a checkpoint boundary
+    // (connectedComponents localCheckpoints its output so the cached
+    // per-round edge sets can be released) — assert that boundary, and
+    // that nothing downstream of it re-enumerates pairs
     audit("mm_phash_clusters")(
-      ("no cartesian/BNL anywhere in edge build or labeling", p =>
+      ("labeling materialized behind a checkpoint boundary", p =>
+        p.contains("Scan ExistingRDD")),
+      ("no cartesian/BNL downstream of the checkpoint", p =>
         !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")))
 
@@ -376,12 +389,14 @@ object PlanAudit {
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
     // SemDeDup: the pair comparison must be the within-cluster
-    // equi-join on `cell` — never an all-pairs cartesian/BNL over the
-    // corpus (the exact blow-up clustering exists to avoid); the only
-    // nested-loop joins allowed are the nlist-row centroid broadcasts
+    // equi-join keyed on (cell, salt) — never an all-pairs
+    // cartesian/BNL over the corpus (the exact blow-up clustering
+    // exists to avoid), and never bare `cell` (a hot cell would own one
+    // reducer with |cell|² candidate pairs); the only nested-loop joins
+    // allowed are the nlist-row centroid broadcasts
     audit("sim_semdedup")(
-      ("pair candidates keyed on the cluster cell",
-        p => "Join \\[cell#".r.findAllIn(p).nonEmpty),
+      ("pair candidates keyed on (cell, salt) — hot cells spread",
+        p => "Join \\[cell#\\d+L?, salt#".r.findAllIn(p).nonEmpty),
       ("no cartesian pair enumeration", p =>
         !p.contains("CartesianProduct")),
       ("native vector_dot scores the in-cell pairs",
@@ -395,7 +410,12 @@ object PlanAudit {
         "BroadcastExchange".r.findAllIn(p).size >= 2),
       ("two-phase heap top-k", p =>
         p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
-      ("native vector_dot in scoring", _.contains("vector_dot")))
+      ("native vector_dot in scoring", _.contains("vector_dot")),
+      // params trained ONCE: the min/max training (posexplode + agg) is
+      // checkpointed out of the serving plan — encode and dequantize
+      // both read the one-row artifact, so no Generate remains anywhere
+      ("single checkpointed training (no posexplode subtree in plan)",
+        p => !p.contains("Generate")))
 
     // duplicated-ngram coverage: the unique credit comes straight off
     // the totals aggregation (min(doc_id) of a count-1 gram = THE doc)
@@ -417,12 +437,28 @@ object PlanAudit {
       ("no cartesian over data rows", p =>
         !p.contains("CartesianProduct")))
 
-    // connected components: the edge build and the final labeling are
-    // equi-joins; the star rounds in between are localCheckpoint'ed
-    // (their plans are audited implicitly by the loop's composition —
-    // groupBy-min + equi-join per round, nothing else)
+    // BM25 ranked retrieval: ONE corpus tokenize feeds tf, with df/dl
+    // as re-aggregations of the same exchange (reused, not recomputed);
+    // query terms ride broadcasts; top-k is the two-phase heap node.
+    // The only nested-loop join allowed is the one-row corpus-stats
+    // carrier (a BNL against ONE row is a per-partition constant).
+    audit("txt_bm25_topk")(
+      ("corpus tokenized ONCE into the checkpointed inverted index " +
+        "(no Generate in the serving plan)", p =>
+        !p.contains("Generate") && p.contains("Scan ExistingRDD")),
+      ("two-phase heap top-k", p =>
+        p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
+      ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
+
+    // connected components: the star rounds are localCheckpoint'ed
+    // (groupBy-min + equi-join per round, composed by the loop), and
+    // the returned labeling is materialized behind a checkpoint
+    // boundary so the loop's cached edge sets can be released — the
+    // audited plan is that boundary plus anything composed after it
     audit("rel_concomp")(
-      ("no cartesian in edge build or labeling",
+      ("labeling materialized behind a checkpoint boundary", p =>
+        p.contains("Scan ExistingRDD")),
+      ("no cartesian downstream of the checkpoint",
         p => !p.contains("CartesianProduct")),
       ("no broadcast of the full node set", p =>
         !p.contains("BroadcastNestedLoopJoin")))

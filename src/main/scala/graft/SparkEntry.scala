@@ -372,6 +372,7 @@ object SparkEntry {
     "sim_semdedup" -> ((s, d) => Similarity.semDedup(embeddings(s, d), 16, 0.2)),
     "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(embeddings(s, d), 8, 5)),
     "sim_sq_recall" -> ((s, d) => Similarity.sqRecall(embeddings(s, d), 8, 5)),
+    "txt_bm25_topk" -> ((s, d) => Text.bm25TopK(documents(s, d))),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -2119,6 +2120,7 @@ object SparkEntry {
     "sim_semdedup" -> semDedupOracle(16, 0.2),
     "sim_sq_topk" -> sqTopkOracle(8, 5),
     "sim_sq_recall" -> sqRecallOracle(8, 5),
+    "txt_bm25_topk" -> bm25Oracle(10),
     "txt_dup_ngrams" -> ngramCoverageOracle(5),
     "txt_quota_sample" -> quotaSampleOracle(50),
     "rel_concomp" -> concompOracle,
@@ -2507,6 +2509,48 @@ object SparkEntry {
        |  CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE) AS keep_rate,
        |  CAST(n_kept AS DOUBLE) / CAST(n_kept_all AS DOUBLE) AS mix_share
        |FROM p, t ORDER BY lang""".stripMargin
+  }
+
+  /** txt_bm25_topk oracle: the same BM25 chain — tf/df/dl/avgdl off one
+    * tokenize, the rational (log-free) RSJ idf, the per-(query, doc)
+    * term sum as an ordered `list_sum(list(s ORDER BY term))` fold —
+    * generated from the SAME `Text.bm25K1/bm25B/bm25Queries` constants
+    * as the engine, so the float scores hash-match.
+    */
+  private def bm25Oracle(k: Int): String = {
+    val k1 = Text.bm25K1
+    val k1p1 = Text.bm25K1 + 1.0
+    val b = Text.bm25B
+    val oneMinusB = 1.0 - Text.bm25B
+    val qvals = Text.bm25Queries
+      .flatMap { case (id, q) => q.split(" ").distinct.map(t => (id, t)) }
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+      .mkString(", ")
+    s"""WITH q(query_id, term) AS (VALUES $qvals),
+       |tf AS (SELECT doc_id, t.term, count(*) AS tf
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  GROUP BY doc_id, t.term),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+       |m AS (SELECT q.query_id, tf.doc_id, tf.term,
+       |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |       / (CAST(df AS DOUBLE) + 0.5))
+       |    * ((CAST(tf AS DOUBLE) * $k1p1)
+       |       / (CAST(tf AS DOUBLE) + $k1 * ($oneMinusB + $b
+       |            * (CAST(dl AS DOUBLE)
+       |               / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS s
+       |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+       |       JOIN df USING (term), st),
+       |sc AS (SELECT query_id, doc_id,
+       |    list_sum(list(s ORDER BY term)) AS score
+       |  FROM m GROUP BY query_id, doc_id),
+       |r AS (SELECT query_id, doc_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** mm_phash_dups oracle: band sums, banding, candidate join, and

@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vectorDotDescriptor)
     e.injectFunction(GraftExtensions.minhashSigDescriptor)
     e.injectFunction(GraftExtensions.simhash32Descriptor)
+    e.injectFunction(GraftExtensions.phashBandsDescriptor)
     e.injectFunction(GraftExtensions.zorderKeyDescriptor)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
@@ -49,6 +50,15 @@ object GraftExtensions {
     new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
     (children: Seq[Expression]) => SimHash32(children.head))
 
+  /** `phash_bands(text)` — the codegen'd 64-bit perceptual fingerprint
+    * as its 4 band longs.
+    */
+  private[functions] val phashBandsDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("phash_bands"),
+    new ExpressionInfo(classOf[PhashBands].getName, "phash_bands"),
+    (children: Seq[Expression]) => PhashBands(children.head))
+
   /** `zorder_key(x, y)` — the codegen'd 16-bit Morton interleave
     * (inputs cast to bigint at the SQL surface for ergonomics).
     */
@@ -65,7 +75,7 @@ object GraftExtensions {
   /** Runtime registration for an already-built session. */
   def register(spark: SparkSession): Unit = {
     Seq(vectorDotDescriptor, minhashSigDescriptor, simhash32Descriptor,
-        zorderKeyDescriptor)
+        phashBandsDescriptor, zorderKeyDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -180,13 +180,26 @@ object Graph {
       cur = afterSmall
       rounds += 1
     }
+    // non-convergence must not pass silently: the fixpoint IS the
+    // correctness contract (a star per component), and worst-case
+    // convergence is O(log² n) rounds — if maxRounds ran out first the
+    // labeling below would be silently wrong
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        s"($changed edges still changing) — raise maxRounds")
     val members = cur.select(col("hi").as("id"), col("lo").as("component"))
       .unionAll(cur.select(col("lo").as("id"), col("lo").as("component")))
       .groupBy(col("id")).agg(min(col("component")).as("component"))
     val sizes = members.groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"))
-    members.join(sizes, Seq("component"))
+    // materialize the labeling so the last round's cached edge blocks
+    // (and the loop's checkpoint lineage) can be released now instead
+    // of leaking until context shutdown
+    val out = members.join(sizes, Seq("component"))
       .select(col("id"), col("component"), col("n_members"))
+      .localCheckpoint()
+    cur.unpersist()
+    out
   }
 
   /** Registry shape: components of the URGENT high-quantity co-purchase

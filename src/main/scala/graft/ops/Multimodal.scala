@@ -189,14 +189,23 @@ object Multimodal {
   /** pHash-style perceptual fingerprint geometry: 64 bits as 4 × 16-bit
     * BAND values — the band is both the LSH bucketing unit and keeps
     * every value comfortably inside a signed BIGINT on both engines.
+    * Single source of truth is [[graft.functions.PhashBands]] (the
+    * native expression computing the fingerprint).
     */
-  val phashBandBits = 16
-  val phashNBands = 4
-  val phashChunks: Int = phashNBands * phashBandBits
+  val phashBandBits: Int = graft.functions.PhashBands.bandBits
+  val phashNBands: Int = graft.functions.PhashBands.nBands
+  val phashChunks: Int = graft.functions.PhashBands.chunks
 
-  /** The 4 band columns of the stub perceptual hash. Like real pHash
-    * resizes every image to fixed dimensions before hashing, the
-    * payload is cut into exactly [[phashChunks]] chunks of
+  /** The 4 band columns of the stub perceptual hash, BUILTIN-EXPRESSION
+    * formulation — kept as the cross-checkable twin of the native
+    * [[graft.functions.PhashBands]] expression (MultimodalSpec asserts
+    * they agree row-for-row; the DuckDB oracle mirrors this SQL shape).
+    * NOT used on the hot path: its 64 inlined md5 trees exceed janino's
+    * 64 KB generated-method limit, silently dropping the projection out
+    * of whole-stage codegen.
+    *
+    * Like real pHash resizes every image to fixed dimensions before
+    * hashing, the payload is cut into exactly [[phashChunks]] chunks of
     * length-PROPORTIONAL width (clen = len div 64) — a short payload
     * still fills all 64 bits; a fixed chunk width would leave short
     * docs sharing constant empty-tail bits and make every pair of
@@ -219,15 +228,21 @@ object Multimodal {
     }
 
   /** Per-document fingerprint: (doc_id, b0..b3). One projection, no
-    * shuffle — the fingerprint pass streams over the corpus once.
+    * shuffle — the fingerprint pass streams over the corpus once,
+    * through the native codegen'd [[graft.functions.PhashBands]]
+    * expression (one generated call per row; the builtin
+    * [[phashBandCols]] twin's 64 inlined md5 trees blew janino's 64 KB
+    * method limit and ran interpreted). The band array lands in its own
+    * projection; the element extracts stay a SEPARATE projection —
+    * CollapseProject keeps non-cheap expressions used more than once
+    * uninlined, so the fingerprint is computed exactly once per row.
     */
-  def phashFingerprints(documents: DataFrame): DataFrame = {
-    val sized = documents.select(col("doc_id"), col("text"),
-      greatest(lit(1L), expr(s"length(text) div $phashChunks").cast("long"))
-        .as("clen"))
-    sized.select(col("doc_id") +: phashBandCols(col("text"), col("clen"))
-      .zipWithIndex.map { case (c, b) => c.as(s"b$b") }: _*)
-  }
+  def phashFingerprints(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        graft.functions.PhashBands.phash_bands(col("text")).as("__pb"))
+      .select(col("doc_id") +: (0 until phashNBands).map(b =>
+        element_at(col("__pb"), b + 1).as(s"b$b")): _*)
 
   /** Multimodal near-dup pairs via banded Hamming LSH over the pHash
     * fingerprint — the [[graft.ops.Dedup]] tier applied to media: a

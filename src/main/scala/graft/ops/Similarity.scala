@@ -873,25 +873,36 @@ object Similarity {
     * greedy) so the decision is a pure join + min aggregation.
     *
     * Scale shape: the all-pairs comparison SemDeDup exists to avoid is
-    * replaced by a self-join keyed on `cell` — candidate volume is
-    * Σ|cell|², and production nlist grows with the corpus so |cell|
-    * stays bounded; a hot cell takes the (cell, salt) spreading of
-    * [[ivfTopKSalted]]. One assignment pass (localCheckpoint'ed) feeds
+    * replaced by a self-join keyed on (cell, salt) — candidate volume
+    * is Σ|cell|², and production nlist grows with the corpus so |cell|
+    * stays bounded; cell SIZES are data-dependent though (clustered
+    * corpora are SemDeDup's premise), so a hot cell would own one
+    * reducer with |cell|² candidate pairs. The join therefore takes the
+    * (cell, salt) spreading of [[ivfTopKSalted]]: the candidate side's
+    * salt is a deterministic hash of cand_id, the keep side replicates
+    * each row once per salt (a `salts`-row explode, never a crossJoin),
+    * and a hot cell's pair work spreads over `salts` reducers. Results
+    * are salt-INVARIANT — the registry oracle computes the unsalted
+    * plan — and the per-shard candidate bound is asserted in OpsSpec on
+    * a skewed corpus. One assignment pass (localCheckpoint'ed) feeds
     * both join sides; training reads the bounded hash-sample.
     *
     * Output: one row per vector — (vec_id, cell, kept, exemplar_id),
     * kept = no earlier in-cell member at ≥ threshold cosine.
     */
   def semDedup(embeddings: DataFrame, nlist: Int = 16,
-               threshold: Double = 0.2): DataFrame = {
+               threshold: Double = 0.2, salts: Int = 8): DataFrame = {
     val assigned =
       assignCells(embeddings, kmeansCentroids(embeddings, nlist))
         .localCheckpoint()
     val keep = assigned.select(col("cell"), col("vec_id").as("keep_id"),
       col("embedding").as("keep_emb"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
     val cand = assigned.select(col("cell"), col("vec_id").as("cand_id"),
       col("embedding").as("cand_emb"))
-    val prunedBy = keep.join(cand, Seq("cell"))
+      .withColumn("salt",
+        pmod(Text.tokenHash(col("cand_id").cast("string")), lit(salts.toLong)))
+    val prunedBy = keep.join(cand, Seq("cell", "salt"))
       .filter(col("keep_id") < col("cand_id") &&
         cosine(col("keep_emb"), col("cand_emb")) >= threshold)
       .groupBy(col("cand_id"))
@@ -941,12 +952,16 @@ object Similarity {
     * between engines; floor is bit-identical). Zero-span dimensions
     * (constant across the corpus) encode as 0. The params row is a
     * one-row broadcast carrier, so encoding is a single corpus scan.
+    * Callers that also DECODE (sqTopK) pass the trained `params` frame
+    * in, so one min/max training aggregation feeds both sides — the
+    * same checkpointed-artifact device as every other trained frame
+    * here; the default trains fresh.
     */
-  def sqEncode(embeddings: DataFrame): DataFrame =
+  def sqEncode(embeddings: DataFrame, params: DataFrame = null): DataFrame =
     embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
         col("vec_id"))
-      .crossJoin(broadcast(sqParamArrays(embeddings)))
+      .crossJoin(broadcast(Option(params).getOrElse(sqParamArrays(embeddings))))
       .select(col("vec_id"),
         zip_with(
           zip_with(col("embedding"), col("mns"),
@@ -965,8 +980,12 @@ object Similarity {
     * train (min/max) and encode.
     */
   def sqTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
-    val recon = sqEncode(embeddings)
-      .crossJoin(broadcast(sqParamArrays(embeddings)))
+    // ONE min/max training aggregation feeds encode AND dequantize —
+    // localCheckpoint'ed (one row) so the second consumer cannot replay
+    // the full-corpus posexplode+agg training subtree
+    val params = sqParamArrays(embeddings).localCheckpoint()
+    val recon = sqEncode(embeddings, params)
+      .crossJoin(broadcast(params))
       .select(col("vec_id").as("neighbor_id"),
         zip_with(
           zip_with(col("codes"), col("sps"),

@@ -280,6 +280,98 @@ object Text {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** BM25 parameters (Robertson-Walker defaults) and the fixed query
+    * set — literal constants interpolated into BOTH the engine plan and
+    * the DuckDB oracle (the `sim_mmr` λ device), so even the float
+    * scores hash-match.
+    */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+  val bm25Queries: Seq[(Long, String)] = Seq(
+    (0L, "spark batch window"),
+    (1L, "hash join merge"),
+    (2L, "vector scan filter"),
+    (3L, "customer order stream"))
+
+  /** BM25 ranked retrieval — the LEXICAL half of the hybrid
+    * (BM25 + ANN) retrieval stack every LLM data/eval pipeline runs:
+    * query→document scoring over the inverted-index shape
+    * ([[topTerms]]'s (doc, term, tf) exchange), per-query top-k via the
+    * map-side heap node.
+    *
+    * score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf·(k1+1) /
+    *                            (tf + k1·(1 − b + b·dl/avgdl))
+    * with the RATIONAL Robertson–Spärck-Jones idf
+    * (N − df + 0.5)/(df + 0.5) — the standard BM25 idf WITHOUT the
+    * outer ln: per-term monotone-equivalent, and an exact ratio of
+    * integer-plus-half doubles, so scores are bit-identical across
+    * engines (ln is the one libm-dependent piece of BM25 — swapping it
+    * in changes one line and downgrades the oracle to a rows-only
+    * check). The per-(query, doc) term sum folds in sorted term order
+    * (collect→sort→fold, ≤|query| structs per buffer), the oracle
+    * mirroring it with `list_sum(list(s ORDER BY term))`.
+    *
+    * Scale shape: ONE corpus tokenize builds the checkpointed
+    * (doc, term, tf) inverted index; df and dl are re-aggregations of
+    * that materialized frame (plan-audited: no Generate in the serving
+    * plan); query terms are a broadcast literal table, so the corpus
+    * never joins anything larger than itself; the candidate set is
+    * only docs CONTAINING a query term; top-k is the two-phase heap
+    * node — the full candidate set never sorts and never shuffles into
+    * #queries partitions.
+    */
+  def bm25TopK(documents: DataFrame, k: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // per-query DISTINCT terms, expanded driver-side (a literal
+    // constant — no explode in the plan)
+    val qterms = bm25Queries
+      .flatMap { case (id, q) => q.split(" ").distinct.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    // the (doc, term, tf) inverted-index frame is MATERIALIZED once
+    // (localCheckpoint — the engine's trained-artifact device): three
+    // consumers read it (match, dl, df), and per-consumer column
+    // pruning gives each a *different* tokenize subplan, so exchange
+    // reuse cannot deduplicate them — without the checkpoint the
+    // corpus pays three full tokenize passes (measured in the static
+    // plan: three Generate explodes). Building the inverted index once
+    // and serving from it is exactly the production BM25 shape.
+    val tf = documents
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val k1p1 = bm25K1 + 1.0
+    val oneMinusB = 1.0 - bm25B
+    val idf = (col("n_docs").cast("double") - col("df").cast("double")
+      + lit(0.5)) / (col("df").cast("double") + lit(0.5))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
+    val s = idf * ((col("tf").cast("double") * lit(k1p1)) /
+      (col("tf").cast("double") + lit(bm25K1) *
+        (lit(oneMinusB) + lit(bm25B) * (col("dl").cast("double") / avgdl))))
+    val matched = tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("term"), s.as("s"))
+    val scored = matched.groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(sort_array(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+    val pruned = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        scored.withColumn("__tie", -col("doc_id")),
+        Seq("query_id"), Seq("score", "__tie"), k)
+      .drop("__tie")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Bigram language-model estimation: conditional probability
     * P(w2 | w1) = count(w1 w2) / count(w1) — the statistic behind
     * n-gram LMs and contamination detectors. All counts are integers;

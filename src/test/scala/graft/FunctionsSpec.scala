@@ -43,6 +43,50 @@ class FunctionsSpec extends SparkTestBase {
     assert(sh === shExp)
   }
 
+  test("phash_bands matches the builtin 64-tree formulation bit for bit") {
+    import graft.ops.Multimodal
+    // varied shapes: shorter than 64 chars (clen clamps to 1, tail
+    // chunks empty), exactly 64, long, empty, multi-byte UTF-8 (char
+    // offsets ≠ byte offsets), and whitespace
+    val texts = Seq(
+      "", "a", "short doc", "x" * 63, "y" * 64, "z" * 65,
+      (0 until 1200).map(i => ('a' + i % 23).toChar).mkString,
+      "héllo wörld ünïcode " * 12, "日本語テキスト" * 30, "  spaced   out  " * 10)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fast = df.select(col("doc_id"),
+        graft.functions.PhashBands.phash_bands(col("text")).as("pb"))
+      .select(col("doc_id") +: (0 until Multimodal.phashNBands).map(b =>
+        element_at(col("pb"), b + 1).as(s"b$b")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    val sized = df.select(col("doc_id"), col("text"),
+      greatest(lit(1L),
+        expr(s"length(text) div ${Multimodal.phashChunks}").cast("long"))
+        .as("clen"))
+    val ref = sized.select(col("doc_id") +:
+        Multimodal.phashBandCols(col("text"), col("clen"))
+          .zipWithIndex.map { case (c, b) => c.as(s"b$b") }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(fast === ref)
+    // null payload → null fingerprint (same as the builtin's null bands)
+    val nullRow = Seq((0L, Option.empty[String])).toDF("doc_id", "text")
+      .select(graft.functions.PhashBands.phash_bands(col("text")).as("pb"))
+      .collect().head
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("phash_bands registered for SQL and stays inside codegen") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT phash_bands('hello world') AS pb")
+      .as[Seq[Long]].head()
+    val viaCol = Seq("hello world").toDF("t")
+      .select(graft.functions.PhashBands.phash_bands(col("t")))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaCol && viaSql.length === 4)
+    // every band stays in the unsigned 16-bit range by construction
+    assert(viaSql.forall(b => b >= 0L && b <= 0xFFFFL))
+  }
+
   test("pair_combos enumerates exactly the i<j pairs of the HOF formulation") {
     val df = Seq(
       (1L, Seq(10L, 20L, 30L, 40L)),

@@ -479,6 +479,86 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("semDedup salting never changes results and spreads a hot cell's pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3))
+    val plain = Similarity.semDedup(emb, 16, 0.2, salts = 1)
+      .collect().map(key).toSeq
+    val salted = Similarity.semDedup(emb, 16, 0.2, salts = 8)
+      .collect().map(key).toSeq
+    assert(plain.nonEmpty && salted === plain) // salt-invariant result
+    // skewed corpus: 280 near-identical vectors pile into ONE cell (the
+    // clustered-corpus regime SemDeDup exists for) — the candidate
+    // join's per-(cell, salt) shard must stay near its fair share, so
+    // the hot cell's |cell|² pair work spreads over `salts` reducers
+    // instead of landing on one
+    val salts = 8
+    val skewRows = (0 until 280).map { i =>
+      (i.toLong, (0 until Similarity.dim).map(j =>
+        (1.0f + (if (j == 0) i * 1e-4f else 0f))))
+    } ++ (280 until 300).map { i =>
+      (i.toLong, (0 until Similarity.dim).map(j =>
+        math.sin(i * 31 + j).toFloat))
+    }
+    val skewed = skewRows.toDF("vec_id", "embedding")
+    val assigned = Similarity
+      .assignCells(skewed, Similarity.kmeansCentroids(skewed, 4))
+      .withColumn("salt",
+        pmod(graft.ops.Text.tokenHash(col("vec_id").cast("string")),
+          lit(salts.toLong)))
+    val cellTotals = assigned.groupBy("cell").count()
+      .as[(Long, Long)].collect().toMap
+    assert(cellTotals.values.max >= 250, "fixture should have a hot cell")
+    val shardCounts = assigned.groupBy("cell", "salt").count()
+      .as[(Long, Long, Long)].collect()
+    shardCounts.foreach { case (cell, _, n) =>
+      val fair = math.ceil(cellTotals(cell).toDouble / salts)
+      assert(n <= 3 * fair,
+        s"cell $cell shard holds $n of ${cellTotals(cell)} (fair ~$fair)")
+    }
+    // and the salted dedup decision on the skewed corpus matches unsalted
+    val sp = Similarity.semDedup(skewed, 4, 0.999, salts = 1)
+      .collect().map(key).toSeq
+    val ss = Similarity.semDedup(skewed, 4, 0.999, salts = salts)
+      .collect().map(key).toSeq
+    assert(sp.nonEmpty && ss === sp)
+  }
+
+  test("BM25 ranks term-matching docs and agrees with a hand computation") {
+    import graft.ops.Text
+    // corpus where query-0's terms concentrate in doc 0
+    val docs = Seq(
+      (0L, "spark batch window spark window"),
+      (1L, "spark row"),
+      (2L, "window seat aisle"),
+      (3L, "totally unrelated words here")).toDF("doc_id", "text")
+    val got = Text.bm25TopK(docs, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    val q0 = got.filter(_._1 == 0L).sortBy(_._4)
+    // doc 0 contains all three query-0 terms — it must rank first
+    assert(q0.head._2 === 0L)
+    // ranks are 1..n and scores non-increasing within a query
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true })
+    }
+    // hand computation of doc 0's query-0 score: N=4 docs,
+    // dl = [5,2,3,4], avgdl = 14/4; tf(spark)=2, df(spark)=2;
+    // tf(batch)=1, df(batch)=1; tf(window)=2, df(window)=2
+    val k1 = Text.bm25K1; val b = Text.bm25B
+    val avgdl = 14.0 / 4.0
+    def s(tf: Long, df: Long, dl: Long): Double =
+      ((4.0 - df + 0.5) / (df + 0.5)) *
+        ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
+    // fold order is sorted term order: batch, spark, window
+    val expected = 0.0 + s(1, 1, 5) + s(2, 2, 5) + s(2, 2, 5)
+    val gotScore = got.filter(r => r._1 == 0L && r._2 == 0L).head._3
+    assert(gotScore === expected)
+  }
+
   test("k-means quantizer trains deterministic full-dim centroids") {
     def train() = Similarity.kmeansCentroids(Tables.embeddings(spark, sf), 8)
       .orderBy("centroid_id").as[(Long, Seq[Double])].collect().toSeq
