@@ -334,6 +334,20 @@ object PlanAudit {
         "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // stored-index probe: the serving half of IVFADC against the
+    // persisted layout — the ADC join must key the cell-partitioned
+    // codes scan on the broadcast probed-cell frame so DYNAMIC
+    // partition pruning trims the scan to the probed cell directories
+    // (the nprobe/nlist read-bytes contract of the stored index)
+    audit("sim_ivfpq_stored")(
+      ("codes scan partition-pruned by the probed cells (DPP subquery)",
+        p => p.toLowerCase.contains("dynamicpruning")),
+      ("probe/LUT and query sides broadcast", p =>
+        "BroadcastExchange".r.findAllIn(p).size >= 3),
+      ("shortlist + re-rank both use the heap top-k node", p =>
+        "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // MMR: the corpus is scanned ONCE into the checkpointed heap-node
     // shortlist (the checkpoint boundary is the audited RDD scan —
     // without it each of the k greedy chains would rescan the corpus);
@@ -426,6 +440,18 @@ object PlanAudit {
         "Generate explode".r.findAllIn(p).size == 1),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // duplicated spans: the corpus is tokenized ONCE into the
+    // checkpointed positional gram index, which feeds both the dup-set
+    // aggregation and the position join-back; the run-merge window
+    // partitions by doc_id — never a global order
+    audit("txt_dup_spans")(
+      ("corpus tokenized once into the checkpointed positional index " +
+        "(no Generate in the serving plan)", p =>
+        !p.contains("Generate") && p.contains("Scan ExistingRDD")),
+      ("run-merge window partitioned by doc_id (no global order)", p =>
+        p.contains("hashpartitioning(doc_id")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // quota sampling: the per-stratum fill is the heap node (map-side
     // prune to ≤k before the stratum shuffle); the apportionment rides
     // broadcasts, and the rank window sees only heap survivors
@@ -448,6 +474,17 @@ object PlanAudit {
         !p.contains("Generate") && p.contains("Scan ExistingRDD")),
       ("two-phase heap top-k", p =>
         p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
+      ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
+
+    // hybrid RRF fusion: each arm prunes to nCand through its own heap
+    // node and the fusion itself is a third — the rank join touches
+    // only arm survivors; query terms/vectors ride broadcasts. The
+    // only nested-loop join allowed is the 4-row query-vector carrier.
+    audit("txt_hybrid_rrf")(
+      ("three heap prunes (lexical arm, semantic arm, fusion)", p =>
+        "TopKPerKeyPartial".r.findAllIn(p).size >= 3),
+      ("query-side tables broadcast", p =>
+        "BroadcastExchange".r.findAllIn(p).size >= 2),
       ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
 
     // connected components: the star rounds are localCheckpoint'ed
@@ -526,7 +563,8 @@ object PlanAudit {
         "sim_ivfpq_topk", "sim_ivf_salted", "mm_phash_dups",
         "sim_ivfpq_res", "sim_mmr", "rel_min_cost_supp",
         "rel_nation_profit", "rel_merge_join", "str_late_data",
-        "sim_semdedup", "sim_sq_topk")
+        "sim_semdedup", "sim_sq_topk", "sim_ivfpq_stored",
+        "txt_bm25_topk")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(

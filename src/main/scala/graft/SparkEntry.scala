@@ -373,6 +373,16 @@ object SparkEntry {
     "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(embeddings(s, d), 8, 5)),
     "sim_sq_recall" -> ((s, d) => Similarity.sqRecall(embeddings(s, d), 8, 5)),
     "txt_bm25_topk" -> ((s, d) => Text.bm25TopK(documents(s, d))),
+    // build-once/probe-many: _build persists the IVFADC index (the
+    // once-per-corpus write cost, measured separately in the bench),
+    // _stored probes ONLY the persisted artifacts (the production
+    // serving path; rebuilds lazily iff the marker is stale)
+    "sim_ivfpq_build" -> ((s, d) =>
+      Similarity.ivfpqBuildIndex(embeddings(s, d), ivfpqIndexBase(d), 16)),
+    "sim_ivfpq_stored" -> ((s, d) =>
+      Similarity.ivfpqProbeStored(embeddings(s, d), ivfpqIndexBase(d), 8, 5)),
+    "txt_dup_spans" -> ((s, d) => Text.dupSpans(documents(s, d))),
+    "txt_hybrid_rrf" -> ((s, d) => Text.hybridRrf(documents(s, d))),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -407,6 +417,14 @@ object SparkEntry {
       Graph.nationTriangles(lineitem(s, d), orders(s, d), customer(s, d),
         supplier(s, d))),
   )
+
+  /** Per-SF stored-index location for the build-once/probe-many pair
+    * (tmpdir: the index is a derived artifact, rebuilt lazily whenever
+    * its marker goes stale).
+    */
+  private def ivfpqIndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index/" +
+      new java.io.File(sfDir).getName
 
   /** Target mixture for txt_mixture_sample (basis-point keep rates):
     * boost English, downsample Chinese, default 10% elsewhere. The
@@ -2121,6 +2139,14 @@ object SparkEntry {
     "sim_sq_topk" -> sqTopkOracle(8, 5),
     "sim_sq_recall" -> sqRecallOracle(8, 5),
     "txt_bm25_topk" -> bm25Oracle(10),
+    // the stored-index pair: the build's census is the k-means census
+    // (the layout IS the trained assignment), and probing the stored
+    // artifacts must be result-identical to the inline IVFADC plan —
+    // parquet round-trips the trained doubles bit-exactly
+    "sim_ivfpq_build" -> kmeansCellsOracle(16),
+    "sim_ivfpq_stored" -> ivfpqOracle(8, 5),
+    "txt_dup_spans" -> dupSpansOracle(5),
+    "txt_hybrid_rrf" -> hybridRrfOracle(10, 20, 60),
     "txt_dup_ngrams" -> ngramCoverageOracle(5),
     "txt_quota_sample" -> quotaSampleOracle(50),
     "rel_concomp" -> concompOracle,
@@ -2517,7 +2543,12 @@ object SparkEntry {
     * generated from the SAME `Text.bm25K1/bm25B/bm25Queries` constants
     * as the engine, so the float scores hash-match.
     */
-  private def bm25Oracle(k: Int): String = {
+  /** The BM25 CTE chain up to the ranked table `lexr` — shared between
+    * the plain retrieval oracle and the hybrid-fusion oracle. tf is
+    * MATERIALIZED (referenced by dl/df/m — DuckDB would otherwise
+    * re-tokenize the corpus per reference).
+    */
+  private def bm25Ctes: String = {
     val k1 = Text.bm25K1
     val k1p1 = Text.bm25K1 + 1.0
     val b = Text.bm25B
@@ -2526,11 +2557,11 @@ object SparkEntry {
       .flatMap { case (id, q) => q.split(" ").distinct.map(t => (id, t)) }
       .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
       .mkString(", ")
-    s"""WITH q(query_id, term) AS (VALUES $qvals),
-       |tf AS (SELECT doc_id, t.term, count(*) AS tf
+    s"""q(query_id, term) AS (VALUES $qvals),
+       |tf AS MATERIALIZED (SELECT doc_id, t.term, count(*) AS tf
        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
        |  GROUP BY doc_id, t.term),
-       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+       |dl AS MATERIALIZED (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
        |m AS (SELECT q.query_id, tf.doc_id, tf.term,
@@ -2545,11 +2576,52 @@ object SparkEntry {
        |sc AS (SELECT query_id, doc_id,
        |    list_sum(list(s ORDER BY term)) AS score
        |  FROM m GROUP BY query_id, doc_id),
-       |r AS (SELECT query_id, doc_id, score,
+       |lexr AS (SELECT query_id, doc_id, score,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-       |  FROM sc)
-       |SELECT query_id, doc_id, score, rank FROM r WHERE rank <= $k
+       |  FROM sc)""".stripMargin
+  }
+
+  private def bm25Oracle(k: Int): String =
+    s"""WITH $bm25Ctes
+       |SELECT query_id, doc_id, score, rank FROM lexr WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** txt_hybrid_rrf oracle: the [[bm25Ctes]] lexical ranking fused by
+    * reciprocal rank with a semantic ranking over the same md5-stub
+    * embeddings as `mm_embed` — both arms capped at nCand, fusion on a
+    * FULL join, scores exact IEEE divisions of integer ranks.
+    */
+  private def hybridRrfOracle(k: Int, nCand: Int, kRrf: Int): String = {
+    def vecSql(src: String): String = (0 until 8)
+      .map(i => s"('0x' || substr(md5($src), ${i * 2 + 1}, 2))::BIGINT / 255.0")
+      .mkString("[", ",\n       |   ", "]")
+    val qtVals = Text.bm25Queries
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
+    s"""WITH $bm25Ctes,
+       |lex AS (SELECT query_id, doc_id, rank AS r_lex FROM lexr
+       |        WHERE rank <= $nCand),
+       |qt(query_id, qtext) AS (VALUES $qtVals),
+       |qv AS (SELECT query_id, ${vecSql("qtext")} AS qv FROM qt),
+       |dv AS MATERIALIZED (SELECT doc_id, ${vecSql("text")} AS v
+       |  FROM documents),
+       |s AS (SELECT query_id, doc_id, ${cosSql("qv", "v")} AS cs
+       |      FROM qv, dv),
+       |semr AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, doc_id) AS BIGINT) AS r_sem
+       |  FROM s),
+       |sem AS (SELECT query_id, doc_id, r_sem FROM semr
+       |        WHERE r_sem <= $nCand),
+       |f AS (SELECT query_id, doc_id,
+       |    coalesce(CAST(1.0 AS DOUBLE) / ($kRrf + r_lex), 0.0)
+       |      + coalesce(CAST(1.0 AS DOUBLE) / ($kRrf + r_sem), 0.0) AS rrf
+       |  FROM lex FULL JOIN sem USING (query_id, doc_id)),
+       |r AS (SELECT query_id, doc_id, rrf,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM f)
+       |SELECT query_id, doc_id, rrf, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
 
@@ -3067,6 +3139,37 @@ object SparkEntry {
        |       ELSE 0.0 END AS dup_frac
        |FROM p LEFT JOIN u USING (doc_id)
        |ORDER BY p.doc_id""".stripMargin
+  }
+
+  /** txt_dup_spans oracle: same positional 60-bit hashed w-grams,
+    * duplicated = corpus count ≥ 2, runs merged by the gaps-and-islands
+    * pos − row_number grouping.
+    */
+  private def dupSpansOracle(w: Int): String = {
+    val gram = (0 until w)
+      .map(o => if (o == 0) "tk[i]" else s"tk[i+$o]")
+      .mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |           FROM documents),
+       |pg0 AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |          ('0x' || substr(md5(gm), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(gms) AS gm,
+       |          generate_subscripts(gms, 1) AS i
+       |        FROM (SELECT doc_id,
+       |                list_transform(generate_series(1, len(tk) - ${w - 1}),
+       |                  i -> $gram) AS gms
+       |              FROM d WHERE len(tk) >= $w) y) x),
+       |dup AS (SELECT h FROM pg0 GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM pg0 JOIN dup USING (h)),
+       |r AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |          AS grp
+       |      FROM dp)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) AS BIGINT) AS span_end,
+       |  CAST(max(pos) - min(pos) + $w AS BIGINT) AS span_tokens
+       |FROM r GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
   }
 
   /** txt_quota_sample oracle: exact largest-remainder apportionment

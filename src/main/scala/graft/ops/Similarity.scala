@@ -737,6 +737,134 @@ object Similarity {
     topKRanked(scored, "sim", k)
   }
 
+  // ---- Build-once / probe-many: the stored IVFADC index ----
+
+  /** Index directory layout under `base`: full vectors and PQ codes
+    * both partitioned by their trained IVF cell (a probe reads only
+    * its nprobe cell directories — metadata-only pruning, proven in
+    * SourcesSpec), plus the two broadcast-sized trained artifacts.
+    */
+  private def indexMarker(embeddings: DataFrame, nlist: Int): String =
+    s"graft-ivfpq v1 nlist=$nlist m=$pqM ksub=$pqKsub n=${embeddings.count()}"
+
+  /** BUILD: train the no-residual IVFADC artifacts
+    * ([[ivfpqTopK]]'s exact chain) and PERSIST them — the
+    * once-per-corpus write-side cost every `sim_ivfpq_*` registry
+    * query otherwise re-pays inline (registry queries are
+    * contractually independent). Written under `base`:
+    *  - `cells/`     (vec_id, embedding) partitioned by cell — the
+    *                 full vectors the exact re-rank reads;
+    *  - `codes/`     (vec_id, codes) partitioned by cell — the 4-byte
+    *                 compressed sidecar ADC scores;
+    *  - `centroids/` nlist rows; `codebooks/` M×ksub rows — the
+    *                 broadcast-sized quantizers the probe side needs.
+    * Parquet round-trips doubles/floats bit-exactly, so probing the
+    * stored index is result-identical to the inline plan (the
+    * registry oracle for the probe IS the inline IVFADC oracle).
+    * Returns the cell census of the layout AS RE-READ FROM STORAGE
+    * (what you serve is what you audit) — hash-checked against the
+    * k-means census oracle.
+    */
+  def ivfpqBuildIndex(embeddings: DataFrame, base: String,
+                      nlist: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    val unit = unitVectors(embeddings).localCheckpoint()
+    val centroids = kmeansCentroids(embeddings, nlist)
+    val codebooks = pqCodebooks(unit).localCheckpoint()
+    val assigned = assignCells(embeddings, centroids)
+    val codesCells = pqEncode(unit, codebooks)
+      .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    graft.sources.Sources.writePartitioned(assigned, s"$base/cells", "cell")
+    graft.sources.Sources.writePartitioned(codesCells, s"$base/codes", "cell")
+    centroids.write.mode("overwrite").parquet(s"$base/centroids")
+    codebooks.write.mode("overwrite").parquet(s"$base/codebooks")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "MARKER"), indexMarker(embeddings, nlist))
+    spark.read.parquet(s"$base/cells")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("first_vec"))
+      .orderBy(col("cell"))
+  }
+
+  /** PROBE against the STORED index: the serving half of
+    * [[ivfpqTopK]], reading ONLY the persisted artifacts — nlist-row
+    * centroids, M×ksub codebooks, and the cell-partitioned code/vector
+    * layouts; the corpus table is touched only for the nQueries query
+    * vectors (fresh queries against a standing index — the production
+    * read path). The ADC join keys the cell-partitioned codes scan on
+    * the broadcast probed-cell frame, so dynamic partition pruning
+    * trims the scan to the probed cell DIRECTORIES at runtime
+    * (spec-asserted) — at 100 TB a probe reads nprobe/nlist of the
+    * index bytes, which is the measurable difference between this and
+    * the build-inline queries in the bench. Rebuilds lazily iff the
+    * marker is absent/stale (registry queries stay independently
+    * runnable); the steady state is build-once/probe-many.
+    */
+  def ivfpqProbeStored(embeddings: DataFrame, base: String, nQueries: Int,
+                       k: Int, nlist: Int = 16, nprobe: Int = 4,
+                       shortlist: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    val marker = java.nio.file.Paths.get(base, "MARKER")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == indexMarker(embeddings, nlist)
+    if (!fresh) ivfpqBuildIndex(embeddings, base, nlist).count()
+    val centroids = spark.read.parquet(s"$base/centroids")
+    val codebooks = spark.read.parquet(s"$base/codebooks")
+    val codesCells = spark.read.parquet(s"$base/codes")
+      .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell"))
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    // probe ranking: the query's nprobe best stored centroids
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        cosine(col("qe"), col("ce")).as("cs"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+    val probeCells = probes.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    // per-query ADC LUT from the stored codebooks (unit-normalized
+    // queries: per-row normalization, identical to normalizing the
+    // corpus then filtering)
+    val qsubs = unitVectors(queries)
+      .select(col("vec_id").as("query_id"), posexplode(
+        array((0 until pqM).map(m => subvec(col("embedding"), m)): _*))
+        .as(Seq("m", "qsv")))
+    val lut = qsubs.join(broadcast(codebooks), Seq("m"))
+      .select(col("query_id"), (col("m") * pqKsub + col("code")).as("mk"),
+        dot(col("qsv"), col("ce")).as("pd"))
+    val lutMaps = lut.groupBy(col("query_id"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("mk"), col("pd"))))).as("lut"))
+    val probeLuts = probeCells.join(lutMaps, Seq("query_id"))
+    // ADC over the stored codes: the broadcast probed-cell join keys
+    // the partitioned scan on `cell` → dynamic partition pruning
+    val adc = codesCells.join(broadcast(probeLuts), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(pqM - 1)), lit(0.0),
+          (acc, m) => acc + element_at(col("lut"),
+            m * pqKsub + element_at(col("codes"), m + 1))).as("adc"))
+    val cands = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        adc.withColumn("__tie", -col("neighbor_id")),
+        Seq("query_id"), Seq("adc", "__tie"), shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank from the STORED full-vector layout
+    val storedVecs = spark.read.parquet(s"$base/cells")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = cands
+      .join(storedVecs, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("sim"))
+    topKRanked(scored, "sim", k)
+  }
+
   /** recall@k of residual IVFADC against brute-force cosine. */
   def ivfpqResidualRecall(embeddings: DataFrame, nQueries: Int,
                           k: Int): DataFrame = {

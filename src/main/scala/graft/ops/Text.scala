@@ -372,6 +372,64 @@ object Text {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009 —
+    * the score-free fusion production hybrid search defaults to) of
+    * the LEXICAL arm ([[bm25TopK]]'s ranking) and a SEMANTIC arm
+    * (cosine ranking over md5-stub document/query embeddings — the
+    * same declared encoder stand-in as `mm_embed`; a real encoder
+    * changes only the embedding projection, the fusion is untouched).
+    * rrf(d) = Σ_arms 1/(kRrf + rank_arm(d)), absent docs contribute 0.
+    *
+    * Scale shape: each arm prunes to its own top-nCand through the
+    * heap node before fusion, so the full-outer rank join touches
+    * ≤ 2·nCand·queries rows regardless of corpus size; query vectors
+    * ride a broadcast literal table; all score arithmetic is exact
+    * IEEE division of integer ranks, so the fused scores hash-match.
+    */
+  def hybridRrf(documents: DataFrame, k: Int = 10, nCand: Int = 20,
+                kRrf: Int = 60): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val parallelism = spark.sparkContext.defaultParallelism
+    val lex = bm25TopK(documents, nCand)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
+    // md5-stub embedding: one hex pair per dimension, exact /255
+    def stubVec(c: Column): Column =
+      array((0 until 8).map(i =>
+        conv(substring(md5(c), i * 2 + 1, 2), 16, 10).cast("double")
+          / lit(255.0)): _*)
+    val qv = bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"), stubVec(col("qtext")).as("qv"))
+    val dv = documents
+      .repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), stubVec(col("text")).as("v"))
+    val scored = dv.join(broadcast(qv))
+      .select(col("query_id"), col("doc_id"),
+        Similarity.cosine(col("qv"), col("v")).as("cs"))
+    val semPruned = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        scored.withColumn("__tie", -col("doc_id")),
+        Seq("query_id"), Seq("cs", "__tie"), nCand)
+      .drop("__tie")
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cs").desc, col("doc_id"))
+    val sem = semPruned
+      .withColumn("r_sem", row_number().over(ws).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("r_sem"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(kRrf.toLong) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toLong) + col("r_sem")), lit(0.0)))
+          .as("rrf"))
+    val pruned = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        fused.withColumn("__tie", -col("doc_id")),
+        Seq("query_id"), Seq("rrf", "__tie"), k)
+      .drop("__tie")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    pruned.withColumn("rank", row_number().over(wr).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Bigram language-model estimation: conditional probability
     * P(w2 | w1) = count(w1 w2) / count(w1) — the statistic behind
     * n-gram LMs and contamination detectors. All counts are integers;
@@ -910,6 +968,60 @@ object Text {
           col("n_dup").cast("double") / col("n_positions").cast("double"))
           .otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
+  }
+
+  /** MAXIMAL duplicated spans (the span-level output of substring
+    * dedup — Lee et al. 2022 cut exact duplicated byte ranges, not
+    * whole documents): contiguous runs of positions whose w-gram
+    * occurs ≥ 2 times corpus-wide, merged per document into
+    * [span_start, span_end] gram runs covering span_tokens tokens.
+    * [[ngramCoverage]] reports HOW MUCH of a document is duplicated;
+    * this reports WHERE — the ranges a corpus cutter actually removes.
+    *
+    * Scale shape: grams travel as 60-bit hashes with their position in
+    * a MATERIALIZED positional index (localCheckpoint — per-consumer
+    * column pruning gives the dup-set aggregation and the position
+    * join-back different tokenize subplans, so exchange reuse can't
+    * deduplicate them; the checkpoint makes the corpus tokenize run
+    * exactly once, the [[bm25TopK]] device). The duplicated-gram set
+    * comes off one hash-keyed aggregation and joins back on the same h
+    * partitioning; the run-merge is gaps-and-islands (pos − row_number
+    * per doc) — a per-document window, the declarative form of the
+    * grouped secondary sort ([[graft.ops.SortedGroups]] prefers
+    * windows when they express the semantics), so everything stays in
+    * codegen and nothing orders globally except the final output sort.
+    */
+  def dupSpans(documents: DataFrame, w: Int = 5): DataFrame = {
+    val tk = tokens(lower(col("text")))
+    val gramHashes = when(size(col("tk")) >= w,
+        transform(sequence(lit(1), size(col("tk")) - (w - 1)),
+          i => tokenHash60(concat_ws(" ",
+            (0 until w).map(o => element_at(col("tk"), i + o)): _*))))
+      .otherwise(array().cast("array<bigint>"))
+    val parallelism =
+      documents.sparkSession.sparkContext.defaultParallelism
+    val base = documents
+      .repartition(parallelism, col("doc_id"))
+      .withColumn("tk", tk)
+      .select(col("doc_id"), posexplode(gramHashes).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+      .repartition(parallelism, col("h"))
+      .localCheckpoint()
+    val dupGrams = base.groupBy(col("h"))
+      .agg(count(lit(1)).as("tot"))
+      .filter(col("tot") >= 2)
+      .select(col("h"))
+    val dupPos = base.join(dupGrams, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("grp", col("pos") - row_number().over(wr))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"), max(col("pos")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + w).as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
   }
 
   /** Deterministic quota sampling: apportion a FIXED total of `k`

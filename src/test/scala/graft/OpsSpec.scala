@@ -559,6 +559,42 @@ class OpsSpec extends SparkTestBase {
     assert(gotScore === expected)
   }
 
+  test("dup spans merge contiguous duplicated positions into maximal ranges") {
+    import graft.ops.Text
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (0L, s"unique0 words here only $shared tail0 end0 fin0"),
+      (1L, s"$shared completely different trailing tokens follow"),
+      (2L, "nothing duplicated in this document at all now"))
+      .toDF("doc_id", "text")
+    val spans = Text.dupSpans(docs, w = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the shared 8-token run yields 4 duplicated 5-gram positions per
+    // doc, merged into ONE maximal span covering all 8 tokens; doc 2
+    // contributes nothing
+    assert(spans === Seq((0L, 5L, 8L, 8L), (1L, 1L, 4L, 8L)))
+  }
+
+  test("hybrid RRF fusion is bounded, ranked, and favors docs in both arms") {
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sf)
+    val got = Text.hybridRrf(docs, k = 10)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      // ranks 1..n, rrf non-increasing, every score in (0, 2/(60+1)]
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true })
+      assert(sorted.forall(r => r._3 > 0.0 && r._3 <= 2.0 / 61.0))
+    }
+    // a doc ranked 1 by BOTH arms would score 2/61; singles cap at 1/61
+    // — fusion scores above 1/61 prove cross-arm agreement is rewarded
+    val crossArm = got.filter(_._3 > 1.0 / 61.0)
+    assert(crossArm.forall(_._3 <= 2.0 / 61.0))
+  }
+
   test("k-means quantizer trains deterministic full-dim centroids") {
     def train() = Similarity.kmeansCentroids(Tables.embeddings(spark, sf), 8)
       .orderBy("centroid_id").as[(Long, Seq[Double])].collect().toSeq

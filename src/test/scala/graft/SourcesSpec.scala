@@ -101,6 +101,36 @@ class SourcesSpec extends SparkTestBase {
       s"scan read ${scan.metrics("numFiles").value} files, dirs hold $probedFiles")
   }
 
+  test("stored IVFADC index: probe matches the inline plan, DPP prunes the codes scan") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val base = tmp("ivfpqidx")
+    // build once: census rows land on disk alongside the artifacts
+    val census = Similarity.ivfpqBuildIndex(emb, base, 16)
+    assert(census.count() > 0)
+    Seq("cells", "codes", "centroids", "codebooks", "MARKER").foreach { p =>
+      assert(new java.io.File(base, p).exists(), s"missing $p")
+    }
+    // probe the STORED artifacts: result-identical to the inline plan
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val inline = Similarity.ivfpqTopK(emb, 4, 5).collect().map(key).toSeq
+    val probe = Similarity.ivfpqProbeStored(emb, base, 4, 5)
+    assert(probe.collect().map(key).toSeq === inline)
+    // the ADC join keys the cell-partitioned codes scan on the
+    // broadcast probed-cell frame → dynamic partition pruning trims
+    // the scan to the probed cell directories at runtime
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1500))
+    // stale marker forces a rebuild (index tracks its corpus)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "MARKER"), "stale")
+    assert(Similarity.ivfpqProbeStored(emb, base, 4, 5)
+      .collect().map(key).toSeq === inline)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(base, "MARKER")) != "stale")
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     // the 100 TB star-join lever: the fact side is partitioned on the
     // join key, the dim filter is only known at runtime, and DPP turns
