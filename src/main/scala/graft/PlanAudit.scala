@@ -487,6 +487,15 @@ object PlanAudit {
         "BroadcastExchange".r.findAllIn(p).size >= 2),
       ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
 
+    // LM quality: the positional pair frame is checkpointed (three
+    // consumers; no explode in the serving plan), LM joins are
+    // hash-keyed, and the per-doc mean folds behind a doc_id window-
+    // free aggregation — no global sort except the output orderBy
+    audit("txt_lm_quality")(
+      ("corpus paired once into the checkpointed positional frame", p =>
+        !p.contains("Generate") && p.contains("Scan ExistingRDD")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // connected components: the star rounds are localCheckpoint'ed
     // (groupBy-min + equi-join per round, composed by the loop), and
     // the returned labeling is materialized behind a checkpoint

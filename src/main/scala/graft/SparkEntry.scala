@@ -383,6 +383,7 @@ object SparkEntry {
       Similarity.ivfpqProbeStored(embeddings(s, d), ivfpqIndexBase(d), 8, 5)),
     "txt_dup_spans" -> ((s, d) => Text.dupSpans(documents(s, d))),
     "txt_hybrid_rrf" -> ((s, d) => Text.hybridRrf(documents(s, d))),
+    "txt_lm_quality" -> ((s, d) => Text.lmQuality(documents(s, d))),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -2147,6 +2148,25 @@ object SparkEntry {
     "sim_ivfpq_stored" -> ivfpqOracle(8, 5),
     "txt_dup_spans" -> dupSpansOracle(5),
     "txt_hybrid_rrf" -> hybridRrfOracle(10, 20, 60),
+    "txt_lm_quality" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |           FROM documents),
+        |pr AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    tk[i] AS w1, tk[i+1] AS w2
+        |  FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+        |  WHERE len(tk) > 1),
+        |bi AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY w1, w2),
+        |uni AS (SELECT w1, count(*) AS n_w1 FROM pr GROUP BY w1),
+        |sp AS (SELECT doc_id, pos,
+        |    CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE) AS p
+        |  FROM pr JOIN bi USING (w1, w2) JOIN uni USING (w1)),
+        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    list_sum(list(p ORDER BY pos)) / count(*) AS mean_p
+        |  FROM sp GROUP BY doc_id)
+        |SELECT d2.doc_id, CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  coalesce(m.mean_p, 0.0) AS mean_p
+        |FROM documents d2 LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "txt_dup_ngrams" -> ngramCoverageOracle(5),
     "txt_quota_sample" -> quotaSampleOracle(50),
     "rel_concomp" -> concompOracle,

@@ -460,6 +460,58 @@ object Text {
       .limit(k)
   }
 
+  /** Per-document LM predictability under the corpus bigram LM — the
+    * CCNet-style quality signal (Wenzek et al. 2020 filter corpora by
+    * LM perplexity; a document the corpus LM predicts too well is
+    * boilerplate, one it can't predict at all is noise): the mean
+    * conditional probability P(w_{i+1} | w_i) over a document's
+    * adjacent token pairs, with the LM estimated from the WHOLE
+    * corpus ([[bigramLm]]'s aggregations, untruncated). The real
+    * CCNet statistic is mean negative log prob; ln is libm-dependent
+    * (the one engine-unportable piece) and the filter's RANKING is
+    * monotone in either, so the engine keeps the exact-ratio mean —
+    * the same log-free device as [[topTerms]] and [[bm25TopK]].
+    *
+    * Scale shape: the positional pair frame is materialized once
+    * (three consumers — pair counts, unigram counts, the score
+    * join-back; the [[bm25TopK]] checkpoint device), the LM tables
+    * join back on their own hash keys, and the per-doc mean folds in
+    * position order with ≤ doc-length structs per buffer. Docs with
+    * fewer than 2 tokens score 0 over 0 pairs.
+    */
+  def lmQuality(documents: DataFrame): DataFrame = {
+    val parallelism =
+      documents.sparkSession.sparkContext.defaultParallelism
+    val pairs = when(size(col("tk")) > 1,
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(i.cast("long").as("pos"),
+            element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<pos:bigint,w1:string,w2:string>>"))
+    val base = documents
+      .repartition(parallelism, col("doc_id"))
+      .withColumn("tk", tokens(lower(col("text"))))
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.pos"), col("p.w1"), col("p.w2"))
+      .localCheckpoint()
+    val bi = base.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val uni = base.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+    val scored = base.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .select(col("doc_id"), col("pos"),
+        (col("n_pair").cast("double") / col("n_w1").cast("double")).as("p"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")) / count(lit(1)))
+          .as("mean_p"))
+    documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fuzzy string matching, BLOCKED: a candidate pair must share at
     * least one character q-gram before the exact edit-distance verify
     * runs. The all-pairs theta join this replaces is quadratic in the

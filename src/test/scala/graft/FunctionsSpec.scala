@@ -87,6 +87,54 @@ class FunctionsSpec extends SparkTestBase {
     assert(viaSql.forall(b => b >= 0L && b <= 0xFFFFL))
   }
 
+  test("codegen-fallback tripwire fires on the 64 KB failure mode, silent on the native path") {
+    import graft.ops.Multimodal
+    Bench.CodegenWatch.install()
+    Bench.CodegenWatch.hits.clear()
+    val docs = Tables.documents(spark, sf)
+    // reconstruct the round-4 failure: builtin 64-md5-tree fingerprint
+    // fused with the banding self-join blows janino's method limit and
+    // Spark silently falls back to interpreted execution — the watcher
+    // must catch the fallback warnings
+    val sized = docs.select(col("doc_id"), col("text"),
+      greatest(lit(1L),
+        expr(s"length(text) div ${Multimodal.phashChunks}").cast("long"))
+        .as("clen"))
+    val fp = sized.select(col("doc_id") +:
+        Multimodal.phashBandCols(col("text"), col("clen"))
+          .zipWithIndex.map { case (c, b) => c.as(s"b$b") }: _*)
+      .repartition(4, col("doc_id"))
+    val banded = fp.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_idx", "band_val")))
+    val cand = banded.alias("x").join(banded.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    // the fallback fires in the verify stage, where the fingerprint
+    // recompute fuses with the Hamming projection into one generated
+    // class
+    val f1 = fp.select(col("doc_id").as("id1"), col("b0").as("x0"),
+      col("b1").as("x1"), col("b2").as("x2"), col("b3").as("x3"))
+    val f2 = fp.select(col("doc_id").as("id2"), col("b0").as("y0"),
+      col("b1").as("y1"), col("b2").as("y2"), col("b3").as("y3"))
+    cand.join(f1, Seq("id1")).join(f2, Seq("id2"))
+      .select(col("id1"), col("id2"),
+        expr("CAST(bit_count(x0 ^ y0) + bit_count(x1 ^ y1) + " +
+          "bit_count(x2 ^ y2) + bit_count(x3 ^ y3) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 4)
+      .count()
+    assert(Bench.CodegenWatch.distinctHits.nonEmpty,
+      "watcher missed the known 64 KB codegen fallback")
+    // the shipped native path must be fallback-free
+    Bench.CodegenWatch.hits.clear()
+    Multimodal.phashDups(docs, maxHamming = 4).count()
+    assert(Bench.CodegenWatch.distinctHits.isEmpty,
+      s"native path fell out of codegen: ${Bench.CodegenWatch.distinctHits}")
+  }
+
   test("pair_combos enumerates exactly the i<j pairs of the HOF formulation") {
     val df = Seq(
       (1L, Seq(10L, 20L, 30L, 40L)),

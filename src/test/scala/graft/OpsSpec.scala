@@ -575,6 +575,23 @@ class OpsSpec extends SparkTestBase {
     assert(spans === Seq((0L, 5L, 8L, 8L), (1L, 1L, 4L, 8L)))
   }
 
+  test("LM quality equals the hand-computed mean bigram probability") {
+    import graft.ops.Text
+    val docs = Seq(
+      (0L, "a b a b"),   // pairs: (a,b),(b,a),(a,b)
+      (1L, "a b c"),     // pairs: (a,b),(b,c)
+      (2L, "solo"))      // no pairs
+      .toDF("doc_id", "text")
+    // corpus LM: n(a,b)=3, n(b,a)=1, n(b,c)=1; w1 counts: a=3, b=2
+    // doc0: p = [3/3, 1/2, 3/3] -> mean = (1 + 0.5 + 1)/3
+    // doc1: p = [3/3, 1/2]      -> mean = 1.5/2
+    val byDoc = Text.lmQuality(docs).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byDoc(0L) === ((3L, (1.0 + 0.5 + 1.0) / 3)))
+    assert(byDoc(1L) === ((2L, (1.0 + 0.5) / 2)))
+    assert(byDoc(2L) === ((0L, 0.0)))
+  }
+
   test("hybrid RRF fusion is bounded, ranked, and favors docs in both arms") {
     import graft.ops.Text
     val docs = Tables.documents(spark, sf)
