@@ -926,6 +926,12 @@ class OpsSpec extends SparkTestBase {
       Tables.events(spark, sf).limit(0)).isEmpty)
     assert(Similarity.ivfTopKSalted(emptyEmb, 8, 5).isEmpty)
     assert(Multimodal.phashDups(emptyDocs).isEmpty)
+    // round-5 operators
+    assert(Text.bm25TopK(emptyDocs).isEmpty)
+    assert(Text.dupSpans(emptyDocs).isEmpty)
+    assert(Text.hybridRrf(emptyDocs).isEmpty)
+    assert(Text.lmQuality(emptyDocs).isEmpty)
+    assert(Similarity.semDedup(emptyEmb).isEmpty)
   }
 
   test("multimodal: batched mapPartitions decode agrees with expression twin") {
