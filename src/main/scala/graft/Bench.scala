@@ -36,6 +36,7 @@ object Bench {
     def install(): Unit = {
       val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
       val cfg = ctx.getConfiguration
+      if (cfg.getAppenders.containsKey("graftCodegenWatch")) return
       val app = new AbstractAppender("graftCodegenWatch", null, null, true,
           Property.EMPTY_ARRAY) {
         override def append(ev: LogEvent): Unit = {

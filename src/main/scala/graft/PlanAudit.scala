@@ -487,6 +487,18 @@ object PlanAudit {
         "BroadcastExchange".r.findAllIn(p).size >= 2),
       ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
 
+    // stored BM25 probe: the postings/df scans carry STATIC bucket
+    // partition filters (query terms are plan-time literals — no
+    // subquery, no corpus tokenize anywhere in the serving plan)
+    audit("txt_bm25_stored")(
+      ("postings scan statically pruned to the query-term buckets",
+        p => "PartitionFilters: \\[bucket".r.findAllIn(p).size >= 2),
+      ("no corpus tokenize in the serving plan (index-only read)",
+        p => !p.contains("Generate")),
+      ("two-phase heap top-k", p =>
+        p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
+      ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
+
     // LM quality: the positional pair frame is checkpointed (three
     // consumers; no explode in the serving plan), LM joins are
     // hash-keyed, and the per-doc mean folds behind a doc_id window-

@@ -384,6 +384,14 @@ object SparkEntry {
     "txt_dup_spans" -> ((s, d) => Text.dupSpans(documents(s, d))),
     "txt_hybrid_rrf" -> ((s, d) => Text.hybridRrf(documents(s, d))),
     "txt_lm_quality" -> ((s, d) => Text.lmQuality(documents(s, d))),
+    // the lexical build-once/probe-many pair: _build persists the
+    // bucket-partitioned inverted index, _stored scores the fixed
+    // query set from the persisted artifacts only (static bucket
+    // partition pruning — the query terms are plan-time literals)
+    "txt_bm25_build" -> ((s, d) =>
+      Text.bm25BuildIndex(documents(s, d), bm25IndexBase(d))),
+    "txt_bm25_stored" -> ((s, d) =>
+      Text.bm25ProbeStored(documents(s, d), bm25IndexBase(d))),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -425,6 +433,10 @@ object SparkEntry {
     */
   private def ivfpqIndexBase(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index/" +
+      new java.io.File(sfDir).getName
+
+  private def bm25IndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index/" +
       new java.io.File(sfDir).getName
 
   /** Target mixture for txt_mixture_sample (basis-point keep rates):
@@ -2148,6 +2160,19 @@ object SparkEntry {
     "sim_ivfpq_stored" -> ivfpqOracle(8, 5),
     "txt_dup_spans" -> dupSpansOracle(5),
     "txt_hybrid_rrf" -> hybridRrfOracle(10, 20, 60),
+    // probing the stored inverted index is result-identical to the
+    // inline BM25 plan (parquet round-trips the integer statistics);
+    // the build's census re-derives the same md5 term bucketing
+    "txt_bm25_build" ->
+      s"""WITH tf AS MATERIALIZED (SELECT doc_id, t.term, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY doc_id, t.term)
+        |SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT % ${Text.bm25Buckets}
+        |    AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_postings,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+        |FROM tf GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "txt_bm25_stored" -> bm25Oracle(10),
     "txt_lm_quality" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
         |           FROM documents),

@@ -1015,6 +1015,14 @@ object Similarity {
     * a skewed corpus. One assignment pass (localCheckpoint'ed) feeds
     * both join sides; training reads the bounded hash-sample.
     *
+    * Cost note: replicating the keep side ×salts multiplies its
+    * shuffle bytes by `salts` to bound per-reducer WORK — the standard
+    * self-join salting trade. At production scale the refinement is
+    * threshold salting (replicate only for cells above a size cutoff,
+    * known from the assignment census) or letting AQE's skew-join
+    * splitting handle the equi-join at runtime; the uniform salt here
+    * keeps the plan static and the oracle contract exact.
+    *
     * Output: one row per vector — (vec_id, cell, kept, exemplar_id),
     * kept = no earlier in-cell member at ≥ threshold cosine.
     */

@@ -372,6 +372,124 @@ object Text {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Bucket count for the stored inverted-index layout: terms hash
+    * into a fixed number of directory buckets, so a probe's scan
+    * prunes to its query terms' buckets STATICALLY (the term list is
+    * known at plan time) — the lexical twin of the ANN tier's
+    * cell-partitioned layout.
+    */
+  val bm25Buckets = 64
+
+  private def termBucket(term: Column): Column =
+    pmod(tokenHash(term), lit(bm25Buckets.toLong))
+
+  private def bm25IndexMarker(documents: DataFrame): String =
+    s"graft-bm25 v1 buckets=$bm25Buckets n=${documents.count()}"
+
+  /** BUILD: persist the BM25 index — the (doc, term, tf) postings and
+    * per-term df both partitioned by the term's hash bucket, doc
+    * lengths and the one-row corpus stats as plain parquet. Returns
+    * the bucket census of the written layout as re-read from storage
+    * (what you serve is what you audit; oracle re-derives the same
+    * md5 bucketing).
+    */
+  def bm25BuildIndex(documents: DataFrame, base: String): DataFrame = {
+    val spark = documents.sparkSession
+    val tf = documents
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .localCheckpoint()
+    graft.sources.Sources.writePartitioned(
+      tf.withColumn("bucket", termBucket(col("term"))), s"$base/tf", "bucket")
+    graft.sources.Sources.writePartitioned(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .withColumn("bucket", termBucket(col("term"))), s"$base/df", "bucket")
+    dl.write.mode("overwrite").parquet(s"$base/dl")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .write.mode("overwrite").parquet(s"$base/stats")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "MARKER"), bm25IndexMarker(documents))
+    spark.read.parquet(s"$base/tf")
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_postings"),
+        count_distinct(col("term")).as("n_terms"))
+      .orderBy(col("bucket"))
+  }
+
+  /** PROBE against the STORED inverted index: score [[bm25Queries]]
+    * from the persisted postings/df/dl/stats ONLY — the corpus table
+    * is never touched. The query terms are plan-time literals, so the
+    * postings and df scans carry STATIC `bucket` partition filters
+    * (spec-asserted): a probe reads ~|query terms|/buckets of the
+    * index bytes. Scoring arithmetic is textually identical to
+    * [[bm25TopK]], so the result is oracle-identical to the inline
+    * plan (parquet round-trips the integer statistics exactly).
+    * Rebuilds lazily iff the marker is stale.
+    */
+  def bm25ProbeStored(documents: DataFrame, base: String,
+                      k: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val marker = java.nio.file.Paths.get(base, "MARKER")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == bm25IndexMarker(documents)
+    if (!fresh) bm25BuildIndex(documents, base).count()
+    val qterms = bm25Queries
+      .flatMap { case (id, q) => q.split(" ").distinct.map(t => (id, t)) }
+      .toDF("query_id", "term")
+    // the probed buckets, computed driver-side from the literal terms
+    // (same md5-prefix hash as [[tokenHash]]: first 4 digest bytes,
+    // big-endian unsigned — non-negative, so % == pmod)
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    val buckets = bm25Queries
+      .flatMap(_._2.split(" ")).distinct
+      .map { t =>
+        val d = mdig.digest(t.getBytes("UTF-8"))
+        val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        v % bm25Buckets
+      }
+      .distinct.sorted
+    val tf = spark.read.parquet(s"$base/tf")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val df = spark.read.parquet(s"$base/df")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("term"), col("df"))
+    val dl = spark.read.parquet(s"$base/dl")
+    val stats = spark.read.parquet(s"$base/stats")
+    val k1p1 = bm25K1 + 1.0
+    val oneMinusB = 1.0 - bm25B
+    val idf = (col("n_docs").cast("double") - col("df").cast("double")
+      + lit(0.5)) / (col("df").cast("double") + lit(0.5))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
+    val s = idf * ((col("tf").cast("double") * lit(k1p1)) /
+      (col("tf").cast("double") + lit(bm25K1) *
+        (lit(oneMinusB) + lit(bm25B) * (col("dl").cast("double") / avgdl))))
+    val matched = tf.join(broadcast(qterms), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("term"), s.as("s"))
+    val scored = matched.groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(sort_array(collect_list(struct(col("term"), col("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+    val pruned = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        scored.withColumn("__tie", -col("doc_id")),
+        Seq("query_id"), Seq("score", "__tie"), k)
+      .drop("__tie")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009 —
     * the score-free fusion production hybrid search defaults to) of
     * the LEXICAL arm ([[bm25TopK]]'s ranking) and a SEMANTIC arm

@@ -131,6 +131,37 @@ class SourcesSpec extends SparkTestBase {
       java.nio.file.Paths.get(base, "MARKER")) != "stale")
   }
 
+  test("stored BM25 index: probe matches the inline plan with static bucket pruning") {
+    import graft.ops.Text
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = Tables.documents(spark, sf)
+    val base = tmp("bm25idx")
+    assert(Text.bm25BuildIndex(docs, base).count() > 0)
+    Seq("tf", "df", "dl", "stats", "MARKER").foreach { p =>
+      assert(new java.io.File(base, p).exists(), s"missing $p")
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val inline = Text.bm25TopK(docs, 10).collect().map(key).toSeq
+    val probe = Text.bm25ProbeStored(docs, base, 10)
+    assert(probe.collect().map(key).toSeq === inline)
+    // the query terms are plan-time literals → the postings scan
+    // carries a STATIC bucket partition filter (no subquery needed)
+    val scans = (probe.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(scans.contains("PartitionFilters: [bucket") ||
+      "PartitionFilters: \\[.*bucket".r.findFirstIn(scans).isDefined,
+      scans.take(1500))
+    // stale marker forces a rebuild
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "MARKER"), "stale")
+    assert(Text.bm25ProbeStored(docs, base, 10)
+      .collect().map(key).toSeq === inline)
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     // the 100 TB star-join lever: the fact side is partitioned on the
     // join key, the dim filter is only known at runtime, and DPP turns
