@@ -487,6 +487,16 @@ object PlanAudit {
         "BroadcastExchange".r.findAllIn(p).size >= 2),
       ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
 
+    // incremental near-dup: batch bands equi-join the history band
+    // index — history never self-joins, nothing enumerates all pairs,
+    // and signatures come from the native codegen'd minhash_sig
+    audit("dedup_incr_near")(
+      ("no cartesian/BNL pair enumeration", p =>
+        !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      ("native minhash_sig signature computation",
+        _.contains("minhash_sig")))
+
     // stored BM25 probe: the postings/df scans carry STATIC bucket
     // partition filters (query terms are plan-time literals — no
     // subquery, no corpus tokenize anywhere in the serving plan)

@@ -425,6 +425,16 @@ object SparkEntry {
     "rel_triangles" -> ((s, d) =>
       Graph.nationTriangles(lineitem(s, d), orders(s, d), customer(s, d),
         supplier(s, d))),
+    "dedup_incr_near" -> ((s, d) => {
+      // the fuzzy twin of dedup_incremental: train split = historical
+      // corpus, the rest = incoming batch banded against its LSH index
+      val docs = documents(s, d)
+      val split = Text.trainValSplit(docs).select(col("doc_id"), col("split"))
+      val withSplit = docs.join(split, Seq("doc_id"))
+      Dedup.incrementalNearDup(
+        withSplit.filter(col("split") =!= "train"),
+        withSplit.filter(col("split") === "train"))
+    }),
   )
 
   /** Per-SF stored-index location for the build-once/probe-many pair
@@ -602,6 +612,65 @@ object SparkEntry {
        |SELECT doc1, doc2, jaccard, jaccard >= 0.8 AS is_near_dup FROM j
        |ORDER BY doc1, doc2""".stripMargin
   }
+
+  /** Per-side MinHash CTE chain (tokenize → distinct shingles → sig →
+    * bands → 60-bit hash sets), prefixed so the incremental oracle can
+    * instantiate it for batch and history independently.
+    */
+  private def minhashSideCtes(prefix: String, src: String): String = {
+    val sigExprs = Dedup.minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(vs, v -> ($a * v + $b) % ${Dedup.P})) AS sig_$i"
+    }.mkString(",\n  ")
+    val bandKeys = (0 until Dedup.numBands).map { j =>
+      (0 until Dedup.rowsPerBand)
+        .map(r => s"CAST(sig_${j * Dedup.rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+    }
+    val bandList = bandKeys.mkString("[", ",\n    ", "]")
+    s"""${prefix}tok AS (SELECT doc_id, string_split(text, ' ') AS ls FROM $src),
+       |${prefix}sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ls) - 2),
+       |         i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS ss FROM ${prefix}tok),
+       |${prefix}sh2 AS MATERIALIZED (SELECT doc_id, ss FROM ${prefix}sh WHERE len(ss) > 0),
+       |${prefix}v AS (SELECT doc_id, list_transform(ss, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS vs FROM ${prefix}sh2),
+       |${prefix}sig AS (SELECT doc_id, $sigExprs FROM ${prefix}v),
+       |${prefix}band AS MATERIALIZED (SELECT doc_id, unnest($bandList) AS band_key,
+       |         generate_subscripts($bandList, 1) AS band_idx FROM ${prefix}sig),
+       |${prefix}hsd AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(ss,
+       |          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs FROM ${prefix}sh2)"""
+      .stripMargin
+  }
+
+  /** dedup_incr_near oracle: train/rest split, per-side MinHash bands,
+    * batch×history candidate join, exact Jaccard ≥ threshold verdict
+    * folded per batch doc.
+    */
+  private def incrNearOracle(threshold: Double): String =
+    s"""WITH sp AS MATERIALIZED (SELECT doc_id, text,
+       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+       |         THEN 'train' ELSE 'rest' END AS split
+       |  FROM documents),
+       |bt AS MATERIALIZED (SELECT doc_id, text FROM sp WHERE split <> 'train'),
+       |ht AS MATERIALIZED (SELECT doc_id, text FROM sp WHERE split = 'train'),
+       |${minhashSideCtes("b_", "bt")},
+       |${minhashSideCtes("h_", "ht")},
+       |cand AS (SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+       |  FROM b_band b JOIN h_band h
+       |    ON b.band_idx = h.band_idx AND b.band_key = h.band_key),
+       |j AS (SELECT batch_id, hist_id,
+       |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+       |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+       |  FROM cand JOIN b_hsd a ON a.doc_id = cand.batch_id
+       |            JOIN h_hsd b ON b.doc_id = cand.hist_id),
+       |p AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_cands,
+       |    CAST(count(CASE WHEN jaccard >= $threshold THEN 1 END) AS BIGINT) AS n_dups,
+       |    min(CASE WHEN jaccard >= $threshold THEN hist_id END) AS dup_of0
+       |  FROM j GROUP BY batch_id)
+       |SELECT d.doc_id, coalesce(p.n_cands, 0) AS n_cands,
+       |  coalesce(p.n_dups, 0) AS n_dups,
+       |  CAST(coalesce(p.dup_of0, -1) AS BIGINT) AS dup_of,
+       |  coalesce(p.n_dups, 0) > 0 AS is_dup
+       |FROM bt d LEFT JOIN p ON d.doc_id = p.batch_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** dedup_simhash oracle: 32 conditional bit sums + reassembly. */
   private def simhashOracle: String = {
@@ -1345,6 +1414,7 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY text_hash""".stripMargin,
     "dedup_minhash" -> minhashOracle,
+    "dedup_incr_near" -> incrNearOracle(0.3),
     "dedup_simhash" -> simhashOracle,
     "dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),

@@ -229,6 +229,65 @@ object Dedup {
       .orderBy(col("doc1"), col("doc2"))
   }
 
+  /** INCREMENTAL near-dup: an incoming batch banded against the
+    * HISTORICAL corpus's LSH index — the fuzzy twin of
+    * [[incrementalDedup]] and the nightly-pipeline shape for
+    * near-duplicates: history is indexed once (at 100 TB the band
+    * index persists like the engine's other stored artifacts; here it
+    * derives in-query per the registry's independence contract), the
+    * batch's band keys equi-join it — candidates are batch×history
+    * only, history NEVER self-joins and is never rescanned per batch
+    * doc — and only candidates pay the exact shingle-hash Jaccard
+    * verification of [[minhashNearDups]].
+    *
+    * Output: one row per batch doc — LSH candidate count, verified
+    * dup count, the canonical (minimum) history doc it duplicates
+    * (−1 when none), and the verdict.
+    */
+  def incrementalNearDup(batch: DataFrame, history: DataFrame,
+                         w: Int = 3, threshold: Double = 0.3): DataFrame = {
+    def bandsOf(docs: DataFrame, idCol: String): DataFrame = {
+      val sigs = withMinhashSignature(docs, w)
+      val bandKeys = (0 until numBands).map { j =>
+        concat_ws(",",
+          (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}")): _*)
+      }
+      sigs.select(col("doc_id").as(idCol),
+        posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+    }
+    val cand = bandsOf(batch, "batch_id")
+      .join(bandsOf(history, "hist_id"), Seq("band_idx", "band_key"))
+      .select(col("batch_id"), col("hist_id")).distinct()
+    val shB = explodedShingleHashes(batch, w)
+      .select(col("doc_id").as("batch_id"), col("s"))
+    val shH = explodedShingleHashes(history, w)
+    val sizesH = shH.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))
+    val withB = cand.join(shB, Seq("batch_id")).alias("pa")
+      .join(shH.select(col("doc_id").as("h2"), col("s").as("s2")).alias("sb"),
+        col("pa.hist_id") === col("sb.h2") && col("pa.s") === col("sb.s2"),
+        "left")
+    val stats = withB.groupBy(col("batch_id"), col("hist_id"))
+      .agg(count(lit(1)).as("szb"), count(col("s2")).as("n_inter"))
+    val j = stats
+      .join(sizesH.select(col("doc_id").as("hist_id"), col("szh")),
+        Seq("hist_id"))
+      .select(col("batch_id"), col("hist_id"),
+        (col("n_inter").cast("double") /
+          (col("szb") + col("szh") - col("n_inter"))).as("jaccard"))
+    val perDoc = j.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        count(when(col("jaccard") >= threshold, 1)).as("n_dups"),
+        min(when(col("jaccard") >= threshold, col("hist_id"))).as("dup_of0"))
+    batch.select(col("doc_id"))
+      .join(perDoc, col("doc_id") === col("batch_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("dup_of0"), lit(-1L)).as("dup_of"),
+        (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup CLUSTERING: connected components over the exact-Jaccard
     * candidate pairs, with canonical-document selection (min doc_id per
     * component) — the "keep one per near-dup cluster" capstone of a

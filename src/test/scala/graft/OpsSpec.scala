@@ -575,6 +575,24 @@ class OpsSpec extends SparkTestBase {
     assert(spans === Seq((0L, 5L, 8L, 8L), (1L, 1L, 4L, 8L)))
   }
 
+  test("incremental near-dup flags batch docs duplicating history, not novel ones") {
+    val mk = (n: Int, seed: Int) =>
+      (0 until 40).map(i => s"w${(i * seed + n) % 13}tok${(i + seed) % 7}").mkString(" ")
+    val history = Seq((0L, mk(0, 3)), (1L, mk(1, 5)), (2L, mk(2, 7)))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, mk(0, 3)),                       // identical to history doc 0
+      (11L, mk(1, 5) + " extra tail here"),  // near-dup of history doc 1
+      (12L, "completely different words that never appeared before now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(batch, history, threshold = 0.3)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(got(10L) === ((0L, true)))   // exact copy → dup of doc 0
+    assert(got(11L) === ((1L, true)))   // tailed copy → still a near-dup
+    assert(got(12L) === ((-1L, false))) // novel doc passes through
+  }
+
   test("LM quality equals the hand-computed mean bigram probability") {
     import graft.ops.Text
     val docs = Seq(
