@@ -17,6 +17,16 @@ class OpsSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registry invariant: every query has exactly one oracle") {
+    // the driver's correctness gate compares queries to oracleSql by
+    // key — a key present on one side only would silently weaken the
+    // gate (query never checked / oracle never run)
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
+
   test("registerViews exposes every fixture table to the SQL surface") {
     Tables.registerViews(spark, sf)
     Tables.names.foreach { n =>
