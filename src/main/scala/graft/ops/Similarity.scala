@@ -771,7 +771,9 @@ object Similarity {
     val unit = unitVectors(embeddings).localCheckpoint()
     val centroids = kmeansCentroids(embeddings, nlist)
     val codebooks = pqCodebooks(unit).localCheckpoint()
-    val assigned = assignCells(embeddings, centroids)
+    // assignment feeds BOTH the cells write and the codes join —
+    // checkpoint it so the corpus-wide argmax runs once, not per sink
+    val assigned = assignCells(embeddings, centroids).localCheckpoint()
     val codesCells = pqEncode(unit, codebooks)
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
     graft.sources.Sources.writePartitioned(assigned, s"$base/cells", "cell")
