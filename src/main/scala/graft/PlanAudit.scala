@@ -487,6 +487,19 @@ object PlanAudit {
         "BroadcastExchange".r.findAllIn(p).size >= 2),
       ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
 
+    // kNN graph: banded candidates (never all-pairs), ONE undirected
+    // scoring pass fanned to both directions by an explode (no
+    // self-union replaying the pair pipeline), heap-node per-node top-k
+    audit("sim_knn_graph")(
+      ("no cartesian/BNL pair enumeration", p =>
+        !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      ("banded exchange reused across the self-join",
+        _.contains("ReusedExchange")),
+      ("two-phase heap top-k per node", p =>
+        p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
+      ("native vector_dot scoring", _.contains("vector_dot")))
+
     // incremental near-dup: batch bands equi-join the history band
     // index — history never self-joins, nothing enumerates all pairs,
     // and signatures come from the native codegen'd minhash_sig

@@ -372,6 +372,7 @@ object SparkEntry {
     "sim_semdedup" -> ((s, d) => Similarity.semDedup(embeddings(s, d), 16, 0.2)),
     "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(embeddings(s, d), 8, 5)),
     "sim_sq_recall" -> ((s, d) => Similarity.sqRecall(embeddings(s, d), 8, 5)),
+    "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(embeddings(s, d), 5)),
     "txt_bm25_topk" -> ((s, d) => Text.bm25TopK(documents(s, d))),
     // build-once/probe-many: _build persists the IVFADC index (the
     // once-per-corpus write cost, measured separately in the bench),
@@ -919,6 +920,45 @@ object SparkEntry {
        |      JOIN embeddings a ON a.vec_id = cand.id1
        |      JOIN embeddings b ON b.vec_id = cand.id2)
        |SELECT id1, id2, sim FROM s WHERE sim >= 0.5 ORDER BY id1, id2""".stripMargin
+  }
+
+  /** sim_knn_graph oracle: same banded candidates as the near-dup
+    * oracle, each undirected pair scored once and emitted in both
+    * directions, per-node top-k by (sim DESC, neighbor).
+    */
+  private def knnGraphOracle(k: Int): String = {
+    val bandExprs = (0 until Similarity.ndBands).map { b =>
+      (0 until Similarity.ndRows).map { r =>
+        val p = (0 until Similarity.dim).map(j =>
+          Similarity.planeValue(Similarity.numPlanes + b * Similarity.ndRows + r, j))
+        val lits = p.map(_.toString).mkString("[", ", ", "]")
+        s"""CASE WHEN list_sum(list_transform(list_zip(CAST($lits AS DOUBLE[]), embedding),
+           |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0
+           |   THEN '1' ELSE '0' END""".stripMargin
+      }.mkString(" ||\n   ")
+    }
+    val bandList = bandExprs.mkString("[\n    ", ",\n    ", "]")
+    s"""WITH banded AS (
+       |  SELECT vec_id, unnest($bandList) AS band_key,
+       |         generate_subscripts($bandList, 1) AS band_idx
+       |  FROM embeddings),
+       |cand AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+       |         FROM banded x JOIN banded y
+       |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |              AND x.vec_id < y.vec_id),
+       |s AS MATERIALIZED (SELECT id1, id2,
+       |        ${cosSql("a.embedding", "b.embedding")} AS sim
+       |      FROM cand
+       |      JOIN embeddings a ON a.vec_id = cand.id1
+       |      JOIN embeddings b ON b.vec_id = cand.id2),
+       |sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, sim FROM s
+       |        UNION ALL SELECT id2, id1, sim FROM s),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM sym)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** sim_lsh_topk oracle: the hyperplane literals are generated from the
@@ -2221,6 +2261,7 @@ object SparkEntry {
     "sim_semdedup" -> semDedupOracle(16, 0.2),
     "sim_sq_topk" -> sqTopkOracle(8, 5),
     "sim_sq_recall" -> sqRecallOracle(8, 5),
+    "sim_knn_graph" -> knnGraphOracle(5),
     "txt_bm25_topk" -> bm25Oracle(10),
     // the stored-index pair: the build's census is the k-means census
     // (the layout IS the trained assignment), and probing the stored

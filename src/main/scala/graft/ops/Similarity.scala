@@ -1157,6 +1157,48 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Approximate kNN-GRAPH construction: every vector's top-k among
+    * its banded-LSH candidates — the batch "kNN join" that seeds
+    * graph-based ANN indexes (the NN-Descent / HNSW bootstrap),
+    * kNN-graph dedup, and label propagation. Candidates come from the
+    * same [[bandKeys]] banding as near-dup detection; each UNDIRECTED
+    * candidate pair is scored ONCE and fans out to both directions in
+    * the same pass (an explode, never a self-union that would replay
+    * the pair pipeline — the [[graft.ops.Dedup.nearDupClusters]] edge
+    * device), and the per-node top-k is the map-side heap node.
+    * O(n·candidates), never all-pairs; nodes whose bands collide with
+    * nothing have no edges — exactly the vectors LSH cannot place,
+    * which a production NN-Descent refinement pass would then wire.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val banded = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(bandKeys(col("embedding"))).as(Seq("band_idx", "band_key")))
+    val x = banded.alias("x")
+    val y = banded.alias("y")
+    val cand = x.join(y,
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2")).distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("id1"), col("embedding").as("e1")),
+        Seq("id1"))
+      .join(vecs.select(col("vec_id").as("id2"), col("embedding").as("e2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("sim"))
+    val sym = scored.select(explode(array(
+        struct(col("id1").as("query_id"), col("id2").as("neighbor_id"),
+          col("sim").as("sim")),
+        struct(col("id2").as("query_id"), col("id1").as("neighbor_id"),
+          col("sim").as("sim")))).as("e"))
+      .select(col("e.query_id"), col("e.neighbor_id"), col("e.sim"))
+    topKRanked(sym, "sim", k)
+  }
+
   /** Embedding-cosine near-dup pairs: banded LSH candidates + exact
     * cosine verification. O(n·candidates): the corpus is scanned once
     * to band, the self-join runs per (band, key) bucket, and only

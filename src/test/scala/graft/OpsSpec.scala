@@ -489,6 +489,26 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("kNN graph: bounded degree, ranked, and symmetric pair scores") {
+    val emb = Tables.embeddings(spark, sf)
+    val g = Similarity.knnGraph(emb, 5)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(g.nonEmpty)
+    val byNode = g.groupBy(_._1)
+    byNode.values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.length <= 5)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true })
+    }
+    // an undirected pair scored once: where both directions survive
+    // the top-k, their sims are bit-identical
+    val sims = g.map(r => (r._1, r._2) -> r._3).toMap
+    sims.foreach { case ((a, b), s) =>
+      sims.get((b, a)).foreach(rev => assert(rev === s)) }
+  }
+
   test("semDedup salting never changes results and spreads a hot cell's pairs") {
     val emb = Tables.embeddings(spark, sf)
     def key(r: org.apache.spark.sql.Row) =
