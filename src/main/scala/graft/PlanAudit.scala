@@ -500,6 +500,17 @@ object PlanAudit {
         p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
       ("native vector_dot scoring", _.contains("vector_dot")))
 
+    // label propagation: the kNN graph builds once behind a checkpoint
+    // (the serving plan never re-enumerates candidates), each round is
+    // equi-join + hash aggregation — no window over the votes, no
+    // cartesian anywhere
+    audit("sim_label_prop")(
+      ("graph and labels read from checkpoints (no candidate re-enum)",
+        p => p.contains("Scan ExistingRDD")),
+      ("modal vote is hash-aggregated, not windowed",
+        p => !p.contains("Window")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // incremental near-dup: batch bands equi-join the history band
     // index — history never self-joins, nothing enumerates all pairs,
     // and signatures come from the native codegen'd minhash_sig

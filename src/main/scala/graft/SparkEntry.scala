@@ -373,6 +373,8 @@ object SparkEntry {
     "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(embeddings(s, d), 8, 5)),
     "sim_sq_recall" -> ((s, d) => Similarity.sqRecall(embeddings(s, d), 8, 5)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(embeddings(s, d), 5)),
+    "sim_label_prop" -> ((s, d) =>
+      Similarity.labelPropagate(embeddings(s, d), 100, 5, 3)),
     "txt_bm25_topk" -> ((s, d) => Text.bm25TopK(documents(s, d))),
     // build-once/probe-many: _build persists the IVFADC index (the
     // once-per-corpus write cost, measured separately in the bench),
@@ -922,11 +924,11 @@ object SparkEntry {
        |SELECT id1, id2, sim FROM s WHERE sim >= 0.5 ORDER BY id1, id2""".stripMargin
   }
 
-  /** sim_knn_graph oracle: same banded candidates as the near-dup
-    * oracle, each undirected pair scored once and emitted in both
-    * directions, per-node top-k by (sim DESC, neighbor).
+  /** kNN-graph CTE chain (banded candidates → one undirected scoring
+    * pass → both directions → per-node rank), ending in `knnr` —
+    * shared by the graph oracle and the label-propagation oracle.
     */
-  private def knnGraphOracle(k: Int): String = {
+  private def knnGraphCtes: String = {
     val bandExprs = (0 until Similarity.ndBands).map { b =>
       (0 until Similarity.ndRows).map { r =>
         val p = (0 until Similarity.dim).map(j =>
@@ -938,7 +940,7 @@ object SparkEntry {
       }.mkString(" ||\n   ")
     }
     val bandList = bandExprs.mkString("[\n    ", ",\n    ", "]")
-    s"""WITH banded AS (
+    s"""banded AS (
        |  SELECT vec_id, unnest($bandList) AS band_key,
        |         generate_subscripts($bandList, 1) AS band_idx
        |  FROM embeddings),
@@ -953,12 +955,51 @@ object SparkEntry {
        |      JOIN embeddings b ON b.vec_id = cand.id2),
        |sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, sim FROM s
        |        UNION ALL SELECT id2, id1, sim FROM s),
-       |r AS (SELECT query_id, neighbor_id, sim,
+       |knnr AS (SELECT query_id, neighbor_id, sim,
        |        CAST(row_number() OVER (PARTITION BY query_id
        |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM sym)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
+       |      FROM sym)""".stripMargin
+  }
+
+  /** sim_knn_graph oracle: same banded candidates as the near-dup
+    * oracle, each undirected pair scored once and emitted in both
+    * directions, per-node top-k by (sim DESC, neighbor).
+    */
+  private def knnGraphOracle(k: Int): String =
+    s"""WITH $knnGraphCtes
+       |SELECT query_id, neighbor_id, sim, rank FROM knnr WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** sim_label_prop oracle: the kNN graph, then `rounds` synchronous
+    * voting rounds — modal neighbor label per node (votes DESC, label
+    * ASC — the textual twin of the engine's max_by over
+    * (votes, −label)), seeds clamped, no-vote nodes keep state.
+    */
+  private def labelPropOracle(nSeeds: Int, k: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"l${i - 1}"
+      s"""v$i AS (SELECT dst, lbl, count(*) AS votes
+         |  FROM g JOIN $prev ON $prev.vec_id = g.src
+         |  WHERE lbl IS NOT NULL GROUP BY dst, lbl),
+         |b$i AS (SELECT dst, lbl AS new_lbl FROM (
+         |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+         |      ORDER BY votes DESC, lbl ASC) AS rn FROM v$i) t
+         |  WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT $prev.vec_id,
+         |    CASE WHEN $prev.vec_id < $nSeeds THEN $prev.lbl
+         |         ELSE coalesce(b$i.new_lbl, $prev.lbl) END AS lbl
+         |  FROM $prev LEFT JOIN b$i ON b$i.dst = $prev.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnGraphCtes,
+       |g AS MATERIALIZED (SELECT query_id AS dst, neighbor_id AS src
+       |  FROM knnr WHERE rank <= $k),
+       |l0 AS MATERIALIZED (SELECT vec_id,
+       |    CASE WHEN vec_id < $nSeeds THEN CAST(label AS BIGINT) END AS lbl
+       |  FROM embeddings),
+       |$roundCtes
+       |SELECT vec_id, vec_id < $nSeeds AS is_seed,
+       |  CAST(coalesce(lbl, -1) AS BIGINT) AS label
+       |FROM l$rounds ORDER BY vec_id""".stripMargin
   }
 
   /** sim_lsh_topk oracle: the hyperplane literals are generated from the
@@ -2262,6 +2303,7 @@ object SparkEntry {
     "sim_sq_topk" -> sqTopkOracle(8, 5),
     "sim_sq_recall" -> sqRecallOracle(8, 5),
     "sim_knn_graph" -> knnGraphOracle(5),
+    "sim_label_prop" -> labelPropOracle(100, 5, 3),
     "txt_bm25_topk" -> bm25Oracle(10),
     // the stored-index pair: the build's census is the k-means census
     // (the layout IS the trained assignment), and probing the stored

@@ -1199,6 +1199,53 @@ object Similarity {
     topKRanked(sym, "sim", k)
   }
 
+  /** Semi-supervised LABEL PROPAGATION over the [[knnGraph]] — the
+    * weak-supervision pattern that turns a few labeled examples into
+    * corpus-wide labels (Zhu & Ghahramani 2002, as synchronous integer
+    * voting): seed vectors (vec_id < nSeeds) keep their label; every
+    * round each non-seed takes the MODAL label among its graph
+    * neighbors' current labels (ties to the smaller label; unlabeled
+    * neighbors don't vote; a node with no labeled neighbors keeps its
+    * previous state). Fixed `rounds` iterations — the determinism
+    * contract every iterative operator here follows — with each round
+    * one equi-join + two aggregations over the ≤ k·n edge set; the
+    * graph builds once (checkpointed) and labels checkpoint per round
+    * so round r never replays rounds 0..r−1.
+    *
+    * Output: (vec_id, is_seed, label) — label −1 for nodes no label
+    * ever reached (disconnected from all seeds).
+    */
+  def labelPropagate(embeddings: DataFrame, nSeeds: Int, k: Int = 5,
+                     rounds: Int = 3): DataFrame = {
+    val g = knnGraph(embeddings, k)
+      .select(col("query_id").as("dst"), col("neighbor_id").as("src"))
+      .localCheckpoint()
+    var labels = embeddings.select(col("vec_id"),
+        when(col("vec_id") < nSeeds, col("label").cast("long")).as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = g
+        .join(labels.select(col("vec_id").as("src"), col("lbl")), Seq("src"))
+        .filter(col("lbl").isNotNull)
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("votes"))
+      // modal label via max_by over the TOTAL (votes, -lbl) key —
+      // partial-aggregates map-side, never a window over the votes
+      val best = votes.groupBy(col("dst"))
+        .agg(max_by(col("lbl"), struct(col("votes"), -col("lbl")))
+          .as("new_lbl"))
+      labels = labels
+        .join(best, labels("vec_id") === best("dst"), "left")
+        .select(col("vec_id"),
+          when(col("vec_id") < nSeeds, col("lbl"))
+            .otherwise(coalesce(col("new_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("vec_id"), (col("vec_id") < nSeeds).as("is_seed"),
+        coalesce(col("lbl"), lit(-1L)).as("label"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-dup pairs: banded LSH candidates + exact
     * cosine verification. O(n·candidates): the corpus is scanned once
     * to band, the self-join runs per (band, key) bucket, and only

@@ -509,6 +509,23 @@ class OpsSpec extends SparkTestBase {
       sims.get((b, a)).foreach(rev => assert(rev === s)) }
   }
 
+  test("label propagation spreads seed labels through disjoint kNN clusters") {
+    val vecA = (0 until Similarity.dim).map(i => math.sin(i * 3 + 1).toFloat)
+    val vecB = vecA.map(-_) // antipodal: every LSH sign bit flips, so
+                            // the clusters share no band — no cross edges
+    val rows =
+      Seq((0L, vecA, 1), (1L, vecB, 2)) ++           // seeds
+        (2L to 5L).map(i => (i, vecA, -1)) ++        // cluster A members
+        (6L to 9L).map(i => (i, vecB, -1))           // cluster B members
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelPropagate(emb, nSeeds = 2, k = 5, rounds = 3)
+      .as[(Long, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) === ((true, 1L)) && got(1L) === ((true, 2L))) // clamped
+    (2L to 5L).foreach(i => assert(got(i) === ((false, 1L)), s"node $i"))
+    (6L to 9L).foreach(i => assert(got(i) === ((false, 2L)), s"node $i"))
+  }
+
   test("semDedup salting never changes results and spreads a hot cell's pairs") {
     val emb = Tables.embeddings(spark, sf)
     def key(r: org.apache.spark.sql.Row) =
