@@ -619,7 +619,8 @@ object PlanAudit {
         "sim_ivfpq_res", "sim_mmr", "rel_min_cost_supp",
         "rel_nation_profit", "rel_merge_join", "str_late_data",
         "sim_semdedup", "sim_sq_topk", "sim_ivfpq_stored",
-        "txt_bm25_topk")
+        "txt_bm25_topk", "txt_bm25_stored", "txt_hybrid_rrf",
+        "txt_dup_spans", "sim_knn_graph", "dedup_incr_near")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(
