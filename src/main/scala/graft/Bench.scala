@@ -29,6 +29,8 @@ object Bench {
     import org.apache.logging.log4j.core.config.{LoggerConfig, Property}
 
     val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val MaxHits = 256 // a per-task fallback on a big stage would
+                              // otherwise queue thousands before dedup
 
     private val needles = Seq("codegen disabled",
       "falling back to interpreter", "failed to compile")
@@ -42,8 +44,8 @@ object Bench {
         override def append(ev: LogEvent): Unit = {
           val m = ev.getMessage.getFormattedMessage
           val low = m.toLowerCase
-          if (needles.exists(low.contains))
-            hits.add(m.linesIterator.next().take(300))
+          if (needles.exists(low.contains) && hits.size < MaxHits)
+            hits.add(m.linesIterator.nextOption().getOrElse(m).take(300))
         }
       }
       app.start()
@@ -80,30 +82,63 @@ object Bench {
     CodegenWatch.install()
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup: full pass, untimed
-    names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    // two measured passes, per-query MIN: a single pass still carries
-    // run-order noise (GC, lazy JIT tiers, OS page cache) that showed up
-    // as phantom 2-6x "regressions" on sub-second queries round-over-
-    // round; the min of two steady-state runs is the engine's cost
-    def pass(): Map[String, Double] = names.map { name =>
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val p1 = pass(); val p2 = pass()
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup: full pass, untimed
+    names.foreach(runOnce)
+    // Three measured passes, per-query MIN, each pass in a DIFFERENT
+    // deterministic order: a single pass carries run-order noise (GC,
+    // lazy JIT tiers, OS page cache), and identically-ordered sweeps put
+    // every query at the same wall-clock offset each pass, so a machine
+    // load spike with any periodicity can land on the SAME query in all
+    // passes (round 5: dedup_minhash recorded 19.2 s in both driver
+    // passes while a quiet re-run of the same binary gave 0.76 s).
+    // Permuting per pass decorrelates query identity from spike timing.
+    val passes = (0 until 3).map { i =>
+      val order = new scala.util.Random(7919 * (i + 1)).shuffle(names)
+      order.map(n => n -> runOnce(n)).toMap
+    }
+    val measured = names.map(n => n -> passes.map(_(n)).min)
+    // Outlier defense: any query whose min is still >3x its committed
+    // prior-round value (bench_full.json, written by the builder on a
+    // verified-quiet run) gets two solo re-runs; the official number is
+    // the min over everything, and both readings land in bench_full's
+    // "_reruns" so a contaminated record is self-documenting.
+    val ref = readRef()
+    val suspects = measured.filter { case (n, v) =>
+      v > 0.5 && ref.get(n).exists(r => v > 3 * r) }.map(_._1)
+    val reruns = suspects.map { n =>
+      n -> math.min(runOnce(n), runOnce(n)) }.toMap
+    val results = measured.map { case (n, v) =>
+      n -> math.min(v, reruns.getOrElse(n, v)) }
     // full per-query history: the driver tail keeps only the 12 slowest,
-    // so regressions on the other ~150 queries would be invisible
+    // so regressions on the other ~190 queries would be invisible
     // round-over-round; bench_full.json (committed per round) makes
     // every query's minimum diffable against the previous round
-    writeFull(results, sfDir, CodegenWatch.distinctHits)
+    writeFull(results, sfDir, CodegenWatch.distinctHits,
+      suspects.map(n => (n, measured.toMap.apply(n), reruns(n))))
     println(renderLine(results, sfDir, CodegenWatch.distinctHits.size))
     spark.stop()
+  }
+
+  /** Prior-round per-query seconds for the outlier defense: the
+    * committed bench_full.json (or SPARK_GRAFT_BENCH_REF). Missing or
+    * unparseable file → empty map → no re-runs, plain 3-pass minimums.
+    */
+  def readRef(): Map[String, Double] = {
+    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
+      entry.findAllMatchIn(txt)
+        .filterNot(_.group(1).startsWith("_"))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
   }
 
   /** All per-query minimums → bench_full.json in the repo root (or
@@ -111,7 +146,8 @@ object Bench {
     * messages the watcher caught (distinct, truncated).
     */
   def writeFull(results: Seq[(String, Double)], sfDir: String,
-                fallbacks: Seq[String] = Nil): Unit = {
+                fallbacks: Seq[String] = Nil,
+                reruns: Seq[(String, Double, Double)] = Nil): Unit = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     val qs = results.sortBy(_._1)
       .map { case (k, v) => "  \"" + k + "\": " + f"$v%.3f" }
@@ -120,8 +156,12 @@ object Bench {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => " "; case c => c.toString }
     val fb = fallbacks.map(m => "\"" + esc(m) + "\"").mkString("[", ", ", "]")
+    val rr = reruns.map { case (n, m, s) =>
+      "\"" + n + "\": {\"measured\": " + f"$m%.3f" + ", \"solo\": " + f"$s%.3f" + "}"
+    }.mkString("{", ", ", "}")
     val tail = s"""  "_total": ${f"${results.map(_._2).sum}%.3f"},
                   |  "_codegen_fallbacks": $fb,
+                  |  "_reruns": $rr,
                   |  "_sf": "$sfDir"
                   |}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), qs + tail)

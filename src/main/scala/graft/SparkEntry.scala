@@ -385,6 +385,7 @@ object SparkEntry {
     "sim_ivfpq_stored" -> ((s, d) =>
       Similarity.ivfpqProbeStored(embeddings(s, d), ivfpqIndexBase(d), 8, 5)),
     "txt_dup_spans" -> ((s, d) => Text.dupSpans(documents(s, d))),
+    "txt_span_cut" -> ((s, d) => Text.spanCut(documents(s, d))),
     "txt_hybrid_rrf" -> ((s, d) => Text.hybridRrf(documents(s, d))),
     "txt_lm_quality" -> ((s, d) => Text.lmQuality(documents(s, d))),
     // the lexical build-once/probe-many pair: _build persists the
@@ -2312,6 +2313,7 @@ object SparkEntry {
     "sim_ivfpq_build" -> kmeansCellsOracle(16),
     "sim_ivfpq_stored" -> ivfpqOracle(8, 5),
     "txt_dup_spans" -> dupSpansOracle(5),
+    "txt_span_cut" -> spanCutOracle(5),
     "txt_hybrid_rrf" -> hybridRrfOracle(10, 20, 60),
     // probing the stored inverted index is result-identical to the
     // inline BM25 plan (parquet round-trips the integer statistics);
@@ -3368,6 +3370,52 @@ object SparkEntry {
        |  CAST(max(pos) - min(pos) + $w AS BIGINT) AS span_tokens
        |FROM r GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  /** txt_span_cut oracle: re-derives [[dupSpansOracle]]'s merged
+    * spans, expands each to its covered token positions
+    * [span_start, span_end + w − 1], and rebuilds every document from
+    * its kept tokens (string_agg skips the cut rows, ordered by
+    * position — the exact mirror of the engine's null-skipping
+    * collect_list + array_sort reassembly).
+    */
+  private def spanCutOracle(w: Int): String = {
+    val gram = (0 until w)
+      .map(o => if (o == 0) "tk[i]" else s"tk[i+$o]")
+      .mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |           FROM documents),
+       |pg0 AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |          ('0x' || substr(md5(gm), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(gms) AS gm,
+       |          generate_subscripts(gms, 1) AS i
+       |        FROM (SELECT doc_id,
+       |                list_transform(generate_series(1, len(tk) - ${w - 1}),
+       |                  i -> $gram) AS gms
+       |              FROM d WHERE len(tk) >= $w) y) x),
+       |dup AS (SELECT h FROM pg0 GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM pg0 JOIN dup USING (h)),
+       |r AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+       |          AS grp
+       |      FROM dp),
+       |sp AS (SELECT doc_id, min(pos) AS s, max(pos) AS e
+       |       FROM r GROUP BY doc_id, grp),
+       |cut AS MATERIALIZED (SELECT DISTINCT doc_id, CAST(i AS BIGINT) AS cutpos
+       |       FROM sp, unnest(generate_series(s, e + ${w - 1})) AS u(i)),
+       |tok AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS tok
+       |       FROM d, unnest(generate_series(1, len(tk))) AS u(i)),
+       |m AS (SELECT t.doc_id,
+       |        CAST(count(*) AS BIGINT) AS n_tokens,
+       |        CAST(count(c.cutpos) AS BIGINT) AS n_cut,
+       |        md5(coalesce(string_agg(
+       |          CASE WHEN c.cutpos IS NULL THEN t.tok END,
+       |          ' ' ORDER BY t.pos), '')) AS clean_hash
+       |      FROM tok t LEFT JOIN cut c
+       |        ON t.doc_id = c.doc_id AND t.pos = c.cutpos
+       |      GROUP BY t.doc_id)
+       |SELECT doc_id, n_tokens, n_cut, n_tokens - n_cut AS n_kept, clean_hash
+       |FROM m ORDER BY doc_id""".stripMargin
   }
 
   /** txt_quota_sample oracle: exact largest-remainder apportionment

@@ -312,7 +312,7 @@ object Dedup {
     * the survivors.
     */
   def nearDupClusters(documents: DataFrame, w: Int = 3,
-                      minJaccard: Double = 0.3): DataFrame = {
+                      minJaccard: Double = 0.3, maxRounds: Int = 30): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // both edge directions come out of ONE pass over the pair pipeline
     // (a self-union would reference — and re-execute — the whole
@@ -323,12 +323,19 @@ object Dedup {
           struct(col("doc2").as("src"), col("doc1").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // labels are localCheckpoint'ed per round, not merely persisted:
+    // each round's plan references the previous labels TWICE (neighbor
+    // join + self), so without lineage truncation the logical tree
+    // doubles per round — at round ~8 the plan string alone OOMs the
+    // driver (found by the deep-chain spec). Checkpointing caps every
+    // round's plan at one join over two leaf RDDs, which is also what
+    // a 100 TB run needs: driver memory independent of round count.
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 30) {
+    while (changed > 0 && rounds < maxRounds) {
       // step 1: take the min over direct neighbors' labels
       val nbrMin = edges
         .join(labels.select(col("id").as("nid"), col("label").as("nlabel")),
@@ -346,12 +353,20 @@ object Dedup {
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       changed = next.filter(col("label") =!= col("old_label")).count()
-      labels.unpersist()
       labels = next.select(col("id"), col("label"))
       rounds += 1
     }
+    // hard-fail rather than silently mislabel: a >30-diameter component
+    // (deep near-dup chain) would otherwise ship a WRONG clustering —
+    // same guard as Graph.connectedComponents. The escalation path on
+    // trip is the star-contraction CC (O(log² n) rounds), not a larger
+    // cap.
+    require(changed == 0,
+      s"nearDupClusters did not converge after $rounds rounds " +
+        s"($changed labels still changing); escalate to " +
+        "Graph.connectedComponents (star-contraction) for deep chains")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     val out = labels.join(sizes, Seq("label"))
       .select(col("id").as("doc_id"), col("label").as("canon_id"),

@@ -744,8 +744,30 @@ object Similarity {
     * its nprobe cell directories — metadata-only pruning, proven in
     * SourcesSpec), plus the two broadcast-sized trained artifacts.
     */
+  /** Geometry prefix + corpus identity for the stored index. The probe
+    * compares only [[indexMarkerPrefix]] — geometry plus a METADATA-ONLY
+    * fingerprint of the corpus (md5 of the sorted input-file listing; a
+    * file-index lookup, not a data scan). The row count is stamped at
+    * BUILD time purely as a build-side record: round 5 computed
+    * `embeddings.count()` on every probe to validate freshness, which
+    * at 100 TB is an every-query enumeration of the corpus on the
+    * serving path the index exists to keep cheap. A content rewrite
+    * that keeps every file path byte-identical is invisible to the
+    * listing fingerprint — the documented residual trust boundary of
+    * build-once/probe-many (same as any standing index).
+    */
+  private[ops] def inputListingFp(df: DataFrame): String = {
+    val listing = df.inputFiles.sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def indexMarkerPrefix(embeddings: DataFrame, nlist: Int): String =
+    s"graft-ivfpq v2 nlist=$nlist m=$pqM ksub=$pqKsub " +
+      s"src=${inputListingFp(embeddings)}"
+
   private def indexMarker(embeddings: DataFrame, nlist: Int): String =
-    s"graft-ivfpq v1 nlist=$nlist m=$pqM ksub=$pqKsub n=${embeddings.count()}"
+    s"${indexMarkerPrefix(embeddings, nlist)} n=${embeddings.count()}"
 
   /** BUILD: train the no-residual IVFADC artifacts
     * ([[ivfpqTopK]]'s exact chain) and PERSIST them — the
@@ -808,8 +830,12 @@ object Similarity {
                        shortlist: Int = 20): DataFrame = {
     val spark = embeddings.sparkSession
     val marker = java.nio.file.Paths.get(base, "MARKER")
+    // freshness = geometry + input-listing fingerprint ONLY (both
+    // metadata-cheap); the build-time n= suffix is trusted, never
+    // recomputed here — no corpus-wide aggregate on the probe path
     val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == indexMarker(embeddings, nlist)
+      java.nio.file.Files.readString(marker)
+        .startsWith(indexMarkerPrefix(embeddings, nlist))
     if (!fresh) ivfpqBuildIndex(embeddings, base, nlist).count()
     val centroids = spark.read.parquet(s"$base/centroids")
     val codebooks = spark.read.parquet(s"$base/codebooks")

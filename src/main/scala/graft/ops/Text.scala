@@ -383,8 +383,19 @@ object Text {
   private def termBucket(term: Column): Column =
     pmod(tokenHash(term), lit(bm25Buckets.toLong))
 
+  /** Probe-side freshness = geometry + METADATA-ONLY corpus identity
+    * (md5 of the sorted input-file listing — a file-index lookup, not
+    * a data scan); the row count is stamped at BUILD time only. See
+    * [[graft.ops.Similarity.inputListingFp]] for the rationale: the
+    * round-5 marker ran `documents.count()` on every probe, a
+    * corpus-wide aggregate on the serving path.
+    */
+  private def bm25IndexMarkerPrefix(documents: DataFrame): String =
+    s"graft-bm25 v2 buckets=$bm25Buckets " +
+      s"src=${Similarity.inputListingFp(documents)}"
+
   private def bm25IndexMarker(documents: DataFrame): String =
-    s"graft-bm25 v1 buckets=$bm25Buckets n=${documents.count()}"
+    s"${bm25IndexMarkerPrefix(documents)} n=${documents.count()}"
 
   /** BUILD: persist the BM25 index — the (doc, term, tf) postings and
     * per-term df both partitioned by the term's hash bucket, doc
@@ -436,8 +447,10 @@ object Text {
     val spark = documents.sparkSession
     import spark.implicits._
     val marker = java.nio.file.Paths.get(base, "MARKER")
+    // geometry + listing fingerprint only — no corpus aggregate here
     val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == bm25IndexMarker(documents)
+      java.nio.file.Files.readString(marker)
+        .startsWith(bm25IndexMarkerPrefix(documents))
     if (!fresh) bm25BuildIndex(documents, base).count()
     val qterms = bm25Queries
       .flatMap { case (id, q) => q.split(" ").distinct.map(t => (id, t)) }
@@ -1192,6 +1205,53 @@ object Text {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + w).as("span_tokens"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** APPLY the span-level dedup decision: the corpus with every
+    * duplicated token range from [[dupSpans]] CUT OUT — the actual
+    * output table of Lee et al. 2022's substring dedup (the substring
+    * analog of [[graft.ops.Dedup.applyNearDupDedup]]): a span covering
+    * gram positions [s, e] removes tokens s .. e+w−1, the cleaned
+    * document is the kept tokens re-joined in order, and each row
+    * carries the kept/cut accounting a pipeline audits against
+    * [[dupSpans]].
+    *
+    * Scale shape: cut positions explode from the (few, short) spans —
+    * never from the corpus; overlapping token intervals of adjacent
+    * spans dedupe with one distinct on (doc, pos); the cut marks reach
+    * the token stream by (doc_id, pos) equi-join; and reassembly is a
+    * per-document aggregation (collect_list skips the cut rows, one
+    * array_sort per doc) — no window at all, nothing orders globally
+    * except the output sort. Every hash is md5 so the cleaned text is
+    * DuckDB-oracle-checkable.
+    */
+  def spanCut(documents: DataFrame, w: Int = 5): DataFrame = {
+    val parallelism =
+      documents.sparkSession.sparkContext.defaultParallelism
+    val cuts = dupSpans(documents, w)
+      .select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end") + (w - 1)))
+          .as("cutpos"))
+      .distinct()
+    val toks = documents
+      .repartition(parallelism, col("doc_id"))
+      .withColumn("tk", tokens(lower(col("text"))))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    toks.alias("t")
+      .join(cuts.alias("c"),
+        col("t.doc_id") === col("c.doc_id") && col("t.pos") === col("c.cutpos"),
+        "left")
+      .groupBy(col("t.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("c.cutpos")).as("n_cut"),
+        array_join(transform(array_sort(collect_list(
+            when(col("c.cutpos").isNull, struct(col("t.pos"), col("t.tok"))))),
+          x => x.getField("tok")), " ").as("clean_text"))
+      .select(col("doc_id"), col("n_tokens"), col("n_cut"),
+        (col("n_tokens") - col("n_cut")).as("n_kept"),
+        md5(col("clean_text")).as("clean_hash"))
+      .orderBy(col("doc_id"))
   }
 
   /** Deterministic quota sampling: apportion a FIXED total of `k`

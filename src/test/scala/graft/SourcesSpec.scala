@@ -162,6 +162,44 @@ class SourcesSpec extends SparkTestBase {
       .collect().map(key).toSeq === inline)
   }
 
+  test("stored-index probes: fresh-marker check runs no corpus-wide job") {
+    // round-5 regression guard: the markers embedded `corpus.count()`,
+    // so EVERY probe paid a corpus-wide aggregate just to validate
+    // freshness. The v2 markers compare geometry + the input-file
+    // listing fingerprint (metadata-only); constructing a fresh probe
+    // must now trigger at most the ivfpq query-vector localCheckpoint
+    // job — never a count over embeddings/documents.
+    import graft.ops.{Similarity, Text}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val emb = Tables.embeddings(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val b1 = tmp("ivfpqfresh"); val b2 = tmp("bm25fresh")
+    Similarity.ivfpqBuildIndex(emb, b1, 16).count()
+    Text.bm25BuildIndex(docs, b2).count()
+    // parquet reads legitimately launch file-listing jobs on the INDEX
+    // artifacts; the regression shape is specifically an eager count()
+    // from the ops files (the v1 markers' corpus aggregate), so match
+    // job callsites, not job counts.
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        j.stageInfos.foreach(s => stages.add(s.name))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.ivfpqProbeStored(emb, b1, 4, 5) // constructed, not run
+      Text.bm25ProbeStored(docs, b2, 10)
+      Thread.sleep(1000) // listener bus is async
+      import scala.jdk.CollectionConverters._
+      val counts = stages.iterator().asScala
+        .filter(n => n.startsWith("count at Similarity.scala") ||
+          n.startsWith("count at Text.scala")).toList
+      assert(counts.isEmpty,
+        s"fresh probes launched corpus aggregates: $counts — the " +
+          "count() leaked back into the freshness check")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     // the 100 TB star-join lever: the fact side is partitioned on the
     // join key, the dim filter is only known at runtime, and DPP turns
