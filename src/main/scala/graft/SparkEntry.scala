@@ -384,6 +384,12 @@ object SparkEntry {
       Similarity.ivfpqBuildIndex(embeddings(s, d), ivfpqIndexBase(d), 16)),
     "sim_ivfpq_stored" -> ((s, d) =>
       Similarity.ivfpqProbeStored(embeddings(s, d), ivfpqIndexBase(d), 8, 5)),
+    // index MAINTENANCE: quantizers train on the base four-fifths
+    // (lazy build, marker), every run replays the idempotent batch
+    // append into the cell partitions (dynamic partition overwrite),
+    // then probes the merged layout over the full corpus
+    "sim_ivfpq_append" -> ((s, d) =>
+      Similarity.ivfpqAppendProbe(embeddings(s, d), ivfpqAppendIndexBase(d), 8, 5)),
     "txt_dup_spans" -> ((s, d) => Text.dupSpans(documents(s, d))),
     "txt_span_cut" -> ((s, d) => Text.spanCut(documents(s, d))),
     "txt_hybrid_rrf" -> ((s, d) => Text.hybridRrf(documents(s, d))),
@@ -396,6 +402,13 @@ object SparkEntry {
       Text.bm25BuildIndex(documents(s, d), bm25IndexBase(d))),
     "txt_bm25_stored" -> ((s, d) =>
       Text.bm25ProbeStored(documents(s, d), bm25IndexBase(d))),
+    // index MAINTENANCE: build on the base four-fifths (lazy, marker),
+    // merge the batch fifth into the affected bucket partitions every
+    // run (dynamic partition overwrite — the measured cost IS the
+    // append), probe the merged layout; result-identical to the
+    // inline index over the full corpus, so the oracle is bm25Oracle
+    "txt_bm25_append" -> ((s, d) =>
+      Text.bm25AppendProbe(documents(s, d), bm25AppendIndexBase(d))),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -451,6 +464,14 @@ object SparkEntry {
 
   private def bm25IndexBase(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index/" +
+      new java.io.File(sfDir).getName
+
+  private def bm25AppendIndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bm25_append/" +
+      new java.io.File(sfDir).getName
+
+  private def ivfpqAppendIndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_append/" +
       new java.io.File(sfDir).getName
 
   /** Target mixture for txt_mixture_sample (basis-point keep rates):
@@ -2312,6 +2333,7 @@ object SparkEntry {
     // parquet round-trips the trained doubles bit-exactly
     "sim_ivfpq_build" -> kmeansCellsOracle(16),
     "sim_ivfpq_stored" -> ivfpqOracle(8, 5),
+    "sim_ivfpq_append" -> ivfpqAppendOracle(8, 5),
     "txt_dup_spans" -> dupSpansOracle(5),
     "txt_span_cut" -> spanCutOracle(5),
     "txt_hybrid_rrf" -> hybridRrfOracle(10, 20, 60),
@@ -2328,6 +2350,10 @@ object SparkEntry {
         |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms
         |FROM tf GROUP BY bucket ORDER BY bucket""".stripMargin,
     "txt_bm25_stored" -> bm25Oracle(10),
+    // append merges into the bucket layout until it IS the from-scratch
+    // index over the union (BM25 has no trained artifacts), so the
+    // probe-after-append oracle is the inline-index oracle verbatim
+    "txt_bm25_append" -> bm25Oracle(10),
     "txt_lm_quality" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
         |           FROM documents),
@@ -2906,11 +2932,15 @@ object SparkEntry {
        |      / sqrt(${dotSql("embedding", "embedding")})) AS embedding
        |  FROM embeddings)""".stripMargin
 
-  /** PQ training + encoding CTE chain over `src` (vec_id, embedding):
-    * per-subspace sampled k-means → `cb` codebooks → `enc` codes.
+  /** PQ training + encoding CTE chain: per-subspace sampled k-means
+    * over `src` → `cb` codebooks → `enc` codes over `encSrc`
+    * (defaults to `src`; the append oracle trains on the base split
+    * and encodes the union — the stored-quantizer maintenance
+    * contract).
     */
-  private def pqTrainEncCtes(src: String): String = {
+  private def pqTrainEncCtes(src: String, encSrc: String = null): String = {
     import Similarity.{pqM, pqDsub, pqKsub, pqIters}
+    val encode = Option(encSrc).getOrElse(src)
     val blk = Similarity.trainBlock
     val subspaces = (0 until pqM).map { m =>
       val lo = m * pqDsub + 1
@@ -2946,7 +2976,7 @@ object SparkEntry {
        |cb AS MATERIALIZED ($cbUnion),
        |subs AS (SELECT vec_id, u.m,
        |    list_slice(embedding, u.m * $pqDsub + 1, u.m * $pqDsub + $pqDsub) AS sv
-       |  FROM $src, unnest(generate_series(0, ${pqM - 1})) AS u(m)),
+       |  FROM $encode, unnest(generate_series(0, ${pqM - 1})) AS u(m)),
        |enc AS MATERIALIZED (SELECT vec_id, m, code FROM (
        |    SELECT s.vec_id, s.m, c.code,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -2995,6 +3025,65 @@ object SparkEntry {
                           nprobe: Int = 4, shortlist: Int = 20): String =
     s"""WITH ${pqCtes(nq)},
        |${kmeansSql(nlist, Similarity.ivfIters)},
+       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e, cent c) t WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.vec_id AS query_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $nq) q, cent c) t WHERE rn <= $nprobe),
+       |cand AS (SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a USING (cell)
+       |  WHERE a.vec_id <> p.query_id),
+       |adcs AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    list_sum(list(l.pd ORDER BY l.m)) AS adc
+       |  FROM cand cd JOIN enc e ON e.vec_id = cd.vec_id
+       |  JOIN lut l ON l.query_id = cd.query_id
+       |    AND l.m = e.m AND l.code = e.code
+       |  GROUP BY 1, 2),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc DESC, neighbor_id) AS rn
+       |    FROM adcs) t WHERE rn <= $shortlist),
+       |qq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $nq),
+       |s AS (SELECT sh.query_id, sh.neighbor_id,
+       |        ${cosSql("qq.qe", "c.embedding")} AS sim
+       |      FROM short sh
+       |      JOIN embeddings c ON c.vec_id = sh.neighbor_id
+       |      JOIN qq ON qq.query_id = sh.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** sim_ivfpq_append oracle: the maintenance contract — quantizers
+    * (coarse k-means AND the PQ codebooks) train on the BASE
+    * four-fifths split only (`vec_id % 5 <> 4` — seeds, training
+    * sample, and Lloyd iterations all see base rows exclusively,
+    * exactly what the engine's build-on-base stored), while
+    * assignment, encoding, probing, and re-rank run over the FULL
+    * corpus — the layout the engine serves after appending the batch
+    * fifth with the stored quantizers. Everything else is
+    * [[ivfpqOracle]] verbatim.
+    */
+  private def ivfpqAppendOracle(nq: Int, k: Int, nlist: Int = 16,
+                                nprobe: Int = 4, shortlist: Int = 20): String =
+    s"""WITH eb AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 5 <> 4),
+       |$unCte,
+       |unb AS MATERIALIZED (SELECT * FROM un WHERE vec_id % 5 <> 4),
+       |${pqTrainEncCtes("unb", "un")},
+       |${pqQueryLutCtes(nq)},
+       |${kmeansSql(nlist, Similarity.ivfIters, "eb")},
        |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
        |assigned AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (

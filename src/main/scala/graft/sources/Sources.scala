@@ -58,6 +58,28 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
 
+  /** Incremental-maintenance write: DYNAMIC partition overwrite —
+    * only the partition directories present in `df` are replaced, all
+    * others are left byte-untouched. This is the append/merge
+    * primitive for the stored index layouts: at 100 TB an index
+    * update rewrites the handful of affected cell/bucket directories,
+    * never the whole layout. Callers that derived `df` by READING the
+    * same path must materialize it first (localCheckpoint) — Spark
+    * refuses to overwrite a path that is still being read lazily.
+    */
+  def mergePartitioned(df: DataFrame, path: String,
+                       partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** ANN index storage layout: the corpus written partitioned by its
     * TRAINED IVF cell, so a probe reads only its nprobe cell
     * directories — the storage half of the IVF contract

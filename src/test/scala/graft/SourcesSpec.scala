@@ -162,6 +162,52 @@ class SourcesSpec extends SparkTestBase {
       .collect().map(key).toSeq === inline)
   }
 
+  test("stored-index append: idempotent merge, untouched partitions stay byte-identical") {
+    import graft.ops.{Similarity, Text}
+    val emb = Tables.embeddings(spark, sf)
+    val base = tmp("ivfpqapp")
+    Similarity.ivfpqBuildIndex(emb, base, 16).count()
+    val n = spark.read.parquet(s"$base/cells").count()
+    // three brand-new vectors land in at most three of the 16 cells
+    val batch = emb.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    def files(dir: String): Map[String, Set[String]] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(_.isDirectory)
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    val before = files(s"$base/cells")
+    Similarity.ivfpqAppend(batch, base)
+    val after = files(s"$base/cells")
+    val touched = spark.read.parquet(s"$base/cells")
+      .filter(col("vec_id") >= 1000000L)
+      .select(col("cell").cast("int")).distinct().collect()
+      .map(r => s"cell=${r.getInt(0)}").toSet
+    assert(touched.nonEmpty && touched.size <= 3)
+    // dynamic partition overwrite: every UNtouched cell directory keeps
+    // its exact files; only the batch's cells were rewritten
+    before.keys.filterNot(touched).foreach { d =>
+      assert(after(d) === before(d), s"untouched partition $d was rewritten")
+    }
+    assert(spark.read.parquet(s"$base/cells").count() === n + 3)
+    assert(spark.read.parquet(s"$base/codes").count() === n + 3)
+    // replaying the same append is a no-op on the row level
+    Similarity.ivfpqAppend(batch, base)
+    assert(spark.read.parquet(s"$base/cells").count() === n + 3)
+    assert(spark.read.parquet(s"$base/codes").count() === n + 3)
+
+    // BM25: build-on-base → append-batch → probe equals the inline
+    // index over the FULL corpus, and replaying it changes nothing
+    val docs = Tables.documents(spark, sf)
+    val b2 = tmp("bm25app")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val inline = Text.bm25TopK(docs, 10).collect().map(key).toSeq
+    assert(Text.bm25AppendProbe(docs, b2, 10).collect().map(key).toSeq === inline)
+    assert(Text.bm25AppendProbe(docs, b2, 10).collect().map(key).toSeq === inline)
+  }
+
   test("stored-index probes: fresh-marker check runs no corpus-wide job") {
     // round-5 regression guard: the markers embedded `corpus.count()`,
     // so EVERY probe paid a corpus-wide aggregate just to validate
