@@ -393,6 +393,11 @@ object SparkEntry {
     "txt_dup_spans" -> ((s, d) => Text.dupSpans(documents(s, d))),
     "txt_span_cut" -> ((s, d) => Text.spanCut(documents(s, d))),
     "txt_hybrid_rrf" -> ((s, d) => Text.hybridRrf(documents(s, d))),
+    // hybrid retrieval over the STANDING indexes: lexical arm from the
+    // stored BM25 buckets, semantic arm probing the stored stub-vector
+    // IVF cells — no corpus tokenize or brute-force scoring at probe
+    "txt_hybrid_stored" -> ((s, d) =>
+      Text.hybridStored(documents(s, d), bm25IndexBase(d), hybridAnnIndexBase(d))),
     "txt_lm_quality" -> ((s, d) => Text.lmQuality(documents(s, d))),
     // the lexical build-once/probe-many pair: _build persists the
     // bucket-partitioned inverted index, _stored scores the fixed
@@ -472,6 +477,10 @@ object SparkEntry {
 
   private def ivfpqAppendIndexBase(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_append/" +
+      new java.io.File(sfDir).getName
+
+  private def hybridAnnIndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_hybrid_ann/" +
       new java.io.File(sfDir).getName
 
   /** Target mixture for txt_mixture_sample (basis-point keep rates):
@@ -770,7 +779,8 @@ object SparkEntry {
     * bit-identical.
     */
   private def kmeansSql(nlist: Int, iters: Int,
-                        src: String = "embeddings"): String = {
+                        src: String = "embeddings",
+                        dimN: Int = Similarity.dim): String = {
     val blk = Similarity.trainBlock
     val init = s"ksamp AS MATERIALIZED (SELECT * FROM $src WHERE $trainSampleSql),\n" +
       s"cent0 AS MATERIALIZED (SELECT vec_id AS centroid_id, " +
@@ -786,7 +796,7 @@ object SparkEntry {
          |kb$p AS (SELECT cell, j, vec_id // $blk AS blk,
          |    list_sum(list(CAST(embedding[j] AS DOUBLE) ORDER BY vec_id)) AS bsum,
          |    count(*) AS bn
-         |  FROM ka$p, unnest(generate_series(1, ${Similarity.dim})) AS u(j)
+         |  FROM ka$p, unnest(generate_series(1, $dimN)) AS u(j)
          |  GROUP BY cell, j, blk),
          |km$p AS (SELECT cell, j,
          |    list_sum(list(bsum ORDER BY blk)) / sum(bn) AS mv
@@ -2337,6 +2347,7 @@ object SparkEntry {
     "txt_dup_spans" -> dupSpansOracle(5),
     "txt_span_cut" -> spanCutOracle(5),
     "txt_hybrid_rrf" -> hybridRrfOracle(10, 20, 60),
+    "txt_hybrid_stored" -> hybridStoredOracle(10, 20, 60),
     // probing the stored inverted index is result-identical to the
     // inline BM25 plan (parquet round-trips the integer statistics);
     // the build's census re-derives the same md5 term bucketing
@@ -2833,6 +2844,63 @@ object SparkEntry {
        |  FROM documents),
        |s AS (SELECT query_id, doc_id, ${cosSql("qv", "v")} AS cs
        |      FROM qv, dv),
+       |semr AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cs DESC, doc_id) AS BIGINT) AS r_sem
+       |  FROM s),
+       |sem AS (SELECT query_id, doc_id, r_sem FROM semr
+       |        WHERE r_sem <= $nCand),
+       |f AS (SELECT query_id, doc_id,
+       |    coalesce(CAST(1.0 AS DOUBLE) / ($kRrf + r_lex), 0.0)
+       |      + coalesce(CAST(1.0 AS DOUBLE) / ($kRrf + r_sem), 0.0) AS rrf
+       |  FROM lex FULL JOIN sem USING (query_id, doc_id)),
+       |r AS (SELECT query_id, doc_id, rrf,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM f)
+       |SELECT query_id, doc_id, rrf, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** txt_hybrid_stored oracle: the [[bm25Ctes]] lexical ranking fused
+    * with the IVF-PROBED semantic ranking (not brute force — the
+    * engine's stored arm reads only its nprobe cell directories, so
+    * the oracle re-derives the same 8-dim stub-vector k-means, the
+    * argmax-cosine assignment, the per-query nprobe probed cells, and
+    * ranks candidates WITHIN the probed cells only).
+    */
+  private def hybridStoredOracle(k: Int, nCand: Int, kRrf: Int,
+                                 nlist: Int = 16, nprobe: Int = 4): String = {
+    val iters = Similarity.ivfIters
+    def vecSql(src: String): String = (0 until 8)
+      .map(i => s"('0x' || substr(md5($src), ${i * 2 + 1}, 2))::BIGINT / 255.0")
+      .mkString("[", ",\n       |   ", "]")
+    val qtVals = Text.bm25Queries
+      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
+    s"""WITH $bm25Ctes,
+       |lex AS (SELECT query_id, doc_id, rank AS r_lex FROM lexr
+       |        WHERE rank <= $nCand),
+       |qt(query_id, qtext) AS (VALUES $qtVals),
+       |qv AS (SELECT query_id, ${vecSql("qtext")} AS qv FROM qt),
+       |dve AS MATERIALIZED (SELECT doc_id AS vec_id,
+       |    ${vecSql("text")} AS embedding
+       |  FROM documents),
+       |${kmeansSql(nlist, iters, "dve", 8)},
+       |cent AS MATERIALIZED (SELECT * FROM cent$iters),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM dve e, cent c) t WHERE rn = 1),
+       |probes AS (SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q.qv", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM qv q, cent c) t WHERE rn <= $nprobe),
+       |s AS (SELECT p.query_id, a.vec_id AS doc_id,
+       |        ${cosSql("p.qv", "a.embedding")} AS cs
+       |      FROM probes p JOIN assigned a USING (cell)),
        |semr AS (SELECT query_id, doc_id,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY cs DESC, doc_id) AS BIGINT) AS r_sem

@@ -183,24 +183,37 @@ object Dedup {
     * (band_idx, key) → distinct pairs → exact shingle-set Jaccard.
     */
   def minhashNearDups(documents: DataFrame, w: Int = 3,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8, salts: Int = 8): DataFrame = {
     val sigs = withMinhashSignature(documents, w)
     val bandKeys = (0 until numBands).map { j =>
       concat_ws(",", (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}")): _*)
     }
+    // candidate pairs are few (LSH bands prune) — but a HOT band bucket
+    // (boilerplate/empty-ish docs sharing a signature band) is an
+    // unsalted Σ|bucket|² on one reducer, the same skew class the
+    // SemDeDup cell join had. Same fix: the right side hash-salts by
+    // its own doc_id, the left side replicates ×salts, the join keys on
+    // (band, salt) — each (a,b) pair emerges exactly once (at salt(b)),
+    // so results are salt-INVARIANT (oracle computes the unsalted plan;
+    // spec-proven) while a hot bucket's pair work spreads over `salts`
+    // reducers. The bands frame is localCheckpoint'ed so the signature
+    // pipeline runs ONCE even though the two join sides now project
+    // different salt columns (alias-reuse can no longer dedupe them).
     val bands = sigs.select(
         col("doc_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
-    // candidate pairs are few (LSH bands prune). The self-join aliases
-    // AFTER the join so both sides canonicalize to the SAME exchange
-    // subtree (ReuseExchange computes the signature pipeline once), and
-    // `cand` feeds exactly ONE downstream join chain — every extra
-    // DataFrame reference would re-execute the whole upstream plan.
-    val x = bands.alias("x")
-    val y = bands.alias("y")
+      .localCheckpoint()
+    val x = bands
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+      .alias("x")
+    val y = bands
+      .withColumn("salt",
+        pmod(Text.tokenHash(col("doc_id").cast("string")), lit(salts.toLong)))
+      .alias("y")
     val cand = x.join(y,
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
+          col("x.salt") === col("y.salt") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2")).distinct()
 

@@ -1276,19 +1276,46 @@ object Similarity {
     * nothing have no edges — exactly the vectors LSH cannot place,
     * which a production NN-Descent refinement pass would then wire.
     */
-  def knnGraph(embeddings: DataFrame, k: Int = 5): DataFrame = {
+  /** Salted banded-LSH candidate pairs (id1 < id2) — the shared
+    * candidate generator of [[knnGraph]] and [[nearDupPairs]]. A hot
+    * band bucket is an unsalted Σ|bucket|² on one reducer (the skew
+    * class the SemDeDup cell join fixed in round 5); same device here:
+    * the right side hash-salts by its own vec_id, the left side
+    * replicates ×salts, the join keys on (band, salt). Each (a,b) pair
+    * emerges exactly once — at salt(b) — so candidates are
+    * salt-INVARIANT (the oracles compute the unsalted plan;
+    * spec-proven) while a hot bucket's pair work spreads over `salts`
+    * reducers. The banded frame is localCheckpoint'ed (pruned to the
+    * 3 join columns first) so the banding pipeline runs once even
+    * though the two sides now project different salt columns.
+    */
+  private def bandedCandidatePairs(embeddings: DataFrame,
+                                   salts: Int): DataFrame = {
     val banded = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
         col("vec_id"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         posexplode(bandKeys(col("embedding"))).as(Seq("band_idx", "band_key")))
-    val x = banded.alias("x")
-    val y = banded.alias("y")
-    val cand = x.join(y,
+      .localCheckpoint()
+    val x = banded
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+      .alias("x")
+    val y = banded
+      .withColumn("salt",
+        pmod(graft.ops.Text.tokenHash(col("vec_id").cast("string")),
+          lit(salts.toLong)))
+      .alias("y")
+    x.join(y,
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
+          col("x.salt") === col("y.salt") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2")).distinct()
+  }
+
+  def knnGraph(embeddings: DataFrame, k: Int = 5,
+               salts: Int = 8): DataFrame = {
+    val cand = bandedCandidatePairs(embeddings, salts)
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
     val scored = cand
       .join(vecs.select(col("vec_id").as("id1"), col("embedding").as("e1")),
@@ -1357,18 +1384,9 @@ object Similarity {
     * to band, the self-join runs per (band, key) bucket, and only
     * candidate pairs pay the exact dot product.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val banded = embeddings
-      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"),
-        posexplode(bandKeys(col("embedding"))).as(Seq("band_idx", "band_key")))
-    val x = banded.alias("x")
-    val y = banded.alias("y")
-    val cand = x.join(y,
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2")).distinct()
+  def nearDupPairs(embeddings: DataFrame, threshold: Double,
+                   salts: Int = 8): DataFrame = {
+    val cand = bandedCandidatePairs(embeddings, salts)
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
     cand
       .join(vecs.select(col("vec_id").as("id1"), col("embedding").as("e1")), Seq("id1"))

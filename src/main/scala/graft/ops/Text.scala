@@ -606,6 +606,15 @@ object Text {
     * ride a broadcast literal table; all score arithmetic is exact
     * IEEE division of integer ranks, so the fused scores hash-match.
     */
+  /** md5-stub embedding: one hex pair per dimension, exact /255 — the
+    * same declared encoder stand-in as `mm_embed`; a real encoder
+    * changes only this projection.
+    */
+  private[ops] def stubVec(c: Column): Column =
+    array((0 until 8).map(i =>
+      conv(substring(md5(c), i * 2 + 1, 2), 16, 10).cast("double")
+        / lit(255.0)): _*)
+
   def hybridRrf(documents: DataFrame, k: Int = 10, nCand: Int = 20,
                 kRrf: Int = 60): DataFrame = {
     val spark = documents.sparkSession
@@ -613,11 +622,6 @@ object Text {
     val parallelism = spark.sparkContext.defaultParallelism
     val lex = bm25TopK(documents, nCand)
       .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
-    // md5-stub embedding: one hex pair per dimension, exact /255
-    def stubVec(c: Column): Column =
-      array((0 until 8).map(i =>
-        conv(substring(md5(c), i * 2 + 1, 2), 16, 10).cast("double")
-          / lit(255.0)): _*)
     val qv = bm25Queries.toDF("query_id", "qtext")
       .select(col("query_id"), stubVec(col("qtext")).as("qv"))
     val dv = documents
@@ -626,6 +630,91 @@ object Text {
     val scored = dv.join(broadcast(qv))
       .select(col("query_id"), col("doc_id"),
         Similarity.cosine(col("qv"), col("v")).as("cs"))
+    val semPruned = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        scored.withColumn("__tie", -col("doc_id")),
+        Seq("query_id"), Seq("cs", "__tie"), nCand)
+      .drop("__tie")
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cs").desc, col("doc_id"))
+    val sem = semPruned
+      .withColumn("r_sem", row_number().over(ws).cast("long"))
+      .select(col("query_id"), col("doc_id"), col("r_sem"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(kRrf.toLong) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf.toLong) + col("r_sem")), lit(0.0)))
+          .as("rrf"))
+    val pruned = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        fused.withColumn("__tie", -col("doc_id")),
+        Seq("query_id"), Seq("rrf", "__tie"), k)
+      .drop("__tie")
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    pruned.withColumn("rank", row_number().over(wr).cast("long"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hybrid retrieval over the STANDING indexes — the production form
+    * of [[hybridRrf]]: the lexical arm scores from the persisted BM25
+    * bucket layout (static bucket partition pruning, no corpus
+    * tokenize — [[bm25ProbeStored]]'s serving path verbatim) and the
+    * semantic arm probes a persisted IVF-flat index over the md5-stub
+    * document embeddings (query ranks the nlist stored centroids,
+    * reads ONLY its nprobe cell directories via dynamic partition
+    * pruning, exact cosine within). Neither arm touches the corpus
+    * table at probe time — at 100 TB that is the difference between
+    * this and [[hybridRrf]]'s brute-force semantic arm, and the
+    * rankings differ from it exactly where IVF recall differs from
+    * exact search (the oracle re-derives the probed-cells ranking,
+    * not the brute-force one). Both indexes build lazily once
+    * (markers); fusion is the same exact-integer-rank RRF.
+    */
+  def hybridStored(documents: DataFrame, bm25Base: String, annBase: String,
+                   k: Int = 10, nCand: Int = 20, kRrf: Int = 60,
+                   nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    // lexical arm from the stored inverted index (lazy build + marker)
+    val lex = bm25ProbeStored(documents, bm25Base, nCand)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
+    // semantic arm: lazy-build the IVF-flat stub-embedding index
+    val marker = java.nio.file.Paths.get(annBase, "MARKER")
+    val expected = s"graft-hybrid-ann v1 nlist=$nlist " +
+      s"src=${graft.ops.Similarity.inputListingFp(documents)}"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == expected
+    if (!fresh) {
+      val dv = documents
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id").as("vec_id"), stubVec(col("text")).as("embedding"))
+      val centroids = Similarity.kmeansCentroids(dv, nlist).localCheckpoint()
+      graft.sources.Sources.writePartitioned(
+        Similarity.assignCells(dv, centroids), s"$annBase/cells", "cell")
+      centroids.write.mode("overwrite").parquet(s"$annBase/centroids")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(annBase))
+      java.nio.file.Files.writeString(marker, expected)
+    }
+    // probe: queries are literal strings — zero corpus reads
+    val qv = bm25Queries.toDF("query_id", "qtext")
+      .select(col("query_id"), stubVec(col("qtext")).as("qv"))
+    val cent = spark.read.parquet(s"$annBase/centroids")
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+    val probeCells = qv.join(broadcast(cent))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        Similarity.cosine(col("qv"), col("ce")).as("cs"))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
+    // the broadcast probed-cell join keys the partitioned scan on
+    // `cell` → dynamic partition pruning trims to nprobe directories
+    val cells = spark.read.parquet(s"$annBase/cells")
+      .select(col("vec_id").as("doc_id"), col("embedding"),
+        col("cell").cast("long").as("cell"))
+    val scored = cells.join(broadcast(probeCells), Seq("cell"))
+      .select(col("query_id"), col("doc_id"),
+        Similarity.cosine(col("qv"), col("embedding")).as("cs"))
     val semPruned = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
         scored.withColumn("__tie", -col("doc_id")),
         Seq("query_id"), Seq("cs", "__tie"), nCand)

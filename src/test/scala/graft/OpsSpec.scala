@@ -572,6 +572,63 @@ class OpsSpec extends SparkTestBase {
     assert(sp.nonEmpty && ss === sp)
   }
 
+  test("banded candidate salting never changes results and spreads a hot band bucket") {
+    val emb = Tables.embeddings(spark, sf)
+    def key4(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    def key3(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // salt-invariance on the real fixtures, all three banded self-joins
+    val g1 = Similarity.knnGraph(emb, 5, salts = 1).collect().map(key4).toSeq
+    val g8 = Similarity.knnGraph(emb, 5, salts = 8).collect().map(key4).toSeq
+    assert(g1.nonEmpty && g8 === g1)
+    val p1 = Similarity.nearDupPairs(emb, 0.9, salts = 1).collect().map(key3).toSeq
+    val p8 = Similarity.nearDupPairs(emb, 0.9, salts = 8).collect().map(key3).toSeq
+    assert(p8 === p1)
+    val docs = Tables.documents(spark, sf)
+    def keyd(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    val m1 = Dedup.minhashNearDups(docs, 3, 0.8, salts = 1)
+      .collect().map(keyd).toSeq
+    val m8 = Dedup.minhashNearDups(docs, 3, 0.8, salts = 8)
+      .collect().map(keyd).toSeq
+    assert(m1.nonEmpty && m8 === m1)
+    // skewed corpus: 280 near-identical vectors share every band key —
+    // the unsalted join's Σ|bucket|² regime. Per (band, key, salt) the
+    // salted right side must stay near its fair share of the bucket.
+    val salts = 8
+    val skewRows = (0 until 280).map { i =>
+      (i.toLong, (0 until Similarity.dim).map(j =>
+        (1.0f + (if (j == 0) i * 1e-4f else 0f))))
+    } ++ (280 until 300).map { i =>
+      (i.toLong, (0 until Similarity.dim).map(j =>
+        math.sin(i * 31 + j).toFloat))
+    }
+    val skewed = skewRows.toDF("vec_id", "embedding")
+    val banded = skewed.select(col("vec_id"),
+        posexplode(Similarity.bandKeys(col("embedding")))
+          .as(Seq("band_idx", "band_key")))
+      .withColumn("salt",
+        pmod(Text.tokenHash(col("vec_id").cast("string")), lit(salts.toLong)))
+    val bucketTotals = banded.groupBy("band_idx", "band_key").count()
+      .as[(Int, String, Long)].collect()
+      .map { case (i, k, n) => (i, k) -> n }.toMap
+    assert(bucketTotals.values.max >= 250, "fixture should have a hot bucket")
+    banded.groupBy("band_idx", "band_key", "salt").count()
+      .as[(Int, String, Long, Long)].collect()
+      .foreach { case (i, k, _, n) =>
+        val fair = math.ceil(bucketTotals((i, k)).toDouble / salts)
+        assert(n <= 3 * fair,
+          s"bucket ($i,$k) shard holds $n of ${bucketTotals((i, k))} (fair ~$fair)")
+      }
+    // and the skewed corpus's results stay salt-invariant end to end
+    val s1 = Similarity.nearDupPairs(skewed, 0.999, salts = 1)
+      .collect().map(key3).toSeq
+    val s8 = Similarity.nearDupPairs(skewed, 0.999, salts = salts)
+      .collect().map(key3).toSeq
+    assert(s1.nonEmpty && s8 === s1)
+  }
+
   test("BM25 ranks term-matching docs and agrees with a hand computation") {
     import graft.ops.Text
     // corpus where query-0's terms concentrate in doc 0
