@@ -373,6 +373,9 @@ object SparkEntry {
     "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(embeddings(s, d), 8, 5)),
     "sim_sq_recall" -> ((s, d) => Similarity.sqRecall(embeddings(s, d), 8, 5)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(embeddings(s, d), 5)),
+    // one NN-Descent round over the kNN graph + IVF-cell wiring for
+    // band-orphan nodes; recall strictly above sim_knn_graph (spec-gated)
+    "sim_knn_refine" -> ((s, d) => Similarity.knnRefine(embeddings(s, d), 5)),
     "sim_label_prop" -> ((s, d) =>
       Similarity.labelPropagate(embeddings(s, d), 100, 5, 3)),
     "txt_bm25_topk" -> ((s, d) => Text.bm25TopK(documents(s, d))),
@@ -1000,6 +1003,50 @@ object SparkEntry {
   private def knnGraphOracle(k: Int): String =
     s"""WITH $knnGraphCtes
        |SELECT query_id, neighbor_id, sim, rank FROM knnr WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** sim_knn_refine oracle: the [[knnGraphCtes]] round-0 graph, the
+    * NN-Descent u→v→w expansion, the orphan-wiring candidates from the
+    * trained IVF cells (same k-means CTE chain as the ANN oracles),
+    * all collapsed to one undirected distinct set, scored once, fanned
+    * both ways, per-node top-k.
+    */
+  private def knnRefineOracle(k: Int, nlist: Int = 16): String =
+    s"""WITH $knnGraphCtes,
+       |g AS MATERIALIZED (SELECT query_id, neighbor_id FROM knnr
+       |  WHERE rank <= $k),
+       |nn AS (SELECT a.query_id AS u, b.neighbor_id AS w
+       |  FROM g a JOIN g b ON a.neighbor_id = b.query_id
+       |    AND a.query_id <> b.neighbor_id),
+       |orph AS (SELECT vec_id FROM embeddings
+       |  WHERE vec_id NOT IN (SELECT query_id FROM g)),
+       |${kmeansSql(nlist, Similarity.ivfIters)},
+       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
+       |kassigned AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e, cent c) t WHERE rn = 1),
+       |oc AS (SELECT o.vec_id AS u, a2.vec_id AS w
+       |  FROM orph o JOIN kassigned a1 ON a1.vec_id = o.vec_id
+       |  JOIN kassigned a2 ON a2.cell = a1.cell AND a2.vec_id <> o.vec_id),
+       |uc AS (SELECT DISTINCT least(u, w) AS id1, greatest(u, w) AS id2
+       |  FROM (SELECT query_id AS u, neighbor_id AS w FROM g
+       |        UNION ALL SELECT u, w FROM nn
+       |        UNION ALL SELECT u, w FROM oc)),
+       |s2 AS MATERIALIZED (SELECT id1, id2,
+       |        ${cosSql("a.embedding", "b.embedding")} AS sim
+       |      FROM uc
+       |      JOIN embeddings a ON a.vec_id = uc.id1
+       |      JOIN embeddings b ON b.vec_id = uc.id2),
+       |sym2 AS (SELECT id1 AS query_id, id2 AS neighbor_id, sim FROM s2
+       |         UNION ALL SELECT id2, id1, sim FROM s2),
+       |knnr2 AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM sym2)
+       |SELECT query_id, neighbor_id, sim, rank FROM knnr2 WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
   /** sim_label_prop oracle: the kNN graph, then `rounds` synchronous
@@ -2335,6 +2382,7 @@ object SparkEntry {
     "sim_sq_topk" -> sqTopkOracle(8, 5),
     "sim_sq_recall" -> sqRecallOracle(8, 5),
     "sim_knn_graph" -> knnGraphOracle(5),
+    "sim_knn_refine" -> knnRefineOracle(5),
     "sim_label_prop" -> labelPropOracle(100, 5, 3),
     "txt_bm25_topk" -> bm25Oracle(10),
     // the stored-index pair: the build's census is the k-means census

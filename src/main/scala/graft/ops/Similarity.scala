@@ -1332,6 +1332,69 @@ object Similarity {
     topKRanked(sym, "sim", k)
   }
 
+  /** ONE NN-Descent refinement round over the [[knnGraph]] (Dong et
+    * al. 2011's core observation: a neighbor of a neighbor is likely a
+    * neighbor): the candidate set grows by every u→v→w expansion over
+    * the round-0 graph, PLUS the orphan-wiring pass — vectors whose
+    * bands collided with nothing (no round-0 edges, exactly the nodes
+    * LSH cannot place) get their trained IVF cell's members as
+    * candidates. All candidates collapse to one undirected distinct
+    * set, each pair is scored once and fanned to both directions, and
+    * the per-node top-k is the same heap node as round 0 — so refined
+    * recall can only meet or beat the banded graph (spec-gated
+    * strictly above on the fixtures).
+    *
+    * Scale shape: the expansion join is edge-list×edge-list on node
+    * keys (≤ k·n rows a side, uniform keys — no |V| broadcast, no
+    * window); orphan candidates are |orphans|·|cell| with orphans few
+    * by construction; further rounds would iterate the same step to
+    * NN-Descent convergence.
+    */
+  def knnRefine(embeddings: DataFrame, k: Int = 5, nlist: Int = 16,
+                salts: Int = 8): DataFrame = {
+    val g0 = knnGraph(embeddings, k, salts)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nn = g0.alias("a")
+      .join(g0.alias("b"),
+        col("a.neighbor_id") === col("b.query_id") &&
+          col("a.query_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("id1"), col("b.neighbor_id").as("id2"))
+    val orphans = embeddings.select(col("vec_id"))
+      .join(g0.select(col("query_id")).distinct(),
+        col("vec_id") === col("query_id"), "left_anti")
+    val assigned = assignCells(embeddings, kmeansCentroids(embeddings, nlist))
+      .select(col("vec_id"), col("cell"))
+      .localCheckpoint()
+    val orphCand = assigned.join(orphans, Seq("vec_id"))
+      .select(col("vec_id").as("id1"), col("cell"))
+      .join(assigned.select(col("vec_id").as("id2"), col("cell")), Seq("cell"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"))
+    def undirected(df: DataFrame): DataFrame = df.select(
+      least(col("id1"), col("id2")).as("id1"),
+      greatest(col("id1"), col("id2")).as("id2"))
+    val allCand = undirected(
+        g0.select(col("query_id").as("id1"), col("neighbor_id").as("id2")))
+      .unionByName(undirected(nn))
+      .unionByName(undirected(orphCand))
+      .distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val scored = allCand
+      .join(vecs.select(col("vec_id").as("id1"), col("embedding").as("e1")),
+        Seq("id1"))
+      .join(vecs.select(col("vec_id").as("id2"), col("embedding").as("e2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"), cosine(col("e1"), col("e2")).as("sim"))
+    val sym = scored.select(explode(array(
+        struct(col("id1").as("query_id"), col("id2").as("neighbor_id"),
+          col("sim").as("sim")),
+        struct(col("id2").as("query_id"), col("id1").as("neighbor_id"),
+          col("sim").as("sim")))).as("e"))
+      .select(col("e.query_id"), col("e.neighbor_id"), col("e.sim"))
+    topKRanked(sym, "sim", k)
+  }
+
   /** Semi-supervised LABEL PROPAGATION over the [[knnGraph]] — the
     * weak-supervision pattern that turns a few labeled examples into
     * corpus-wide labels (Zhu & Ghahramani 2002, as synchronous integer

@@ -572,6 +572,31 @@ class OpsSpec extends SparkTestBase {
     assert(sp.nonEmpty && ss === sp)
   }
 
+  test("NN-Descent refinement lifts kNN-graph recall and wires band orphans") {
+    val emb = Tables.embeddings(spark, sf)
+    val nQ = 50; val k = 5
+    val truth = Similarity.cosineTopK(emb, nQ, k)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    def hits(g: org.apache.spark.sql.DataFrame): Int = g
+      .filter(col("query_id") < nQ)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet.intersect(truth).size
+    val base = Similarity.knnGraph(emb, k)
+    val refined = Similarity.knnRefine(emb, k)
+    val (hb, hr) = (hits(base), hits(refined))
+    assert(hr > hb, s"refined recall $hr must strictly beat base $hb")
+    // every round-0 orphan (no banded edges) is wired by the IVF pass
+    val covered0 = base.select(col("query_id")).distinct()
+      .as[Long].collect().toSet
+    val covered1 = refined.select(col("query_id")).distinct()
+      .as[Long].collect().toSet
+    val orphans = emb.select(col("vec_id")).as[Long].collect().toSet -- covered0
+    assert((orphans -- covered1).isEmpty,
+      s"${(orphans -- covered1).size} of ${orphans.size} band orphans " +
+        "still have no edges after refinement")
+  }
+
   test("banded candidate salting never changes results and spreads a hot band bucket") {
     val emb = Tables.embeddings(spark, sf)
     def key4(r: org.apache.spark.sql.Row) =
