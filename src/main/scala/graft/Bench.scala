@@ -32,11 +32,27 @@ object Bench {
     private val MaxHits = 256 // a per-task fallback on a big stage would
                               // otherwise queue thousands before dedup
 
-    private val needles = Seq("codegen disabled",
+    // covers BOTH fallback modes: janino compile failure ("Whole-stage
+    // codegen disabled for plan …" / "falling back to interpreter") and
+    // the huge-method bytecode check ("… the whole-stage codegen was
+    // disabled for this plan")
+    private val needles = Seq("codegen disabled", "codegen was disabled",
       "falling back to interpreter", "failed to compile")
 
+    /** Callers MUST have created (and touched) the SparkSession first:
+      * Spark's first log call RECONFIGURES the log4j context (applying
+      * its defaults profile), which discards any appender installed
+      * before that point — the watcher would be silently dead.
+      */
     def install(): Unit = {
-      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      // resolve the context by SPARK's classloader, not the caller's
+      // thread-context loader: under sbt's forked test runner the test
+      // classes live in a child loader with their OWN log4j context,
+      // and an appender attached there never sees Spark's events
+      val ctx = LogManager
+        .getContext(classOf[org.apache.spark.SparkContext].getClassLoader,
+          false)
+        .asInstanceOf[LoggerContext]
       val cfg = ctx.getConfiguration
       if (cfg.getAppenders.containsKey("graftCodegenWatch")) return
       val app = new AbstractAppender("graftCodegenWatch", null, null, true,
@@ -50,14 +66,16 @@ object Bench {
       }
       app.start()
       cfg.addAppender(app)
-      // the two loggers that announce fallbacks, pinned to WARN so the
-      // bench's ERROR root level can't filter them; additivity off so
-      // the captured events don't also spam the console
+      // the two loggers that announce fallbacks, pinned to INFO so the
+      // bench's ERROR root level can't filter them (the huge-method
+      // bytecode fallback logs at INFO, the janino-failure one at
+      // WARN); additivity off so the captured events don't spam the
+      // console — the appender keeps only needle matches anyway
       Seq("org.apache.spark.sql.catalyst.expressions.codegen",
           "org.apache.spark.sql.execution.WholeStageCodegenExec")
         .foreach { name =>
-          val lc = new LoggerConfig(name, Level.WARN, false)
-          lc.addAppender(app, Level.WARN, null)
+          val lc = new LoggerConfig(name, Level.INFO, false)
+          lc.addAppender(app, Level.INFO, null)
           cfg.addLogger(name, lc)
         }
       ctx.updateLoggers()
@@ -81,7 +99,13 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     CodegenWatch.install()
 
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows to a subset for targeted
+    // experiments (e.g. contention profiling); subset runs never touch
+    // bench_full.json — the committed record stays full-board only
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => subset.forall(_.contains(n)))
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
@@ -119,8 +143,9 @@ object Bench {
     // so regressions on the other ~190 queries would be invisible
     // round-over-round; bench_full.json (committed per round) makes
     // every query's minimum diffable against the previous round
-    writeFull(results, sfDir, CodegenWatch.distinctHits,
-      suspects.map(n => (n, measured.toMap.apply(n), reruns(n))))
+    if (subset.isEmpty)
+      writeFull(results, sfDir, CodegenWatch.distinctHits,
+        suspects.map(n => (n, measured.toMap.apply(n), reruns(n))))
     println(renderLine(results, sfDir, CodegenWatch.distinctHits.size))
     spark.stop()
   }

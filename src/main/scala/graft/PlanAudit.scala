@@ -68,9 +68,15 @@ object PlanAudit {
       ("two-phase heap top-k (map-side partial prune)", p =>
         p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")))
 
-    // minhash: signature exchange reused, not recomputed per join side
+    // minhash: the banding pipeline runs ONCE into a checkpoint (the
+    // salted join sides project different salt columns, so alias-reuse
+    // can no longer dedupe them), and the candidate join keys on
+    // (band, salt) so a hot band bucket spreads across reducers
     audit("dedup_minhash")(
-      ("exchange reuse in self-join", _.contains("ReusedExchange")))
+      ("banding checkpointed once (signatures not recomputed per side)",
+        p => p.contains("Scan ExistingRDD")),
+      ("candidate join keyed on (band, salt) — hot buckets spread",
+        p => "band_key#\\d+, salt#".r.findAllIn(p).nonEmpty))
 
     // window top-k: single shuffle on the partition key
     audit("rel_window_topk")(
@@ -280,6 +286,17 @@ object PlanAudit {
     // repetition stats: the whole computation is per-row array folds —
     // NO generator explosion, NO aggregation shuffle; the only exchange
     // is the final deterministic output sort
+    // hashed-linear classifier: the whole model evaluates per row
+    // inside codegen — no feature explode, no shuffle before the
+    // output sort, no broadcast (the weight table is folded into the
+    // feature hash)
+    audit("txt_quality_clf")(
+      ("no feature explode (per-row HOF fold)", !_.contains("Generate")),
+      ("no hash-partitioned shuffle (final sort only)",
+        p => !p.contains("Exchange hashpartitioning")),
+      ("classifier runs inside whole-stage codegen (*(n) span over the scoring Project)",
+        p => p.contains("*(1) Project") || p.contains("WholeStageCodegen")))
+
     audit("txt_repetition")(
       ("no explode/generate in the plan", !_.contains("Generate")),
       ("no hash-partitioned shuffle (per-row fold only)",
@@ -494,11 +511,27 @@ object PlanAudit {
       ("no cartesian/BNL pair enumeration", p =>
         !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),
-      ("banded exchange reused across the self-join",
-        _.contains("ReusedExchange")),
+      ("banding checkpointed once for both join sides",
+        p => p.contains("Scan ExistingRDD")),
+      ("candidate join keyed on (band, salt) — hot buckets spread",
+        p => "band_key#\\d+, salt#".r.findAllIn(p).nonEmpty),
       ("two-phase heap top-k per node", p =>
         p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
       ("native vector_dot scoring", _.contains("vector_dot")))
+
+    // NN-Descent refinement: the round-0 graph and cell assignment are
+    // checkpointed (candidates never re-enumerate the banding), the
+    // expansion is edge×edge equi-join, the re-score is one undirected
+    // pass through the native dot, and the top-k is the heap node
+    audit("sim_knn_refine")(
+      ("round-0 graph/cells read from checkpoints",
+        p => p.contains("Scan ExistingRDD")),
+      ("no cartesian/BNL anywhere", p =>
+        !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")),
+      ("native vector_dot scoring", _.contains("vector_dot")),
+      ("two-phase heap top-k per node", p =>
+        p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")))
 
     // label propagation: the kNN graph builds once behind a checkpoint
     // (the serving plan never re-enumerates candidates), each round is
@@ -533,6 +566,70 @@ object PlanAudit {
         p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
       ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
 
+    // BM25 append probe: the serving plan after the merge is the same
+    // index-only read as txt_bm25_stored — static bucket pruning, no
+    // corpus tokenize (the append work happened at construction time)
+    audit("txt_bm25_append")(
+      ("postings scan statically pruned to the query-term buckets",
+        p => "PartitionFilters: \\[bucket".r.findAllIn(p).size >= 2),
+      ("no corpus tokenize in the serving plan (index-only read)",
+        p => !p.contains("Generate")),
+      ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
+
+    // IVFADC append probe: serves the merged cell layout through the
+    // same DPP-pruned path as sim_ivfpq_stored
+    audit("sim_ivfpq_append")(
+      ("codes scan partition-pruned by the probed cells (DPP subquery)",
+        p => p.toLowerCase.contains("dynamicpruning")),
+      ("shortlist + re-rank both use the heap top-k node", p =>
+        "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
+    // BM25 delete probe: after compaction the serving plan is again
+    // the plain index-only read — no tombstone anti-join left, same
+    // static bucket pruning
+    audit("txt_bm25_delete")(
+      ("postings scan statically pruned to the query-term buckets",
+        p => "PartitionFilters: \\[bucket".r.findAllIn(p).size >= 2),
+      ("no corpus tokenize in the serving plan (index-only read)",
+        p => !p.contains("Generate")),
+      ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
+
+    // IVFADC delete probe: serves AROUND the tombstone sidecar — the
+    // codes scan anti-joins it (broadcast) and stays DPP-pruned
+    audit("sim_ivfpq_delete")(
+      ("tombstones excluded by broadcast anti-join",
+        p => p.contains("LeftAnti")),
+      ("codes scan partition-pruned by the probed cells (DPP subquery)",
+        p => p.toLowerCase.contains("dynamicpruning")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
+    // hybrid retrieval over the STANDING indexes: neither arm touches
+    // the corpus at probe time — no tokenize explode anywhere, lexical
+    // scans carry static bucket filters, the semantic cells scan is
+    // DPP-pruned to the probed cells, and each arm plus the fusion
+    // prunes through its own heap node
+    audit("txt_hybrid_stored")(
+      ("no corpus tokenize/brute-force scoring (no Generate)",
+        p => !p.contains("Generate")),
+      ("lexical scans statically bucket-pruned",
+        p => "PartitionFilters: \\[bucket".r.findAllIn(p).size >= 2),
+      ("semantic cells scan DPP-pruned to the probed cells",
+        p => p.toLowerCase.contains("dynamicpruning")),
+      ("three heap prunes (lexical arm, semantic arm, fusion)", p =>
+        "TopKPerKeyPartial".r.findAllIn(p).size >= 3),
+      ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
+
+    // span cut: the gram index rides dupSpans' checkpoint, the cut
+    // join is (doc, pos) equi-keyed, reassembly is a per-doc hash
+    // aggregation — the only window is dupSpans' per-doc run-merge
+    audit("txt_span_cut")(
+      ("gram index read from the checkpoint (dupSpans device)",
+        p => p.contains("Scan ExistingRDD")),
+      ("windows partition by doc_id only (no global order)", p =>
+        !"Window \\[(?!.*doc_id)".r.findAllIn(p).hasNext),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // LM quality: the positional pair frame is checkpointed (three
     // consumers; no explode in the serving plan), LM joins are
     // hash-keyed, and the per-doc mean folds behind a doc_id window-
@@ -554,6 +651,29 @@ object PlanAudit {
         p => !p.contains("CartesianProduct")),
       ("no broadcast of the full node set", p =>
         !p.contains("BroadcastNestedLoopJoin")))
+
+    // ...and the PRE-checkpoint edge build (the checkpoint hides it
+    // from the registry query's plan — audited directly, the way
+    // mm_phash_dups covers the phash edge build): urgent-orders filter
+    // pushed into the scan, co-purchase self-join equi-keyed with one
+    // reused exchange, pair space never a cross product
+    {
+      val edges = graft.ops.Graph.copurchaseEdges(
+        Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir))
+      val p = edges.queryExecution.executedPlan.toString
+      val checks = Seq(
+        ("edge build: urgent filter pushed to the orders scan",
+          p.contains("PushedFilters") && p.contains("o_orderpriority")),
+        ("edge build: self-join reuses one lineitem exchange",
+          p.contains("ReusedExchange")),
+        ("edge build: no cartesian pair enumeration",
+          !p.contains("CartesianProduct")))
+      checks.foreach { case (desc, ok) =>
+        if (!ok) failures += 1
+        println(f"${if (ok) "PASS" else "FAIL"}  ${"rel_concomp"}%-24s $desc")
+        if (!ok) println(p.linesIterator.take(40).mkString("  | ", "\n  | ", ""))
+      }
+    }
 
     // streaming dedup batch analog: ONE hash aggregation, min(struct)
     // partial-aggregated map-side — no window sort anywhere
@@ -620,7 +740,10 @@ object PlanAudit {
         "rel_nation_profit", "rel_merge_join", "str_late_data",
         "sim_semdedup", "sim_sq_topk", "sim_ivfpq_stored",
         "txt_bm25_topk", "txt_bm25_stored", "txt_hybrid_rrf",
-        "txt_dup_spans", "sim_knn_graph", "dedup_incr_near")
+        "txt_dup_spans", "sim_knn_graph", "dedup_incr_near",
+        "txt_span_cut", "txt_bm25_append", "sim_ivfpq_append",
+        "txt_hybrid_stored", "sim_knn_refine", "txt_bm25_delete",
+        "sim_ivfpq_delete")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(

@@ -156,6 +156,9 @@ object SparkEntry {
     "txt_stats" -> ((s, d) => Text.docStats(documents(s, d))),
     "txt_lang_dist" -> ((s, d) => Text.langDistribution(documents(s, d))),
     "txt_quality" -> ((s, d) => Text.qualityScore(documents(s, d))),
+    // hashed-linear classifier: md5-derived per-feature weights summed
+    // per doc in one codegen'd HOF pass — the trained-filter stage
+    "txt_quality_clf" -> ((s, d) => Text.qualityClassify(documents(s, d))),
     "txt_token_freq" -> ((s, d) => Text.tokenFrequency(documents(s, d), 50)),
     "txt_bigrams" -> ((s, d) => Text.bigramFrequency(documents(s, d), 30)),
     "txt_langid" -> ((s, d) => Text.languageId(documents(s, d))),
@@ -393,6 +396,12 @@ object SparkEntry {
     // then probes the merged layout over the full corpus
     "sim_ivfpq_append" -> ((s, d) =>
       Similarity.ivfpqAppendProbe(embeddings(s, d), ivfpqAppendIndexBase(d), 8, 5)),
+    // index deletion: every seventh vector tombstones out of the
+    // standing index; the probe serves around the sidecar with NO
+    // layout rewrite and is already exact (quantizers keep their
+    // full-corpus training). Compaction equivalence is spec-proven.
+    "sim_ivfpq_delete" -> ((s, d) =>
+      Similarity.ivfpqDeleteProbe(embeddings(s, d), ivfpqDeleteIndexBase(d), 8, 5)),
     "txt_dup_spans" -> ((s, d) => Text.dupSpans(documents(s, d))),
     "txt_span_cut" -> ((s, d) => Text.spanCut(documents(s, d))),
     "txt_hybrid_rrf" -> ((s, d) => Text.hybridRrf(documents(s, d))),
@@ -417,6 +426,13 @@ object SparkEntry {
     // inline index over the full corpus, so the oracle is bm25Oracle
     "txt_bm25_append" -> ((s, d) =>
       Text.bm25AppendProbe(documents(s, d), bm25AppendIndexBase(d))),
+    // index deletion: every seventh document tombstones out, then
+    // COMPACTION rewrites only the affected buckets and re-derives
+    // their df — after which the probe is exactly the inline index
+    // over the surviving corpus (the tombstone-serving half, with its
+    // documented stale df, is spec-proven)
+    "txt_bm25_delete" -> ((s, d) =>
+      Text.bm25DeleteProbe(documents(s, d), bm25DeleteIndexBase(d))),
     "rel_snapshot_diff" -> ((s, d) => {
       // deterministic synthetic "next snapshot": every 97th key deleted,
       // every 11th price bumped, every 101st key re-inserted shifted
@@ -484,6 +500,14 @@ object SparkEntry {
 
   private def hybridAnnIndexBase(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_hybrid_ann/" +
+      new java.io.File(sfDir).getName
+
+  private def bm25DeleteIndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bm25_delete/" +
+      new java.io.File(sfDir).getName
+
+  private def ivfpqDeleteIndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_delete/" +
       new java.io.File(sfDir).getName
 
   /** Target mixture for txt_mixture_sample (basis-point keep rates):
@@ -1497,6 +1521,26 @@ object SparkEntry {
         |          t -> t IN ('the','a','and','of','to','in','is','data','row','value'))) AS n_stopwords
         |      FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+    // hashed-linear classifier: the weight of a feature IS a function
+    // of its md5, so the oracle re-derives the identical integer sum
+    "txt_quality_clf" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ls
+        |           FROM documents),
+        |f AS (SELECT doc_id,
+        |        len(ls) + greatest(len(ls) - 1, 0) AS n_features,
+        |        CAST(coalesce(list_aggregate(list_transform(ls,
+        |            t -> ('0x' || substr(md5('u:' || t), 1, 8))::BIGINT % 17 - 8),
+        |          'sum'), 0) AS BIGINT)
+        |        + CASE WHEN len(ls) > 1 THEN
+        |            CAST(coalesce(list_aggregate(
+        |              list_transform(generate_series(1, len(ls) - 1),
+        |                i -> ('0x' || substr(md5('b:' || ls[i] || '_' || ls[i + 1]), 1, 8))::BIGINT % 17 - 8),
+        |              'sum'), 0) AS BIGINT)
+        |          ELSE 0 END AS clf_score
+        |      FROM d)
+        |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
+        |       clf_score, clf_score >= 0 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "txt_token_freq" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
@@ -2392,6 +2436,9 @@ object SparkEntry {
     "sim_ivfpq_build" -> kmeansCellsOracle(16),
     "sim_ivfpq_stored" -> ivfpqOracle(8, 5),
     "sim_ivfpq_append" -> ivfpqAppendOracle(8, 5),
+    // deletion: quantizers trained on the FULL corpus (the standing
+    // index's training), candidates restricted to the survivors
+    "sim_ivfpq_delete" -> ivfpqOracle(8, 5, corpusPred = "e.vec_id % 7 <> 3"),
     "txt_dup_spans" -> dupSpansOracle(5),
     "txt_span_cut" -> spanCutOracle(5),
     "txt_hybrid_rrf" -> hybridRrfOracle(10, 20, 60),
@@ -2413,6 +2460,8 @@ object SparkEntry {
     // index over the union (BM25 has no trained artifacts), so the
     // probe-after-append oracle is the inline-index oracle verbatim
     "txt_bm25_append" -> bm25Oracle(10),
+    // delete + compact restores from-scratch exactness over survivors
+    "txt_bm25_delete" -> bm25DeleteOracle(10),
     "txt_lm_quality" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
         |           FROM documents),
@@ -2833,7 +2882,7 @@ object SparkEntry {
     * MATERIALIZED (referenced by dl/df/m — DuckDB would otherwise
     * re-tokenize the corpus per reference).
     */
-  private def bm25Ctes: String = {
+  private def bm25Ctes(src: String = "documents"): String = {
     val k1 = Text.bm25K1
     val k1p1 = Text.bm25K1 + 1.0
     val b = Text.bm25B
@@ -2844,7 +2893,7 @@ object SparkEntry {
       .mkString(", ")
     s"""q(query_id, term) AS (VALUES $qvals),
        |tf AS MATERIALIZED (SELECT doc_id, t.term, count(*) AS tf
-       |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+       |  FROM $src, unnest(string_split(text, ' ')) AS t(term)
        |  GROUP BY doc_id, t.term),
        |dl AS MATERIALIZED (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -2868,7 +2917,17 @@ object SparkEntry {
   }
 
   private def bm25Oracle(k: Int): String =
-    s"""WITH $bm25Ctes
+    s"""WITH ${bm25Ctes()}
+       |SELECT query_id, doc_id, score, rank FROM lexr WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** txt_bm25_delete oracle: the same BM25 chain computed over ONLY
+    * the surviving corpus — delete+compact must equal from-scratch.
+    */
+  private def bm25DeleteOracle(k: Int): String =
+    s"""WITH surv AS MATERIALIZED (SELECT * FROM documents
+       |  WHERE doc_id % 7 <> 3),
+       |${bm25Ctes("surv")}
        |SELECT query_id, doc_id, score, rank FROM lexr WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
@@ -2883,7 +2942,7 @@ object SparkEntry {
       .mkString("[", ",\n       |   ", "]")
     val qtVals = Text.bm25Queries
       .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
-    s"""WITH $bm25Ctes,
+    s"""WITH ${bm25Ctes()},
        |lex AS (SELECT query_id, doc_id, rank AS r_lex FROM lexr
        |        WHERE rank <= $nCand),
        |qt(query_id, qtext) AS (VALUES $qtVals),
@@ -2925,7 +2984,7 @@ object SparkEntry {
       .mkString("[", ",\n       |   ", "]")
     val qtVals = Text.bm25Queries
       .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
-    s"""WITH $bm25Ctes,
+    s"""WITH ${bm25Ctes()},
        |lex AS (SELECT query_id, doc_id, rank AS r_lex FROM lexr
        |        WHERE rank <= $nCand),
        |qt(query_id, qtext) AS (VALUES $qtVals),
@@ -3138,7 +3197,8 @@ object SparkEntry {
     * exact-cosine re-rank of the ADC shortlist.
     */
   private def ivfpqOracle(nq: Int, k: Int, nlist: Int = 16,
-                          nprobe: Int = 4, shortlist: Int = 20): String =
+                          nprobe: Int = 4, shortlist: Int = 20,
+                          corpusPred: String = "TRUE"): String =
     s"""WITH ${pqCtes(nq)},
        |${kmeansSql(nlist, Similarity.ivfIters)},
        |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
@@ -3147,7 +3207,7 @@ object SparkEntry {
        |    SELECT e.vec_id, c.centroid_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM embeddings e, cent c) t WHERE rn = 1),
+       |    FROM embeddings e, cent c WHERE $corpusPred) t WHERE rn = 1),
        |probes AS MATERIALIZED (
        |  SELECT query_id, cell FROM (
        |    SELECT q.vec_id AS query_id, c.centroid_id AS cell,

@@ -208,21 +208,28 @@ object Graph {
     * build reduces lineitem to (orderkey, partkey) BEFORE the self-join
     * and dedups on 2×8-byte keys.
     */
-  def copurchaseComponents(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+  /** The edge build of [[copurchaseComponents]], exposed so the plan
+    * audit can inspect it PRE-checkpoint (the CC loop materializes its
+    * output, so the registry query's plan shows only the boundary —
+    * this frame is where pushdown/broadcast/no-cartesian must hold).
+    */
+  def copurchaseEdges(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val li = lineitem
       .join(orders.filter(col("o_orderpriority") === "1-URGENT")
           .select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_quantity") >= 45)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.alias("a").join(li.alias("b"),
+    li.alias("a").join(li.alias("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .distinct()
-    connectedComponents(e)
+  }
+
+  def copurchaseComponents(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    connectedComponents(copurchaseEdges(lineitem, orders))
       .select(col("id").as("part_id"), col("component"), col("n_members"))
       .orderBy(col("part_id"))
-  }
 
   /** Registry shape: triangle census of the nation trade graph. */
   def nationTriangles(lineitem: DataFrame, orders: DataFrame,

@@ -852,8 +852,19 @@ object Similarity {
                                nprobe: Int, shortlist: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$base/centroids")
     val codebooks = spark.read.parquet(s"$base/codebooks")
-    val codesCells = spark.read.parquet(s"$base/codes")
-      .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell"))
+    // tombstone serving: deleted vectors drop out of the candidate set
+    // via anti-join (no stats to go stale here, unlike BM25 — the
+    // tombstoned probe is already EXACTLY the index minus the deletes;
+    // compaction only reclaims the bytes)
+    def minusTombstones(df: DataFrame): DataFrame =
+      if (Text.hasTombstones(base))
+        df.join(broadcast(
+          spark.read.parquet(Text.tombstonePath(base).toString)
+            .withColumnRenamed("doc_id", "vec_id")),
+          Seq("vec_id"), "left_anti")
+      else df
+    val codesCells = minusTombstones(spark.read.parquet(s"$base/codes")
+      .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell")))
     // probe ranking: the query's nprobe best stored centroids
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -968,6 +979,80 @@ object Similarity {
       java.nio.file.Files.writeString(marker, expected)
     }
     ivfpqAppend(batch, base)
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    ivfpqScoreStored(spark, base, queries, k, nprobe, shortlist)
+  }
+
+  /** DELETE vectors from the stored IVFADC layout — tombstoned, same
+    * sidecar as [[graft.ops.Text.bm25Delete]]: serving excludes them
+    * immediately ([[ivfpqScoreStored]] anti-joins the sidecar) and the
+    * probe is already EXACT (no corpus statistics to go stale);
+    * [[ivfpqCompact]] later reclaims the bytes.
+    */
+  def ivfpqDelete(deletedIds: DataFrame, base: String): Unit = {
+    val spark = deletedIds.sparkSession
+    val tPath = Text.tombstonePath(base).toString
+    val merged = (if (Text.hasTombstones(base))
+        spark.read.parquet(tPath).unionByName(deletedIds.select(col("vec_id")))
+      else deletedIds.select(col("vec_id")))
+      .distinct().localCheckpoint()
+    merged.write.mode("overwrite").parquet(tPath)
+  }
+
+  /** COMPACT tombstones into the stored IVFADC layout: one
+    * column-pruned id scan locates the tombstoned vectors' cells,
+    * ONLY those cell partitions rewrite minus the deleted rows
+    * (vectors and codes; dynamic partition overwrite), and the
+    * sidecar clears. Serving results are unchanged by compaction —
+    * spec-proven — because the tombstoned probe was already exact.
+    */
+  def ivfpqCompact(spark: org.apache.spark.sql.SparkSession,
+                   base: String): Unit = {
+    if (!Text.hasTombstones(base)) return
+    val tomb = spark.read.parquet(Text.tombstonePath(base).toString)
+      .localCheckpoint()
+    val cellsAll = spark.read.parquet(s"$base/cells")
+    val affected = cellsAll.join(broadcast(tomb), Seq("vec_id"))
+      .select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      val keepCells = cellsAll.filter(col("cell").isin(affected: _*))
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+        .localCheckpoint()
+      graft.sources.Sources.mergePartitioned(keepCells, s"$base/cells", "cell")
+      val keepCodes = spark.read.parquet(s"$base/codes")
+        .filter(col("cell").isin(affected: _*))
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell"))
+        .localCheckpoint()
+      graft.sources.Sources.mergePartitioned(keepCodes, s"$base/codes", "cell")
+    }
+    Text.clearTombstones(base)
+  }
+
+  /** Build-on-full → tombstone-delete → probe, end to end: every
+    * seventh vector (vec_id mod 7 = 3) is deleted from the standing
+    * index and the probe serves around the tombstones WITHOUT any
+    * layout rewrite — already exactly the index minus the deletes
+    * (quantizers keep their full-corpus training: the maintenance
+    * contract). Compaction equivalence is spec-proven.
+    */
+  def ivfpqDeleteProbe(embeddings: DataFrame, base: String, nQueries: Int,
+                       k: Int, nlist: Int = 16, nprobe: Int = 4,
+                       shortlist: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    val marker = java.nio.file.Paths.get(base, "MARKER_BASE")
+    val expected = indexMarkerPrefix(embeddings, nlist) + " delete=mod7"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == expected
+    if (!fresh) {
+      ivfpqBuildIndex(embeddings, base, nlist).count()
+      java.nio.file.Files.writeString(marker, expected)
+    }
+    ivfpqDelete(embeddings.filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id")), base)
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     ivfpqScoreStored(spark, base, queries, k, nprobe, shortlist)

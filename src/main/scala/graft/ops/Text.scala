@@ -80,6 +80,38 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed-linear quality CLASSIFIER (the fastText / hashing-trick
+    * shape the heuristic [[qualityScore]] filter graduates into):
+    * every unigram and bigram feature hashes straight to its weight —
+    * `(md5_32(feature) mod 17) - 8 ∈ [-8, 8]`, the hashing trick with
+    * the weight table folded into the hash, so there is NO model
+    * broadcast at all — and a document's score is the exact integer
+    * sum of its feature weights; `keep = score >= 0`. In production
+    * the md5-derived weights would be a trained table `hash mod D →
+    * weight` carried into the generated code via `addReferenceObj`;
+    * the plan is unchanged. The whole model is ONE native codegen'd
+    * call per row ([[graft.functions.HashedLinearScore]] — an
+    * `aggregate`/`transform` HOF formulation computes the same sum
+    * but those expressions are `CodegenFallback`, which drops the
+    * stage out of whole-stage codegen): no feature explode, zero
+    * shuffles before the final sort, linear scaling — the 100
+    * TB-shaped classifier stage. Integer arithmetic end to end so
+    * the score hash-matches the oracle.
+    */
+  def qualityClassify(documents: DataFrame): DataFrame = {
+    val toks = col("tk")
+    val score = graft.functions.HashedLinearScore
+      .hashed_linear_score(toks, 17, 8)
+    documents
+      .withColumn("tk", tokens(lower(col("text"))))
+      .select(col("doc_id"),
+        (size(toks) + greatest(size(toks) - 1, lit(0))).cast("long")
+          .as("n_features"),
+        score.as("clf_score"),
+        (score >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token frequency top-k: explode → hash agg → TakeOrderedAndProject.
     * Deterministic because (count, token) is a total order.
     */
@@ -458,7 +490,27 @@ object Text {
     * shared serving core of [[bm25ProbeStored]] and
     * [[bm25AppendProbe]]; touches ONLY the persisted artifacts.
     */
-  private def bm25ScoreStored(spark: org.apache.spark.sql.SparkSession,
+  /** Tombstone sidecar path for a stored layout (shared by the BM25
+    * and IVFADC families): present iff at least one delete has not
+    * yet been compacted away.
+    */
+  private[ops] def tombstonePath(base: String): java.nio.file.Path =
+    java.nio.file.Paths.get(base, "tombstones")
+
+  private[ops] def hasTombstones(base: String): Boolean = {
+    val d = tombstonePath(base).toFile
+    d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
+  }
+
+  private[ops] def clearTombstones(base: String): Unit = {
+    val d = tombstonePath(base).toFile
+    if (d.exists()) {
+      Option(d.listFiles()).toSeq.flatten.foreach(_.delete())
+      d.delete()
+    }
+  }
+
+  private[graft] def bm25ScoreStored(spark: org.apache.spark.sql.SparkSession,
                               base: String, k: Int): DataFrame = {
     import spark.implicits._
     val qterms = bm25Queries
@@ -477,14 +529,32 @@ object Text {
         v % bm25Buckets
       }
       .distinct.sorted
-    val tf = spark.read.parquet(s"$base/tf")
+    val tf0 = spark.read.parquet(s"$base/tf")
       .filter(col("bucket").isin(buckets: _*))
       .select(col("doc_id"), col("term"), col("tf"))
     val df = spark.read.parquet(s"$base/df")
       .filter(col("bucket").isin(buckets: _*))
       .select(col("term"), col("df"))
-    val dl = spark.read.parquet(s"$base/dl")
-    val stats = spark.read.parquet(s"$base/stats")
+    val dl0 = spark.read.parquet(s"$base/dl")
+    val stats0 = spark.read.parquet(s"$base/stats")
+    // tombstone serving (Lucene segment semantics): deleted docs are
+    // excluded from MATCHING (postings/dl anti-join the tombstone
+    // sidecar) and from the corpus stats (adjusted by the tombstoned
+    // docs' lengths), while per-term df stays STALE until
+    // [[bm25Compact]] folds the deletes into the layout — exactly the
+    // trade production engines make, because exact df would need the
+    // per-term recount compaction performs
+    val (tf, dl, stats) = if (hasTombstones(base)) {
+      val tomb = spark.read.parquet(tombstonePath(base).toString)
+      val removed = dl0.join(broadcast(tomb), Seq("doc_id"))
+        .agg(coalesce(count(lit(1)), lit(0L)).as("rm_n"),
+          coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
+      (tf0.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+        dl0.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+        stats0.crossJoin(broadcast(removed))
+          .select((col("n_docs") - col("rm_n")).as("n_docs"),
+            (col("tot_dl") - col("rm_dl")).as("tot_dl")))
+    } else (tf0, dl0, stats0)
     val k1p1 = bm25K1 + 1.0
     val oneMinusB = 1.0 - bm25B
     val idf = (col("n_docs").cast("double") - col("df").cast("double")
@@ -606,6 +676,88 @@ object Text {
     * ride a broadcast literal table; all score arithmetic is exact
     * IEEE division of integer ranks, so the fused scores hash-match.
     */
+  /** DELETE documents from the stored BM25 layout — tombstoned: the
+    * doc_ids merge into a tombstone sidecar (distinct, so replays are
+    * no-ops) and serving excludes them immediately via anti-join
+    * ([[bm25ScoreStored]]); the layout itself is untouched until
+    * [[bm25Compact]]. This is the production split: a delete must be
+    * cheap NOW (no way to locate a doc's postings without a scan),
+    * exactness of df is restored by the next compaction.
+    */
+  def bm25Delete(deletedIds: DataFrame, base: String): Unit = {
+    val spark = deletedIds.sparkSession
+    val tPath = tombstonePath(base).toString
+    val merged = (if (hasTombstones(base))
+        spark.read.parquet(tPath).unionByName(deletedIds.select(col("doc_id")))
+      else deletedIds.select(col("doc_id")))
+      .distinct().localCheckpoint()
+    merged.write.mode("overwrite").parquet(tPath)
+  }
+
+  /** COMPACT the tombstones into the stored BM25 layout: one
+    * column-pruned pass over the postings finds the AFFECTED buckets
+    * (only buckets holding a tombstoned doc's terms), those buckets'
+    * postings are rewritten minus the tombstoned rows and their df
+    * re-derived (dynamic partition overwrite — every other bucket
+    * directory stays byte-untouched), dl/stats refresh, and the
+    * sidecar clears. After compaction the layout IS the from-scratch
+    * index over the surviving corpus — the exactness contract the
+    * registry oracle checks end-to-end.
+    */
+  def bm25Compact(spark: org.apache.spark.sql.SparkSession,
+                  base: String): Unit = {
+    if (!hasTombstones(base)) return
+    val tomb = spark.read.parquet(tombstonePath(base).toString)
+      .localCheckpoint()
+    val tfAll = spark.read.parquet(s"$base/tf")
+    val affected = tfAll.join(broadcast(tomb), Seq("doc_id"))
+      .select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      val tfAff = tfAll.filter(col("bucket").isin(affected: _*))
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("term"), col("tf"),
+          col("bucket").cast("long").as("bucket"))
+        .localCheckpoint()
+      graft.sources.Sources.mergePartitioned(tfAff, s"$base/tf", "bucket")
+      graft.sources.Sources.mergePartitioned(
+        tfAff.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .withColumn("bucket", termBucket(col("term"))),
+        s"$base/df", "bucket")
+      val dl = spark.read.parquet(s"$base/dl")
+        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      dl.write.mode("overwrite").parquet(s"$base/dl")
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+        .write.mode("overwrite").parquet(s"$base/stats")
+    }
+    clearTombstones(base)
+  }
+
+  /** Build-on-full → tombstone-delete → compact → probe, end to end:
+    * every seventh document (doc_id mod 7 = 3) is deleted from the
+    * standing index; after compaction the probe is exactly the inline
+    * BM25 ranking over the surviving corpus (the oracle computes that
+    * directly). The tombstone-serving half (correct matching, stale
+    * df, no rewrite) is spec-proven.
+    */
+  def bm25DeleteProbe(documents: DataFrame, base: String,
+                      k: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    val marker = java.nio.file.Paths.get(base, "MARKER_BASE")
+    val expected = bm25IndexMarkerPrefix(documents) + " delete=mod7"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == expected
+    if (!fresh) {
+      bm25BuildIndex(documents, base).count()
+      java.nio.file.Files.writeString(marker, expected)
+    }
+    bm25Delete(documents.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id")), base)
+    bm25Compact(spark, base)
+    bm25ScoreStored(spark, base, k)
+  }
+
   /** md5-stub embedding: one hex pair per dimension, exact /255 — the
     * same declared encoder stand-in as `mm_embed`; a real encoder
     * changes only this projection.

@@ -89,10 +89,32 @@ class FunctionsSpec extends SparkTestBase {
 
   test("codegen-fallback tripwire fires on the 64 KB failure mode, silent on the native path") {
     import graft.ops.Multimodal
+    // initialize Spark's logging BEFORE installing the watcher:
+    // Spark's first log call reconfigures the log4j context, which
+    // would discard an appender installed earlier (exactly how a
+    // solo `-z tripwire` run differs from the full suite, where an
+    // earlier test already touched the session)
+    spark.range(1).count()
     Bench.CodegenWatch.install()
     Bench.CodegenWatch.hits.clear()
     val docs = Tables.documents(spark, sf)
-    // reconstruct the round-4 failure: builtin 64-md5-tree fingerprint
+    // FIRST, a wording-independent-of-plan-size positive: force a
+    // fallback deterministically by dropping the huge-method limit, so
+    // the watcher's needle phrases are exercised against THIS Spark
+    // build regardless of whether any natural plan blows janino's
+    // limit. If a version bump rewords the fallback log, this breaks
+    // loudly here instead of silently blinding the bench tripwire.
+    val limitKey = "spark.sql.codegen.hugeMethodLimit"
+    val savedLimit = spark.conf.get(limitKey)
+    try {
+      spark.conf.set(limitKey, "10")
+      docs.groupBy(col("lang")).agg(count(lit(1))).count()
+    } finally spark.conf.set(limitKey, savedLimit)
+    assert(Bench.CodegenWatch.distinctHits.nonEmpty,
+      "watcher missed a FORCED huge-method fallback — Spark's log " +
+        "wording changed; update CodegenWatch.needles")
+    Bench.CodegenWatch.hits.clear()
+    // then reconstruct the round-4 failure: builtin 64-md5-tree fingerprint
     // fused with the banding self-join blows janino's method limit and
     // Spark silently falls back to interpreted execution — the watcher
     // must catch the fallback warnings

@@ -768,6 +768,32 @@ class OpsSpec extends SparkTestBase {
     assert(byDoc(2L) === ((0L, 0.0)))
   }
 
+  test("hashed-linear classifier matches an independent explode-side model") {
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sf).limit(200).localCheckpoint()
+    val got = Text.qualityClassify(docs)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.nonEmpty && got.forall(r => r._4 == (r._3 >= 0)))
+    // independent formulation: explode every feature, look its weight
+    // up row-by-row, and aggregate — same model, opposite plan shape
+    val toks = split(lower(col("text")), " ")
+    val uni = transform(toks, t => concat(lit("u:"), t))
+    val bi = when(size(toks) > 1,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat(lit("b:"), element_at(toks, i), lit("_"),
+            element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val expected = docs
+      .select(col("doc_id"), explode(concat(uni, bi)).as("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(pmod(Text.tokenHash(col("f")), lit(17)) - lit(8)).as("clf_score"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    got.foreach { case (id, nf, s, _) =>
+      assert(expected(id) === ((nf, s)), s"doc $id") }
+  }
+
   test("hybrid RRF fusion is bounded, ranked, and favors docs in both arms") {
     import graft.ops.Text
     val docs = Tables.documents(spark, sf)

@@ -208,6 +208,51 @@ class SourcesSpec extends SparkTestBase {
     assert(Text.bm25AppendProbe(docs, b2, 10).collect().map(key).toSeq === inline)
   }
 
+  test("stored-index deletion: tombstones serve correctly, compaction folds them in") {
+    import graft.ops.{Similarity, Text}
+    // BM25: tombstoned docs never match (df stale by design); after
+    // compaction the probe equals the inline index over survivors
+    val docs = Tables.documents(spark, sf)
+    val b = tmp("bm25del")
+    Text.bm25BuildIndex(docs, b).count()
+    val delDocs = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+    val delDocSet = delDocs.as[Long].collect().toSet
+    Text.bm25Delete(delDocs, b)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val tombRes = Text.bm25ProbeStored(docs, b, 10).collect().map(key)
+    assert(tombRes.nonEmpty && tombRes.forall(r => !delDocSet(r._2)),
+      "a tombstoned doc surfaced in serving")
+    Text.bm25Compact(spark, b)
+    assert(!new java.io.File(b, "tombstones").exists())
+    val survInline = Text.bm25TopK(
+      docs.filter(col("doc_id") % 7 =!= 3), 10).collect().map(key).toSeq
+    assert(Text.bm25ProbeStored(docs, b, 10).collect().map(key).toSeq
+      === survInline)
+    assert(spark.read.parquet(s"$b/dl")
+      .join(delDocs, Seq("doc_id")).count() === 0)
+
+    // IVFADC: the tombstoned probe is already exact, so compaction
+    // must not change serving — only the layout's row counts
+    val emb = Tables.embeddings(spark, sf)
+    val bi = tmp("ivfpqdel")
+    Similarity.ivfpqBuildIndex(emb, bi, 16).count()
+    val n = spark.read.parquet(s"$bi/cells").count()
+    val delVec = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    val nDel = delVec.count()
+    val delVecSet = delVec.as[Long].collect().toSet
+    Similarity.ivfpqDelete(delVec, bi)
+    val tombP = Similarity.ivfpqProbeStored(emb, bi, 4, 5)
+      .collect().map(key).toSeq
+    assert(tombP.nonEmpty && tombP.forall(r => !delVecSet(r._2)),
+      "a tombstoned vector surfaced as neighbor")
+    Similarity.ivfpqCompact(spark, bi)
+    assert(Similarity.ivfpqProbeStored(emb, bi, 4, 5)
+      .collect().map(key).toSeq === tombP)
+    assert(spark.read.parquet(s"$bi/cells").count() === n - nDel)
+    assert(spark.read.parquet(s"$bi/codes").count() === n - nDel)
+  }
+
   test("stored-index probes: fresh-marker check runs no corpus-wide job") {
     // round-5 regression guard: the markers embedded `corpus.count()`,
     // so EVERY probe paid a corpus-wide aggregate just to validate

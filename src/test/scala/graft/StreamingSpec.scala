@@ -482,6 +482,63 @@ class StreamingSpec extends SparkTestBase {
       Map(1L -> "old", 2L -> "new", 3L -> "upd", 10L -> "ins"))
   }
 
+  test("streaming ingestion into the standing BM25 index: crash-replayed appends stay exactly-once") {
+    import org.apache.spark.sql.types._
+    import graft.ops.Text
+    // the production shape: a standing index serves while a stream of
+    // new documents folds in per micro-batch via the idempotent
+    // bm25Append (anti-join by doc_id — at-least-once delivery from a
+    // crash-replayed batch still yields the exactly-once layout)
+    val docs = Tables.documents(spark, sf).limit(300).localCheckpoint()
+    val baseDocs = docs.filter(col("doc_id") % 5 =!= 4)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-bm25s-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bm25s-ckpt").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25s-idx").toString + "/idx"
+    Text.bm25BuildIndex(baseDocs, idx).count()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val appends = new java.util.concurrent.atomic.AtomicInteger(0)
+    def start() = StreamingOps.fileStream(spark, srcDir, schema)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Text.bm25Append(batch, idx)
+          // crash after the append landed but before the checkpoint
+          // commits the offset — the batch WILL replay on restart
+          if (appends.incrementAndGet() == 1)
+            throw new RuntimeException("injected crash before checkpoint commit")
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    docs.filter(col("doc_id") % 10 === 4).select(col("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    try q1.processAllAvailable() catch { case _: Throwable => () }
+    assert(q1.exception.isDefined, "injected failure did not surface")
+    try q1.stop() catch { case _: Throwable => () }
+
+    // restart over the same checkpoint: batch 1 replays (idempotent
+    // no-op), then the second slice of the stream flows
+    val q2 = start()
+    try {
+      docs.filter(col("doc_id") % 10 === 9).select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(appends.get() >= 3, s"batch was not replayed (appends=${appends.get()})")
+
+    // the layout must now be EXACTLY the from-scratch index over the
+    // full corpus: same dl row set (no duplicated doc from the replay)
+    // and the probe ranking identical to the inline BM25 plan
+    assert(spark.read.parquet(s"$idx/dl").count() === docs.count())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    assert(Text.bm25ScoreStored(spark, idx, 10).collect().map(key).toSeq
+      === Text.bm25TopK(docs, 10).collect().map(key).toSeq)
+  }
+
   test("lateDataAudit: time-ordered arrival (no jitter) never drops; jitter creates real lates") {
     val ev = graft.Tables.events(spark, sf)
     // jitterSeconds=1 -> pmod(h,1)=0 -> arrival == event time: an event
