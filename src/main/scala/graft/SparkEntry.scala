@@ -390,6 +390,11 @@ object SparkEntry {
       Similarity.ivfpqBuildIndex(embeddings(s, d), ivfpqIndexBase(d), 16)),
     "sim_ivfpq_stored" -> ((s, d) =>
       Similarity.ivfpqProbeStored(embeddings(s, d), ivfpqIndexBase(d), 8, 5)),
+    // index observability: per-cell occupancy of the standing IVFADC
+    // layout (appends drift cells away from the trained balance; the
+    // hot flag is the "rebuild now" signal a scheduler polls)
+    "sim_ivfpq_health" -> ((s, d) =>
+      Similarity.ivfpqHealth(embeddings(s, d), ivfpqIndexBase(d), 16)),
     // index MAINTENANCE: quantizers train on the base four-fifths
     // (lazy build, marker), every run replays the idempotent batch
     // append into the cell partitions (dynamic partition overwrite),
@@ -419,6 +424,11 @@ object SparkEntry {
       Text.bm25BuildIndex(documents(s, d), bm25IndexBase(d))),
     "txt_bm25_stored" -> ((s, d) =>
       Text.bm25ProbeStored(documents(s, d), bm25IndexBase(d))),
+    // index observability: per-bucket postings/term mass of the
+    // standing BM25 layout (vocabulary drift from appends shows up
+    // here as hot buckets dominating probe I/O)
+    "txt_bm25_health" -> ((s, d) =>
+      Text.bm25Health(documents(s, d), bm25IndexBase(d))),
     // index MAINTENANCE: build on the base four-fifths (lazy, marker),
     // merge the batch fifth into the affected bucket partitions every
     // run (dynamic partition overwrite — the measured cost IS the
@@ -2435,6 +2445,24 @@ object SparkEntry {
     // parquet round-trips the trained doubles bit-exactly
     "sim_ivfpq_build" -> kmeansCellsOracle(16),
     "sim_ivfpq_stored" -> ivfpqOracle(8, 5),
+    // health: occupancy over the same re-derived k-means assignment;
+    // exact integer share (floor division to basis points)
+    "sim_ivfpq_health" ->
+      s"""WITH ${kmeansSql(16, Similarity.ivfIters)},
+         |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.centroid_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+         |    FROM embeddings e, cent c) t WHERE rn = 1),
+         |pc AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell),
+         |tot AS (SELECT count(*) AS n_total FROM assigned)
+         |SELECT CAST(cell AS INTEGER) AS cell,
+         |  CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(n_vecs * 10000 // n_total AS BIGINT) AS share_bp,
+         |  n_vecs * 16 > n_total * 2 AS is_hot
+         |FROM pc, tot ORDER BY cell""".stripMargin,
     "sim_ivfpq_append" -> ivfpqAppendOracle(8, 5),
     // deletion: quantizers trained on the FULL corpus (the standing
     // index's training), candidates restricted to the survivors
@@ -2456,6 +2484,24 @@ object SparkEntry {
         |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms
         |FROM tf GROUP BY bucket ORDER BY bucket""".stripMargin,
     "txt_bm25_stored" -> bm25Oracle(10),
+    // health: per-bucket postings mass over the re-derived inverted
+    // index; bucket = md5-hash of the term mod 64, like the layout
+    "txt_bm25_health" ->
+      """WITH tf AS MATERIALIZED (SELECT doc_id, t.term, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY doc_id, t.term),
+        |b AS MATERIALIZED (SELECT
+        |    ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS bucket, term
+        |  FROM tf),
+        |pc AS (SELECT bucket, count(*) AS n_postings FROM b GROUP BY bucket),
+        |tm AS (SELECT bucket, count(DISTINCT term) AS n_terms FROM b GROUP BY bucket),
+        |tot AS (SELECT count(*) AS n_total FROM b)
+        |SELECT bucket, CAST(n_postings AS BIGINT) AS n_postings,
+        |  CAST(n_terms AS BIGINT) AS n_terms,
+        |  CAST(n_postings * 10000 // n_total AS BIGINT) AS share_bp,
+        |  n_postings * 64 > n_total * 2 AS is_hot
+        |FROM pc JOIN tm USING (bucket), tot
+        |ORDER BY bucket""".stripMargin,
     // append merges into the bucket layout until it IS the from-scratch
     // index over the union (BM25 has no trained artifacts), so the
     // probe-after-append oracle is the inline-index oracle verbatim

@@ -842,6 +842,39 @@ object Similarity {
     ivfpqScoreStored(spark, base, queries, k, nprobe, shortlist)
   }
 
+  /** Index HEALTH for a stored IVFADC layout — the observability half
+    * of the maintenance story: appends encode with the ORIGINAL
+    * quantizers ([[ivfpqAppend]]), so cell occupancy drifts away from
+    * the trained balance over time, and at some skew the probe's
+    * nprobe-cells-of-nlist cost model stops holding. This reads ONLY
+    * the cells layout (metadata-light: one column of one artifact),
+    * emits per-cell occupancy with exact integer share (basis points,
+    * floor division) and a hot-cell flag (`> 2× the mean`, i.e.
+    * `n_vecs·nlist > 2·total` — exact integer compare), and is what a
+    * scheduler would poll to decide "rebuild now". The aggregation is
+    * nlist rows — trivially 100 TB-safe.
+    */
+  def ivfpqHealth(embeddings: DataFrame, base: String,
+                  nlist: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    val marker = java.nio.file.Paths.get(base, "MARKER")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker)
+        .startsWith(indexMarkerPrefix(embeddings, nlist))
+    if (!fresh) ivfpqBuildIndex(embeddings, base, nlist).count()
+    val perCell = spark.read.parquet(s"$base/cells")
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val total = spark.read.parquet(s"$base/cells")
+      .agg(count(lit(1)).as("n_total"))
+    perCell.join(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        expr("n_vecs * 10000 div n_total").as("share_bp"),
+        (col("n_vecs") * lit(nlist.toLong) >
+          col("n_total") * lit(2L)).as("is_hot"))
+      .orderBy(col("cell"))
+  }
+
   /** Serve top-k for a (vec_id, embedding) query frame from a stored
     * IVFADC layout under `base` — the shared serving core of
     * [[ivfpqProbeStored]] and [[ivfpqAppendProbe]]; reads ONLY the

@@ -676,6 +676,38 @@ object Text {
     * ride a broadcast literal table; all score arithmetic is exact
     * IEEE division of integer ranks, so the fused scores hash-match.
     */
+  /** Index HEALTH for a stored BM25 layout — per-bucket postings and
+    * term counts with exact integer share (basis points) and a hot
+    * flag (`> 2× the mean bucket`, exact integer compare). Buckets
+    * are md5-hash-assigned so they start near-uniform, but appends
+    * ([[bm25Append]]) shift mass with the incoming vocabulary; a
+    * bucket hot enough to dominate probe I/O is the "rewrite the
+    * layout at a finer bucket count" signal. Reads ONLY the postings
+    * and df artifacts; the aggregation is bm25Buckets rows.
+    */
+  def bm25Health(documents: DataFrame, base: String): DataFrame = {
+    val spark = documents.sparkSession
+    val marker = java.nio.file.Paths.get(base, "MARKER")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker)
+        .startsWith(bm25IndexMarkerPrefix(documents))
+    if (!fresh) bm25BuildIndex(documents, base).count()
+    val perBucket = spark.read.parquet(s"$base/tf")
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_postings"))
+    val terms = spark.read.parquet(s"$base/df")
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_terms"))
+    val total = spark.read.parquet(s"$base/tf")
+      .agg(count(lit(1)).as("n_total"))
+    perBucket.join(terms, Seq("bucket")).join(broadcast(total))
+      .select(col("bucket"), col("n_postings"), col("n_terms"),
+        expr("n_postings * 10000 div n_total").as("share_bp"),
+        (col("n_postings") * lit(bm25Buckets.toLong) >
+          col("n_total") * lit(2L)).as("is_hot"))
+      .orderBy(col("bucket"))
+  }
+
   /** DELETE documents from the stored BM25 layout — tombstoned: the
     * doc_ids merge into a tombstone sidecar (distinct, so replays are
     * no-ops) and serving excludes them immediately via anti-join
