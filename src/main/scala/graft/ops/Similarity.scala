@@ -880,7 +880,7 @@ object Similarity {
     * [[ivfpqProbeStored]] and [[ivfpqAppendProbe]]; reads ONLY the
     * persisted artifacts.
     */
-  private def ivfpqScoreStored(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def ivfpqScoreStored(spark: org.apache.spark.sql.SparkSession,
                                base: String, queries: DataFrame, k: Int,
                                nprobe: Int, shortlist: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$base/centroids")

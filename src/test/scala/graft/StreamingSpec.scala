@@ -539,6 +539,68 @@ class StreamingSpec extends SparkTestBase {
       === Text.bm25TopK(docs, 10).collect().map(key).toSeq)
   }
 
+  test("streaming ingestion into the standing IVFADC index: crash-replayed appends stay exactly-once") {
+    import org.apache.spark.sql.types._
+    import graft.ops.Similarity
+    // mirror of the BM25 ingestion spec for the ANN side: new vectors
+    // stream into the stored layout via the idempotent ivfpqAppend
+    // (assign+encode with the STANDING quantizers, anti-join merge),
+    // and a crash-replayed micro-batch must leave the layout identical
+    // to a clean run of the same appends
+    val emb = Tables.embeddings(spark, sf).limit(400).localCheckpoint()
+    val baseCorpus = emb.filter(col("vec_id") % 5 =!= 4)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ivfs-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivfs-ckpt").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfs-idx").toString + "/idx"
+    val ref = java.nio.file.Files.createTempDirectory("graft-ivfs-ref").toString + "/idx"
+    Similarity.ivfpqBuildIndex(baseCorpus, idx, 16).count()
+    Similarity.ivfpqBuildIndex(baseCorpus, ref, 16).count()
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val appends = new java.util.concurrent.atomic.AtomicInteger(0)
+    def start() = StreamingOps.fileStream(spark, srcDir, schema)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Similarity.ivfpqAppend(batch, idx)
+          if (appends.incrementAndGet() == 1)
+            throw new RuntimeException("injected crash before checkpoint commit")
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val b1 = emb.filter(col("vec_id") % 10 === 4).select(col("vec_id"), col("embedding"))
+    val b2 = emb.filter(col("vec_id") % 10 === 9).select(col("vec_id"), col("embedding"))
+    val q1 = start()
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    try q1.processAllAvailable() catch { case _: Throwable => () }
+    assert(q1.exception.isDefined, "injected failure did not surface")
+    try q1.stop() catch { case _: Throwable => () }
+    val q2 = start()
+    try {
+      b2.coalesce(1).write.mode("append").parquet(srcDir)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(appends.get() >= 3, s"batch was not replayed (appends=${appends.get()})")
+
+    // clean reference: the same two appends, no crash
+    Similarity.ivfpqAppend(b1, ref)
+    Similarity.ivfpqAppend(b2, ref)
+    val n = emb.count()
+    for (b <- Seq(idx, ref); part <- Seq("cells", "codes")) {
+      val ids = spark.read.parquet(s"$b/$part").select("vec_id").as[Long].collect()
+      assert(ids.length === n.toInt, s"$b/$part has ${ids.length} rows, want $n")
+      assert(ids.distinct.length === ids.length, s"$b/$part has duplicate vec_ids")
+    }
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    def probe(b: String) = Similarity.ivfpqScoreStored(spark, b, queries, 5, 4, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(probe(idx) === probe(ref))
+  }
+
   test("lateDataAudit: time-ordered arrival (no jitter) never drops; jitter creates real lates") {
     val ev = graft.Tables.events(spark, sf)
     // jitterSeconds=1 -> pmod(h,1)=0 -> arrival == event time: an event
