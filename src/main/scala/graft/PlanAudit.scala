@@ -297,6 +297,20 @@ object PlanAudit {
       ("classifier runs inside whole-stage codegen (*(n) span over the scoring Project)",
         p => p.contains("*(1) Project") || p.contains("WholeStageCodegen")))
 
+    // classifier-driven report/sampling: the model stays a per-row
+    // scan expression — the report pays exactly one aggregation
+    // exchange, the sample none at all
+    audit("txt_source_report")(
+      ("no feature explode", !_.contains("Generate")),
+      ("single aggregation exchange", p =>
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 1))
+    audit("txt_quality_sample")(
+      ("no feature explode", !_.contains("Generate")),
+      ("no hash-partitioned shuffle (per-row filter only)",
+        p => !p.contains("Exchange hashpartitioning")),
+      ("sampling predicate pushed into the scan stage (codegen span)",
+        p => p.contains("*(1) Filter") || p.contains("*(1) Project")))
+
     audit("txt_repetition")(
       ("no explode/generate in the plan", !_.contains("Generate")),
       ("no hash-partitioned shuffle (per-row fold only)",

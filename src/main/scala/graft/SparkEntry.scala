@@ -159,6 +159,9 @@ object SparkEntry {
     // hashed-linear classifier: md5-derived per-feature weights summed
     // per doc in one codegen'd HOF pass — the trained-filter stage
     "txt_quality_clf" -> ((s, d) => Text.qualityClassify(documents(s, d))),
+    // classifier-driven curation dashboard + quality-weighted sampling
+    "txt_source_report" -> ((s, d) => Text.sourceReport(documents(s, d))),
+    "txt_quality_sample" -> ((s, d) => Text.qualitySample(documents(s, d))),
     "txt_token_freq" -> ((s, d) => Text.tokenFrequency(documents(s, d), 50)),
     "txt_bigrams" -> ((s, d) => Text.bigramFrequency(documents(s, d), 30)),
     "txt_langid" -> ((s, d) => Text.languageId(documents(s, d))),
@@ -1534,23 +1537,35 @@ object SparkEntry {
     // hashed-linear classifier: the weight of a feature IS a function
     // of its md5, so the oracle re-derives the identical integer sum
     "txt_quality_clf" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS ls
-        |           FROM documents),
-        |f AS (SELECT doc_id,
-        |        len(ls) + greatest(len(ls) - 1, 0) AS n_features,
-        |        CAST(coalesce(list_aggregate(list_transform(ls,
-        |            t -> ('0x' || substr(md5('u:' || t), 1, 8))::BIGINT % 17 - 8),
-        |          'sum'), 0) AS BIGINT)
-        |        + CASE WHEN len(ls) > 1 THEN
-        |            CAST(coalesce(list_aggregate(
-        |              list_transform(generate_series(1, len(ls) - 1),
-        |                i -> ('0x' || substr(md5('b:' || ls[i] || '_' || ls[i + 1]), 1, 8))::BIGINT % 17 - 8),
-        |              'sum'), 0) AS BIGINT)
-        |          ELSE 0 END AS clf_score
-        |      FROM d)
+      s"""WITH $clfCtes
         |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
         |       clf_score, clf_score >= 0 AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    // per-stratum report over the same classifier chain
+    "txt_source_report" ->
+      s"""WITH $clfCtes
+        |SELECT d.lang, d.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN clf_score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(CASE WHEN clf_score >= 0 THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS keep_bp,
+        |  CAST(sum(clf_score) AS BIGINT) AS sum_score
+        |FROM f JOIN documents d USING (doc_id)
+        |GROUP BY d.lang, d.source
+        |ORDER BY d.lang, d.source""".stripMargin,
+    // quality-weighted hash sampling over the same chain
+    "txt_quality_sample" ->
+      s"""WITH $clfCtes,
+        |r AS (SELECT doc_id, clf_score,
+        |        CASE WHEN clf_score >= 20 THEN 10000
+        |             WHEN clf_score >= 0 THEN 5000
+        |             ELSE 1000 END AS rate_bp
+        |      FROM f)
+        |SELECT doc_id, clf_score, CAST(rate_bp AS BIGINT) AS rate_bp
+        |FROM r
+        |WHERE ('0x' || substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        % 10000 < rate_bp
+        |ORDER BY doc_id""".stripMargin,
     "txt_token_freq" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
@@ -2961,6 +2976,27 @@ object SparkEntry {
        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
        |  FROM sc)""".stripMargin
   }
+
+  /** Shared CTE chain re-deriving the hashed-linear classifier: `f`
+    * carries (doc_id, n_features, clf_score) — the exact integer sum
+    * the native expression computes per row. MATERIALIZED because the
+    * report/sampling oracles reference it through further grouping.
+    */
+  private def clfCtes: String =
+    """d AS (SELECT doc_id, string_split(lower(text), ' ') AS ls
+      |           FROM documents),
+      |f AS MATERIALIZED (SELECT doc_id,
+      |        len(ls) + greatest(len(ls) - 1, 0) AS n_features,
+      |        CAST(coalesce(list_aggregate(list_transform(ls,
+      |            t -> ('0x' || substr(md5('u:' || t), 1, 8))::BIGINT % 17 - 8),
+      |          'sum'), 0) AS BIGINT)
+      |        + CASE WHEN len(ls) > 1 THEN
+      |            CAST(coalesce(list_aggregate(
+      |              list_transform(generate_series(1, len(ls) - 1),
+      |                i -> ('0x' || substr(md5('b:' || ls[i] || '_' || ls[i + 1]), 1, 8))::BIGINT % 17 - 8),
+      |              'sum'), 0) AS BIGINT)
+      |          ELSE 0 END AS clf_score
+      |      FROM d)""".stripMargin
 
   private def bm25Oracle(k: Int): String =
     s"""WITH ${bm25Ctes()}

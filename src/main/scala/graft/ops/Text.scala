@@ -112,6 +112,52 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-(lang, source) curation report over the hashed-linear
+    * classifier — the dashboard a data-curation run ends with: how
+    * many documents each stratum contributes, how many the classifier
+    * keeps, the keep rate (exact basis points, floor division), and
+    * the stratum's total score mass. One scan (the classifier is a
+    * per-row expression) into one ~|lang|·|source|-group aggregation;
+    * all integer arithmetic.
+    */
+  def sourceReport(documents: DataFrame): DataFrame = {
+    val score = graft.functions.HashedLinearScore
+      .hashed_linear_score(tokens(lower(col("text"))), 17, 8)
+    documents
+      .select(col("lang"), col("source"), score.as("s"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s") >= 0, 1L).otherwise(0L)).as("n_keep"),
+        sum(col("s")).as("sum_score"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_keep"),
+        expr("n_keep * 10000 div n_docs").as("keep_bp"),
+        col("sum_score"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Quality-WEIGHTED sampling: keep probability depends on the
+    * classifier score — the static form of quality-skewed data
+    * selection (high-scoring docs kept outright, mid kept at half
+    * rate, low at a tenth). The keep decision is the repo's standard
+    * deterministic device: md5-hash of the doc_id against an exact
+    * basis-point threshold, so the sample is reproducible and the
+    * oracle re-derives it bit-for-bit. Per-row only — classifier,
+    * bucket, and coin all evaluate in the scan projection.
+    */
+  def qualitySample(documents: DataFrame): DataFrame = {
+    val score = graft.functions.HashedLinearScore
+      .hashed_linear_score(tokens(lower(col("text"))), 17, 8)
+    val rate = when(col("clf_score") >= 20, lit(10000L))
+      .when(col("clf_score") >= 0, lit(5000L))
+      .otherwise(lit(1000L))
+    documents
+      .select(col("doc_id"), score.as("clf_score"))
+      .withColumn("rate_bp", rate)
+      .filter(pmod(tokenHash(concat(lit("qs:"), col("doc_id").cast("string"))),
+        lit(10000L)) < col("rate_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token frequency top-k: explode → hash agg → TakeOrderedAndProject.
     * Deterministic because (count, token) is a total order.
     */
