@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.simhash32Descriptor)
     e.injectFunction(GraftExtensions.phashBandsDescriptor)
     e.injectFunction(GraftExtensions.zorderKeyDescriptor)
+    e.injectFunction(GraftExtensions.hashedLinearScoreDescriptor)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
@@ -72,10 +73,21 @@ object GraftExtensions {
       org.apache.spark.sql.catalyst.expressions.Cast(children(1),
         org.apache.spark.sql.types.LongType), bits = 16))
 
+  /** `hashed_linear_score(tokens)` — the codegen'd hashed-linear
+    * classifier score with the engine's fixed weight geometry
+    * (mod 17, shift 8), so SQL users score documents with the exact
+    * model the txt_quality_clf pipeline uses.
+    */
+  private[functions] val hashedLinearScoreDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hashed_linear_score"),
+    new ExpressionInfo(classOf[HashedLinearScore].getName, "hashed_linear_score"),
+    (children: Seq[Expression]) => HashedLinearScore(children.head, 17, 8))
+
   /** Runtime registration for an already-built session. */
   def register(spark: SparkSession): Unit = {
     Seq(vectorDotDescriptor, minhashSigDescriptor, simhash32Descriptor,
-        phashBandsDescriptor, zorderKeyDescriptor)
+        phashBandsDescriptor, zorderKeyDescriptor, hashedLinearScoreDescriptor)
       .foreach { case (id, info, builder) =>
         spark.sessionState.functionRegistry.registerFunction(id, info, builder)
       }

@@ -284,6 +284,27 @@ class FunctionsSpec extends SparkTestBase {
     assert(got === ((1L << 2) | (1L << 6) | (1L << 1) | (1L << 5)))
   }
 
+  test("hashed_linear_score registered for SQL, matches the Column API") {
+    import graft.functions.HashedLinearScore
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT hashed_linear_score(split('a b c', ' ')) AS s").as[Long].head()
+    val viaCol = Seq("a b c").toDF("t")
+      .select(HashedLinearScore.hashed_linear_score(
+        split(col("t"), " "), 17, 8)).as[Long].head()
+    assert(viaSql === viaCol)
+    // independent hand-derivation of one feature weight: md5("u:a")
+    // prefix32 mod 17 - 8, summed over u:a,u:b,u:c,b:a_b,b:b_c
+    def w(f: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      h % 17 - 8
+    }
+    assert(viaSql === Seq("u:a", "u:b", "u:c", "b:a_b", "b:b_c").map(w).sum)
+  }
+
   test("scala UDF surface works (slow path, for API completeness only)") {
     val vowels = udf((s: String) => s.count("aeiou".contains(_)))
     val got = Seq("spark", "aeiou").toDF("s")
