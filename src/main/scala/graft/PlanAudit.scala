@@ -580,6 +580,42 @@ object PlanAudit {
         p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
       ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
 
+    // hot-cell resplit: the registry plan is the report downstream of
+    // the assignment checkpoint — single agg over the checkpoint scan
+    audit("sim_ivfpq_resplit")(
+      ("report rides the assignment checkpoint",
+        p => p.contains("Scan ExistingRDD")),
+      ("single aggregation exchange over new_cell", p =>
+        "Exchange hashpartitioning".r.findAllIn(p).size <= 1),
+      ("no cartesian over members", p => !p.contains("CartesianProduct")))
+
+    // ...and the PRE-checkpoint assignment frame (hidden from the
+    // registry plan by the checkpoint): pivot/centroid sides are
+    // nlist-row broadcasts, nothing enumerates member pairs
+    {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val cells = emb.select(col("vec_id"), col("embedding"),
+        (col("vec_id") % 16).as("cell"))
+      val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val hot = counts.limit(3).select(col("cell"))
+      val cent = cells.groupBy(col("cell").cast("int").as("centroid_id"))
+        .agg(org.apache.spark.sql.functions.first(col("embedding")).as("ce"))
+      val p = graft.ops.Similarity
+        .resplitAssignment(cells.localCheckpoint(), hot, cent, 16)
+        .queryExecution.executedPlan.toString
+      val checks = Seq(
+        ("assignment: pivot/centroid sides broadcast",
+          "BroadcastHashJoin".r.findAllIn(p).size >= 2),
+        ("assignment: no cartesian over members",
+          !p.contains("CartesianProduct")))
+      checks.foreach { case (desc, ok) =>
+        if (!ok) failures += 1
+        println(f"${if (ok) "PASS" else "FAIL"}  ${"sim_ivfpq_resplit"}%-24s $desc")
+        if (!ok) println(p.linesIterator.take(40).mkString("  | ", "\n  | ", ""))
+      }
+    }
+
     // BM25 append probe: the serving plan after the merge is the same
     // index-only read as txt_bm25_stored — static bucket pruning, no
     // corpus tokenize (the append work happened at construction time)

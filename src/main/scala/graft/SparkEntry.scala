@@ -398,6 +398,12 @@ object SparkEntry {
     // hot flag is the "rebuild now" signal a scheduler polls)
     "sim_ivfpq_health" -> ((s, d) =>
       Similarity.ivfpqHealth(embeddings(s, d), ivfpqIndexBase(d), 16)),
+    // the maintenance ACTION the health flag calls for: hot cells
+    // split 2-means-style around a deterministic pivot; report is the
+    // occupancy after (registry threshold 1.1x mean so balanced
+    // fixtures still exercise the split)
+    "sim_ivfpq_resplit" -> ((s, d) =>
+      Similarity.ivfpqResplit(embeddings(s, d), ivfpqIndexBase(d), 16, 110)),
     // index MAINTENANCE: quantizers train on the base four-fifths
     // (lazy build, marker), every run replays the idempotent batch
     // append into the cell partitions (dynamic partition overwrite),
@@ -2478,6 +2484,36 @@ object SparkEntry {
          |  CAST(n_vecs * 10000 // n_total AS BIGINT) AS share_bp,
          |  n_vecs * 16 > n_total * 2 AS is_hot
          |FROM pc, tot ORDER BY cell""".stripMargin,
+    // resplit: same assignment chain; hot cells (>1.1x mean) split by
+    // cosine-nearer-of(pivot, centroid), pivot = min-vec_id member
+    "sim_ivfpq_resplit" ->
+      s"""WITH ${kmeansSql(16, Similarity.ivfIters)},
+         |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
+         |assigned AS MATERIALIZED (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+         |    FROM embeddings e, cent c) t WHERE rn = 1),
+         |cnt AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell),
+         |tot AS (SELECT count(*) AS n_total FROM assigned),
+         |hot AS (SELECT cell FROM cnt, tot WHERE n * 16 * 100 > n_total * 110),
+         |piv AS (SELECT a.cell, min(a.vec_id) AS pivot_id
+         |        FROM assigned a JOIN hot USING (cell) GROUP BY a.cell),
+         |pe AS (SELECT piv.cell, e.embedding AS pe
+         |       FROM piv JOIN embeddings e ON e.vec_id = piv.pivot_id),
+         |n AS (SELECT a.vec_id, a.cell,
+         |        CASE WHEN pe.pe IS NULL THEN a.cell
+         |             WHEN ${cosSql("a.embedding", "pe.pe")}
+         |               >= ${cosSql("a.embedding", "c.ce")} THEN a.cell + 16
+         |             ELSE a.cell END AS new_cell
+         |      FROM assigned a LEFT JOIN pe USING (cell)
+         |        JOIN cent c ON c.centroid_id = a.cell)
+         |SELECT CAST(new_cell AS BIGINT) AS new_cell,
+         |  CAST(min(cell) AS BIGINT) AS parent_cell,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  new_cell >= 16 AS is_split_half
+         |FROM n GROUP BY new_cell ORDER BY new_cell""".stripMargin,
     "sim_ivfpq_append" -> ivfpqAppendOracle(8, 5),
     // deletion: quantizers trained on the FULL corpus (the standing
     // index's training), candidates restricted to the survivors

@@ -875,6 +875,83 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** Hot-cell RESPLIT — the maintenance ACTION [[ivfpqHealth]]'s hot
+    * flag calls for, without a full retrain: every cell holding more
+    * than 2× the mean splits in two around a deterministic pivot (its
+    * min-vec_id member) — a member joins the pivot's half iff it is
+    * cosine-nearer to the pivot than to the trained centroid, one
+    * 2-means-style step. Split halves land at `cell + nlist`, cold
+    * cells keep their id, and the split rows stage into a
+    * `cells_resplit` layout (dynamic partition overwrite — only hot
+    * cells' directories are written; idempotent, same input → same
+    * partitions). The returned report is the occupancy after: each
+    * new cell with its parent and member count — the bounded
+    * partition sizes the next probe generation gets. Scale shape:
+    * pivot/centroid frames are ≤ nlist rows riding broadcasts; the
+    * member pass is one scan of the hot cells' partitions only.
+    */
+  def ivfpqResplit(embeddings: DataFrame, base: String,
+                   nlist: Int = 16, hotFactorPct: Int = 200): DataFrame = {
+    val spark = embeddings.sparkSession
+    val marker = java.nio.file.Paths.get(base, "MARKER")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker)
+        .startsWith(indexMarkerPrefix(embeddings, nlist))
+    if (!fresh) ivfpqBuildIndex(embeddings, base, nlist).count()
+    val cells = spark.read.parquet(s"$base/cells")
+      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+      .localCheckpoint() // one read feeds counts, pivots, and assignment
+    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val total = cells.agg(count(lit(1)).as("n_total"))
+    // hot iff n > (hotFactorPct/100)× the mean cell — exact integers.
+    // Production pairs this with ivfpqHealth's 200; the registry
+    // instance runs at 110 so the near-balanced fixtures still
+    // exercise the split machinery
+    val hot = counts.join(broadcast(total))
+      .filter(col("n") * lit(nlist.toLong) * lit(100L) >
+        col("n_total") * lit(hotFactorPct.toLong))
+      .select(col("cell"))
+    val resplit = resplitAssignment(cells, hot,
+      spark.read.parquet(s"$base/centroids"), nlist)
+      .localCheckpoint() // feeds the staging write AND the report
+    graft.sources.Sources.mergePartitioned(
+      resplit.filter(col("pe").isNotNull)
+        .select(col("vec_id"), col("embedding"), col("new_cell").as("cell")),
+      s"$base/cells_resplit", "cell")
+    resplit.groupBy(col("new_cell"))
+      .agg(min(col("cell")).as("parent_cell"),
+        count(lit(1)).as("n_members"))
+      .select(col("new_cell"), col("parent_cell"), col("n_members"),
+        (col("new_cell") >= nlist).as("is_split_half"))
+      .orderBy(col("new_cell"))
+  }
+
+  /** The pivot-vs-centroid assignment frame of [[ivfpqResplit]],
+    * PRE-checkpoint — exposed so the plan audit can assert the join
+    * shape (nlist-row broadcasts, no cartesian) that the registry
+    * query's plan hides behind the checkpoint boundary.
+    */
+  private[graft] def resplitAssignment(cells: DataFrame, hot: DataFrame,
+                                       centroids: DataFrame,
+                                       nlist: Int): DataFrame = {
+    val pivotIds = cells.join(broadcast(hot), Seq("cell"))
+      .groupBy(col("cell")).agg(min(col("vec_id")).as("pivot_id"))
+    val pivots = cells
+      .select(col("vec_id").as("pivot_id"), col("embedding").as("pe"))
+      .join(broadcast(pivotIds), Seq("pivot_id"))
+      .select(col("cell"), col("pe"))
+    val cent = centroids
+      .select(col("centroid_id").cast("long").as("cell"), col("ce"))
+    cells
+      .join(broadcast(pivots), Seq("cell"), "left")
+      .join(broadcast(cent), Seq("cell"))
+      .withColumn("new_cell",
+        when(col("pe").isNull, col("cell"))
+          .otherwise(when(cosine(col("embedding"), col("pe")) >=
+              cosine(col("embedding"), col("ce")),
+            col("cell") + lit(nlist.toLong)).otherwise(col("cell"))))
+  }
+
   /** Serve top-k for a (vec_id, embedding) query frame from a stored
     * IVFADC layout under `base` — the shared serving core of
     * [[ivfpqProbeStored]] and [[ivfpqAppendProbe]]; reads ONLY the

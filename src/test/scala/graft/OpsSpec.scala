@@ -794,6 +794,33 @@ class OpsSpec extends SparkTestBase {
       assert(expected(id) === ((nf, s)), s"doc $id") }
   }
 
+  test("hot-cell resplit conserves membership and splits only hot cells") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-resplit").toString + "/idx"
+    val report = Similarity.ivfpqResplit(emb, base, 16, 110)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val total = emb.count()
+    // conservation: every vector lands in exactly one new cell
+    assert(report.map(_._3).sum === total)
+    val health = Similarity.ivfpqHealth(emb, base, 16)
+      .as[(Int, Long, Long, Boolean)].collect()
+      .map(r => r._1.toLong -> r._2).toMap
+    val mean110 = report.filter(_._4).map(_._2).toSet
+    // split halves exist only for parents above the 1.1x-mean gate,
+    // and each split parent's two halves sum to its original count
+    mean110.foreach { parent =>
+      assert(health(parent) * 16 * 100 > total * 110, s"cell $parent not hot")
+      val halves = report.filter(_._2 == parent).map(_._3).sum
+      assert(halves === health(parent), s"cell $parent leaks members")
+    }
+    // the staged layout holds exactly the split cells' members
+    val staged = spark.read.parquet(s"$base/cells_resplit")
+    assert(staged.count() === mean110.toSeq.map(health).sum)
+    assert(staged.select("vec_id").distinct().count() === staged.count())
+  }
+
   test("hybrid RRF fusion is bounded, ranked, and favors docs in both arms") {
     import graft.ops.Text
     val docs = Tables.documents(spark, sf)
