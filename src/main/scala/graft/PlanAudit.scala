@@ -793,7 +793,7 @@ object PlanAudit {
         "txt_dup_spans", "sim_knn_graph", "dedup_incr_near",
         "txt_span_cut", "txt_bm25_append", "sim_ivfpq_append",
         "txt_hybrid_stored", "sim_knn_refine", "txt_bm25_delete",
-        "sim_ivfpq_delete")
+        "sim_ivfpq_delete", "txt_quality_clf", "sim_ivfpq_resplit")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(
