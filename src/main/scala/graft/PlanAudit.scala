@@ -616,6 +616,16 @@ object PlanAudit {
       }
     }
 
+    // resplit-generation probe: augmented centroids and probed cells
+    // ride broadcasts, scoring is equi-keyed on the cell, per-query
+    // top-k through the heap node
+    audit("sim_ivfpq_resprobe")(
+      ("centroid/probe frames broadcast", p =>
+        "BroadcastHashJoin".r.findAllIn(p).size >= 2),
+      ("no cartesian over members", p => !p.contains("CartesianProduct")),
+      ("two-phase heap top-k", p =>
+        p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")))
+
     // BM25 append probe: the serving plan after the merge is the same
     // index-only read as txt_bm25_stored — static bucket pruning, no
     // corpus tokenize (the append work happened at construction time)

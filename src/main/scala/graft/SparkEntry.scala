@@ -404,6 +404,10 @@ object SparkEntry {
     // fixtures still exercise the split)
     "sim_ivfpq_resplit" -> ((s, d) =>
       Similarity.ivfpqResplit(embeddings(s, d), ivfpqIndexBase(d), 16, 110)),
+    // ...and the probe over the resplit generation: split halves are
+    // served via the augmented centroid table (pivots at cell+16)
+    "sim_ivfpq_resprobe" -> ((s, d) =>
+      Similarity.ivfpqProbeResplit(embeddings(s, d), ivfpqIndexBase(d), 8, 5)),
     // index MAINTENANCE: quantizers train on the base four-fifths
     // (lazy build, marker), every run replays the idempotent batch
     // append into the cell partitions (dynamic partition overwrite),
@@ -2487,33 +2491,37 @@ object SparkEntry {
     // resplit: same assignment chain; hot cells (>1.1x mean) split by
     // cosine-nearer-of(pivot, centroid), pivot = min-vec_id member
     "sim_ivfpq_resplit" ->
-      s"""WITH ${kmeansSql(16, Similarity.ivfIters)},
-         |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
-         |assigned AS MATERIALIZED (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-         |    FROM embeddings e, cent c) t WHERE rn = 1),
-         |cnt AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell),
-         |tot AS (SELECT count(*) AS n_total FROM assigned),
-         |hot AS (SELECT cell FROM cnt, tot WHERE n * 16 * 100 > n_total * 110),
-         |piv AS (SELECT a.cell, min(a.vec_id) AS pivot_id
-         |        FROM assigned a JOIN hot USING (cell) GROUP BY a.cell),
-         |pe AS (SELECT piv.cell, e.embedding AS pe
-         |       FROM piv JOIN embeddings e ON e.vec_id = piv.pivot_id),
-         |n AS (SELECT a.vec_id, a.cell,
-         |        CASE WHEN pe.pe IS NULL THEN a.cell
-         |             WHEN ${cosSql("a.embedding", "pe.pe")}
-         |               >= ${cosSql("a.embedding", "c.ce")} THEN a.cell + 16
-         |             ELSE a.cell END AS new_cell
-         |      FROM assigned a LEFT JOIN pe USING (cell)
-         |        JOIN cent c ON c.centroid_id = a.cell)
+      s"""WITH $resplitCtes
          |SELECT CAST(new_cell AS BIGINT) AS new_cell,
          |  CAST(min(cell) AS BIGINT) AS parent_cell,
          |  CAST(count(*) AS BIGINT) AS n_members,
          |  new_cell >= 16 AS is_split_half
          |FROM n GROUP BY new_cell ORDER BY new_cell""".stripMargin,
+    // probe over the resplit generation: queries rank the augmented
+    // centroid table (original centroids + pivots at cell+16), probe
+    // nprobe of them, score only those partitions' members
+    "sim_ivfpq_resprobe" ->
+      s"""WITH $resplitCtes,
+         |aug AS MATERIALIZED (
+         |  SELECT centroid_id AS cell, ce FROM cent
+         |  UNION ALL SELECT pe.cell + 16 AS cell, pe.pe AS ce FROM pe),
+         |probes AS MATERIALIZED (
+         |  SELECT query_id, qe, cell FROM (
+         |    SELECT q.vec_id AS query_id, q.embedding AS qe, a.cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosSql("q.embedding", "a.ce")} DESC, a.cell) AS rn
+         |    FROM (SELECT * FROM embeddings WHERE vec_id < 8) q, aug a) t
+         |  WHERE rn <= 4),
+         |s AS (SELECT query_id, n.vec_id AS neighbor_id,
+         |        ${cosSql("p.qe", "n.embedding")} AS sim
+         |      FROM probes p JOIN n ON n.new_cell = p.cell
+         |      WHERE n.vec_id <> p.query_id),
+         |r AS (SELECT query_id, neighbor_id, sim,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |      FROM s)
+         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     "sim_ivfpq_append" -> ivfpqAppendOracle(8, 5),
     // deletion: quantizers trained on the FULL corpus (the standing
     // index's training), candidates restricted to the survivors
@@ -3012,6 +3020,35 @@ object SparkEntry {
        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
        |  FROM sc)""".stripMargin
   }
+
+  /** Shared CTE chain re-deriving the hot-cell resplit: `n` carries
+    * (vec_id, embedding, cell, new_cell) — the full post-split
+    * assignment at the registry's 1.1×-mean threshold; `cent` and
+    * `pe` stay visible for the probe oracle's augmented centroids.
+    */
+  private def resplitCtes: String =
+    s"""${kmeansSql(16, Similarity.ivfIters)},
+       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
+       |    FROM embeddings e, cent c) t WHERE rn = 1),
+       |cnt AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell),
+       |tot AS (SELECT count(*) AS n_total FROM assigned),
+       |hot AS (SELECT cell FROM cnt, tot WHERE n * 16 * 100 > n_total * 110),
+       |piv AS (SELECT a.cell, min(a.vec_id) AS pivot_id
+       |        FROM assigned a JOIN hot USING (cell) GROUP BY a.cell),
+       |pe AS MATERIALIZED (SELECT piv.cell, e.embedding AS pe
+       |       FROM piv JOIN embeddings e ON e.vec_id = piv.pivot_id),
+       |n AS MATERIALIZED (SELECT a.vec_id, a.embedding, a.cell,
+       |        CASE WHEN pe.pe IS NULL THEN a.cell
+       |             WHEN ${cosSql("a.embedding", "pe.pe")}
+       |               >= ${cosSql("a.embedding", "c.ce")} THEN a.cell + 16
+       |             ELSE a.cell END AS new_cell
+       |      FROM assigned a LEFT JOIN pe USING (cell)
+       |        JOIN cent c ON c.centroid_id = a.cell)""".stripMargin
 
   /** Shared CTE chain re-deriving the hashed-linear classifier: `f`
     * carries (doc_id, n_features, clf_score) — the exact integer sum

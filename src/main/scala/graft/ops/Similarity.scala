@@ -926,6 +926,64 @@ object Similarity {
       .orderBy(col("new_cell"))
   }
 
+  /** PROBE over the RESPLIT serving generation — what makes
+    * [[ivfpqResplit]] a real maintenance step rather than a report:
+    * the augmented centroid table is the original centroids (cold
+    * cells and split half-0) plus each split cell's PIVOT vector as
+    * the centroid of its half at `cell + nlist`, and the serving
+    * layout is the cold partitions of the original `cells` plus the
+    * staged `cells_resplit` directories. A query ranks ≤ 2·nlist
+    * augmented centroids, probes nprobe of them, and scores only
+    * those partitions' members — identical plan shape to [[ivfTopK]],
+    * but a former hot cell's members now spread across two smaller
+    * probe targets, which is the point of the split. Replays the
+    * (idempotent) resplit first, so the measured cost includes the
+    * maintenance pass — same convention as the append probes.
+    */
+  def ivfpqProbeResplit(embeddings: DataFrame, base: String, nQueries: Int,
+                        k: Int, nlist: Int = 16, hotFactorPct: Int = 110,
+                        nprobe: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    ivfpqResplit(embeddings, base, nlist, hotFactorPct).count()
+    val cellsAll = spark.read.parquet(s"$base/cells")
+      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+      .localCheckpoint()
+    val counts = cellsAll.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val total = cellsAll.agg(count(lit(1)).as("n_total"))
+    val hot = counts.join(broadcast(total))
+      .filter(col("n") * lit(nlist.toLong) * lit(100L) >
+        col("n_total") * lit(hotFactorPct.toLong))
+      .select(col("cell")).localCheckpoint()
+    val pivotIds = cellsAll.join(broadcast(hot), Seq("cell"))
+      .groupBy(col("cell")).agg(min(col("vec_id")).as("pivot_id"))
+    val halfOneCents = cellsAll
+      .select(col("vec_id").as("pivot_id"), col("embedding").as("pe"))
+      .join(broadcast(pivotIds), Seq("pivot_id"))
+      .select((col("cell") + lit(nlist.toLong)).as("cell"), col("pe").as("ce"))
+    val aug = spark.read.parquet(s"$base/centroids")
+      .select(col("centroid_id").cast("long").as("cell"), col("ce"))
+      .unionByName(halfOneCents)
+      .localCheckpoint() // ≤ 2·nlist rows
+    val layout = cellsAll.join(broadcast(hot), Seq("cell"), "left_anti")
+      .unionByName(spark.read.parquet(s"$base/cells_resplit")
+        .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell")))
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(aug))
+      .select(col("query_id"), col("qe"), col("cell"),
+        cosine(col("qe"), col("ce")).as("cs"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("cell"))
+    val probeCells = probes.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val scored = layout.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    topKRanked(scored, "sim", k)
+  }
+
   /** The pivot-vs-centroid assignment frame of [[ivfpqResplit]],
     * PRE-checkpoint — exposed so the plan audit can assert the join
     * shape (nlist-row broadcasts, no cartesian) that the registry
