@@ -616,6 +616,14 @@ object PlanAudit {
       }
     }
 
+    // BM25 hot-bucket resplit: report rides the split checkpoint; the
+    // hot side is a broadcast; nothing enumerates posting pairs
+    audit("txt_bm25_resplit")(
+      ("report rides the split checkpoint",
+        p => p.contains("Scan ExistingRDD")),
+      ("no corpus tokenize (artifact-only read)", !_.contains("Generate")),
+      ("no cartesian over postings", p => !p.contains("CartesianProduct")))
+
     // resplit-generation probe: augmented centroids and probed cells
     // ride broadcasts, scoring is equi-keyed on the cell, per-query
     // top-k through the heap node

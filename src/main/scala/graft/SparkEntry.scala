@@ -442,6 +442,12 @@ object SparkEntry {
     // here as hot buckets dominating probe I/O)
     "txt_bm25_health" -> ((s, d) =>
       Text.bm25Health(documents(s, d), bm25IndexBase(d))),
+    // the action on the health signal: hot buckets split by the next
+    // md5 bit of the term hash — probes over the split layout keep
+    // their STATIC partition filters (the split key is plan-time
+    // computable from the literal query terms)
+    "txt_bm25_resplit" -> ((s, d) =>
+      Text.bm25Resplit(documents(s, d), bm25IndexBase(d), 110)),
     // index MAINTENANCE: build on the base four-fifths (lazy, marker),
     // merge the batch fifth into the affected bucket partitions every
     // run (dynamic partition overwrite — the measured cost IS the
@@ -2561,6 +2567,30 @@ object SparkEntry {
         |  n_postings * 64 > n_total * 2 AS is_hot
         |FROM pc JOIN tm USING (bucket), tot
         |ORDER BY bucket""".stripMargin,
+    // resplit: hot buckets (>1.1x mean postings) split by the next
+    // md5 bit of the term hash; report = per-new-bucket mass after
+    "txt_bm25_resplit" ->
+      """WITH tf AS MATERIALIZED (SELECT doc_id, t.term, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        |  GROUP BY doc_id, t.term),
+        |h AS MATERIALIZED (SELECT doc_id, term,
+        |    ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM tf),
+        |b AS MATERIALIZED (SELECT doc_id, term, hv % 64 AS bucket,
+        |    (hv // 64) % 2 AS sub FROM h),
+        |cnt AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+        |tot AS (SELECT count(*) AS n_total FROM b),
+        |hot AS (SELECT bucket FROM cnt, tot
+        |        WHERE n * 64 * 100 > n_total * 110),
+        |n AS (SELECT doc_id, term, b.bucket,
+        |        CASE WHEN hot.bucket IS NULL THEN b.bucket
+        |             ELSE b.bucket + 64 * sub END AS new_bucket
+        |      FROM b LEFT JOIN hot ON b.bucket = hot.bucket)
+        |SELECT CAST(new_bucket AS BIGINT) AS new_bucket,
+        |  CAST(min(bucket) AS BIGINT) AS parent_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_postings,
+        |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+        |  new_bucket >= 64 AS is_split_half
+        |FROM n GROUP BY new_bucket ORDER BY new_bucket""".stripMargin,
     // append merges into the bucket layout until it IS the from-scratch
     // index over the union (BM25 has no trained artifacts), so the
     // probe-after-append oracle is the inline-index oracle verbatim

@@ -754,6 +754,60 @@ object Text {
       .orderBy(col("bucket"))
   }
 
+  /** Hot-bucket RESPLIT for the stored BM25 layout — the maintenance
+    * ACTION [[bm25Health]]'s hot flag calls for: every bucket holding
+    * more than (hotFactorPct/100)× the mean postings mass splits in
+    * two by the NEXT md5 bit of the term hash (`(hash div 64) mod 2`),
+    * sub-bucket 1 landing at `bucket + bm25Buckets`. Because the
+    * split key is a pure function of the term — the same md5 prefix
+    * the bucket itself comes from — a probe over the resplit layout
+    * still computes its partition filters STATICALLY at plan time
+    * (query terms are literals), so the serving property that makes
+    * the bucket layout cheap survives the split unchanged. Split
+    * rows stage into `tf_resplit` via dynamic partition overwrite of
+    * only the hot buckets' directories (idempotent); the report is
+    * the per-new-bucket postings/term mass after.
+    */
+  def bm25Resplit(documents: DataFrame, base: String,
+                  hotFactorPct: Int = 110): DataFrame = {
+    val spark = documents.sparkSession
+    val marker = java.nio.file.Paths.get(base, "MARKER")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker)
+        .startsWith(bm25IndexMarkerPrefix(documents))
+    if (!fresh) bm25BuildIndex(documents, base).count()
+    val tf = spark.read.parquet(s"$base/tf")
+      .select(col("doc_id"), col("term"), col("tf"),
+        col("bucket").cast("long").as("bucket"))
+      .localCheckpoint() // one read feeds counts and the split
+    val counts = tf.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val total = tf.agg(count(lit(1)).as("n_total"))
+    val hot = counts.join(broadcast(total))
+      .filter(col("n") * lit(bm25Buckets.toLong) * lit(100L) >
+        col("n_total") * lit(hotFactorPct.toLong))
+      .select(col("bucket"), lit(true).as("is_hot"))
+    val sub = pmod(expr(s"h div $bm25Buckets"), lit(2L))
+    val split = tf
+      .join(broadcast(hot), Seq("bucket"), "left")
+      .withColumn("h", tokenHash(col("term")))
+      .withColumn("new_bucket",
+        when(col("is_hot").isNull, col("bucket"))
+          .otherwise(col("bucket") + lit(bm25Buckets.toLong) * sub))
+      .localCheckpoint() // feeds the staging write AND the report
+    graft.sources.Sources.mergePartitioned(
+      split.filter(col("is_hot").isNotNull)
+        .select(col("doc_id"), col("term"), col("tf"),
+          col("new_bucket").as("bucket")),
+      s"$base/tf_resplit", "bucket")
+    split.groupBy(col("new_bucket"))
+      .agg(min(col("bucket")).as("parent_bucket"),
+        count(lit(1)).as("n_postings"),
+        countDistinct(col("term")).as("n_terms"))
+      .select(col("new_bucket"), col("parent_bucket"), col("n_postings"),
+        col("n_terms"), (col("new_bucket") >= bm25Buckets).as("is_split_half"))
+      .orderBy(col("new_bucket"))
+  }
+
   /** DELETE documents from the stored BM25 layout — tombstoned: the
     * doc_ids merge into a tombstone sidecar (distinct, so replays are
     * no-ops) and serving excludes them immediately via anti-join

@@ -821,6 +821,37 @@ class OpsSpec extends SparkTestBase {
     assert(staged.select("vec_id").distinct().count() === staged.count())
   }
 
+  test("BM25 hot-bucket resplit conserves postings and splits consistently by term") {
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sf).localCheckpoint()
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-bm25rs").toString + "/idx"
+    val report = Text.bm25Resplit(docs, base, 110)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val totalPostings = spark.read.parquet(s"$base/tf").count()
+    assert(report.map(_._3).sum === totalPostings)
+    // a term's postings never straddle halves: the split key is a
+    // function of the term, so per (bucket) the halves' term sets are
+    // disjoint and their term counts sum to the parent's
+    val parentTerms = spark.read.parquet(s"$base/tf")
+      .groupBy(col("bucket")).agg(countDistinct(col("term")).as("nt"))
+      .as[(Long, Long)].collect().toMap
+    report.groupBy(_._2).foreach { case (parent, halves) =>
+      assert(halves.map(_._4).sum === parentTerms(parent),
+        s"bucket $parent term split inconsistent")
+    }
+    // the staged layout holds exactly the hot buckets' postings, and
+    // probes over it can still prune statically: every staged row's
+    // partition value is derivable from its term alone
+    val staged = spark.read.parquet(s"$base/tf_resplit")
+      .select(col("bucket"),
+        (pmod(Text.tokenHash(col("term")), lit(64L)) +
+          lit(64L) * pmod(expr(
+            "cast(conv(substring(md5(term), 1, 8), 16, 10) as bigint) div 64"), lit(2L)))
+          .as("derived"))
+    assert(staged.filter(col("bucket") =!= col("derived")).count() === 0)
+  }
+
   test("hybrid RRF fusion is bounded, ranked, and favors docs in both arms") {
     import graft.ops.Text
     val docs = Tables.documents(spark, sf)
