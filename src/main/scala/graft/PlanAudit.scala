@@ -433,6 +433,62 @@ object PlanAudit {
         p => "\\[cell#\\d+L?, salt#".r.findAllIn(p).nonEmpty),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // filtered ANN: the metadata predicate must land on the candidate
+    // side BEFORE scoring (pre-filter — at 100 TB an ordinary pushed
+    // filter on the probed cell partitions), the probe join stays a
+    // broadcast equi-join on cell, and top-k is the heap node
+    audit("sim_ivf_filtered")(
+      ("label pre-filter present in the candidate pipeline",
+        p => "pmod\\(.*label".r.findAllIn(p).nonEmpty),
+      ("probe join is a broadcast equi-join on cell",
+        p => "BroadcastHashJoin \\[cell".r.findAllIn(p).nonEmpty),
+      ("two-phase heap top-k", p =>
+        p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
+      ("no cartesian pair enumeration", p => !p.contains("CartesianProduct")))
+
+    // JL random-projection rerank: the projection is the native
+    // codegen'd dot (one per output dim, constants inlined — no
+    // trained artifact anywhere in the plan), BOTH stages prune
+    // through the heap node, and nothing pairs corpus rows
+    audit("sim_rp_rerank")(
+      ("native vector_dot computes projection and scores",
+        _.contains("vector_dot")),
+      ("heap top-k in both stages (shortlist + rerank)", p =>
+        "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
+      ("no cartesian pair enumeration", p => !p.contains("CartesianProduct")))
+
+    // phrase search: corpus tokens equi-join the broadcast literal
+    // query-term table; matching is pure aggregation — no corpus
+    // self-join, no per-document window, no cartesian
+    audit("txt_phrase_search")(
+      ("query terms broadcast into an equi-join", p =>
+        p.contains("BroadcastHashJoin")),
+      ("vote + match counting are hash aggregations", p =>
+        "HashAggregate".r.findAllIn(p).size >= 2),
+      ("no window operator", p => !p.contains("Window")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
+    // collocations: ONE tokenize feeds unigram and bigram counts
+    // (checkpoint boundary), the global top-k is TakeOrderedAndProject
+    // (never a full-vocabulary sort), totals ride one-row broadcasts
+    audit("txt_collocations")(
+      ("positional token frame checkpointed once",
+        p => p.contains("Scan ExistingRDD")),
+      ("global top-k is TakeOrderedAndProject",
+        p => p.contains("TakeOrderedAndProject")),
+      ("no cartesian beyond one-row total carriers",
+        p => !p.contains("CartesianProduct")))
+
+    // multimodal retrieval: payload→embedding is a per-row projection
+    // inside the scan, queries broadcast, heap top-k — same serving
+    // shape as sim_cosine_topk with a binary-column source
+    audit("mm_ann")(
+      ("native vector_dot scores the candidates", _.contains("vector_dot")),
+      ("query side broadcast", _.contains("BroadcastExchange")),
+      ("two-phase heap top-k", p =>
+        p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // SemDeDup: the pair comparison must be the within-cluster
     // equi-join keyed on (cell, salt) — never an all-pairs
     // cartesian/BNL over the corpus (the exact blow-up clustering

@@ -195,6 +195,23 @@ object SparkEntry {
     "sim_lsh_topk" -> ((s, d) => Similarity.lshTopK(embeddings(s, d), 8, 5)),
     "sim_near_dup" -> ((s, d) => Similarity.nearDupPairs(embeddings(s, d), 0.5)),
     "sim_ivf_topk" -> ((s, d) => Similarity.ivfTopK(embeddings(s, d), 8, 5)),
+    // filtered vector search: top-k under a metadata predicate (even
+    // label), pre-filtered on the candidate scan — one full-corpus
+    // index serves every predicate
+    "sim_ivf_filtered" -> ((s, d) =>
+      Similarity.ivfFilteredTopK(embeddings(s, d), 8, 5)),
+    // JL random-projection shortlist (16-dim, constant planes — no
+    // training, no stored artifacts) + exact full-width re-rank
+    "sim_rp_rerank" -> ((s, d) =>
+      Similarity.rpRerankTopK(embeddings(s, d), 8, 5)),
+    // multimodal retrieval end-to-end: payload -> stub embedding ->
+    // cosine top-k (the encoder swap point is the projection only)
+    "mm_ann" -> ((s, d) => Multimodal.annRetrieve(documents(s, d))),
+    // positional phrase search: exact phrase matches via one
+    // term-join + vote aggregation over the positional token index
+    "txt_phrase_search" -> ((s, d) => Text.phraseSearch(documents(s, d))),
+    // PMI-lift collocations: top-20 adjacent pairs most above chance
+    "txt_collocations" -> ((s, d) => Text.collocations(documents(s, d))),
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecall(embeddings(s, d), 8, 5)),
     "txt_bpe_tokens" -> ((s, d) => Text.bpeTokenCounts(documents(s, d))),
     "txt_train_val_split" -> ((s, d) => Text.trainValSplit(documents(s, d))),
@@ -864,15 +881,19 @@ object SparkEntry {
 
   /** sim_ivf_topk oracle: same k-means coarse quantizer (3 Lloyd
     * iterations from the first-nlist seed), assignment, probe, and
-    * scoring order as the engine.
+    * scoring order as the engine. `candPred` (over alias `a`) restricts
+    * the scored candidates — the filtered-search (`sim_ivf_filtered`)
+    * pre-filter; the quantizer, assignment, and probe ranking always
+    * see the full corpus, exactly like the engine.
     */
   private def ivfOracle(nq: Int, k: Int, nlist: Int = 16,
-                        nprobe: Int = 4): String =
+                        nprobe: Int = 4,
+                        candPred: String = "TRUE"): String =
     s"""WITH ${kmeansSql(nlist, Similarity.ivfIters)},
        |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
        |assigned AS MATERIALIZED (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+       |  SELECT vec_id, embedding, label, cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.label, c.centroid_id AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
        |    FROM embeddings e, cent c) t WHERE rn = 1),
@@ -885,7 +906,7 @@ object SparkEntry {
        |s AS (SELECT query_id, a.vec_id AS neighbor_id,
        |        ${cosSql("p.qe", "a.embedding")} AS sim
        |      FROM probes p JOIN assigned a USING (cell)
-       |      WHERE a.vec_id <> p.query_id),
+       |      WHERE a.vec_id <> p.query_id AND ($candPred)),
        |r AS (SELECT query_id, neighbor_id, sim,
        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |      FROM s)
@@ -1156,6 +1177,121 @@ object SparkEntry {
        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
        |      FROM s)
        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** sim_rp_rerank oracle: the 16 projection-plane literals are
+    * generated from the same `Similarity.rpPlanes` constants the Spark
+    * operator uses; each projected dimension is the same in-order
+    * double fold as the engine's codegen'd dot, the shortlist ranks by
+    * reduced-space cosine, and the re-rank is full-width cosine over
+    * the shortlist only.
+    */
+  private def rpRerankOracle(nq: Int, k: Int, nCand: Int): String = {
+    val rpExprs = Similarity.rpPlanes.map { p =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"""list_sum(list_transform(list_zip(CAST($lits AS DOUBLE[]), embedding),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
+    }.mkString("[\n   ", ",\n   ", "]")
+    s"""WITH pr AS MATERIALIZED (SELECT vec_id, embedding,
+       |   $rpExprs AS rp
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, rp AS qrp
+       |      FROM pr WHERE vec_id < $nq),
+       |srp AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |        ${cosSql("q.qrp", "c.rp")} AS rpsim
+       |      FROM q, pr c WHERE c.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rpsim DESC, neighbor_id) AS rn
+       |    FROM srp) t WHERE rn <= $nCand),
+       |s AS (SELECT cand.query_id, cand.neighbor_id,
+       |        ${cosSql("q.qe", "c.embedding")} AS sim
+       |      FROM cand
+       |      JOIN pr c ON c.vec_id = cand.neighbor_id
+       |      JOIN q ON q.query_id = cand.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** txt_phrase_search oracle: the same positional-vote formulation —
+    * every token hit on a query term votes for start = pos − off, a
+    * start with exactly plen votes is a phrase match. The query-term
+    * table is generated from the same `Text.phraseQueries` literals.
+    */
+  private def phraseOracle: String = {
+    val vals = Text.phraseQueries.flatMap { case (qid, p) =>
+      val ts = p.split(" ")
+      ts.zipWithIndex.map { case (t, off) =>
+        s"($qid, $off, '$t', ${ts.length})"
+      }
+    }.mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tok
+       |  FROM (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+       |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |              FROM documents) d) x),
+       |q(query_id, off, term, plen) AS (VALUES
+       |    $vals),
+       |cand AS (SELECT q.query_id, t.doc_id, t.pos - q.off AS st, q.plen
+       |         FROM toks t JOIN q ON t.tok = q.term),
+       |m AS (SELECT query_id, doc_id, st FROM cand
+       |      GROUP BY query_id, doc_id, st, plen HAVING count(*) = plen)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  count(*) AS n_matches, min(st) AS first_pos
+       |FROM m GROUP BY query_id, doc_id
+       |ORDER BY query_id, doc_id""".stripMargin
+  }
+
+  /** txt_collocations oracle: unigram/bigram counts off one positional
+    * token frame, lift as the identical left-associated IEEE expression
+    * over exact integer counts.
+    */
+  private def collocationsOracle(minCount: Int, k: Int): String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tok
+       |  FROM (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+       |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |              FROM documents) d) x),
+       |uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+       |ntok AS (SELECT count(*) AS n_tok FROM toks),
+       |big AS (SELECT w1, w2, count(*) AS c12 FROM (
+       |    SELECT lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+       |      tok AS w2
+       |    FROM toks) t WHERE w1 IS NOT NULL GROUP BY w1, w2),
+       |nbig AS (SELECT CAST(sum(c12) AS BIGINT) AS n_big FROM big)
+       |SELECT w1, w2, c12, u1.c1 AS cx, u2.c1 AS cy,
+       |  CAST(c12 AS DOUBLE) * n_tok / cx * n_tok / cy / n_big AS lift
+       |FROM big JOIN uni u1 ON u1.tok = big.w1 JOIN uni u2 ON u2.tok = big.w2,
+       |  ntok, nbig
+       |WHERE c12 >= $minCount
+       |ORDER BY lift DESC, w1, w2 LIMIT $k""".stripMargin
+
+  /** mm_ann oracle: the mm_embed projection (md5 hex pairs / 255.0) as
+    * a list column, then brute-force cosine top-k — the embedding and
+    * cosine expressions mirror the engine term-for-term.
+    */
+  private def mmAnnOracle(nq: Int, k: Int, dims: Int): String = {
+    val embList = (0 until dims).map(i =>
+      s"('0x' || substr(dg, ${i * 2 + 1}, 2))::BIGINT / 255.0")
+      .mkString("[", ",\n   ", "]")
+    s"""WITH m AS (SELECT doc_id, md5(text) AS dg FROM documents),
+       |e AS MATERIALIZED (SELECT doc_id, $embList AS embedding FROM m),
+       |q AS (SELECT doc_id AS query_id, embedding AS qe FROM e
+       |      WHERE doc_id < $nq),
+       |s AS (SELECT query_id, c.doc_id AS neighbor_id,
+       |        ${cosSql("q.qe", "c.embedding")} AS sim
+       |      FROM q, e c WHERE c.doc_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
 
@@ -1682,6 +1818,11 @@ object SparkEntry {
     "sim_lsh_topk" -> lshOracle,
     "sim_near_dup" -> nearDupOracle,
     "sim_ivf_topk" -> ivfOracle(8, 5),
+    "sim_ivf_filtered" -> ivfOracle(8, 5, candPred = "a.label % 2 = 0"),
+    "sim_rp_rerank" -> rpRerankOracle(8, 5, 20),
+    "mm_ann" -> mmAnnOracle(8, 5, 8),
+    "txt_phrase_search" -> phraseOracle,
+    "txt_collocations" -> collocationsOracle(5, 20),
     "sim_ivf_recall" -> ivfRecallOracle(8, 5),
     "txt_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,

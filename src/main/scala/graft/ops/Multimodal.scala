@@ -186,6 +186,42 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal retrieval END-TO-END: media payload → embedding
+    * ([[embedStub]]'s projection, as an array) → cosine top-k — the
+    * "find media like this one" pipeline (CLIP-style retrieval), here
+    * closing the loop between the multimodal ingest tier and the
+    * similarity tier: the SAME serving shape as
+    * [[graft.ops.Similarity.cosineTopK]], fed by the binary column
+    * instead of a precomputed vector table. Swapping the stub for a
+    * real encoder changes only the projection; at corpus scale the
+    * brute-force arm hands off to the IVF/PQ tier exactly as the
+    * `embeddings` table does (the vectors are just a column — nothing
+    * downstream knows they came from binary payloads).
+    *
+    * Scale shape: embedding is a per-row projection inside the scan
+    * (no shuffle); queries broadcast; per-query top-k through the
+    * two-phase heap node — the full candidate set never sorts.
+    */
+  def annRetrieve(documents: DataFrame, nQueries: Int = 8, k: Int = 5,
+                  dims: Int = 8): DataFrame = {
+    val media = asMedia(documents)
+      .withColumn("dg", md5(col("content")))
+    val emb = media.select(col("doc_id"),
+      array((0 until dims).map { i =>
+        conv(substring(col("dg"), i * 2 + 1, 2), 16, 10).cast("double") / 255.0
+      }: _*).as("embedding"))
+    val queries = emb.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("embedding").as("qe"))
+    val scored = emb
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("qe"), col("ce")).as("sim"))
+    Similarity.topKRanked(scored, "sim", k)
+  }
+
   /** pHash-style perceptual fingerprint geometry: 64 bits as 4 × 16-bit
     * BAND values — the band is both the LSH bucketing unit and keeps
     * every value comfortably inside a signed BIGINT on both engines.

@@ -51,8 +51,8 @@ object Similarity {
     * survivors. Ordering is (score DESC, neighbor_id ASC), made total
     * by the negated-id tiebreak in the heap's second component.
     */
-  private def topKRanked(scored: DataFrame, scoreCol: String,
-                         k: Int): DataFrame = {
+  private[ops] def topKRanked(scored: DataFrame, scoreCol: String,
+                              k: Int): DataFrame = {
     val pruned = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
         scored.withColumn("__tie", -col("neighbor_id")),
         Seq("query_id"), Seq(scoreCol, "__tie"), k)
@@ -156,6 +156,76 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("bucket"))
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("sim"))
+    topKRanked(scored, "sim", k)
+  }
+
+  /** Johnson–Lindenstrauss random-projection geometry: [[rpDim]] dense
+    * projection planes from the same deterministic LCG family as the
+    * LSH hyperplanes ([[planeValue]]), offset by [[numPlanes]] so the
+    * two plane sets never share a row. Data-independent constants —
+    * both engines materialize identical literals, any worker
+    * regenerates them without coordination, and (unlike a trained
+    * rotation) nothing has to be fit, stored, or kept fresh.
+    *
+    * 2× compression (64 → 32): the JL distortion bound scales as
+    * √(ln n / d'), and the fixture embeddings are i.i.d. isotropic
+    * (neighbor cosines are statistically near-indistinguishable — the
+    * honest-measurement note at [[ivfIters]]), so 4× compression
+    * shortlists near chance there while 2× keeps measurable signal;
+    * real clustered embeddings tolerate far more.
+    */
+  val rpDim = 32
+
+  val rpPlanes: Seq[Seq[Double]] =
+    (0 until rpDim).map(i => (0 until dim).map(j => planeValue(i + numPlanes, j)))
+
+  /** Project a [[dim]]-dim vector to [[rpDim]] dims: one codegen'd
+    * [[dot]] per output dimension against a literal plane — stays
+    * inside whole-stage codegen, `array<double>` out.
+    */
+  def rpProject(vec: Column): Column =
+    array(rpPlanes.map(p => dot(array(p.map(lit): _*), vec)): _*)
+
+  /** Two-stage retrieval through RANDOM-PROJECTION compression
+    * (Johnson–Lindenstrauss): shortlist `nCand` per query by cosine in
+    * the [[rpDim]]-dim projected space (2× fewer multiplies per
+    * candidate than full-width scoring), then re-rank the shortlist
+    * with exact full-width cosine — [[pqRerankTopK]]'s shape with JL
+    * instead of PQ as the compressor. The trade a 100 TB pipeline
+    * cares about: RP needs NO training pass and no stored codebooks
+    * (the planes are constants), at the cost of a weaker
+    * distance-preservation guarantee per byte than a trained
+    * quantizer — which is why both live in the engine, with
+    * [[pqRecall]]-style recall measurement for each.
+    *
+    * Scale shape: the projection is a per-row map inside the scan
+    * (no shuffle); shortlist selection is the two-phase heap node;
+    * the exact re-rank touches only queries × nCand rows.
+    */
+  def rpRerankTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                   nCand: Int = 20): DataFrame = {
+    val parallelism =
+      embeddings.sparkSession.sparkContext.defaultParallelism
+    val proj = embeddings.repartition(parallelism, col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), rpProject(col("embedding")).as("rp"))
+    val qproj = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), rpProject(col("embedding")).as("qrp"))
+    val scoredRp = proj
+      .join(broadcast(qproj), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qrp"), col("rp")).as("rpsim"))
+    val cands = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        scoredRp.withColumn("__tie", -col("neighbor_id")),
+        Seq("query_id"), Seq("rpsim", "__tie"), nCand)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = cands.join(full, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
     topKRanked(scored, "sim", k)
@@ -389,6 +459,62 @@ object Similarity {
       .select(col("query_id"), col("qe"), col("centroid_id").as("cell"))
       .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
     val scored = assigned.join(probeCells, Seq("cell", "salt"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    topKRanked(scored, "sim", k)
+  }
+
+  /** FILTERED vector search — top-k under a metadata predicate, the
+    * production ANN feature every serving stack grows next (FAISS
+    * IDSelector / Lucene-KNN filter / pgvector WHERE): "nearest
+    * neighbors among vectors with label ∈ …". This is the PRE-filter
+    * formulation: the index is built over the FULL corpus (the filter
+    * is query-time, so one index serves every predicate), the probe
+    * ranks cells as usual, and the predicate lands on the candidate
+    * scan BEFORE scoring — at 100 TB the filter column rides in the
+    * cell-partitioned layout next to the vectors, so the predicate is
+    * an ordinary pushed-down Parquet filter on the probed partitions,
+    * never a join. Contrast POST-filtering (filter the unfiltered
+    * top-k afterwards), which silently returns < k rows whenever the
+    * filter is selective; pre-filtering keeps k honest at the cost of
+    * scoring only same-cell survivors — recall under selective
+    * predicates is recovered by raising nprobe (OpsSpec gates recall
+    * vs the filtered brute force).
+    *
+    * The default predicate (even label) is interpolated into the
+    * DuckDB oracle from the same literal.
+    */
+  def ivfFilteredTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                      nlist: Int = 16, nprobe: Int = 4,
+                      labelMod: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(embeddings, nlist)
+    // assignment carrying the filter column (assignCells drops it; the
+    // max_by struct is the same shape plus `label`)
+    val scoredAssign = embeddings
+      .repartition(embeddings.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("centroid_id"), cosine(col("embedding"), col("ce")).as("cs"))
+    val assigned = scoredAssign.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("embedding"), col("label"), col("centroid_id")),
+        struct(col("cs"), -col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.label").as("label"), col("best.centroid_id").as("cell"))
+    val filtered = assigned.filter(pmod(col("label"), lit(labelMod)) === 0)
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("centroid_id"),
+        cosine(col("qe"), col("ce")).as("cs"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+    val probeCells = probes.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("centroid_id").as("cell"))
+    val scored = filtered
+      .join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("sim"))

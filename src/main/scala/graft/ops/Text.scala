@@ -1802,6 +1802,113 @@ object Text {
       .orderBy(col("lang1"), col("lang2"))
   }
 
+  /** Fixed phrase-query set for [[phraseSearch]] — literal constants
+    * interpolated into BOTH the engine plan and the DuckDB oracle (the
+    * [[bm25Queries]] convention). Mixed lengths, one with a repeated
+    * term, so the positional-join semantics are actually exercised.
+    */
+  val phraseQueries: Seq[(Long, String)] = Seq(
+    (0L, "order fast"),
+    (1L, "window join"),
+    (2L, "batch batch batch"),
+    (3L, "table scan merge"))
+
+  /** Exact PHRASE search over a positional token index — the
+    * positional half of a lexical retrieval stack (BM25 ranks bags of
+    * words; phrase/proximity queries need token POSITIONS — the
+    * Lucene positional-postings feature). A phrase of length L
+    * matches at start position s iff token s+o equals phrase term o
+    * for every offset o < L: each corpus token joins the (tiny,
+    * broadcast) exploded query-term table, every hit votes for the
+    * candidate start `pos − off`, and a start with exactly L votes is
+    * a match — one equi-join on term plus one aggregation, no
+    * self-join of the corpus, no window, regardless of phrase length.
+    * Repeated phrase terms work because a hit's offset is determined
+    * by (start, pos) — each (start, off) pair votes at most once.
+    *
+    * Scale shape: the positional index is [[dupSpans]]' token frame
+    * (at scale it is the stored positional-postings extension of the
+    * [[bm25BuildIndex]] bucket layout); candidate rows exist only for
+    * corpus tokens matching SOME query term, so selectivity does the
+    * pruning; the vote aggregation keys on (query, doc, start) — no
+    * hot keys beyond genuinely pathological single-document repeats.
+    */
+  def phraseSearch(documents: DataFrame,
+                   phrases: Seq[(Long, String)] = phraseQueries): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val parallelism = spark.sparkContext.defaultParallelism
+    val qterms = phrases.flatMap { case (qid, p) =>
+      val ts = p.split(" ")
+      ts.zipWithIndex.map { case (t, off) =>
+        (qid, off.toLong, t, ts.length.toLong)
+      }
+    }.toDF("query_id", "off", "term", "plen")
+    val toks = documents
+      .repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(tokens(lower(col("text")))).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
+    val cand = toks.join(broadcast(qterms), col("tok") === col("term"))
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("off")).as("start"), col("plen"))
+    val matches = cand
+      .groupBy(col("query_id"), col("doc_id"), col("start"), col("plen"))
+      .agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === col("plen"))
+    matches.groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** Collocation mining: the corpus's top-k adjacent-pair collocations
+    * ranked by pointwise-mutual-information LIFT —
+    * P(xy) / (P(x)·P(y)) with unigram probabilities over N tokens and
+    * bigram probability over N_big adjacent pairs — kept log-free
+    * (PMI's ln is monotone, so the ranking is identical) and computed
+    * as ONE fixed-shape IEEE expression over exact integer counts, so
+    * even the float lifts hash-match across engines. The classic
+    * corpus-analysis read ("which word pairs co-occur far above
+    * chance?") that drives tokenizer-vocabulary and stop-phrase
+    * decisions in a training-data pipeline.
+    *
+    * Scale shape: ONE corpus tokenize builds the positional token
+    * frame (checkpointed — unigram and bigram counts are different
+    * subplans of it); bigrams come from a per-document lag window over
+    * the SAME doc_id partitioning the frame was built with (no extra
+    * shuffle); the lift join keys on token (vocabulary-sized, not
+    * corpus-sized); and the global top-k is TakeOrderedAndProject —
+    * nothing sorts the full vocabulary.
+    */
+  def collocations(documents: DataFrame, minCount: Int = 5,
+                   k: Int = 20): DataFrame = {
+    val parallelism =
+      documents.sparkSession.sparkContext.defaultParallelism
+    val toks = documents
+      .repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(tokens(lower(col("text")))).as(Seq("p0", "tok")))
+      .localCheckpoint()
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p0"))
+    val big = toks.withColumn("prev", lag(col("tok"), 1).over(wd))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("w1"), col("tok").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val nBig = big.agg(sum(col("c12")).as("n_big"))
+    big.filter(col("c12") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c1").as("cx")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c1").as("cy")), Seq("w2"))
+      .join(broadcast(nTok)).join(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("c12"), col("cx"), col("cy"),
+        (col("c12").cast("double") * col("n_tok") / col("cx") *
+          col("n_tok") / col("cy") / col("n_big")).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Composite Gopher-style quality gate: every rule evaluated
     * INDEPENDENTLY over one scan (conditional sums — the complement of
     * [[cleaningFunnel]]'s sequential survivor counts): per-rule

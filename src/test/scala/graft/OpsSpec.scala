@@ -1552,6 +1552,149 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("filtered IVF search: every hit passes the predicate, k stays honest, " +
+       "and shared neighbors score exactly like filtered brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.ivfFilteredTopK(emb, 4, 5).collect()
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // pre-filter contract: only even-label neighbors ever surface
+    assert(got.nonEmpty)
+    got.foreach(r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) % 2 === 0))
+    // pre-filtering keeps k honest: each query returns a full k as long
+    // as its probed cells hold >= k passing vectors (they do at sf0.001)
+    val perQuery = got.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
+    perQuery.foreach { case (q, n) => assert(n === 5, s"query $q") }
+    // exactness on the survivors: a filtered hit's sim equals the
+    // brute-force cosine for that (query, neighbor) pair
+    val bfFiltered = Similarity.cosineTopK(emb, 4, 50).collect()
+      .filter(r => labels(r.getAs[Long]("neighbor_id")) % 2 == 0)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("sim")).toMap
+    got.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bfFiltered.get(key).foreach(s => assert(s === r.getAs[Double]("sim")))
+    }
+  }
+
+  test("RP rerank: reranked sims are exact cosines; JL shortlist recovers " +
+       "true neighbors when the data HAS neighbors") {
+    val emb = Tables.embeddings(spark, sf)
+    val k = 5
+    val got = Similarity.rpRerankTopK(emb, 8, k).collect()
+    assert(got.length === 8 * k)
+    val bf = Similarity.cosineTopK(emb, 8, k).collect()
+    val bfSims = bf.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("sim")).toMap
+    // any neighbor shared with brute force carries the IDENTICAL sim —
+    // the rerank is full-width exact, only the shortlist is approximate
+    got.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bfSims.get(key).foreach(s => assert(s === r.getAs[Double]("sim")))
+    }
+    // recall half on ENGINEERED clustered vectors: the fixture
+    // embeddings are i.i.d. isotropic (the Similarity.ivfIters honesty
+    // note) — their "true top-5" is itself noise, which no compressor
+    // can preserve. Where real neighbor structure exists (10 tight
+    // clusters), the 2× JL shortlist must recover it fully.
+    import spark.implicits._
+    // md5-derived components: the LCG/Weyl plane family has serial
+    // correlation between index-shifted vectors, which would make the
+    // "distinct" cluster bases secretly similar
+    def mdU(s: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      v.toDouble / 2147483648.0 - 1.0
+    }
+    val per = 10
+    val clustered = (0 until 10 * per).map { id =>
+      val c = id / per
+      val e = (0 until Similarity.dim).map { j =>
+        (mdU(s"cl:$c:$j") + 0.05 * mdU(s"nz:$id:$j")).toFloat
+      }.toArray
+      (id.toLong, e, c)
+    }.toDF("vec_id", "embedding", "label")
+    val cg = Similarity.rpRerankTopK(clustered, 4, 5).collect()
+    assert(cg.length === 4 * 5)
+    cg.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") / per ===
+        r.getAs[Long]("query_id") / per,
+        s"query ${r.getAs[Long]("query_id")} left its cluster")
+    }
+  }
+
+  test("phrase search: counts overlapping repeats and respects word boundaries") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b batch batch batch batch z", "en", "s", 0L),
+      (2L, "batch batch x batch batch batch", "en", "s", 0L),
+      (3L, "batches batch batchbatch", "en", "s", 0L),
+      (4L, "order fast order fast", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Text.phraseSearch(docs).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos"))).toMap
+    // "batch batch batch" in doc 1: starts at tokens 3 and 4 (overlap counts)
+    assert(got((2L, 1L)) === (2L, 3L))
+    // doc 2: only the trailing run of 3 has a full match (start 4)
+    assert(got((2L, 2L)) === (1L, 4L))
+    // doc 3: substrings/compounds never match whole-token phrases
+    assert(!got.contains((2L, 3L)))
+    // "order fast" twice in doc 4, first at position 1
+    assert(got((0L, 4L)) === (2L, 1L))
+  }
+
+  test("collocations: lift ranks the engineered pair first with the exact value") {
+    import spark.implicits._
+    // "x y" always adjacent (lift >> 1); "p"/"q" frequent but never
+    // adjacent; filler spread so no competing pair clears minCount
+    val rows = (0 until 5).map { i =>
+      (i.toLong, s"x y p f$i q p g$i q x y", "en", "s", 0L)
+    }
+    val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Text.collocations(docs, minCount = 5, k = 20).collect()
+    assert(got.nonEmpty)
+    val top = got.head
+    assert(top.getAs[String]("w1") === "x" && top.getAs[String]("w2") === "y")
+    // exact expected lift: N=50 tokens, c12("x y")=10 of N_big=45 pairs,
+    // cx=cy=10 — mirror the engine's left-associated expression
+    val expected = 10.0 * 50 / 10 * 50 / 10 / 45
+    assert(top.getAs[Double]("lift") === expected)
+    // never-adjacent frequent pair is absent
+    assert(!got.exists(r => r.getAs[String]("w1") === "p" &&
+      r.getAs[String]("w2") === "q"))
+  }
+
+  test("mm ann retrieval: embeddings match embedStub and sims are valid cosines") {
+    val docs = Tables.documents(spark, sf)
+    val got = Multimodal.annRetrieve(docs, 4, 3).collect()
+    assert(got.length === 4 * 3)
+    got.foreach { r =>
+      val s = r.getAs[Double]("sim")
+      assert(s >= -1.0000001 && s <= 1.0000001)
+      assert(r.getAs[Long]("neighbor_id") !== r.getAs[Long]("query_id"))
+    }
+    // the retrieval's embedding is embedStub's projection: recompute the
+    // top-1 for one query driver-side from the flattened stub columns
+    val stub = Multimodal.embedStub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until 8).map(i => r.getAs[Double](s"e$i")).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum) / math.sqrt(b.map(x => x * x).sum)
+    }
+    val q0 = stub(0L)
+    val best = stub.filter(_._1 != 0L)
+      .map { case (id, v) => (cos(q0, v), id) }
+      .maxBy { case (s, id) => (s, -id) }
+    val gotTop = got.filter(r => r.getAs[Long]("query_id") == 0L &&
+      r.getAs[Long]("rank") == 1L).head
+    assert(gotTop.getAs[Long]("neighbor_id") === best._2)
+  }
+
   test("nation pagerank is deterministic and covers every nation") {
     val pr = Graph.nationPageRank(Tables.nation(spark, sf),
       Tables.lineitem(spark, sf), Tables.orders(spark, sf),
