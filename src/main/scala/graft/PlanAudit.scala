@@ -489,6 +489,49 @@ object PlanAudit {
         p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // filtered search over the STORED layout: the label metadata
+    // column rides in the cell partitions, so the predicate reaches
+    // the parquet scan as a pushed IN-filter (row-group pruning, not
+    // a post-scan Filter), the probed-cell join still partition-prunes
+    // dynamically, and the corpus parquet is read only for the query
+    // vectors
+    audit("sim_ivfpq_filtered")(
+      ("label predicate PUSHED into the cells scan",
+        p => "PushedFilters: \\[In\\(label".r.findAllIn(p).nonEmpty),
+      ("cells scan partition-pruned by the probed cells (DPP subquery)",
+        p => p.toLowerCase.contains("dynamicpruning")),
+      ("two-phase heap top-k", p =>
+        p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
+    // phrase search over the STORED positional postings: the pos/
+    // scan carries a STATIC bucket partition filter (phrase terms are
+    // plan-time literals), the serving plan never tokenizes the
+    // corpus (no Generate), and matching stays pure aggregation
+    audit("txt_phrase_stored")(
+      ("pos scan statically pruned to the phrase-term buckets",
+        p => "PartitionFilters: \\[bucket".r.findAllIn(p).nonEmpty),
+      ("no corpus tokenize in the serving plan (index-only read)",
+        p => !p.contains("Generate")),
+      ("vote + match counting are hash aggregations", p =>
+        "HashAggregate".r.findAllIn(p).size >= 2),
+      ("no window operator", p => !p.contains("Window")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
+    // DSIR weights: the (doc, bucket, membership) feature frame is
+    // checkpointed once and feeds model counts AND per-doc scoring;
+    // the trained ratio model rides a broadcast (dsirBuckets rows);
+    // the global top-k never sorts the pool
+    audit("txt_dsir_weights")(
+      ("feature frame checkpointed once (one tokenize)",
+        p => p.contains("Scan ExistingRDD")),
+      ("ratio model broadcast onto the features",
+        p => p.contains("BroadcastHashJoin [bucket")),
+      ("global top-k is TakeOrderedAndProject",
+        p => p.contains("TakeOrderedAndProject")),
+      ("no cartesian beyond one-row total carriers",
+        p => !p.contains("CartesianProduct")))
+
     // SemDeDup: the pair comparison must be the within-cluster
     // equi-join keyed on (cell, salt) — never an all-pairs
     // cartesian/BNL over the corpus (the exact blow-up clustering

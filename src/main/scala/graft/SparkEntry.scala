@@ -212,6 +212,9 @@ object SparkEntry {
     "txt_phrase_search" -> ((s, d) => Text.phraseSearch(documents(s, d))),
     // PMI-lift collocations: top-20 adjacent pairs most above chance
     "txt_collocations" -> ((s, d) => Text.collocations(documents(s, d))),
+    // DSIR importance weights: hashed-ngram likelihood ratios against
+    // a curated target set, log-free so the float weights hash-match
+    "txt_dsir_weights" -> ((s, d) => Text.dsirWeights(documents(s, d))),
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecall(embeddings(s, d), 8, 5)),
     "txt_bpe_tokens" -> ((s, d) => Text.bpeTokenCounts(documents(s, d))),
     "txt_train_val_split" -> ((s, d) => Text.trainValSplit(documents(s, d))),
@@ -410,6 +413,11 @@ object SparkEntry {
       Similarity.ivfpqBuildIndex(embeddings(s, d), ivfpqIndexBase(d), 16)),
     "sim_ivfpq_stored" -> ((s, d) =>
       Similarity.ivfpqProbeStored(embeddings(s, d), ivfpqIndexBase(d), 8, 5)),
+    // filtered search over the STANDING layout: the label column rides
+    // in the cell partitions, so the predicate is a pushed-down
+    // Parquet filter on the probed directories — no corpus join
+    "sim_ivfpq_filtered" -> ((s, d) =>
+      Similarity.ivfpqFilteredStored(embeddings(s, d), ivfpqIndexBase(d), 8, 5)),
     // index observability: per-cell occupancy of the standing IVFADC
     // layout (appends drift cells away from the trained balance; the
     // hot flag is the "rebuild now" signal a scheduler polls)
@@ -454,6 +462,11 @@ object SparkEntry {
       Text.bm25BuildIndex(documents(s, d), bm25IndexBase(d))),
     "txt_bm25_stored" -> ((s, d) =>
       Text.bm25ProbeStored(documents(s, d), bm25IndexBase(d))),
+    // phrase search over the STORED positional postings (the v3
+    // layout's pos/ extension): static bucket filters from the
+    // literal phrase terms, no corpus tokenize at probe time
+    "txt_phrase_stored" -> ((s, d) =>
+      Text.phraseSearchStored(documents(s, d), bm25IndexBase(d))),
     // index observability: per-bucket postings/term mass of the
     // standing BM25 layout (vocabulary drift from appends shows up
     // here as hot buckets dominating probe I/O)
@@ -1272,6 +1285,53 @@ object SparkEntry {
        |WHERE c12 >= $minCount
        |ORDER BY lift DESC, w1, w2 LIMIT $k""".stripMargin
 
+  /** txt_dsir_weights oracle: the same hashed-ngram likelihood-ratio
+    * chain — md5-hash buckets, Laplace-smoothed ratio as the identical
+    * fixed-shape IEEE expression over exact integer counts, per-doc
+    * weight through the same bucket-ordered float fold
+    * (`list_sum(list(r ORDER BY bucket))` ≡ the engine's
+    * sort_array+aggregate; tied buckets carry identical r, so order
+    * among ties cannot change the sum).
+    */
+  private def dsirOracle(k: Int): String = {
+    val b = Text.dsirBuckets
+    val tgt = Text.dsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tok
+       |  FROM (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
+       |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |              FROM documents) d) x),
+       |uni AS (SELECT doc_id, tok AS feat FROM toks),
+       |big AS (SELECT doc_id, prev || ' ' || tok AS feat
+       |  FROM (SELECT doc_id, tok,
+       |          lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM toks) t WHERE prev IS NOT NULL),
+       |feats AS (SELECT doc_id,
+       |    ('0x' || substr(md5(feat), 1, 8))::BIGINT % $b AS bucket
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+       |mem AS (SELECT doc_id, source IN ($tgt) AS is_t FROM documents),
+       |fm AS MATERIALIZED (SELECT f.doc_id, bucket, is_t
+       |  FROM feats f JOIN mem USING (doc_id)),
+       |counts AS (SELECT bucket,
+       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+       |    sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS cs
+       |  FROM fm GROUP BY bucket),
+       |tot AS (SELECT sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
+       |    sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS ns FROM fm),
+       |ratios AS MATERIALIZED (SELECT bucket,
+       |    (CAST(ct + 1 AS DOUBLE) / CAST(nt + $b AS DOUBLE))
+       |      * (CAST(ns + $b AS DOUBLE) / CAST(cs + 1 AS DOUBLE)) AS r
+       |  FROM counts, tot),
+       |sc AS (SELECT doc_id, list_sum(list(r ORDER BY bucket)) AS weight
+       |  FROM fm JOIN ratios USING (bucket) WHERE NOT is_t
+       |  GROUP BY doc_id),
+       |rr AS (SELECT doc_id, weight,
+       |    CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS BIGINT)
+       |      AS rank FROM sc)
+       |SELECT doc_id, weight, rank FROM rr WHERE rank <= $k
+       |ORDER BY rank""".stripMargin
+  }
+
   /** mm_ann oracle: the mm_embed projection (md5 hex pairs / 255.0) as
     * a list column, then brute-force cosine top-k — the embedding and
     * cosine expressions mirror the engine term-for-term.
@@ -1819,10 +1879,17 @@ object SparkEntry {
     "sim_near_dup" -> nearDupOracle,
     "sim_ivf_topk" -> ivfOracle(8, 5),
     "sim_ivf_filtered" -> ivfOracle(8, 5, candPred = "a.label % 2 = 0"),
+    // the stored filtered probe serves the same trained geometry, so
+    // its oracle IS the inline filtered-IVF derivation
+    "sim_ivfpq_filtered" -> ivfOracle(8, 5, candPred = "a.label % 2 = 0"),
     "sim_rp_rerank" -> rpRerankOracle(8, 5, 20),
     "mm_ann" -> mmAnnOracle(8, 5, 8),
     "txt_phrase_search" -> phraseOracle,
+    // the stored probe serves the same positional token frame, so its
+    // oracle IS the inline phrase derivation
+    "txt_phrase_stored" -> phraseOracle,
     "txt_collocations" -> collocationsOracle(5, 20),
+    "txt_dsir_weights" -> dsirOracle(50),
     "sim_ivf_recall" -> ivfRecallOracle(8, 5),
     "txt_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,

@@ -264,18 +264,27 @@ object Similarity {
     * sorts, where the window shuffles the full fan-out and sorts each
     * partition. (cs, -centroid_id) makes the ordering total, so the
     * map-side combine order cannot change the result.
+    *
+    * `extra` names metadata columns of `embeddings` to carry through
+    * the assignment unchanged — how filter columns (e.g. `label`)
+    * ride into the cell-partitioned stored layout so query-time
+    * predicates become plain pushed-down Parquet filters there.
     */
-  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+  def assignCells(embeddings: DataFrame, centroids: DataFrame,
+                  extra: Seq[String] = Nil): DataFrame = {
+    val carried = Seq("embedding") ++ extra
     val scored = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("ce")).as("cs"))
+      .select(col("vec_id") +: col("centroid_id") +:
+        cosine(col("embedding"), col("ce")).as("cs") +:
+        carried.map(col): _*)
     scored.groupBy(col("vec_id"))
-      .agg(max_by(struct(col("embedding"), col("centroid_id")),
+      .agg(max_by(struct(col("centroid_id") +: carried.map(col): _*),
         struct(col("cs"), -col("centroid_id"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.centroid_id").as("cell"))
+      .select(col("vec_id") +:
+        carried.map(c => col(s"best.$c").as(c)) :+
+        col("best.centroid_id").as("cell"): _*)
   }
 
   /** Quantizer-training sample rate (percent) and fold block width.
@@ -888,8 +897,17 @@ object Similarity {
       .digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** The `label` metadata column is OPTIONAL on the write path: a
+    * source without it (e.g. a raw vector stream) stores null, and
+    * null never satisfies a filtered-search predicate — the safe
+    * default for unknown metadata.
+    */
+  private def withLabel(df: DataFrame): DataFrame =
+    if (df.columns.contains("label")) df
+    else df.withColumn("label", lit(null).cast("int"))
+
   private def indexMarkerPrefix(embeddings: DataFrame, nlist: Int): String =
-    s"graft-ivfpq v2 nlist=$nlist m=$pqM ksub=$pqKsub " +
+    s"graft-ivfpq v3 nlist=$nlist m=$pqM ksub=$pqKsub " +
       s"src=${inputListingFp(embeddings)}"
 
   private def indexMarker(embeddings: DataFrame, nlist: Int): String =
@@ -912,6 +930,13 @@ object Similarity {
     * Returns the cell census of the layout AS RE-READ FROM STORAGE
     * (what you serve is what you audit) — hash-checked against the
     * k-means census oracle.
+    *
+    * The corpus's `label` metadata column rides through the
+    * assignment into `cells/` (v3 layout), so filtered search
+    * ([[ivfpqFilteredStored]]) evaluates its predicate as an ordinary
+    * pushed-down Parquet filter on the probed cell partitions — one
+    * full-corpus index serves every predicate, no query-time join
+    * against the corpus for metadata.
     */
   def ivfpqBuildIndex(embeddings: DataFrame, base: String,
                       nlist: Int = 16): DataFrame = {
@@ -921,7 +946,9 @@ object Similarity {
     val codebooks = pqCodebooks(unit).localCheckpoint()
     // assignment feeds BOTH the cells write and the codes join —
     // checkpoint it so the corpus-wide argmax runs once, not per sink
-    val assigned = assignCells(embeddings, centroids).localCheckpoint()
+    val assigned =
+      assignCells(withLabel(embeddings), centroids, extra = Seq("label"))
+        .localCheckpoint()
     val codesCells = pqEncode(unit, codebooks)
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
     graft.sources.Sources.writePartitioned(assigned, s"$base/cells", "cell")
@@ -966,6 +993,60 @@ object Similarity {
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     ivfpqScoreStored(spark, base, queries, k, nprobe, shortlist)
+  }
+
+  /** FILTERED search over the STORED index — [[ivfFilteredTopK]]'s
+    * predicate semantics on [[ivfpqBuildIndex]]'s standing layout: the
+    * label metadata column rides in the cell-partitioned `cells/`
+    * files (written by the build), so the query-time predicate is an
+    * ordinary PUSHED-DOWN Parquet filter on the probed cell
+    * partitions (plan-audited: `PushedFilters` carries the label
+    * predicate, dynamic partition pruning trims to nprobe
+    * directories) — never a join against the corpus, and ONE
+    * full-corpus index serves every predicate.
+    *
+    * Scoring is IVF-Flat (full-width cosine over the filtered
+    * survivors) rather than ADC: a selective predicate has already
+    * thinned the candidate set to the size the exact re-rank arm
+    * handles, so compressed pre-scoring would add a pass without
+    * removing one — the standard pre-filter trade. The corpus table
+    * is touched only for the nQueries query vectors.
+    */
+  def ivfpqFilteredStored(embeddings: DataFrame, base: String,
+                          nQueries: Int, k: Int, nlist: Int = 16,
+                          nprobe: Int = 4,
+                          labels: Seq[Int] = Seq(0, 2, 4, 6, 8)): DataFrame = {
+    val spark = embeddings.sparkSession
+    val marker = java.nio.file.Paths.get(base, "MARKER")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker)
+        .startsWith(indexMarkerPrefix(embeddings, nlist))
+    if (!fresh) ivfpqBuildIndex(embeddings, base, nlist).count()
+    val centroids = spark.read.parquet(s"$base/centroids")
+    // predicate on the stored layout, as a literal IN-list: lands in
+    // the cells scan's PushedFilters (an arithmetic form like
+    // `label % 2 = 0` would only filter post-scan — membership and
+    // range predicates are what parquet pushdown evaluates against
+    // row-group statistics), evaluated before any join or scoring
+    val cells = spark.read.parquet(s"$base/cells")
+      .filter(col("label").isin(labels: _*))
+      .select(col("vec_id"), col("embedding"),
+        col("cell").cast("long").as("cell"))
+    val probes = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("centroid_id"),
+        cosine(col("qe"), col("ce")).as("cs"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+    val probeCells = probes.withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qe"), col("centroid_id").as("cell"))
+    val scored = cells.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("sim"))
+    topKRanked(scored, "sim", k)
   }
 
   /** Index HEALTH for a stored IVFADC layout — the observability half
@@ -1226,7 +1307,9 @@ object Similarity {
     val spark = batch.sparkSession
     val centroids = spark.read.parquet(s"$base/centroids")
     val codebooks = spark.read.parquet(s"$base/codebooks")
-    val assigned = assignCells(batch, centroids).localCheckpoint()
+    val assigned =
+      assignCells(withLabel(batch), centroids, extra = Seq("label"))
+        .localCheckpoint()
     val codesB = pqEncode(unitVectors(batch), codebooks)
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .localCheckpoint()
@@ -1235,9 +1318,11 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq.sorted
     val oldCells = spark.read.parquet(s"$base/cells")
       .filter(col("cell").isin(affected: _*))
-      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("cell").cast("long").as("cell"))
     val mergedCells = oldCells.join(batchIds, Seq("vec_id"), "left_anti")
-      .unionByName(assigned.select(col("vec_id"), col("embedding"), col("cell")))
+      .unionByName(assigned
+        .select(col("vec_id"), col("embedding"), col("label"), col("cell")))
       .localCheckpoint() // materialize before overwriting the read path
     graft.sources.Sources.mergePartitioned(mergedCells, s"$base/cells", "cell")
     val oldCodes = spark.read.parquet(s"$base/codes")
@@ -1313,7 +1398,8 @@ object Similarity {
     if (affected.nonEmpty) {
       val keepCells = cellsAll.filter(col("cell").isin(affected: _*))
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+        .select(col("vec_id"), col("embedding"), col("label"),
+          col("cell").cast("long").as("cell"))
         .localCheckpoint()
       graft.sources.Sources.mergePartitioned(keepCells, s"$base/cells", "cell")
       val keepCodes = spark.read.parquet(s"$base/codes")

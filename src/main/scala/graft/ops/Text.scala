@@ -469,8 +469,21 @@ object Text {
     * corpus-wide aggregate on the serving path.
     */
   private def bm25IndexMarkerPrefix(documents: DataFrame): String =
-    s"graft-bm25 v2 buckets=$bm25Buckets " +
+    s"graft-bm25 v3 buckets=$bm25Buckets " +
       s"src=${Similarity.inputListingFp(documents)}"
+
+  /** Driver-side twin of [[termBucket]] for plan-time literal terms
+    * (same md5-prefix hash: first 4 digest bytes, big-endian unsigned
+    * — non-negative, so `%` == pmod). What turns a literal query's
+    * term set into STATIC bucket partition filters.
+    */
+  private def termBucketDriver(t: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8"))
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v % bm25Buckets
+  }
 
   private def bm25IndexMarker(documents: DataFrame): String =
     s"${bm25IndexMarkerPrefix(documents)} n=${documents.count()}"
@@ -481,6 +494,14 @@ object Text {
     * the bucket census of the written layout as re-read from storage
     * (what you serve is what you audit; oracle re-derives the same
     * md5 bucketing).
+    *
+    * v3 layouts also persist `pos/` — POSITIONAL postings
+    * (doc, pos, term) in the same term-hash bucket partitioning, the
+    * Lucene .pos-file analog that phrase/proximity queries need and
+    * bag-of-words scoring doesn't ([[phraseSearchStored]] probes it
+    * with the same static bucket filters as the tf scan). Positions
+    * are indexed under the phrase analyzer (whitespace + case fold —
+    * [[phraseSearch]]'s token stream).
     */
   def bm25BuildIndex(documents: DataFrame, base: String): DataFrame = {
     val spark = documents.sparkSession
@@ -497,6 +518,9 @@ object Text {
     graft.sources.Sources.writePartitioned(
       tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .withColumn("bucket", termBucket(col("term"))), s"$base/df", "bucket")
+    graft.sources.Sources.writePartitioned(
+      positionalPostings(documents)
+        .withColumn("bucket", termBucket(col("term"))), s"$base/pos", "bucket")
     dl.write.mode("overwrite").parquet(s"$base/dl")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"$base/stats")
@@ -563,18 +587,9 @@ object Text {
       .flatMap { case (id, q) => q.split(" ").distinct.map(t => (id, t)) }
       .toDF("query_id", "term")
     // the probed buckets, computed driver-side from the literal terms
-    // (same md5-prefix hash as [[tokenHash]]: first 4 digest bytes,
-    // big-endian unsigned — non-negative, so % == pmod)
-    val mdig = java.security.MessageDigest.getInstance("MD5")
     val buckets = bm25Queries
       .flatMap(_._2.split(" ")).distinct
-      .map { t =>
-        val d = mdig.digest(t.getBytes("UTF-8"))
-        val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-        v % bm25Buckets
-      }
-      .distinct.sorted
+      .map(termBucketDriver).distinct.sorted
     val tf0 = spark.read.parquet(s"$base/tf")
       .filter(col("bucket").isin(buckets: _*))
       .select(col("doc_id"), col("term"), col("tf"))
@@ -681,6 +696,21 @@ object Text {
     mergedDl.write.mode("overwrite").parquet(s"$base/dl")
     mergedDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"$base/stats")
+    // positional postings ride the same merge device: only the
+    // batch's term buckets rewrite, re-appended docs anti-join away
+    val posB = positionalPostings(batch)
+      .withColumn("bucket", termBucket(col("term")))
+      .localCheckpoint()
+    val affectedPos = posB.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val oldPos = spark.read.parquet(s"$base/pos")
+      .filter(col("bucket").isin(affectedPos: _*))
+      .select(col("doc_id"), col("pos"), col("term"),
+        col("bucket").cast("long").as("bucket"))
+    val mergedPos = oldPos.join(batchIds, Seq("doc_id"), "left_anti")
+      .unionByName(posB)
+      .localCheckpoint()
+    graft.sources.Sources.mergePartitioned(mergedPos, s"$base/pos", "bucket")
   }
 
   /** Build-on-base → append-batch → probe, end to end: the corpus
@@ -862,6 +892,18 @@ object Text {
       dl.write.mode("overwrite").parquet(s"$base/dl")
       dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
         .write.mode("overwrite").parquet(s"$base/stats")
+      val posAll = spark.read.parquet(s"$base/pos")
+      val posAffected = posAll.join(broadcast(tomb), Seq("doc_id"))
+        .select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq.sorted
+      if (posAffected.nonEmpty) {
+        val posAff = posAll.filter(col("bucket").isin(posAffected: _*))
+          .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("pos"), col("term"),
+            col("bucket").cast("long").as("bucket"))
+          .localCheckpoint()
+        graft.sources.Sources.mergePartitioned(posAff, s"$base/pos", "bucket")
+      }
     }
     clearTombstones(base)
   }
@@ -1833,23 +1875,41 @@ object Text {
     * pruning; the vote aggregation keys on (query, doc, start) — no
     * hot keys beyond genuinely pathological single-document repeats.
     */
-  def phraseSearch(documents: DataFrame,
-                   phrases: Seq[(Long, String)] = phraseQueries): DataFrame = {
-    val spark = documents.sparkSession
+  /** The positional token frame (doc_id, pos, term), 1-based `pos`,
+    * under the phrase analyzer (whitespace + case fold) — computed
+    * inline by [[phraseSearch]], persisted bucket-partitioned as the
+    * index's `pos/` layout by [[bm25BuildIndex]].
+    */
+  private[ops] def positionalPostings(documents: DataFrame): DataFrame =
+    documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(tokens(lower(col("text")))).as(Seq("p0", "term")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("term"))
+
+  /** The exploded (query_id, off, term, plen) frame of a literal
+    * phrase set — broadcast side of both the inline and stored
+    * phrase probes.
+    */
+  private def phraseTermsDF(spark: org.apache.spark.sql.SparkSession,
+                            phrases: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
-    val parallelism = spark.sparkContext.defaultParallelism
-    val qterms = phrases.flatMap { case (qid, p) =>
+    phrases.flatMap { case (qid, p) =>
       val ts = p.split(" ")
       ts.zipWithIndex.map { case (t, off) =>
         (qid, off.toLong, t, ts.length.toLong)
       }
     }.toDF("query_id", "off", "term", "plen")
-    val toks = documents
-      .repartition(parallelism, col("doc_id"))
-      .select(col("doc_id"),
-        posexplode(tokens(lower(col("text")))).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("tok"))
-    val cand = toks.join(broadcast(qterms), col("tok") === col("term"))
+  }
+
+  /** Vote-count phrase matching over a positional token frame — the
+    * shared core of [[phraseSearch]] (inline tokenize) and
+    * [[phraseSearchStored]] (persisted `pos/` layout).
+    */
+  private def phraseMatch(toks: DataFrame, qterms: DataFrame): DataFrame = {
+    val cand = toks.join(broadcast(qterms), Seq("term"))
       .select(col("query_id"), col("doc_id"),
         (col("pos") - col("off")).as("start"), col("plen"))
     val matches = cand
@@ -1859,6 +1919,43 @@ object Text {
     matches.groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
       .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  def phraseSearch(documents: DataFrame,
+                   phrases: Seq[(Long, String)] = phraseQueries): DataFrame =
+    phraseMatch(positionalPostings(documents),
+      phraseTermsDF(documents.sparkSession, phrases))
+
+  /** Exact phrase search over the STORED positional postings — the
+    * probe-side twin of [[phraseSearch]]: the phrase terms are
+    * plan-time literals, so the `pos/` scan carries STATIC bucket
+    * partition filters (a probe reads ~|phrase terms|/buckets of the
+    * positional index, never tokenizes the corpus), and the vote
+    * aggregation is identical to the inline plan — oracle-identical
+    * results (parquet round-trips the integer positions exactly).
+    * Tombstoned documents are excluded the same way the BM25 probe
+    * excludes them (anti-join on the sidecar). Rebuilds lazily iff
+    * the marker is stale.
+    */
+  def phraseSearchStored(documents: DataFrame, base: String,
+                         phrases: Seq[(Long, String)] = phraseQueries): DataFrame = {
+    val spark = documents.sparkSession
+    val marker = java.nio.file.Paths.get(base, "MARKER")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker)
+        .startsWith(bm25IndexMarkerPrefix(documents))
+    if (!fresh) bm25BuildIndex(documents, base).count()
+    val buckets = phrases.flatMap(_._2.split(" ")).distinct
+      .map(termBucketDriver).distinct.sorted
+    val pos0 = spark.read.parquet(s"$base/pos")
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col("doc_id"), col("pos"), col("term"))
+    val pos = if (hasTombstones(base))
+      pos0.join(broadcast(
+        spark.read.parquet(tombstonePath(base).toString)), Seq("doc_id"),
+        "left_anti")
+    else pos0
+    phraseMatch(pos, phraseTermsDF(spark, phrases))
   }
 
   /** Collocation mining: the corpus's top-k adjacent-pair collocations
@@ -1907,6 +2004,82 @@ object Text {
           col("n_tok") / col("cy") / col("n_big")).as("lift"))
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(k)
+  }
+
+  /** DSIR feature-hash bucket count and the "curated" source set the
+    * registry instance targets — literals interpolated into the
+    * oracle. 256 buckets keeps the tiny fixtures' models dense; the
+    * published method uses ~10k at corpus scale (the knob is the
+    * same).
+    */
+  val dsirBuckets = 256
+  val dsirTargetSources: Seq[String] = Seq("src0", "src1")
+
+  /** Importance-resampling weights for data selection — the DSIR
+    * recipe (Xie et al. 2023, public): model the TARGET distribution
+    * (a small curated set — here the `src0`/`src1` documents) and the
+    * SOURCE pool (everything else) as bag-of-hashed-ngram counts
+    * (unigrams + adjacent bigrams hashed into [[dsirBuckets]] — the
+    * hashing trick), weight every pool document by how target-like
+    * its features are, and keep the top-k. Per-bucket evidence is the
+    * Laplace-smoothed probability ratio
+    * `((c_t+1)/(N_t+B)) · ((N_s+B)/(c_s+1))` — ONE fixed-shape IEEE
+    * expression over exact integer counts; a document's weight sums
+    * its feature instances' ratios through an ORDERED fold
+    * (sort_array + aggregate, the BM25 device), so even the float
+    * weights hash-match the oracle. Log-free: the published method
+    * sums log-ratios — a libm `ln` is not bit-portable across
+    * engines, and summing raw ratios (arithmetic instead of geometric
+    * pooling) keeps the same "target-like features up-weight,
+    * source-only features down-weight" monotonicity per feature while
+    * weighting heavy evidence more; selection here is deterministic
+    * top-k (the Gumbel-noise resampling of the paper is one noise
+    * column away and orthogonal to the plan shape).
+    *
+    * Scale shape: ONE tokenize feeds unigram and bigram features; the
+    * (doc, bucket, membership) frame is checkpointed once and feeds
+    * model counts AND per-doc scoring; the trained model is
+    * [[dsirBuckets]] rows riding a broadcast; totals are one-row
+    * broadcast carriers; the global top-k is TakeOrderedAndProject.
+    * Nothing scales with anything but the corpus scan.
+    */
+  def dsirWeights(documents: DataFrame, k: Int = 50): DataFrame = {
+    val toks = positionalPostings(documents)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val uni = toks.select(col("doc_id"), col("term").as("feat"))
+    val big = toks.withColumn("prev", lag(col("term"), 1).over(wd))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("prev"), col("term")).as("feat"))
+    val feats = uni.unionByName(big)
+      .select(col("doc_id"),
+        pmod(tokenHash(col("feat")), lit(dsirBuckets.toLong)).as("bucket"))
+    val membership = documents.select(col("doc_id"),
+      col("source").isin(dsirTargetSources: _*).as("is_t"))
+    val fm = feats.join(membership, Seq("doc_id")).localCheckpoint()
+    val counts = fm.groupBy(col("bucket"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("cs"))
+    val totals = fm.agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("ns"))
+    val b = lit(dsirBuckets.toLong)
+    val ratios = counts.join(broadcast(totals))
+      .select(col("bucket"),
+        (((col("ct") + 1L).cast("double") / (col("nt") + b).cast("double")) *
+          ((col("ns") + b).cast("double") / (col("cs") + 1L).cast("double")))
+          .as("r"))
+    val scored = fm.filter(!col("is_t"))
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(aggregate(sort_array(collect_list(struct(col("bucket"), col("r")))),
+        lit(0.0), (acc, x) => acc + x.getField("r")).as("weight"))
+    val top = scored.orderBy(col("weight").desc, col("doc_id")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("rank"))
   }
 
   /** Composite Gopher-style quality gate: every rule evaluated

@@ -1668,6 +1668,28 @@ class OpsSpec extends SparkTestBase {
       r.getAs[String]("w2") === "q"))
   }
 
+  test("DSIR weights: the pool doc that mimics the target distribution " +
+       "outranks the rest, and target docs never score") {
+    import spark.implicits._
+    // target (src0): a distinctive bigram distribution; pool (src9):
+    // doc 10 mimics it, docs 11/12 share nothing with the target
+    val docs = ((0 until 6).map(i =>
+        (i.toLong, "alpha beta gamma alpha beta", "en", "src0", 0L)) ++ Seq(
+        (10L, "alpha beta gamma alpha beta", "en", "src9", 0L),
+        (11L, "zeta eta theta zeta eta", "en", "src9", 0L),
+        (12L, "one two three four five", "en", "src9", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Text.dsirWeights(docs, k = 50).collect()
+    // only pool docs are scored, all of them surface under k=50
+    assert(got.map(_.getAs[Long]("doc_id")).sorted === Seq(10L, 11L, 12L))
+    // the target-mimicking doc wins, with a strictly higher weight
+    val byId = got.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Double]("weight"), r.getAs[Long]("rank"))).toMap
+    assert(byId(10L)._2 === 1L)
+    assert(byId(10L)._1 > byId(11L)._1)
+    assert(byId(10L)._1 > byId(12L)._1)
+  }
+
   test("mm ann retrieval: embeddings match embedStub and sims are valid cosines") {
     val docs = Tables.documents(spark, sf)
     val got = Multimodal.annRetrieve(docs, 4, 3).collect()

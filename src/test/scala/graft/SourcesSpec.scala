@@ -606,4 +606,67 @@ class SourcesSpec extends SparkTestBase {
       assert(rows(2L) === ((1L, 5.0)))
     } finally q.stop()
   }
+
+  test("stored filtered search: probe equals the inline filtered plan; " +
+       "unlabeled appends store null labels and never match predicates") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val base = tmp("ivfpqfilt")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val inline = Similarity.ivfFilteredTopK(emb, 4, 5).collect().map(key).toSeq
+    val stored =
+      Similarity.ivfpqFilteredStored(emb, base, 4, 5).collect().map(key).toSeq
+    assert(stored === inline)
+    // the metadata column rides in the cell-partitioned layout
+    assert(spark.read.parquet(s"$base/cells").columns.contains("label"))
+    // an append WITHOUT a label column stores nulls...
+    val batch = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Similarity.ivfpqAppend(batch, base)
+    val appended = spark.read.parquet(s"$base/cells")
+      .filter(col("vec_id") >= 1000000L)
+    assert(appended.count() === 3)
+    assert(appended.filter(col("label").isNull).count() === 3)
+    // ...and null never satisfies the predicate: the appended rows are
+    // exact clones of the first queries (cosine 1.0 — they would top
+    // every list if the filter let them through)
+    val after = Similarity.ivfpqFilteredStored(emb, base, 4, 5).collect()
+    assert(after.nonEmpty)
+    after.foreach(r => assert(r.getLong(1) < 1000000L,
+      s"unlabeled appended vector ${r.getLong(1)} passed the filter"))
+  }
+
+  test("stored phrase search: probe equals inline; appends and tombstones " +
+       "maintain the positional layout") {
+    import graft.ops.Text
+    val docs = Seq(
+      (1L, "a b batch batch batch batch z", "en", "s", 0L),
+      (2L, "batch batch x batch batch batch", "en", "s", 0L),
+      (3L, "order fast y order fast", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = tmp("posidx")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val inline = Text.phraseSearch(docs).collect().map(key).toSeq
+    assert(inline.nonEmpty)
+    assert(Text.phraseSearchStored(docs, base).collect().map(key).toSeq
+      === inline)
+    // append: the new doc's phrase hits surface from the merged pos/
+    // buckets — equal to retokenizing the unioned corpus inline
+    val batch = Seq((9L, "window join q window join", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Text.bm25Append(batch, base)
+    val merged = docs.unionByName(batch)
+    assert(Text.phraseSearchStored(docs, base).collect().map(key).toSeq
+      === Text.phraseSearch(merged).collect().map(key).toSeq)
+    // tombstone: the deleted doc drops out of phrase matching with no
+    // layout rewrite (same serving semantics as the BM25 probe)
+    Text.bm25Delete(Seq(1L).toDF("doc_id"), base)
+    val afterDel = Text.phraseSearchStored(docs, base).collect().map(key).toSeq
+    assert(afterDel.forall(_._2 != 1L), "tombstoned doc still matched")
+    assert(afterDel ===
+      Text.phraseSearch(merged.filter(col("doc_id") =!= 1L))
+        .collect().map(key).toSeq)
+  }
 }
