@@ -143,7 +143,10 @@ object Bench {
     // so regressions on the other ~190 queries would be invisible
     // round-over-round; bench_full.json (committed per round) makes
     // every query's minimum diffable against the previous round
-    if (subset.isEmpty)
+    // the committed record is the official sf0.1 board ONLY: a full
+    // run at another SF (e.g. an sf0.01 smoke) must not clobber the
+    // reference the outlier defense compares against
+    if (subset.isEmpty && sfDir.endsWith("sf0.1"))
       writeFull(results, sfDir, CodegenWatch.distinctHits,
         suspects.map(n => (n, measured.toMap.apply(n), reruns(n))))
     println(renderLine(results, sfDir, CodegenWatch.distinctHits.size))

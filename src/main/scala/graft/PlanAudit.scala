@@ -518,6 +518,29 @@ object PlanAudit {
       ("no window operator", p => !p.contains("Window")),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // stored near-dup probe: the history side is the persisted band
+    // index (no re-minhash of the history corpus — the only native
+    // signature computation left is the batch side), candidates stay
+    // an equi-join
+    audit("dedup_incr_stored")(
+      ("history bands read from the persisted index",
+        p => p.contains("graft_neardup_index")),
+      ("batch signatures via the native minhash_sig expression",
+        _.contains("minhash_sig")),
+      ("no cartesian/BNL pair enumeration", p =>
+        !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
+
+    // BPE training: every round's vocabulary and winner materialize
+    // behind checkpoints, so the final plan is the 1-row winner scans
+    // unioned — no corpus re-scan, no pair re-enumeration downstream
+    audit("txt_bpe_train")(
+      ("merge table rides the per-round winner checkpoints",
+        p => p.contains("Scan ExistingRDD")),
+      ("no corpus scan in the final plan (rounds materialized)",
+        p => !p.contains("Scan parquet")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+
     // DSIR weights: the (doc, bucket, membership) feature frame is
     // checkpointed once and feeds model counts AND per-doc scoring;
     // the trained ratio model rides a broadcast (dsirBuckets rows);

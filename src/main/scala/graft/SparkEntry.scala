@@ -215,6 +215,9 @@ object SparkEntry {
     // DSIR importance weights: hashed-ngram likelihood ratios against
     // a curated target set, log-free so the float weights hash-match
     "txt_dsir_weights" -> ((s, d) => Text.dsirWeights(documents(s, d))),
+    // BPE merge LEARNING on the word-frequency table: one corpus scan,
+    // then vocabulary-sized rounds — all integer counts
+    "txt_bpe_train" -> ((s, d) => Text.bpeTrain(documents(s, d))),
     "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecall(embeddings(s, d), 8, 5)),
     "txt_bpe_tokens" -> ((s, d) => Text.bpeTokenCounts(documents(s, d))),
     "txt_train_val_split" -> ((s, d) => Text.trainValSplit(documents(s, d))),
@@ -535,6 +538,26 @@ object SparkEntry {
         withSplit.filter(col("split") =!= "train"),
         withSplit.filter(col("split") === "train"))
     }),
+    // the stored near-dup index pair: _build persists the history's
+    // band postings + shingle sets (signatures computed once, when a
+    // doc enters the history), _stored probes them without ever
+    // re-tokenizing the historical corpus
+    "dedup_index_build" -> ((s, d) => {
+      val docs = documents(s, d)
+      val split = Text.trainValSplit(docs).select(col("doc_id"), col("split"))
+      Dedup.dedupBuildIndex(
+        docs.join(split, Seq("doc_id")).filter(col("split") === "train"),
+        dedupIndexBase(d))
+    }),
+    "dedup_incr_stored" -> ((s, d) => {
+      val docs = documents(s, d)
+      val split = Text.trainValSplit(docs).select(col("doc_id"), col("split"))
+      val withSplit = docs.join(split, Seq("doc_id"))
+      Dedup.incrementalNearDupStored(
+        withSplit.filter(col("split") =!= "train"),
+        withSplit.filter(col("split") === "train"),
+        dedupIndexBase(d))
+    }),
   )
 
   /** Per-SF stored-index location for the build-once/probe-many pair
@@ -563,6 +586,10 @@ object SparkEntry {
 
   private def bm25DeleteIndexBase(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_bm25_delete/" +
+      new java.io.File(sfDir).getName
+
+  private def dedupIndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_neardup_index/" +
       new java.io.File(sfDir).getName
 
   private def ivfpqDeleteIndexBase(sfDir: String): String =
@@ -791,6 +818,22 @@ object SparkEntry {
        |  coalesce(p.n_dups, 0) > 0 AS is_dup
        |FROM bt d LEFT JOIN p ON d.doc_id = p.batch_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** dedup_index_build oracle: the band census of the train split's
+    * minhash bands (oracle band_idx is 1-based generate_subscripts —
+    * shifted to the engine's 0-based posexplode).
+    */
+  private def dedupIndexBuildOracle: String =
+    s"""WITH sp AS MATERIALIZED (SELECT doc_id, text,
+       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+       |         THEN 'train' ELSE 'rest' END AS split
+       |  FROM documents),
+       |ht AS MATERIALIZED (SELECT doc_id, text FROM sp WHERE split = 'train'),
+       |${minhashSideCtes("h_", "ht")}
+       |SELECT CAST(band_idx - 1 AS BIGINT) AS band_idx,
+       |  CAST(count(*) AS BIGINT) AS n_postings,
+       |  CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys
+       |FROM h_band GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** dedup_simhash oracle: 32 conditional bit sums + reassembly. */
   private def simhashOracle: String = {
@@ -1284,6 +1327,45 @@ object SparkEntry {
        |  ntok, nbig
        |WHERE c12 >= $minCount
        |ORDER BY lift DESC, w1, w2 LIMIT $k""".stripMargin
+
+  /** txt_bpe_train oracle: the merge rounds unrolled as a CTE chain —
+    * per round the overlap-counted pair statistics off the previous
+    * vocabulary, the (count DESC, left, right) argmax, and the same
+    * delimited-string greedy merge (`replace` scans left-to-right and
+    * resumes after each hit on both engines). All integer arithmetic.
+    */
+  private def bpeTrainOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS (SELECT pr.l AS left_sym, pr.r AS right_sym,
+         |    CAST(sum(wc) AS BIGINT) AS pair_count
+         |  FROM (SELECT wc, unnest(list_transform(range(1, len(syms)),
+         |          x -> {'l': syms[x], 'r': syms[x + 1]})) AS pr
+         |        FROM (SELECT wc,
+         |            list_filter(string_split(s, '|'), x -> x <> '') AS syms
+         |          FROM w${r - 1}) t
+         |        WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT left_sym, right_sym, pair_count
+         |  FROM p$r ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
+         |w$r AS MATERIALIZED (SELECT wc,
+         |    replace(s, '|' || left_sym || '|' || right_sym,
+         |      '|' || left_sym || right_sym) AS s
+         |  FROM w${r - 1}, m$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to nMerges).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, left_sym, right_sym,
+         |  left_sym || right_sym AS merged, pair_count FROM m$r""".stripMargin
+    }.mkString("\n UNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (SELECT count(*) AS wc,
+       |    '|' || array_to_string(list_transform(
+       |      range(1, length(w) + 1), x -> substr(w, x, 1)), '|') AS s
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents) t
+       |  WHERE length(w) > 0 GROUP BY w),
+       |$rounds
+       |$sel
+       |ORDER BY merge_round""".stripMargin
+  }
 
   /** txt_dsir_weights oracle: the same hashed-ngram likelihood-ratio
     * chain — md5-hash buckets, Laplace-smoothed ratio as the identical
@@ -1856,6 +1938,10 @@ object SparkEntry {
         |ORDER BY text_hash""".stripMargin,
     "dedup_minhash" -> minhashOracle,
     "dedup_incr_near" -> incrNearOracle(0.3),
+    "dedup_index_build" -> dedupIndexBuildOracle,
+    // the stored probe serves the same signatures (parquet round-trips
+    // the integer hashes exactly), so its oracle IS the inline one
+    "dedup_incr_stored" -> incrNearOracle(0.3),
     "dedup_simhash" -> simhashOracle,
     "dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),
@@ -1890,6 +1976,7 @@ object SparkEntry {
     "txt_phrase_stored" -> phraseOracle,
     "txt_collocations" -> collocationsOracle(5, 20),
     "txt_dsir_weights" -> dsirOracle(50),
+    "txt_bpe_train" -> bpeTrainOracle(4),
     "sim_ivf_recall" -> ivfRecallOracle(8, 5),
     "txt_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,
@@ -3236,7 +3323,7 @@ object SparkEntry {
       .mkString(", ")
     s"""q(query_id, term) AS (VALUES $qvals),
        |tf AS MATERIALIZED (SELECT doc_id, t.term, count(*) AS tf
-       |  FROM $src, unnest(string_split(text, ' ')) AS t(term)
+       |  FROM $src, unnest(string_split(lower(text), ' ')) AS t(term)
        |  GROUP BY doc_id, t.term),
        |dl AS MATERIALIZED (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

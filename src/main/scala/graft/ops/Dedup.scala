@@ -259,22 +259,37 @@ object Dedup {
     */
   def incrementalNearDup(batch: DataFrame, history: DataFrame,
                          w: Int = 3, threshold: Double = 0.3): DataFrame = {
-    def bandsOf(docs: DataFrame, idCol: String): DataFrame = {
-      val sigs = withMinhashSignature(docs, w)
-      val bandKeys = (0 until numBands).map { j =>
-        concat_ws(",",
-          (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}")): _*)
-      }
-      sigs.select(col("doc_id").as(idCol),
-        posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
-    }
-    val cand = bandsOf(batch, "batch_id")
-      .join(bandsOf(history, "hist_id"), Seq("band_idx", "band_key"))
+    val cand = minhashBands(batch, "batch_id", w)
+      .join(minhashBands(history, "hist_id", w), Seq("band_idx", "band_key"))
       .select(col("batch_id"), col("hist_id")).distinct()
-    val shB = explodedShingleHashes(batch, w)
-      .select(col("doc_id").as("batch_id"), col("s"))
     val shH = explodedShingleHashes(history, w)
     val sizesH = shH.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))
+    nearDupVerdicts(batch, cand, shH, sizesH, w, threshold)
+  }
+
+  /** Per-document LSH band rows (id, band_idx, band_key) — the frame
+    * both incremental probes join on and [[dedupBuildIndex]] persists.
+    */
+  private[ops] def minhashBands(docs: DataFrame, idCol: String,
+                                w: Int): DataFrame = {
+    val sigs = withMinhashSignature(docs, w)
+    val bandKeys = (0 until numBands).map { j =>
+      concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"sig_${j * rowsPerBand + r}")): _*)
+    }
+    sigs.select(col("doc_id").as(idCol),
+      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** Shared verdict core of [[incrementalNearDup]] and
+    * [[incrementalNearDupStored]]: exact-Jaccard verification of the
+    * (batch, history) candidate pairs, folded per batch document.
+    */
+  private def nearDupVerdicts(batch: DataFrame, cand: DataFrame,
+                              shH: DataFrame, sizesH: DataFrame,
+                              w: Int, threshold: Double): DataFrame = {
+    val shB = explodedShingleHashes(batch, w)
+      .select(col("doc_id").as("batch_id"), col("s"))
     val withB = cand.join(shB, Seq("batch_id")).alias("pa")
       .join(shH.select(col("doc_id").as("h2"), col("s").as("s2")).alias("sb"),
         col("pa.hist_id") === col("sb.h2") && col("pa.s") === col("sb.s2"),
@@ -299,6 +314,77 @@ object Dedup {
         coalesce(col("dup_of0"), lit(-1L)).as("dup_of"),
         (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"))
       .orderBy(col("doc_id"))
+  }
+
+  // ---- Build-once / probe-many: the stored near-dup band index ----
+
+  /** Freshness = geometry + metadata-only corpus identity, the same
+    * contract as the IVFADC and BM25 markers ([[graft.ops.Similarity
+    * .inputListingFp]]); the build-time row count is a record, never
+    * recomputed at probe time.
+    */
+  private def dedupIndexMarkerPrefix(history: DataFrame, w: Int): String =
+    s"graft-neardup v1 bands=$numBands rpb=$rowsPerBand w=$w " +
+      s"src=${graft.ops.Similarity.inputListingFp(history)} split=trainval"
+
+  /** BUILD: persist the historical corpus's near-dup index — the LSH
+    * band postings (hist_id, band_key) partitioned by band_idx, the
+    * exploded 60-bit shingle-hash sets, and per-doc set sizes. This is
+    * the artifact [[incrementalNearDup]] recomputes from scratch every
+    * run: at 100 TB the nightly batch job must NOT re-minhash the
+    * whole history to dedup one day's data — signatures are computed
+    * once when a document enters the history, which is exactly what
+    * this layout captures (the dedup twin of the stored IVFADC/BM25
+    * pairs). Returns the per-band census as re-read from storage.
+    */
+  def dedupBuildIndex(history: DataFrame, base: String,
+                      w: Int = 3): DataFrame = {
+    val spark = history.sparkSession
+    graft.sources.Sources.writePartitioned(
+      minhashBands(history, "hist_id", w), s"$base/bands", "band_idx")
+    // one shingle explosion feeds the set sidecar AND the sizes
+    val sh = explodedShingleHashes(history, w).localCheckpoint()
+    sh.write.mode("overwrite").parquet(s"$base/shingles")
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))
+      .write.mode("overwrite").parquet(s"$base/sizes")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "MARKER"),
+      s"${dedupIndexMarkerPrefix(history, w)} n=${history.count()}")
+    spark.read.parquet(s"$base/bands")
+      .groupBy(col("band_idx").cast("long").as("band_idx"))
+      .agg(count(lit(1)).as("n_postings"),
+        count_distinct(col("band_key")).as("n_keys"))
+      .orderBy(col("band_idx"))
+  }
+
+  /** Incremental near-dup against the STORED band index: the batch's
+    * bands equi-join the persisted postings, exact-Jaccard
+    * verification reads the persisted shingle sets and sizes — the
+    * history corpus text is never re-tokenized, re-shingled, or
+    * re-signed at probe time (result-identical to
+    * [[incrementalNearDup]]: parquet round-trips the integer hashes
+    * exactly, so the registry oracle IS the inline one). Rebuilds
+    * lazily iff the marker is stale.
+    */
+  def incrementalNearDupStored(batch: DataFrame, history: DataFrame,
+                               base: String, w: Int = 3,
+                               threshold: Double = 0.3): DataFrame = {
+    val spark = batch.sparkSession
+    val marker = java.nio.file.Paths.get(base, "MARKER")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker)
+        .startsWith(dedupIndexMarkerPrefix(history, w))
+    if (!fresh) dedupBuildIndex(history, base, w).count()
+    val bandsH = spark.read.parquet(s"$base/bands")
+      .select(col("hist_id"), col("band_idx").cast("int").as("band_idx"),
+        col("band_key"))
+    val cand = minhashBands(batch, "batch_id", w)
+      .join(bandsH, Seq("band_idx", "band_key"))
+      .select(col("batch_id"), col("hist_id")).distinct()
+    nearDupVerdicts(batch, cand,
+      spark.read.parquet(s"$base/shingles"),
+      spark.read.parquet(s"$base/sizes"), w, threshold)
   }
 
   /** Near-dup CLUSTERING: connected components over the exact-Jaccard

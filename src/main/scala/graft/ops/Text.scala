@@ -250,6 +250,79 @@ object Text {
            max(col("n_bpe_tokens")).as("max_doc_tokens"))
       .orderBy(col("lang"))
 
+  /** BPE vocabulary INDUCTION — the merge-learning loop itself
+    * (Sennrich et al. 2016, public), not just pre-tokenizer counting:
+    * learn `nMerges` byte-pair merges from the corpus and return the
+    * merge table `(merge_round, left_sym, right_sym, merged, pair_count)`
+    * a tokenizer trainer would persist.
+    *
+    * The algorithm runs on the WORD-FREQUENCY table, exactly like
+    * production trainers: ONE corpus scan folds the text into
+    * (word, count) — vocabulary-sized, not corpus-sized — and every
+    * merge round after that touches only the vocabulary. Per round:
+    * adjacent symbol pairs (overlap counted, the classic statistic)
+    * weighted by word count, the argmax pair under the total order
+    * (count DESC, left, right), then a greedy LEFT-TO-RIGHT
+    * non-overlapping merge applied to every word. All arithmetic is
+    * integer counts — nothing float anywhere — so the table
+    * hash-matches the oracle, which unrolls the same rounds as a CTE
+    * chain.
+    *
+    * The merge applies through a DELIMITED-STRING device: a word's
+    * symbol sequence is kept as `|s1|s2|…` (leading separator, one
+    * per boundary), so replacing the literal `|l|r` with `|lr` IS the
+    * greedy non-overlapping left-to-right merge (both engines'
+    * `replace` scan left to right and resume after each hit —
+    * `|b|b|b` under merge (b,b) becomes `|bb|b`, like the reference
+    * implementation). Fixture tokens are whitespace-split words, so
+    * `|` cannot occur inside a symbol.
+    *
+    * Scale shape: one corpus scan + per-round (vocabulary-keyed pair
+    * aggregation + 1-row winner broadcast + per-row replace); each
+    * round's vocabulary localCheckpoints so round r+1 starts from a
+    * materialized table instead of an r-deep expression tree.
+    */
+  def bpeTrain(documents: DataFrame, nMerges: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var cur = documents
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), concat(lit("|"),
+        concat_ws("|", expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+        .as("s"))
+      .localCheckpoint()
+    val merges = (1 to nMerges).map { r =>
+      val pairs = cur
+        .select(col("wc"), expr(
+          "filter(split(s, '\\\\|'), x -> x <> '')").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          """transform(sequence(0, size(syms) - 2),
+            |  i -> struct(element_at(syms, i + 1) AS l,
+            |              element_at(syms, i + 2) AS r))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+        .agg(sum(col("wc")).as("pair_count"))
+      val winner = pairs
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1)
+        .localCheckpoint() // 1 row: feeds the merge apply AND the report
+      cur = cur.join(broadcast(winner))
+        .select(col("wc"),
+          expr("replace(s, '|' || left_sym || '|' || right_sym, " +
+            "'|' || left_sym || right_sym)").as("s"))
+        .localCheckpoint()
+      winner.select(lit(r.toLong).as("merge_round"),
+        col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), col("right_sym")).as("merged"),
+        col("pair_count"))
+    }
+    merges.reduce(_.unionByName(_)).orderBy(col("merge_round"))
+  }
+
   /** Deterministic train/val/test assignment by content-independent key
     * hash — the reproducible split every training pipeline needs:
     * stable under reshuffling, engine-portable (md5), and extendable
@@ -416,7 +489,8 @@ object Text {
     // and serving from it is exactly the production BM25 shape.
     val tf = documents
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(col("doc_id"),
+        explode(tokens(lower(col("text")))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
@@ -469,7 +543,7 @@ object Text {
     * corpus-wide aggregate on the serving path.
     */
   private def bm25IndexMarkerPrefix(documents: DataFrame): String =
-    s"graft-bm25 v3 buckets=$bm25Buckets " +
+    s"graft-bm25 v4 buckets=$bm25Buckets " +
       s"src=${Similarity.inputListingFp(documents)}"
 
   /** Driver-side twin of [[termBucket]] for plan-time literal terms
@@ -499,15 +573,19 @@ object Text {
     * (doc, pos, term) in the same term-hash bucket partitioning, the
     * Lucene .pos-file analog that phrase/proximity queries need and
     * bag-of-words scoring doesn't ([[phraseSearchStored]] probes it
-    * with the same static bucket filters as the tf scan). Positions
-    * are indexed under the phrase analyzer (whitespace + case fold —
-    * [[phraseSearch]]'s token stream).
+    * with the same static bucket filters as the tf scan). The whole
+    * v3 index — tf, df, and positions — indexes under ONE analyzer
+    * (whitespace + case fold, [[phraseSearch]]'s token stream; the
+    * inline [[bm25TopK]] and the oracles fold the same way), and the
+    * tf artifact is the per-(doc, term) count of the positional frame
+    * so the build tokenizes the corpus exactly once.
     */
   def bm25BuildIndex(documents: DataFrame, base: String): DataFrame = {
     val spark = documents.sparkSession
-    val tf = documents
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // ONE corpus tokenize: the positional frame is the superset every
+    // other artifact folds from (tf = its per-(doc, term) count)
+    val toks = positionalPostings(documents).localCheckpoint()
+    val tf = toks
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
@@ -519,8 +597,7 @@ object Text {
       tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .withColumn("bucket", termBucket(col("term"))), s"$base/df", "bucket")
     graft.sources.Sources.writePartitioned(
-      positionalPostings(documents)
-        .withColumn("bucket", termBucket(col("term"))), s"$base/pos", "bucket")
+      toks.withColumn("bucket", termBucket(col("term"))), s"$base/pos", "bucket")
     dl.write.mode("overwrite").parquet(s"$base/dl")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"$base/stats")
@@ -662,12 +739,15 @@ object Text {
     */
   def bm25Append(batch: DataFrame, base: String): Unit = {
     val spark = batch.sparkSession
-    val tfB = batch
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // ONE batch tokenize: the positional frame feeds the tf fold AND
+    // the positional delta segment
+    val posB = positionalPostings(batch)
       .withColumn("bucket", termBucket(col("term")))
+      .localCheckpoint()
+    val tfB = posB
+      .groupBy(col("doc_id"), col("term"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
       .localCheckpoint()
     val batchIds = tfB.select(col("doc_id")).distinct()
     // the affected bucket list is bounded by the bm25Buckets constant
@@ -696,21 +776,42 @@ object Text {
     mergedDl.write.mode("overwrite").parquet(s"$base/dl")
     mergedDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"$base/stats")
-    // positional postings ride the same merge device: only the
-    // batch's term buckets rewrite, re-appended docs anti-join away
-    val posB = positionalPostings(batch)
-      .withColumn("bucket", termBucket(col("term")))
-      .localCheckpoint()
-    val affectedPos = posB.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    val oldPos = spark.read.parquet(s"$base/pos")
-      .filter(col("bucket").isin(affectedPos: _*))
-      .select(col("doc_id"), col("pos"), col("term"),
-        col("bucket").cast("long").as("bucket"))
-    val mergedPos = oldPos.join(batchIds, Seq("doc_id"), "left_anti")
-      .unionByName(posB)
-      .localCheckpoint()
-    graft.sources.Sources.mergePartitioned(mergedPos, s"$base/pos", "bucket")
+    // positional postings append as a DELTA SEGMENT (Lucene segment
+    // semantics: write the new postings, never read-modify-rewrite the
+    // standing ones — the token-level table is the index's largest
+    // artifact, and an in-place bucket merge would rewrite most of it
+    // for any batch whose vocabulary spans the buckets). Segment id =
+    // order-insensitive hash of the batch's doc set, so a
+    // crash-replayed batch overwrites ITS OWN segment (exactly-once)
+    // while successive distinct batches accumulate side by side. The
+    // probe shadows base postings by the union of the delta doc sets.
+    val segId = java.lang.Long.toHexString(
+      Option(posB.select(col("doc_id")).distinct()
+        .agg(sum(tokenHash(col("doc_id").cast("string"))))
+        .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    // a doc RE-appended in a later batch must not survive in an older
+    // segment: scrub it from any other segment that carries it (zero
+    // I/O when batches are disjoint — the common ingestion case)
+    val deltaRoot = new java.io.File(s"$base/pos_delta")
+    if (deltaRoot.isDirectory) {
+      val others = spark.read.parquet(s"$base/pos_delta")
+        .filter(col("seg") =!= segId)
+      val affectedSegs = others.join(batchIds, Seq("doc_id"))
+        .select(col("seg")).distinct()
+        .collect().map(_.getString(0))
+      affectedSegs.foreach { s =>
+        val keep = spark.read.parquet(s"$base/pos_delta")
+          .filter(col("seg") === s)
+          .join(batchIds, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("pos"), col("term"), col("bucket"))
+          .localCheckpoint()
+        graft.sources.Sources.writePartitioned(
+          keep, s"$base/pos_delta/seg=$s", "bucket")
+      }
+    }
+    graft.sources.Sources.writePartitioned(
+      posB.select(col("doc_id"), col("pos"), col("term"), col("bucket")),
+      s"$base/pos_delta/seg=$segId", "bucket")
   }
 
   /** Build-on-base → append-batch → probe, end to end: the corpus
@@ -903,6 +1004,23 @@ object Text {
             col("bucket").cast("long").as("bucket"))
           .localCheckpoint()
         graft.sources.Sources.mergePartitioned(posAff, s"$base/pos", "bucket")
+      }
+      // the positional delta segments must drop their tombstoned docs
+      // too — clearing the sidecar below would otherwise resurrect
+      // them; only segments actually carrying a tombstoned doc rewrite
+      if (new java.io.File(s"$base/pos_delta").isDirectory) {
+        val delta = spark.read.parquet(s"$base/pos_delta")
+        val segs = delta.join(broadcast(tomb), Seq("doc_id"))
+          .select(col("seg")).distinct().collect().map(_.getString(0))
+        segs.foreach { s =>
+          val keep = delta.filter(col("seg") === s)
+            .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("pos"), col("term"),
+              col("bucket").cast("long").as("bucket"))
+            .localCheckpoint()
+          graft.sources.Sources.writePartitioned(
+            keep, s"$base/pos_delta/seg=$s", "bucket")
+        }
       }
     }
     clearTombstones(base)
@@ -1947,14 +2065,28 @@ object Text {
     if (!fresh) bm25BuildIndex(documents, base).count()
     val buckets = phrases.flatMap(_._2.split(" ")).distinct
       .map(termBucketDriver).distinct.sorted
-    val pos0 = spark.read.parquet(s"$base/pos")
+    val base0 = spark.read.parquet(s"$base/pos")
       .filter(col("bucket").isin(buckets: _*))
       .select(col("doc_id"), col("pos"), col("term"))
+    // serve base ∪ delta segments ([[bm25Append]]'s LSM write): a doc
+    // present in the delta shadows ALL its base postings (the doc-set
+    // anti-join is unfiltered by bucket — a re-appended doc whose new
+    // text dropped a term must not keep matching via stale postings)
+    val deltaDir = new java.io.File(s"$base/pos_delta")
+    val withDelta = if (deltaDir.isDirectory) {
+      val delta = spark.read.parquet(s"$base/pos_delta")
+      base0.join(delta.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .unionByName(delta
+          .filter(col("bucket").isin(buckets: _*))
+          .select(col("doc_id"), col("pos"), col("term")))
+    } else base0
+    // tombstones exclude docs from BOTH generations
     val pos = if (hasTombstones(base))
-      pos0.join(broadcast(
+      withDelta.join(broadcast(
         spark.read.parquet(tombstonePath(base).toString)), Seq("doc_id"),
         "left_anti")
-    else pos0
+    else withDelta
     phraseMatch(pos, phraseTermsDF(spark, phrases))
   }
 

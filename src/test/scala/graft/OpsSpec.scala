@@ -1690,6 +1690,25 @@ class OpsSpec extends SparkTestBase {
     assert(byId(10L)._1 > byId(12L)._1)
   }
 
+  test("BPE training: learns the hand-derived merge sequence with greedy " +
+       "non-overlapping application") {
+    import spark.implicits._
+    // words: aaab x2, ab x1. Round 1: (a,a)=4 beats (a,b)=3; the greedy
+    // left-to-right merge turns |a|a|a|b into |aa|a|b (NOT |aa|aa —
+    // overlap consumed). Round 2: (a,b)=3 beats (aa,a)=2. Round 3:
+    // (aa,ab)=2 closes the word.
+    val docs = Seq((1L, "aaab aaab ab", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Text.bpeTrain(docs, nMerges = 3).collect()
+      .map(r => (r.getAs[Long]("merge_round"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count")))
+    assert(got.toSeq === Seq(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 3L),
+      (3L, "aa", "ab", "aaab", 2L)))
+  }
+
   test("mm ann retrieval: embeddings match embedStub and sims are valid cosines") {
     val docs = Tables.documents(spark, sf)
     val got = Multimodal.annRetrieve(docs, 4, 3).collect()

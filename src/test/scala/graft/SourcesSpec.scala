@@ -637,6 +637,28 @@ class SourcesSpec extends SparkTestBase {
       s"unlabeled appended vector ${r.getLong(1)} passed the filter"))
   }
 
+  test("stored near-dup index: probe equals the inline incremental plan " +
+       "from persisted bands and shingle sets") {
+    import graft.ops.{Dedup, Text}
+    val docs = Tables.documents(spark, sf)
+    val split = Text.trainValSplit(docs).select(col("doc_id"), col("split"))
+    val ws = docs.join(split, Seq("doc_id"))
+    val batch = ws.filter(col("split") =!= "train")
+    val hist = ws.filter(col("split") === "train")
+    val base = tmp("neardupidx")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))
+    val inline = Dedup.incrementalNearDup(batch, hist).collect().map(key).toSeq
+    val census = Dedup.dedupBuildIndex(hist, base)
+    assert(census.count() === Dedup.numBands.toLong)
+    val stored = Dedup.incrementalNearDupStored(batch, hist, base)
+      .collect().map(key).toSeq
+    assert(stored === inline)
+    Seq("bands", "shingles", "sizes", "MARKER").foreach { p =>
+      assert(new java.io.File(base, p).exists(), s"missing $p")
+    }
+  }
+
   test("stored phrase search: probe equals inline; appends and tombstones " +
        "maintain the positional layout") {
     import graft.ops.Text
@@ -652,21 +674,39 @@ class SourcesSpec extends SparkTestBase {
     assert(inline.nonEmpty)
     assert(Text.phraseSearchStored(docs, base).collect().map(key).toSeq
       === inline)
-    // append: the new doc's phrase hits surface from the merged pos/
-    // buckets — equal to retokenizing the unioned corpus inline
+    // append: the new doc's phrase hits surface from its delta
+    // segment — equal to retokenizing the unioned corpus inline
     val batch = Seq((9L, "window join q window join", "en", "s", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     Text.bm25Append(batch, base)
     val merged = docs.unionByName(batch)
     assert(Text.phraseSearchStored(docs, base).collect().map(key).toSeq
       === Text.phraseSearch(merged).collect().map(key).toSeq)
+    // a second disjoint batch ACCUMULATES as its own segment (the
+    // first batch's postings must survive)
+    val batch2 = Seq((8L, "table scan merge z", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Text.bm25Append(batch2, base)
+    val merged2 = merged.unionByName(batch2)
+    assert(Text.phraseSearchStored(docs, base).collect().map(key).toSeq
+      === Text.phraseSearch(merged2).collect().map(key).toSeq)
+    // RE-appending a doc with new text scrubs its postings from the
+    // older segment — the old phrase match must vanish
+    val batch3 = Seq((9L, "order fast w", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Text.bm25Append(batch3, base)
+    val merged3 = docs.unionByName(batch2).unionByName(batch3)
+    val after3 = Text.phraseSearchStored(docs, base).collect().map(key).toSeq
+    assert(after3 === Text.phraseSearch(merged3).collect().map(key).toSeq)
+    assert(!after3.exists(r => r._1 == 1L && r._2 == 9L),
+      "stale postings from the re-appended doc's old segment survived")
     // tombstone: the deleted doc drops out of phrase matching with no
     // layout rewrite (same serving semantics as the BM25 probe)
     Text.bm25Delete(Seq(1L).toDF("doc_id"), base)
     val afterDel = Text.phraseSearchStored(docs, base).collect().map(key).toSeq
     assert(afterDel.forall(_._2 != 1L), "tombstoned doc still matched")
     assert(afterDel ===
-      Text.phraseSearch(merged.filter(col("doc_id") =!= 1L))
+      Text.phraseSearch(merged3.filter(col("doc_id") =!= 1L))
         .collect().map(key).toSeq)
   }
 }
