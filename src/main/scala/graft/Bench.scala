@@ -209,6 +209,40 @@ object Bench {
     val qs = headline.map { case (k, v) => "\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    s"""{"metric":"total","value":${r(total)},"unit":"sec","n_queries":${results.size},"codegen_fallbacks":$nFallbacks,"queries":$qs,"sf":"$sfDir"}"""
+    val common = r01Common(results)
+    s"""{"metric":"total","value":${r(total)},"unit":"sec","n_queries":${results.size},"codegen_fallbacks":$nFallbacks,$common"queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  /** Apples-to-apples drift metric against the ROUND-1 record: the
+    * total over exactly the 68 queries r01 measured (the registry has
+    * since tripled with deliberately expensive write-side index
+    * builds, so the aggregate per-query rate mostly tracks the MIX,
+    * not the engine — this field tracks the engine). Empty when the
+    * committed `BENCH_r01.json` is absent or the current run is a
+    * subset.
+    */
+  def r01Common(results: Seq[(String, Double)]): String = {
+    try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BENCH_r01.json"))
+      // the r01 record keeps its per-query map inside an ESCAPED json
+      // string ("tail"), so quotes appear as \" — accept both forms
+      val entry = """"([A-Za-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r
+      val r01 = entry.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filterNot { case (k, _) => Set("n", "rc", "cpus", "sf", "value")(k) }
+        .toMap
+      val now = results.toMap
+      val common = r01.keySet.intersect(now.keySet)
+      // the r01 record's tail is truncated mid-entry (one mangled
+      // name), so full coverage is 67 of its 68 queries; a subset run
+      // that misses most of the board is not comparable
+      if (common.size < 60) ""
+      else {
+        val t01 = common.toSeq.map(r01).sum
+        val tn = common.toSeq.map(now).sum
+        f""""r01_common":{"n":${common.size},"r01_sec":$t01%.3f,"now_sec":$tn%.3f},"""
+      }
+    } catch { case _: Throwable => "" }
   }
 }

@@ -457,6 +457,16 @@ object PlanAudit {
         "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
       ("no cartesian pair enumeration", p => !p.contains("CartesianProduct")))
 
+    // MRL rerank: the compression is an array SLICE (zero compute, no
+    // trained artifact, no plane constants anywhere in the plan), both
+    // stages prune through the heap node
+    audit("sim_mrl_rerank")(
+      ("prefix slice is the only projection (native dot scores)",
+        p => p.contains("slice") && p.contains("vector_dot")),
+      ("heap top-k in both stages (shortlist + rerank)", p =>
+        "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
+      ("no cartesian pair enumeration", p => !p.contains("CartesianProduct")))
+
     // phrase search: corpus tokens equi-join the broadcast literal
     // query-term table; matching is pure aggregation — no corpus
     // self-join, no per-document window, no cartesian

@@ -204,6 +204,15 @@ object SparkEntry {
     // training, no stored artifacts) + exact full-width re-rank
     "sim_rp_rerank" -> ((s, d) =>
       Similarity.rpRerankTopK(embeddings(s, d), 8, 5)),
+    // Matryoshka truncation: prefix-slice shortlist (zero-compute
+    // compression) + exact full-width re-rank
+    "sim_mrl_rerank" -> ((s, d) =>
+      Similarity.mrlRerankTopK(embeddings(s, d), 8, 5)),
+    // recall of filtered IVF vs the filtered brute force — the gate
+    // that tells a serving stack when predicate selectivity calls for
+    // a higher nprobe
+    "sim_filtered_recall" -> ((s, d) =>
+      Similarity.ivfFilteredRecall(embeddings(s, d), 8, 5)),
     // multimodal retrieval end-to-end: payload -> stub embedding ->
     // cosine top-k (the encoder swap point is the projection only)
     "mm_ann" -> ((s, d) => Multimodal.annRetrieve(documents(s, d))),
@@ -865,9 +874,11 @@ object SparkEntry {
     * silently desynchronize between the approximate side and the
     * ground-truth side.
     */
-  private def cosineTopkOracle(nq: Int, k: Int): String =
+  private def cosineTopkOracle(nq: Int, k: Int,
+                               candPred: String = "TRUE"): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $nq),
-       |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+       |      WHERE ($candPred)),
        |s AS (SELECT query_id, neighbor_id,
        |        $cosineSql AS sim
        |      FROM q, c WHERE neighbor_id <> query_id),
@@ -883,6 +894,18 @@ object SparkEntry {
   private def ivfRecallOracle(nq: Int, k: Int): String =
     s"""WITH ivf AS (${ivfOracle(nq, k)}),
        |bf AS (${cosineTopkOracle(nq, k)})
+       |SELECT bf.query_id,
+       |  CAST(count(ivf.neighbor_id) AS DOUBLE) / $k AS recall_at_k
+       |FROM bf LEFT JOIN ivf
+       |  ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+
+  /** sim_filtered_recall oracle: filtered IVF vs the filtered brute
+    * force — the same predicate pushed into both derivations.
+    */
+  private def filteredRecallOracle(nq: Int, k: Int): String =
+    s"""WITH ivf AS (${ivfOracle(nq, k, candPred = "a.label % 2 = 0")}),
+       |bf AS (${cosineTopkOracle(nq, k, candPred = "label % 2 = 0")})
        |SELECT bf.query_id,
        |  CAST(count(ivf.neighbor_id) AS DOUBLE) / $k AS recall_at_k
        |FROM bf LEFT JOIN ivf
@@ -1274,6 +1297,35 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** sim_mrl_rerank oracle: prefix-slice shortlist → exact re-rank —
+    * [[rpRerankOracle]] with the projection replaced by list_slice.
+    */
+  private def mrlRerankOracle(nq: Int, k: Int, nCand: Int): String =
+    s"""WITH pr AS MATERIALIZED (SELECT vec_id, embedding,
+       |   list_slice(embedding, 1, ${Similarity.mrlDim}) AS mr
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, mr AS qmr
+       |      FROM pr WHERE vec_id < $nq),
+       |smr AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |        ${cosSql("q.qmr", "c.mr")} AS msim
+       |      FROM q, pr c WHERE c.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY msim DESC, neighbor_id) AS rn
+       |    FROM smr) t WHERE rn <= $nCand),
+       |s AS (SELECT cand.query_id, cand.neighbor_id,
+       |        ${cosSql("q.qe", "c.embedding")} AS sim
+       |      FROM cand
+       |      JOIN pr c ON c.vec_id = cand.neighbor_id
+       |      JOIN q ON q.query_id = cand.query_id),
+       |r AS (SELECT query_id, neighbor_id, sim,
+       |        CAST(row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
 
   /** txt_phrase_search oracle: the same positional-vote formulation —
     * every token hit on a query term votes for start = pos − off, a
@@ -1969,6 +2021,7 @@ object SparkEntry {
     // its oracle IS the inline filtered-IVF derivation
     "sim_ivfpq_filtered" -> ivfOracle(8, 5, candPred = "a.label % 2 = 0"),
     "sim_rp_rerank" -> rpRerankOracle(8, 5, 20),
+    "sim_mrl_rerank" -> mrlRerankOracle(8, 5, 20),
     "mm_ann" -> mmAnnOracle(8, 5, 8),
     "txt_phrase_search" -> phraseOracle,
     // the stored probe serves the same positional token frame, so its
@@ -1978,6 +2031,7 @@ object SparkEntry {
     "txt_dsir_weights" -> dsirOracle(50),
     "txt_bpe_train" -> bpeTrainOracle(4),
     "sim_ivf_recall" -> ivfRecallOracle(8, 5),
+    "sim_filtered_recall" -> filteredRecallOracle(8, 5),
     "txt_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,

@@ -119,6 +119,41 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Recall gate for FILTERED search: [[ivfFilteredTopK]] against the
+    * filtered BRUTE FORCE (the same predicate applied to the candidate
+    * set before exact scoring) — what pre-filtering costs in recall at
+    * a given nprobe under the predicate's selectivity. The production
+    * reading: as the predicate gets more selective, fewer passing
+    * vectors live in the probed cells, and this gate is the signal to
+    * raise nprobe (the knob the pre-filter formulation trades on).
+    */
+  def ivfFilteredRecall(embeddings: DataFrame, nQueries: Int, k: Int,
+                        nlist: Int = 16, nprobe: Int = 4,
+                        labelMod: Int = 2): DataFrame = {
+    val parallelism =
+      embeddings.sparkSession.sparkContext.defaultParallelism
+    val cand = embeddings
+      .filter(pmod(col("label"), lit(labelMod)) === 0)
+      .repartition(parallelism, col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = cand
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("sim"))
+    val bf = topKRanked(scored, "sim", k)
+      .select(col("query_id"), col("neighbor_id"))
+    val f = ivfFilteredTopK(embeddings, nQueries, k, nlist, nprobe, labelMod)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    bf.join(f,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("n2")).cast("double") / k).as("recall_at_k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (LCG over the flat index,
     * Weyl-style): plane(i)(j) ∈ [-1, 1). Pure data-independent
     * constants — both engines materialize the SAME literals, and any
@@ -231,6 +266,60 @@ object Similarity {
     topKRanked(scored, "sim", k)
   }
 
+  /** Matryoshka prefix width for [[mrlRerankTopK]] — 4× compression
+    * of the 64-dim fixtures. MRL-trained encoders front-load
+    * information so the prefix is a usable embedding on its own; on
+    * untrained vectors the prefix carries dims/mrlDim of the variance
+    * (the same honest-measurement note as the JL planes).
+    */
+  val mrlDim = 16
+
+  /** Two-stage retrieval through MATRYOSHKA truncation (MRL,
+    * Kusupati et al. 2022, public): shortlist `nCand` per query by
+    * cosine over the FIRST [[mrlDim]] dimensions — a zero-compute
+    * "projection" (an array slice: no planes, no training, no stored
+    * artifacts, not even multiplies to compress) — then re-rank the
+    * shortlist with exact full-width cosine. Completes the
+    * compression triptych the engine serves: trained codebooks
+    * ([[pqRerankTopK]]) > data-independent planes ([[rpRerankTopK]])
+    * > prefix truncation (this) — each trading preparation cost
+    * against distance fidelity; MRL's bet is that the ENCODER was
+    * trained to front-load, making the cheapest compressor the best
+    * one when you control the model.
+    *
+    * Scale shape: the slice is a per-row projection inside the scan
+    * (no shuffle, no compute); shortlist through the two-phase heap
+    * node; exact re-rank touches queries × nCand rows.
+    */
+  def mrlRerankTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                    nCand: Int = 20): DataFrame = {
+    val parallelism =
+      embeddings.sparkSession.sparkContext.defaultParallelism
+    val proj = embeddings.repartition(parallelism, col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"),
+        slice(col("embedding"), 1, mrlDim).as("mr"))
+    val qproj = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        slice(col("embedding"), 1, mrlDim).as("qmr"))
+    val scoredMr = proj
+      .join(broadcast(qproj), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qmr"), col("mr")).as("msim"))
+    val cands = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
+        scoredMr.withColumn("__tie", -col("neighbor_id")),
+        Seq("query_id"), Seq("msim", "__tie"), nCand)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = cands.join(full, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qe"), col("ce")).as("sim"))
+    topKRanked(scored, "sim", k)
+  }
+
   /** Vector L2-normalization as a reusable projection. NOTE: the norm
     * is re-evaluated inside the (interpreted) lambda per ELEMENT —
     * O(dim²) per vector. Fine for one-off projections; hot paths use
@@ -276,11 +365,11 @@ object Similarity {
     val scored = embeddings
       .repartition(embeddings.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .join(broadcast(centroids))
-      .select(col("vec_id") +: col("centroid_id") +:
-        cosine(col("embedding"), col("ce")).as("cs") +:
-        carried.map(col): _*)
+      .select(col("vec_id") +: carried.map(col) :+
+        col("centroid_id") :+
+        cosine(col("embedding"), col("ce")).as("cs"): _*)
     scored.groupBy(col("vec_id"))
-      .agg(max_by(struct(col("centroid_id") +: carried.map(col): _*),
+      .agg(max_by(struct(carried.map(col) :+ col("centroid_id"): _*),
         struct(col("cs"), -col("centroid_id"))).as("best"))
       .select(col("vec_id") +:
         carried.map(c => col(s"best.$c").as(c)) :+

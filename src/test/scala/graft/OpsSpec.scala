@@ -1626,6 +1626,65 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("filtered recall: bounded, and exhaustive probing recovers the " +
+       "filtered brute force exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.ivfFilteredRecall(emb, 4, 5).collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      val v = r.getAs[Double]("recall_at_k")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+    // nprobe = nlist probes every cell: filtered IVF IS the filtered
+    // brute force, so recall must be exactly 1.0 per query
+    Similarity.ivfFilteredRecall(emb, 4, 5, nlist = 16, nprobe = 16)
+      .collect()
+      .foreach(r => assert(r.getAs[Double]("recall_at_k") === 1.0))
+  }
+
+  test("MRL rerank: reranked sims are exact cosines; the prefix shortlist " +
+       "recovers clusters that separate in the leading dims") {
+    val emb = Tables.embeddings(spark, sf)
+    val k = 5
+    val got = Similarity.mrlRerankTopK(emb, 8, k).collect()
+    assert(got.length === 8 * k)
+    val bfSims = Similarity.cosineTopK(emb, 8, k).collect()
+      .map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("sim")).toMap
+    // shared neighbors carry the IDENTICAL sim — only the shortlist is
+    // approximate, the re-rank is full-width exact
+    got.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bfSims.get(key).foreach(s => assert(s === r.getAs[Double]("sim")))
+    }
+    // recall half on clustered vectors (the RP spec's fixture device):
+    // cluster structure present in every dim is present in the prefix,
+    // so the 4x truncated shortlist must keep queries in their cluster
+    import spark.implicits._
+    def mdU(s: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      v.toDouble / 2147483648.0 - 1.0
+    }
+    val per = 10
+    val clustered = (0 until 10 * per).map { id =>
+      val c = id / per
+      val e = (0 until Similarity.dim).map { j =>
+        (mdU(s"cl:$c:$j") + 0.05 * mdU(s"nz:$id:$j")).toFloat
+      }.toArray
+      (id.toLong, e, c)
+    }.toDF("vec_id", "embedding", "label")
+    val cg = Similarity.mrlRerankTopK(clustered, 4, 5).collect()
+    assert(cg.length === 4 * 5)
+    cg.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") / per ===
+        r.getAs[Long]("query_id") / per,
+        s"query ${r.getAs[Long]("query_id")} left its cluster")
+    }
+  }
+
   test("phrase search: counts overlapping repeats and respects word boundaries") {
     import spark.implicits._
     val docs = Seq(
