@@ -700,9 +700,10 @@ object PlanAudit {
       ("native minhash_sig signature computation",
         _.contains("minhash_sig")))
 
-    // stored BM25 probe: the postings/df scans carry STATIC bucket
-    // partition filters (query terms are plan-time literals — no
-    // subquery, no corpus tokenize anywhere in the serving plan)
+    // stored BM25 probe: the postings scans (match side + the
+    // df-derivation side) carry STATIC bucket partition filters
+    // (query terms are plan-time literals — no subquery, no corpus
+    // tokenize anywhere in the serving plan)
     audit("txt_bm25_stored")(
       ("postings scan statically pruned to the query-term buckets",
         p => "PartitionFilters: \\[bucket".r.findAllIn(p).size >= 2),

@@ -543,7 +543,7 @@ object Text {
     * corpus-wide aggregate on the serving path.
     */
   private def bm25IndexMarkerPrefix(documents: DataFrame): String =
-    s"graft-bm25 v4 buckets=$bm25Buckets " +
+    s"graft-bm25 v5 buckets=$bm25Buckets " +
       s"src=${Similarity.inputListingFp(documents)}"
 
   /** Driver-side twin of [[termBucket]] for plan-time literal terms
@@ -612,14 +612,17 @@ object Text {
   }
 
   /** PROBE against the STORED inverted index: score [[bm25Queries]]
-    * from the persisted postings/df/dl/stats ONLY — the corpus table
-    * is never touched. The query terms are plan-time literals, so the
-    * postings and df scans carry STATIC `bucket` partition filters
-    * (spec-asserted): a probe reads ~|query terms|/buckets of the
-    * index bytes. Scoring arithmetic is textually identical to
-    * [[bm25TopK]], so the result is oracle-identical to the inline
-    * plan (parquet round-trips the integer statistics exactly).
-    * Rebuilds lazily iff the marker is stale.
+    * from the persisted postings/dl/stats ONLY — the corpus table is
+    * never touched, and per-term df derives from the served postings
+    * themselves (bucket-complete across the base and every delta
+    * segment, so the count is exact even mid-maintenance). The query
+    * terms are plan-time literals, so the postings scans carry STATIC
+    * `bucket` partition filters (spec-asserted): a probe reads
+    * ~|query terms|/buckets of the index bytes. Scoring arithmetic is
+    * textually identical to [[bm25TopK]], so the result is
+    * oracle-identical to the inline plan (parquet round-trips the
+    * integer statistics exactly). Rebuilds lazily iff the marker is
+    * stale.
     */
   def bm25ProbeStored(documents: DataFrame, base: String,
                       k: Int = 10): DataFrame = {
@@ -667,32 +670,44 @@ object Text {
     val buckets = bm25Queries
       .flatMap(_._2.split(" ")).distinct
       .map(termBucketDriver).distinct.sorted
-    val tf0 = spark.read.parquet(s"$base/tf")
+    val tfBase = spark.read.parquet(s"$base/tf")
       .filter(col("bucket").isin(buckets: _*))
       .select(col("doc_id"), col("term"), col("tf"))
-    val df = spark.read.parquet(s"$base/df")
-      .filter(col("bucket").isin(buckets: _*))
-      .select(col("term"), col("df"))
+    // serve base ∪ tf delta segments ([[bm25Append]]'s LSM write): a
+    // doc in any delta shadows ALL its base postings (the doc-set
+    // anti-join is unfiltered by bucket)
+    val tfGen = if (new java.io.File(s"$base/tf_delta").isDirectory) {
+      val delta = spark.read.parquet(s"$base/tf_delta")
+      tfBase.join(delta.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .unionByName(delta
+          .filter(col("bucket").isin(buckets: _*))
+          .select(col("doc_id"), col("term"), col("tf")))
+    } else tfBase
     val dl0 = spark.read.parquet(s"$base/dl")
     val stats0 = spark.read.parquet(s"$base/stats")
-    // tombstone serving (Lucene segment semantics): deleted docs are
-    // excluded from MATCHING (postings/dl anti-join the tombstone
-    // sidecar) and from the corpus stats (adjusted by the tombstoned
-    // docs' lengths), while per-term df stays STALE until
-    // [[bm25Compact]] folds the deletes into the layout — exactly the
-    // trade production engines make, because exact df would need the
-    // per-term recount compaction performs
+    // tombstone serving: deleted docs are excluded from MATCHING
+    // (postings/dl anti-join the tombstone sidecar) and from the
+    // corpus stats (adjusted by the tombstoned docs' lengths)
     val (tf, dl, stats) = if (hasTombstones(base)) {
       val tomb = spark.read.parquet(tombstonePath(base).toString)
       val removed = dl0.join(broadcast(tomb), Seq("doc_id"))
         .agg(coalesce(count(lit(1)), lit(0L)).as("rm_n"),
           coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
-      (tf0.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      (tfGen.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
         dl0.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
         stats0.crossJoin(broadcast(removed))
           .select((col("n_docs") - col("rm_n")).as("n_docs"),
             (col("tot_dl") - col("rm_dl")).as("tot_dl")))
-    } else (tf0, dl0, stats0)
+    } else (tfGen, dl0, stats0)
+    // per-term df derives from the SERVED postings themselves: a
+    // term's postings are bucket-complete across every generation
+    // (base and deltas hash terms identically), so counting the rows
+    // already read yields EXACT document frequency — fresher than
+    // Lucene's stale-df trade, and free (the df/ artifact on disk is
+    // build-time observability for [[bm25Health]], not a serving
+    // input)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val k1p1 = bm25K1 + 1.0
     val oneMinusB = 1.0 - bm25B
     val idf = (col("n_docs").cast("double") - col("df").cast("double")
@@ -750,24 +765,8 @@ object Text {
       .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
       .localCheckpoint()
     val batchIds = tfB.select(col("doc_id")).distinct()
-    // the affected bucket list is bounded by the bm25Buckets constant
-    // (64), never by data size — a driver-side collect is safe and
-    // buys STATIC partition pruning on the read-back below
-    val affected = tfB.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
-    val oldTf = spark.read.parquet(s"$base/tf")
-      .filter(col("bucket").isin(affected: _*))
-      .select(col("doc_id"), col("term"), col("tf"),
-        col("bucket").cast("long").as("bucket"))
-    // materialize before overwriting the path the merge was read from
-    val mergedTf = oldTf.join(batchIds, Seq("doc_id"), "left_anti")
-      .unionByName(tfB)
-      .localCheckpoint()
-    graft.sources.Sources.mergePartitioned(mergedTf, s"$base/tf", "bucket")
-    graft.sources.Sources.mergePartitioned(
-      mergedTf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .withColumn("bucket", termBucket(col("term"))),
-      s"$base/df", "bucket")
+    // doc lengths and corpus stats stay merged artifacts: they are
+    // doc-count-sized and one-row — the cheap end of the index
     val dlB = tfB.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val mergedDl = spark.read.parquet(s"$base/dl")
       .join(batchIds, Seq("doc_id"), "left_anti")
@@ -776,15 +775,18 @@ object Text {
     mergedDl.write.mode("overwrite").parquet(s"$base/dl")
     mergedDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"$base/stats")
-    // positional postings append as a DELTA SEGMENT (Lucene segment
-    // semantics: write the new postings, never read-modify-rewrite the
-    // standing ones — the token-level table is the index's largest
-    // artifact, and an in-place bucket merge would rewrite most of it
-    // for any batch whose vocabulary spans the buckets). Segment id =
-    // order-insensitive hash of the batch's doc set, so a
-    // crash-replayed batch overwrites ITS OWN segment (exactly-once)
-    // while successive distinct batches accumulate side by side. The
-    // probe shadows base postings by the union of the delta doc sets.
+    // token-level postings (tf AND positions) append as DELTA SEGMENTS
+    // (Lucene segment semantics: write the new postings, never
+    // read-modify-rewrite the standing ones — the token-level tables
+    // are the index's largest artifacts, and an in-place bucket merge
+    // rewrites most of them for any batch whose vocabulary spans the
+    // buckets). Segment id = order-insensitive hash of the batch's
+    // doc set, so a crash-replayed batch overwrites ITS OWN segments
+    // (exactly-once) while successive distinct batches accumulate
+    // side by side. The probes shadow base postings by the union of
+    // the delta doc sets; per-term df derives at probe time from the
+    // served postings (bucket-complete across generations), so no df
+    // merge is needed at all.
     val segId = java.lang.Long.toHexString(
       Option(posB.select(col("doc_id")).distinct()
         .agg(sum(tokenHash(col("doc_id").cast("string"))))
@@ -792,23 +794,28 @@ object Text {
     // a doc RE-appended in a later batch must not survive in an older
     // segment: scrub it from any other segment that carries it (zero
     // I/O when batches are disjoint — the common ingestion case)
-    val deltaRoot = new java.io.File(s"$base/pos_delta")
-    if (deltaRoot.isDirectory) {
-      val others = spark.read.parquet(s"$base/pos_delta")
-        .filter(col("seg") =!= segId)
-      val affectedSegs = others.join(batchIds, Seq("doc_id"))
-        .select(col("seg")).distinct()
-        .collect().map(_.getString(0))
-      affectedSegs.foreach { s =>
-        val keep = spark.read.parquet(s"$base/pos_delta")
-          .filter(col("seg") === s)
-          .join(batchIds, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("pos"), col("term"), col("bucket"))
-          .localCheckpoint()
-        graft.sources.Sources.writePartitioned(
-          keep, s"$base/pos_delta/seg=$s", "bucket")
+    def scrubOtherSegs(root: String, cols: Seq[String]): Unit = {
+      if (new java.io.File(root).isDirectory) {
+        val others = spark.read.parquet(root).filter(col("seg") =!= segId)
+        val affectedSegs = others.join(batchIds, Seq("doc_id"))
+          .select(col("seg")).distinct()
+          .collect().map(_.getString(0))
+        affectedSegs.foreach { s =>
+          val keep = spark.read.parquet(root)
+            .filter(col("seg") === s)
+            .join(batchIds, Seq("doc_id"), "left_anti")
+            .select(cols.map(col): _*)
+            .localCheckpoint()
+          graft.sources.Sources.writePartitioned(
+            keep, s"$root/seg=$s", "bucket")
+        }
       }
     }
+    scrubOtherSegs(s"$base/tf_delta", Seq("doc_id", "term", "tf", "bucket"))
+    scrubOtherSegs(s"$base/pos_delta", Seq("doc_id", "pos", "term", "bucket"))
+    graft.sources.Sources.writePartitioned(
+      tfB.select(col("doc_id"), col("term"), col("tf"), col("bucket")),
+      s"$base/tf_delta/seg=$segId", "bucket")
     graft.sources.Sources.writePartitioned(
       posB.select(col("doc_id"), col("pos"), col("term"), col("bucket")),
       s"$base/pos_delta/seg=$segId", "bucket")
@@ -1005,23 +1012,32 @@ object Text {
           .localCheckpoint()
         graft.sources.Sources.mergePartitioned(posAff, s"$base/pos", "bucket")
       }
-      // the positional delta segments must drop their tombstoned docs
-      // too — clearing the sidecar below would otherwise resurrect
-      // them; only segments actually carrying a tombstoned doc rewrite
-      if (new java.io.File(s"$base/pos_delta").isDirectory) {
-        val delta = spark.read.parquet(s"$base/pos_delta")
-        val segs = delta.join(broadcast(tomb), Seq("doc_id"))
-          .select(col("seg")).distinct().collect().map(_.getString(0))
-        segs.foreach { s =>
-          val keep = delta.filter(col("seg") === s)
-            .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-            .select(col("doc_id"), col("pos"), col("term"),
-              col("bucket").cast("long").as("bucket"))
-            .localCheckpoint()
-          graft.sources.Sources.writePartitioned(
-            keep, s"$base/pos_delta/seg=$s", "bucket")
+      // the delta segments (tf and positions) must drop their
+      // tombstoned docs too — clearing the sidecar below would
+      // otherwise resurrect them; only segments actually carrying a
+      // tombstoned doc rewrite
+      def scrubTombstoned(root: String, cols: Seq[String]): Unit = {
+        if (new java.io.File(root).isDirectory) {
+          val delta = spark.read.parquet(root)
+          val segs = delta.join(broadcast(tomb), Seq("doc_id"))
+            .select(col("seg")).distinct().collect().map(_.getString(0))
+          segs.foreach { s =>
+            val keep = delta.filter(col("seg") === s)
+              .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+              .select(cols.map {
+                case "bucket" => col("bucket").cast("long").as("bucket")
+                case c => col(c)
+              }: _*)
+              .localCheckpoint()
+            graft.sources.Sources.writePartitioned(
+              keep, s"$root/seg=$s", "bucket")
+          }
         }
       }
+      scrubTombstoned(s"$base/tf_delta",
+        Seq("doc_id", "term", "tf", "bucket"))
+      scrubTombstoned(s"$base/pos_delta",
+        Seq("doc_id", "pos", "term", "bucket"))
     }
     clearTombstones(base)
   }

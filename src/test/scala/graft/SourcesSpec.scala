@@ -210,8 +210,10 @@ class SourcesSpec extends SparkTestBase {
 
   test("stored-index deletion: tombstones serve correctly, compaction folds them in") {
     import graft.ops.{Similarity, Text}
-    // BM25: tombstoned docs never match (df stale by design); after
-    // compaction the probe equals the inline index over survivors
+    // BM25: tombstone serving is already EXACT — the probe derives df
+    // from the anti-joined postings, so even before compaction the
+    // ranking equals the inline index over the survivors (better than
+    // the stale-df segment trade); compaction only reclaims the bytes
     val docs = Tables.documents(spark, sf)
     val b = tmp("bm25del")
     Text.bm25BuildIndex(docs, b).count()
@@ -220,13 +222,15 @@ class SourcesSpec extends SparkTestBase {
     Text.bm25Delete(delDocs, b)
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val survInline = Text.bm25TopK(
+      docs.filter(col("doc_id") % 7 =!= 3), 10).collect().map(key).toSeq
     val tombRes = Text.bm25ProbeStored(docs, b, 10).collect().map(key)
     assert(tombRes.nonEmpty && tombRes.forall(r => !delDocSet(r._2)),
       "a tombstoned doc surfaced in serving")
+    assert(tombRes.toSeq === survInline,
+      "pre-compaction serving is not exact over the survivors")
     Text.bm25Compact(spark, b)
     assert(!new java.io.File(b, "tombstones").exists())
-    val survInline = Text.bm25TopK(
-      docs.filter(col("doc_id") % 7 =!= 3), 10).collect().map(key).toSeq
     assert(Text.bm25ProbeStored(docs, b, 10).collect().map(key).toSeq
       === survInline)
     assert(spark.read.parquet(s"$b/dl")
