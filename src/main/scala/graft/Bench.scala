@@ -106,10 +106,25 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => subset.forall(_.contains(n)))
+    // A query that throws is charged its elapsed time (the board keeps
+    // moving), but the failure is recorded: a failed query's "time" is
+    // the time-to-exception, not engine time, and must never become the
+    // committed per-query minimum.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+      catch { case _: Throwable =>
+        // A dead context means the JVM is going down (e.g. the launcher
+        // was SIGTERMed and Spark's shutdown hook stopped the context
+        // mid-pass): every remaining query would then "complete" in
+        // ~4 ms as an instant failure, and the per-query MIN would
+        // record it — exactly how a killed run once wrote a bench_full
+        // with 48 queries at 0.004 s. Abort instead of measuring ghosts.
+        if (spark.sparkContext.isStopped)
+          sys.error(s"SparkContext stopped mid-bench at $name; aborting")
+        failed += name
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // warmup: full pass, untimed
@@ -146,9 +161,14 @@ object Bench {
     // the committed record is the official sf0.1 board ONLY: a full
     // run at another SF (e.g. an sf0.01 smoke) must not clobber the
     // reference the outlier defense compares against
-    if (subset.isEmpty && sfDir.endsWith("sf0.1"))
+    // ... and only from a run where every query actually ran: with any
+    // failure the record would mix engine time with time-to-exception
+    if (subset.isEmpty && sfDir.endsWith("sf0.1") && failed.isEmpty)
       writeFull(results, sfDir, CodegenWatch.distinctHits,
         suspects.map(n => (n, measured.toMap.apply(n), reruns(n))))
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED queries (record not written): " +
+        failed.mkString(", "))
     println(renderLine(results, sfDir, CodegenWatch.distinctHits.size))
     spark.stop()
   }
