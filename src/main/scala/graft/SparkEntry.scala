@@ -466,6 +466,16 @@ object SparkEntry {
     "txt_hybrid_stored" -> ((s, d) =>
       Text.hybridStored(documents(s, d), bm25IndexBase(d), hybridAnnIndexBase(d))),
     "txt_lm_quality" -> ((s, d) => Text.lmQuality(documents(s, d))),
+    // the quality-scoring build-once/score-many pair (the CCNet
+    // shape): _build trains the reference bigram LM (the
+    // even-doc_id half standing in for the curated corpus) and
+    // persists its count tables bucket-partitioned; _stored scores
+    // the WHOLE corpus against the standing model — training is
+    // paid once per reference, not once per scoring batch
+    "txt_lm_build" -> ((s, d) =>
+      Text.lmBuildIndex(documents(s, d), lmIndexBase(d))),
+    "txt_lm_stored" -> ((s, d) =>
+      Text.lmScoreStored(documents(s, d), lmIndexBase(d))),
     // the lexical build-once/probe-many pair: _build persists the
     // bucket-partitioned inverted index, _stored scores the fixed
     // query set from the persisted artifacts only (static bucket
@@ -583,6 +593,10 @@ object SparkEntry {
 
   private def bm25AppendIndexBase(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_bm25_append/" +
+      new java.io.File(sfDir).getName
+
+  private def lmIndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lm_index/" +
       new java.io.File(sfDir).getName
 
   private def ivfpqAppendIndexBase(sfDir: String): String =
@@ -2958,6 +2972,52 @@ object SparkEntry {
         |sp AS (SELECT doc_id, pos,
         |    CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE) AS p
         |  FROM pr JOIN bi USING (w1, w2) JOIN uni USING (w1)),
+        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    list_sum(list(p ORDER BY pos)) / count(*) AS mean_p
+        |  FROM sp GROUP BY doc_id)
+        |SELECT d2.doc_id, CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  coalesce(m.mean_p, 0.0) AS mean_p
+        |FROM documents d2 LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // stored-LM build census: bucket = md5-prefix hash of w1 mod 64,
+    // like the layout; the model trains on the even-doc_id half
+    "txt_lm_build" ->
+      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |pr AS MATERIALIZED (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+        |  WHERE len(tk) > 1),
+        |bi AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY w1, w2),
+        |uni AS (SELECT w1, count(*) AS n_w1 FROM pr GROUP BY w1),
+        |bb AS (SELECT
+        |    ('0x' || substr(md5(w1), 1, 8))::BIGINT % ${Text.bm25Buckets}
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(n_pair) AS BIGINT) AS n_pairs
+        |  FROM bi GROUP BY bucket),
+        |ub AS (SELECT
+        |    ('0x' || substr(md5(w1), 1, 8))::BIGINT % ${Text.bm25Buckets}
+        |      AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_unigrams
+        |  FROM uni GROUP BY bucket)
+        |SELECT bucket, n_bigrams, n_pairs, n_unigrams
+        |FROM bb JOIN ub USING (bucket) ORDER BY bucket""".stripMargin,
+    // scoring under the STORED reference LM: the model CTEs filter to
+    // the even-doc_id training half; unseen pairs score exactly 0
+    "txt_lm_stored" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |  FROM documents),
+        |pr AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    tk[i] AS w1, tk[i+1] AS w2
+        |  FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+        |  WHERE len(tk) > 1),
+        |bi AS MATERIALIZED (SELECT w1, w2, count(*) AS n_pair FROM pr
+        |  WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |uni AS MATERIALIZED (SELECT w1, count(*) AS n_w1 FROM pr
+        |  WHERE doc_id % 2 = 0 GROUP BY w1),
+        |sp AS (SELECT pr.doc_id, pr.pos,
+        |    coalesce(CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE), 0.0) AS p
+        |  FROM pr LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)),
         |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
         |    list_sum(list(p ORDER BY pos)) / count(*) AS mean_p
         |  FROM sp GROUP BY doc_id)

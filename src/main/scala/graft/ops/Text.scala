@@ -1249,26 +1249,132 @@ object Text {
     * fewer than 2 tokens score 0 over 0 pairs.
     */
   def lmQuality(documents: DataFrame): DataFrame = {
-    val parallelism =
-      documents.sparkSession.sparkContext.defaultParallelism
-    val pairs = when(size(col("tk")) > 1,
-        transform(sequence(lit(1), size(col("tk")) - 1),
-          i => struct(i.cast("long").as("pos"),
-            element_at(col("tk"), i).as("w1"),
-            element_at(col("tk"), i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<pos:bigint,w1:string,w2:string>>"))
-    val base = documents
-      .repartition(parallelism, col("doc_id"))
-      .withColumn("tk", tokens(lower(col("text"))))
-      .select(col("doc_id"), explode(pairs).as("p"))
-      .select(col("doc_id"), col("p.pos"), col("p.w1"), col("p.w2"))
-      .localCheckpoint()
+    val base = bigramPairs(documents).localCheckpoint()
     val bi = base.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_pair"))
     val uni = base.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
     val scored = base.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
       .select(col("doc_id"), col("pos"),
         (col("n_pair").cast("double") / col("n_w1").cast("double")).as("p"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")) / count(lit(1)))
+          .as("mean_p"))
+    documents.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The (doc_id, pos, w1, w2) adjacent-token-pair frame of a corpus
+    * under the whitespace + case-fold analyzer — the shared front end
+    * of the inline ([[lmQuality]]) and stored
+    * ([[lmBuildIndex]]/[[lmScoreStored]]) bigram-LM paths. One array
+    * transform per row, exploded; callers checkpoint when they fan
+    * out multiple consumers.
+    */
+  private def bigramPairs(documents: DataFrame): DataFrame = {
+    val pairs = when(size(col("tk")) > 1,
+        transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(i.cast("long").as("pos"),
+            element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<pos:bigint,w1:string,w2:string>>"))
+    documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .withColumn("tk", tokens(lower(col("text"))))
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.pos"), col("p.w1"), col("p.w2"))
+  }
+
+  /** The REFERENCE corpus the stored quality LM trains on: the
+    * deterministic even-doc_id half. The CCNet pipeline (Wenzek et
+    * al. 2020) trains its scoring LM on a curated reference
+    * (Wikipedia) and applies it to the raw crawl; the fixture
+    * stand-in for "curated subset" is a key-parity split so both
+    * engines derive it exactly.
+    */
+  private def lmReference(documents: DataFrame): DataFrame =
+    documents.filter(col("doc_id") % 2 === 0)
+
+  /** Probe-side freshness for the stored LM = layout version +
+    * METADATA-ONLY corpus identity (md5 of the sorted input-file
+    * listing); the row count is stamped at BUILD time only — same
+    * contract as [[bm25IndexMarkerPrefix]].
+    */
+  private def lmIndexMarkerPrefix(documents: DataFrame): String =
+    s"graft-lm v1 buckets=$bm25Buckets " +
+      s"src=${Similarity.inputListingFp(documents)}"
+
+  private def lmIndexMarker(documents: DataFrame): String =
+    s"${lmIndexMarkerPrefix(documents)} n=${documents.count()}"
+
+  /** BUILD the stored quality LM: estimate the reference bigram model
+    * ([[lmReference]]'s half of the corpus) ONCE and persist its two
+    * count tables — (w1, w2, n_pair) and (w1, n_w1) — partitioned by
+    * the w1 term-hash bucket (the BM25 layout convention, so the LM
+    * artifacts get the same per-bucket maintenance story). This is
+    * the CCNet production shape: training is a once-per-reference
+    * cost; scoring batches ([[lmScoreStored]]) join the standing
+    * tables and never re-aggregate the reference. Returns the bucket
+    * census of the written layout as re-read from storage.
+    */
+  def lmBuildIndex(documents: DataFrame, base: String): DataFrame = {
+    val spark = documents.sparkSession
+    // one reference tokenize: both count tables fold from this frame
+    val pr = bigramPairs(lmReference(documents)).localCheckpoint()
+    graft.sources.Sources.writePartitioned(
+      pr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+        .withColumn("bucket", termBucket(col("w1"))), s"$base/bi", "bucket")
+    graft.sources.Sources.writePartitioned(
+      pr.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+        .withColumn("bucket", termBucket(col("w1"))), s"$base/uni", "bucket")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "MARKER"), lmIndexMarker(documents))
+    val bi = spark.read.parquet(s"$base/bi")
+    val uni = spark.read.parquet(s"$base/uni")
+    bi.groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("n_pair")).as("n_pairs"))
+      .join(uni.groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_unigrams")), Seq("bucket"))
+      .orderBy(col("bucket"))
+  }
+
+  /** SCORE the corpus against the STANDING quality LM: per-document
+    * mean conditional probability P(w_{i+1} | w_i) under the
+    * reference model read from the persisted count tables — the
+    * reference half is never re-aggregated at scoring time (that is
+    * the amortization [[lmBuildIndex]] pays for). Pairs the model has
+    * never seen score 0 (the raw-crawl-noise signal CCNet filters
+    * on); the per-doc fold is the [[lmQuality]] exact-ratio device,
+    * position-ordered so the float sum is engine-reproducible.
+    * Rebuilds lazily iff the marker is stale (metadata-only check).
+    *
+    * Unlike the BM25 probes there is no bucket pruning claim here:
+    * scoring touches the whole vocabulary by nature — the win is
+    * compute (no reference aggregation per batch), not I/O.
+    */
+  def lmScoreStored(documents: DataFrame, base: String): DataFrame = {
+    val spark = documents.sparkSession
+    val marker = java.nio.file.Paths.get(base, "MARKER")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker)
+        .startsWith(lmIndexMarkerPrefix(documents))
+    if (!fresh) lmBuildIndex(documents, base).count()
+    val pr = bigramPairs(documents)
+    val bi = spark.read.parquet(s"$base/bi")
+      .select(col("w1"), col("w2"), col("n_pair"))
+    val uni = spark.read.parquet(s"$base/uni")
+      .select(col("w1"), col("n_w1"))
+    val scored = pr.join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("n_pair").cast("double") / col("n_w1").cast("double"),
+          lit(0.0)).as("p"))
     val perDoc = scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_pairs"),
         (aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
