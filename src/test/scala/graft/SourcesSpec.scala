@@ -162,6 +162,64 @@ class SourcesSpec extends SparkTestBase {
       .collect().map(key).toSeq === inline)
   }
 
+  test("stored reference LM: scoring joins the standing tables and tracks the marker") {
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sf)
+    val base = tmp("lmidx")
+    assert(Text.lmBuildIndex(docs, base).count() > 0)
+    Seq("bi", "uni", "MARKER").foreach { p =>
+      assert(new java.io.File(base, p).exists(), s"missing $p")
+    }
+    // expected: the model trained on the even-doc_id half, applied to
+    // the whole corpus — recomputed inline, no parquet round trip, so
+    // the assertion proves the persisted tables serve exactly
+    val prAll = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .select(col("doc_id"), explode(when(size(col("tk")) > 1,
+          expr("transform(sequence(1, size(tk) - 1), i -> " +
+            "struct(cast(i as bigint) as pos, tk[i-1] as w1, tk[i] as w2))"))
+        .otherwise(expr(
+          "cast(array() as array<struct<pos:bigint,w1:string,w2:string>>)")))
+        .as("p"))
+      .select(col("doc_id"), col("p.pos"), col("p.w1"), col("p.w2"))
+      .localCheckpoint()
+    val ref = prAll.filter(col("doc_id") % 2 === 0)
+    val bi = ref.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val uni = ref.groupBy("w1").agg(count(lit(1)).as("n_w1"))
+    val p = prAll.join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("n_pair").cast("double") / col("n_w1").cast("double"),
+          lit(0.0)).as("p"))
+    val perDoc = p.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        (aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")) / count(lit(1)))
+          .as("mean_p"))
+    val expected = docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_pairs"), lit(0L)),
+        coalesce(col("mean_p"), lit(0.0)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))
+    val got = Text.lmScoreStored(docs, base).collect().map(key).toMap
+    assert(got === expected)
+    // the reference model is genuinely the half, not the whole
+    // corpus: scoring under it differs from the inline full-corpus LM
+    assert(got !== Text.lmQuality(docs).collect().map(key).toMap,
+      "stored-LM scores match the full-corpus LM — the reference " +
+        "filter is not being applied")
+    // stale marker forces a rebuild; serving is unchanged
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(base, "MARKER"), "stale")
+    assert(Text.lmScoreStored(docs, base).collect().map(key).toMap
+      === expected)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(base, "MARKER")) != "stale")
+  }
+
   test("stored-index append: idempotent merge, untouched partitions stay byte-identical") {
     import graft.ops.{Similarity, Text}
     val emb = Tables.embeddings(spark, sf)
@@ -269,8 +327,10 @@ class SourcesSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, sf)
     val docs = Tables.documents(spark, sf)
     val b1 = tmp("ivfpqfresh"); val b2 = tmp("bm25fresh")
+    val b3 = tmp("lmfresh")
     Similarity.ivfpqBuildIndex(emb, b1, 16).count()
     Text.bm25BuildIndex(docs, b2).count()
+    Text.lmBuildIndex(docs, b3).count()
     // parquet reads legitimately launch file-listing jobs on the INDEX
     // artifacts; the regression shape is specifically an eager count()
     // from the ops files (the v1 markers' corpus aggregate), so match
@@ -284,6 +344,7 @@ class SourcesSpec extends SparkTestBase {
     try {
       Similarity.ivfpqProbeStored(emb, b1, 4, 5) // constructed, not run
       Text.bm25ProbeStored(docs, b2, 10)
+      Text.lmScoreStored(docs, b3)
       Thread.sleep(1000) // listener bus is async
       import scala.jdk.CollectionConverters._
       val counts = stages.iterator().asScala
