@@ -840,6 +840,16 @@ object PlanAudit {
         !p.contains("Generate") && p.contains("Scan ExistingRDD")),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
+    // stored-LM scoring: the reference model comes off the persisted
+    // count tables (never re-aggregated from the reference half at
+    // scoring time), joins hash-keyed
+    audit("txt_lm_stored")(
+      ("model served from the persisted count tables", p =>
+        p.contains("graft_lm_index")),
+      ("no cartesian", p => !p.contains("CartesianProduct")),
+      ("no broadcast nested loop", p =>
+        !p.contains("BroadcastNestedLoopJoin")))
+
     // connected components: the star rounds are localCheckpoint'ed
     // (groupBy-min + equi-join per round, composed by the loop), and
     // the returned labeling is materialized behind a checkpoint
@@ -944,7 +954,8 @@ object PlanAudit {
         "txt_dup_spans", "sim_knn_graph", "dedup_incr_near",
         "txt_span_cut", "txt_bm25_append", "sim_ivfpq_append",
         "txt_hybrid_stored", "sim_knn_refine", "txt_bm25_delete",
-        "sim_ivfpq_delete", "txt_quality_clf", "sim_ivfpq_resplit")
+        "sim_ivfpq_delete", "txt_quality_clf", "sim_ivfpq_resplit",
+        "txt_lm_build", "txt_lm_stored")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(

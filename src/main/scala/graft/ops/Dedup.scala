@@ -387,6 +387,90 @@ object Dedup {
       spark.read.parquet(s"$base/sizes"), w, threshold)
   }
 
+  /** Streaming ADMISSION GATE over the stored near-dup index: verdict
+    * each batch document against the STANDING band postings (the
+    * history corpus is never re-tokenized or re-signed), then fold
+    * the admitted documents' own signatures into the index as a delta
+    * segment — the curation shape of a streaming ingest at 100 TB:
+    * every micro-batch is checked against everything admitted before
+    * it, and the check costs O(batch × colliding-band postings).
+    *
+    * Exactly-once under at-least-once delivery, by the
+    * [[graft.ops.Text.bm25Append]] segment device: the delta segment
+    * id is an order-insensitive hash of the admitted doc set, so a
+    * crash-replayed batch overwrites ITS OWN segment; documents
+    * already in the index re-admit by id without re-checking, and a
+    * partially-appended replay cannot match itself (self-pairs are
+    * excluded from the candidate join). Intra-batch near-dup pairs
+    * are BOTH admitted by design — this is the batch-vs-history gate
+    * ([[incrementalNearDup]]'s contract); intra-batch collapse is the
+    * nightly [[nearDupClusters]] pass's job.
+    *
+    * Returns one verdict row per batch document:
+    * (doc_id, already_indexed, n_cands, n_dups, dup_of, admitted).
+    */
+  def dedupAdmit(batch: DataFrame, base: String, w: Int = 3,
+                 threshold: Double = 0.3): DataFrame = {
+    val spark = batch.sparkSession
+    require(new java.io.File(base, "MARKER").exists(),
+      s"no stored near-dup index at $base — run dedupBuildIndex first")
+    // serve base ∪ delta segments for every artifact
+    def withDelta(part: String, cols: Seq[String]): DataFrame = {
+      val b0 = spark.read.parquet(s"$base/$part").select(cols.map(col): _*)
+      if (new java.io.File(s"$base/${part}_delta").isDirectory)
+        b0.unionByName(spark.read.parquet(s"$base/${part}_delta")
+          .select(cols.map(col): _*))
+      else b0
+    }
+    val b = batch.localCheckpoint()
+    val sizesH = withDelta("sizes", Seq("doc_id", "szh"))
+    // a replayed document (already in the index) re-admits by id —
+    // checking it again would flag it as a dup of itself
+    val freshB = b.join(sizesH.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .localCheckpoint()
+    val bandsH = withDelta("bands", Seq("hist_id", "band_idx", "band_key"))
+      .select(col("hist_id"), col("band_idx").cast("int").as("band_idx"),
+        col("band_key"))
+    val cand = minhashBands(freshB, "batch_id", w)
+      .join(bandsH, Seq("band_idx", "band_key"))
+      // a PARTIALLY-appended replay (bands landed, sizes didn't) must
+      // not match itself either
+      .filter(col("batch_id") =!= col("hist_id"))
+      .select(col("batch_id"), col("hist_id")).distinct()
+    val verdicts = nearDupVerdicts(freshB, cand,
+      withDelta("shingles", Seq("doc_id", "s"))
+        .select(col("doc_id"), col("s")),
+      sizesH, w, threshold)
+      .localCheckpoint()
+    val admitted = freshB.join(
+        verdicts.filter(!col("is_dup")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    if (!admitted.isEmpty) {
+      val segId = java.lang.Long.toHexString(
+        Option(admitted.select(col("doc_id")).distinct()
+          .agg(sum(Text.tokenHash(col("doc_id").cast("string"))))
+          .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      graft.sources.Sources.writePartitioned(
+        minhashBands(admitted, "hist_id", w),
+        s"$base/bands_delta/seg=$segId", "band_idx")
+      val sh = explodedShingleHashes(admitted, w).localCheckpoint()
+      sh.write.mode("overwrite").parquet(s"$base/shingles_delta/seg=$segId")
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))
+        .write.mode("overwrite").parquet(s"$base/sizes_delta/seg=$segId")
+    }
+    b.select(col("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("is_dup").isNull.as("already_indexed"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(!col("is_dup"), lit(true)).as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup CLUSTERING: connected components over the exact-Jaccard
     * candidate pairs, with canonical-document selection (min doc_id per
     * component) — the "keep one per near-dup cluster" capstone of a

@@ -618,6 +618,89 @@ class StreamingSpec extends SparkTestBase {
     assert(jittered.map(_._1).sum === ev.count())
   }
 
+  test("streaming near-dup admission gate: crash-replayed batches stay exactly-once") {
+    import org.apache.spark.sql.types._
+    import graft.ops.Dedup
+    // the streaming-curation capstone: micro-batches are verdicted
+    // against the STANDING near-dup band index, survivors fold in as
+    // delta segments, and a crash-replayed batch must leave the index
+    // identical to a clean run (bm25Append's segment-id device)
+    val docs = Tables.documents(spark, sf).limit(300).localCheckpoint()
+    val history = docs.filter(col("doc_id") % 5 =!= 4).localCheckpoint()
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-adm-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-adm-ckpt").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-adm-idx").toString + "/idx"
+    val ref = java.nio.file.Files.createTempDirectory("graft-adm-ref").toString + "/idx"
+    Dedup.dedupBuildIndex(history, idx).count()
+    Dedup.dedupBuildIndex(history, ref).count()
+    // batch 1 = 5 verbatim copies of history docs (guaranteed dups —
+    // Jaccard 1.0) plus genuinely new docs; batch 2 = more new docs
+    val copies = history.orderBy(col("doc_id")).limit(5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val b1 = docs.filter(col("doc_id") % 10 === 4)
+      .select(col("doc_id"), col("text")).unionByName(copies)
+      .localCheckpoint()
+    val b2 = docs.filter(col("doc_id") % 10 === 9)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val admits = new java.util.concurrent.atomic.AtomicInteger(0)
+    def start() = StreamingOps.fileStream(spark, srcDir, schema)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Dedup.dedupAdmit(batch, idx).count()
+          // crash after the admit landed but before the checkpoint
+          // commits the offset — the batch WILL replay on restart
+          if (admits.incrementAndGet() == 1)
+            throw new RuntimeException("injected crash before checkpoint commit")
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    try q1.processAllAvailable() catch { case _: Throwable => () }
+    assert(q1.exception.isDefined, "injected failure did not surface")
+    try q1.stop() catch { case _: Throwable => () }
+    val q2 = start()
+    try {
+      b2.coalesce(1).write.mode("append").parquet(srcDir)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(admits.get() >= 3, s"batch was not replayed (admits=${admits.get()})")
+
+    // clean reference: the same two admissions, no crash
+    val r1 = Dedup.dedupAdmit(b1, ref).collect()
+    val r2 = Dedup.dedupAdmit(b2, ref).collect()
+    // the constructed verbatim copies were all rejected
+    val rejected = r1.filter(r => !r.getBoolean(5)).map(_.getLong(0)).toSet
+    assert(rejected.count(_ >= 1000000L) === 5,
+      s"verbatim history copies escaped the gate: $rejected")
+    // crash-replayed index serves the SAME doc set as the clean one
+    def served(b: String): Set[Long] = {
+      val s0 = spark.read.parquet(s"$b/sizes").select("doc_id")
+      val d = new java.io.File(s"$b/sizes_delta")
+      val all = if (d.isDirectory)
+        s0.unionByName(
+          spark.read.parquet(s"$b/sizes_delta").select("doc_id"))
+      else s0
+      all.as[Long].collect().toSet
+    }
+    val admittedRef = (r1 ++ r2).filter(_.getBoolean(5)).map(_.getLong(0)).toSet
+    val historyIds = history.select("doc_id").as[Long].collect().toSet
+    assert(served(ref) === historyIds ++ admittedRef)
+    assert(served(idx) === served(ref),
+      "crash-replayed index diverged from the clean run")
+    // and no duplicate signature rows anywhere in the served sizes
+    val allSizes = spark.read.parquet(s"$idx/sizes").select("doc_id")
+      .unionByName(spark.read.parquet(s"$idx/sizes_delta").select("doc_id"))
+      .as[Long].collect()
+    assert(allSizes.distinct.length === allSizes.length,
+      "replay duplicated a signature row")
+  }
+
   test("sessionize respects the gap rule on a crafted trace") {
     val rows = Seq(
       (1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L),
