@@ -1306,7 +1306,7 @@ object Text {
     * contract as [[bm25IndexMarkerPrefix]].
     */
   private def lmIndexMarkerPrefix(documents: DataFrame): String =
-    s"graft-lm v1 buckets=$bm25Buckets " +
+    s"graft-lm v2 buckets=$bm25Buckets " +
       s"src=${Similarity.inputListingFp(documents)}"
 
   private def lmIndexMarker(documents: DataFrame): String =
@@ -1332,6 +1332,10 @@ object Text {
     graft.sources.Sources.writePartitioned(
       pr.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
         .withColumn("bucket", termBucket(col("w1"))), s"$base/uni", "bucket")
+    // the reference doc set, recorded so [[lmAppend]] can keep its
+    // generations disjoint (a re-appended doc must not double-count)
+    lmReference(documents).select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$base/docs")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(base, "MARKER"), lmIndexMarker(documents))
@@ -1366,10 +1370,7 @@ object Text {
         .startsWith(lmIndexMarkerPrefix(documents))
     if (!fresh) lmBuildIndex(documents, base).count()
     val pr = bigramPairs(documents)
-    val bi = spark.read.parquet(s"$base/bi")
-      .select(col("w1"), col("w2"), col("n_pair"))
-    val uni = spark.read.parquet(s"$base/uni")
-      .select(col("w1"), col("n_w1"))
+    val (bi, uni) = lmModel(spark, base)
     val scored = pr.join(bi, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .select(col("doc_id"), col("pos"),
@@ -1385,6 +1386,85 @@ object Text {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("mean_p"), lit(0.0)).as("mean_p"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Serve the stored LM's count tables: base ∪ any append delta
+    * segments, summed per key — counts are ADDITIVE, so the merged
+    * model equals one trained from scratch on the union of the
+    * reference generations ([[lmAppend]] keeps them doc-disjoint).
+    * With no deltas the base tables serve as-is (no aggregation in
+    * the plan).
+    */
+  private def lmModel(spark: org.apache.spark.sql.SparkSession,
+                      base: String): (DataFrame, DataFrame) = {
+    def serve(part: String, keys: Seq[String], cnt: String): DataFrame = {
+      val b0 = spark.read.parquet(s"$base/$part")
+        .select((keys :+ cnt).map(col): _*)
+      if (!new java.io.File(s"$base/${part}_delta").isDirectory) b0
+      else b0.unionByName(spark.read.parquet(s"$base/${part}_delta")
+          .select((keys :+ cnt).map(col): _*))
+        .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+    }
+    (serve("bi", Seq("w1", "w2"), "n_pair"),
+      serve("uni", Seq("w1"), "n_w1"))
+  }
+
+  /** APPEND to the stored LM: extend the reference corpus. Only
+    * documents never seen in any generation count (anti-join the
+    * recorded reference doc sets); their bigram/unigram counts land
+    * as a delta segment keyed by the order-insensitive hash of the
+    * new-doc set — a crash-replayed batch overwrites its OWN segment
+    * (the [[bm25Append]] device), and serving sums counts per key
+    * across generations, so the merged model is exactly the
+    * from-scratch model over the unioned reference.
+    */
+  def lmAppend(batch: DataFrame, base: String): Unit = {
+    val spark = batch.sparkSession
+    val known = {
+      val b0 = spark.read.parquet(s"$base/docs").select(col("doc_id"))
+      if (!new java.io.File(s"$base/docs_delta").isDirectory) b0
+      else b0.unionByName(
+        spark.read.parquet(s"$base/docs_delta").select(col("doc_id")))
+    }
+    val fresh = batch.join(known, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (!fresh.isEmpty) {
+      val segId = java.lang.Long.toHexString(
+        Option(fresh.select(col("doc_id")).distinct()
+          .agg(sum(tokenHash(col("doc_id").cast("string"))))
+          .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      val pr = bigramPairs(fresh).localCheckpoint()
+      graft.sources.Sources.writePartitioned(
+        pr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+          .withColumn("bucket", termBucket(col("w1"))),
+        s"$base/bi_delta/seg=$segId", "bucket")
+      graft.sources.Sources.writePartitioned(
+        pr.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
+          .withColumn("bucket", termBucket(col("w1"))),
+        s"$base/uni_delta/seg=$segId", "bucket")
+      fresh.select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/docs_delta/seg=$segId")
+    }
+  }
+
+  /** Registry probe for the LM append pair: base model trained on the
+    * even-doc_id reference (once, lazily), a doc_id % 4 == 1 batch
+    * appended (idempotent re-merge each run — the nightly
+    * reference-refresh shape), the whole corpus scored from the
+    * MERGED model. Oracle-equal to a from-scratch model over the
+    * unioned reference.
+    */
+  def lmAppendProbe(documents: DataFrame, base: String): DataFrame = {
+    val marker = java.nio.file.Paths.get(base, "MARKER_BASE")
+    val expected = lmIndexMarkerPrefix(documents) + " split=even"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == expected
+    if (!fresh) {
+      lmBuildIndex(documents, base).count()
+      java.nio.file.Files.writeString(marker, expected)
+    }
+    lmAppend(documents.filter(col("doc_id") % 4 === 1), base)
+    lmScoreStored(documents, base)
   }
 
   /** Fuzzy string matching, BLOCKED: a candidate pair must share at
