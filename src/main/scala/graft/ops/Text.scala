@@ -1404,6 +1404,11 @@ object Text {
       else b0.unionByName(spark.read.parquet(s"$base/${part}_delta")
           .select((keys :+ cnt).map(col): _*))
         .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+        // net-zero keys (a [[lmDelete]] cancelled every occurrence)
+        // must DROP, not serve a 0: a 0-count unigram would put
+        // 0.0/0.0 = NaN into the scores where the from-scratch model
+        // has a left-join miss (exact 0.0)
+        .filter(col(cnt) =!= 0L)
     }
     (serve("bi", Seq("w1", "w2"), "n_pair"),
       serve("uni", Seq("w1"), "n_w1"))
@@ -1418,15 +1423,42 @@ object Text {
     * across generations, so the merged model is exactly the
     * from-scratch model over the unioned reference.
     */
+  /** Every doc id ever recorded in any generation — including removed
+    * ones: a deleted id is BURNED (the count algebra can't tell one
+    * re-entry from a replay, so re-ingestion happens under a new id —
+    * the tombstone-system convention).
+    */
+  private def lmEverSeen(spark: org.apache.spark.sql.SparkSession,
+                         base: String): DataFrame = {
+    var d = spark.read.parquet(s"$base/docs").select(col("doc_id"))
+    if (new java.io.File(s"$base/docs_delta").isDirectory)
+      d = d.unionByName(
+        spark.read.parquet(s"$base/docs_delta").select(col("doc_id")))
+    if (new java.io.File(s"$base/docs_removed").isDirectory)
+      d = d.unionByName(
+        spark.read.parquet(s"$base/docs_removed").select(col("doc_id")))
+    d
+  }
+
+  /** The doc ids whose counts are currently IN the served model:
+    * recorded generations minus removals.
+    */
+  private def lmServedDocs(spark: org.apache.spark.sql.SparkSession,
+                           base: String): DataFrame = {
+    var d = spark.read.parquet(s"$base/docs").select(col("doc_id"))
+    if (new java.io.File(s"$base/docs_delta").isDirectory)
+      d = d.unionByName(
+        spark.read.parquet(s"$base/docs_delta").select(col("doc_id")))
+    if (new java.io.File(s"$base/docs_removed").isDirectory)
+      d = d.join(spark.read.parquet(s"$base/docs_removed")
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+    d
+  }
+
   def lmAppend(batch: DataFrame, base: String): Unit = {
     val spark = batch.sparkSession
-    val known = {
-      val b0 = spark.read.parquet(s"$base/docs").select(col("doc_id"))
-      if (!new java.io.File(s"$base/docs_delta").isDirectory) b0
-      else b0.unionByName(
-        spark.read.parquet(s"$base/docs_delta").select(col("doc_id")))
-    }
-    val fresh = batch.join(known, Seq("doc_id"), "left_anti")
+    val fresh = batch.join(lmEverSeen(spark, base), Seq("doc_id"),
+        "left_anti")
       .localCheckpoint()
     if (!fresh.isEmpty) {
       val segId = java.lang.Long.toHexString(
@@ -1464,6 +1496,62 @@ object Text {
       java.nio.file.Files.writeString(marker, expected)
     }
     lmAppend(documents.filter(col("doc_id") % 4 === 1), base)
+    lmScoreStored(documents, base)
+  }
+
+  /** DELETE from the stored LM: remove reference documents by
+    * SUBTRACTION — the model's count tables are additive, so a delta
+    * segment carrying the victims' pair/unigram counts NEGATED serves
+    * exact removal with no rebuild (net-zero keys drop at serve time,
+    * [[lmModel]]). Only documents currently IN the model subtract
+    * (idempotent: a replayed delete finds its victims already
+    * removed); the victims' ids are recorded so the removal is
+    * tracked and a removed id never re-enters. Write order (counts
+    * first, the removal record last) keeps a mid-crash replay exact:
+    * the recomputed victim set and segment id are identical, so the
+    * replay overwrites its own partial segment.
+    */
+  def lmDelete(victims: DataFrame, base: String): Unit = {
+    val spark = victims.sparkSession
+    val targets = victims
+      .join(lmServedDocs(spark, base), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    if (!targets.isEmpty) {
+      val segId = "del" + java.lang.Long.toHexString(
+        Option(targets.select(col("doc_id")).distinct()
+          .agg(sum(tokenHash(col("doc_id").cast("string"))))
+          .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      val pr = bigramPairs(targets).localCheckpoint()
+      graft.sources.Sources.writePartitioned(
+        pr.groupBy(col("w1"), col("w2"))
+          .agg((-count(lit(1))).as("n_pair"))
+          .withColumn("bucket", termBucket(col("w1"))),
+        s"$base/bi_delta/seg=$segId", "bucket")
+      graft.sources.Sources.writePartitioned(
+        pr.groupBy(col("w1")).agg((-count(lit(1))).as("n_w1"))
+          .withColumn("bucket", termBucket(col("w1"))),
+        s"$base/uni_delta/seg=$segId", "bucket")
+      targets.select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$base/docs_removed/seg=$segId")
+    }
+  }
+
+  /** Registry probe for the LM delete: base model on the even-doc_id
+    * reference, the doc_id % 8 == 2 slice of it removed by count
+    * subtraction (idempotent re-delete each run), the whole corpus
+    * scored from the served model. Oracle-equal to a from-scratch
+    * model over the surviving reference.
+    */
+  def lmDeleteProbe(documents: DataFrame, base: String): DataFrame = {
+    val marker = java.nio.file.Paths.get(base, "MARKER_BASE")
+    val expected = lmIndexMarkerPrefix(documents) + " split=even"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == expected
+    if (!fresh) {
+      lmBuildIndex(documents, base).count()
+      java.nio.file.Files.writeString(marker, expected)
+    }
+    lmDelete(documents.filter(col("doc_id") % 8 === 2), base)
     lmScoreStored(documents, base)
   }
 
