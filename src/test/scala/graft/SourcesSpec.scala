@@ -162,17 +162,12 @@ class SourcesSpec extends SparkTestBase {
       .collect().map(key).toSeq === inline)
   }
 
-  test("stored reference LM: scoring joins the standing tables and tracks the marker") {
-    import graft.ops.Text
-    val docs = Tables.documents(spark, sf)
-    val base = tmp("lmidx")
-    assert(Text.lmBuildIndex(docs, base).count() > 0)
-    Seq("bi", "uni", "MARKER").foreach { p =>
-      assert(new java.io.File(base, p).exists(), s"missing $p")
-    }
-    // expected: the model trained on the even-doc_id half, applied to
-    // the whole corpus — recomputed inline, no parquet round trip, so
-    // the assertion proves the persisted tables serve exactly
+  /** From-scratch bigram-LM scoring of the whole corpus under a model
+    * trained on `refPred`'s slice — the in-spec expectation the stored
+    * layouts are compared against (no parquet round trip).
+    */
+  private def lmExpected(docs: org.apache.spark.sql.DataFrame,
+      refPred: org.apache.spark.sql.Column): Map[Long, (Long, Double)] = {
     val prAll = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
       .select(col("doc_id"), explode(when(size(col("tk")) > 1,
@@ -183,7 +178,7 @@ class SourcesSpec extends SparkTestBase {
         .as("p"))
       .select(col("doc_id"), col("p.pos"), col("p.w1"), col("p.w2"))
       .localCheckpoint()
-    val ref = prAll.filter(col("doc_id") % 2 === 0)
+    val ref = prAll.filter(refPred)
     val bi = ref.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
     val uni = ref.groupBy("w1").agg(count(lit(1)).as("n_w1"))
     val p = prAll.join(bi, Seq("w1", "w2"), "left")
@@ -196,12 +191,26 @@ class SourcesSpec extends SparkTestBase {
         (aggregate(sort_array(collect_list(struct(col("pos"), col("p")))),
           lit(0.0), (acc, x) => acc + x.getField("p")) / count(lit(1)))
           .as("mean_p"))
-    val expected = docs.select("doc_id")
+    docs.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_pairs"), lit(0L)),
         coalesce(col("mean_p"), lit(0.0)))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
       .toMap
+  }
+
+  test("stored reference LM: scoring joins the standing tables and tracks the marker") {
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sf)
+    val base = tmp("lmidx")
+    assert(Text.lmBuildIndex(docs, base).count() > 0)
+    Seq("bi", "uni", "MARKER").foreach { p =>
+      assert(new java.io.File(base, p).exists(), s"missing $p")
+    }
+    // expected: the model trained on the even-doc_id half, applied to
+    // the whole corpus — recomputed inline, no parquet round trip, so
+    // the assertion proves the persisted tables serve exactly
+    val expected = lmExpected(docs, col("doc_id") % 2 === 0)
     def key(r: org.apache.spark.sql.Row) =
       r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))
     val got = Text.lmScoreStored(docs, base).collect().map(key).toMap
@@ -218,6 +227,28 @@ class SourcesSpec extends SparkTestBase {
       === expected)
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(base, "MARKER")) != "stale")
+  }
+
+  test("stored LM maintenance composes: append then delete equals from-scratch over the survivors") {
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sf)
+    val base = tmp("lmmx")
+    Text.lmBuildIndex(docs, base).count()              // ref = even ids
+    Text.lmAppend(docs.filter(col("doc_id") % 4 === 1), base)
+    Text.lmDelete(docs.filter(col("doc_id") % 8 === 2), base)
+    // replays of BOTH maintenance ops are no-ops (ids burned/known)
+    Text.lmAppend(docs.filter(col("doc_id") % 4 === 1), base)
+    Text.lmDelete(docs.filter(col("doc_id") % 8 === 2), base)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))
+    val got = Text.lmScoreStored(docs, base).collect().map(key).toMap
+    // from-scratch reference over (even ∪ %4==1) ∖ %8==2
+    val expected = lmExpected(docs,
+      (col("doc_id") % 2 === 0 || col("doc_id") % 4 === 1) &&
+        col("doc_id") % 8 =!= 2)
+    assert(got === expected,
+      "composed append+delete diverged from the from-scratch model " +
+        "over the surviving reference")
   }
 
   test("stored-index append: idempotent merge, untouched partitions stay byte-identical") {
