@@ -955,7 +955,8 @@ object PlanAudit {
         "txt_span_cut", "txt_bm25_append", "sim_ivfpq_append",
         "txt_hybrid_stored", "sim_knn_refine", "txt_bm25_delete",
         "sim_ivfpq_delete", "txt_quality_clf", "sim_ivfpq_resplit",
-        "txt_lm_build", "txt_lm_stored", "txt_lm_append", "txt_lm_delete")
+        "txt_lm_build", "txt_lm_stored", "txt_lm_append", "txt_lm_delete",
+        "txt_lm_compact")
       val text = flagship.map { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         val formatted = df.queryExecution.explainString(

@@ -486,6 +486,11 @@ object SparkEntry {
     // removal with no rebuild (net-zero keys drop at serve time)
     "txt_lm_delete" -> ((s, d) =>
       Text.lmDeleteProbe(documents(s, d), lmDeleteIndexBase(d))),
+    // the full maintenance cycle: append + delete + COMPACT (fold the
+    // generations into the base; the served model is unchanged, the
+    // serve-time aggregation disappears from the probe plan)
+    "txt_lm_compact" -> ((s, d) =>
+      Text.lmCompactProbe(documents(s, d), lmCompactIndexBase(d))),
     // the lexical build-once/probe-many pair: _build persists the
     // bucket-partitioned inverted index, _stored scores the fixed
     // query set from the persisted artifacts only (static bucket
@@ -615,6 +620,10 @@ object SparkEntry {
 
   private def lmDeleteIndexBase(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_lm_delete/" +
+      new java.io.File(sfDir).getName
+
+  private def lmCompactIndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_lm_compact/" +
       new java.io.File(sfDir).getName
 
   private def ivfpqAppendIndexBase(sfDir: String): String =
@@ -3081,6 +3090,31 @@ object SparkEntry {
         |  WHERE doc_id % 2 = 0 AND doc_id % 8 <> 2 GROUP BY w1, w2),
         |uni AS MATERIALIZED (SELECT w1, count(*) AS n_w1 FROM pr
         |  WHERE doc_id % 2 = 0 AND doc_id % 8 <> 2 GROUP BY w1),
+        |sp AS (SELECT pr.doc_id, pr.pos,
+        |    coalesce(CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE), 0.0) AS p
+        |  FROM pr LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)),
+        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    list_sum(list(p ORDER BY pos)) / count(*) AS mean_p
+        |  FROM sp GROUP BY doc_id)
+        |SELECT d2.doc_id, CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  coalesce(m.mean_p, 0.0) AS mean_p
+        |FROM documents d2 LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // compact folds the generations; the served model is the
+    // append+delete composition, so the oracle widens then narrows
+    "txt_lm_compact" ->
+      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |  FROM documents),
+        |pr AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    tk[i] AS w1, tk[i+1] AS w2
+        |  FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+        |  WHERE len(tk) > 1),
+        |bi AS MATERIALIZED (SELECT w1, w2, count(*) AS n_pair FROM pr
+        |  WHERE (doc_id % 2 = 0 OR doc_id % 4 = 1) AND doc_id % 8 <> 2
+        |  GROUP BY w1, w2),
+        |uni AS MATERIALIZED (SELECT w1, count(*) AS n_w1 FROM pr
+        |  WHERE (doc_id % 2 = 0 OR doc_id % 4 = 1) AND doc_id % 8 <> 2
+        |  GROUP BY w1),
         |sp AS (SELECT pr.doc_id, pr.pos,
         |    coalesce(CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE), 0.0) AS p
         |  FROM pr LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)),

@@ -1555,6 +1555,62 @@ object Text {
     lmScoreStored(documents, base)
   }
 
+  /** COMPACT the stored LM: fold every delta segment — appends AND
+    * negative delete segments — into the base tables. The served
+    * model is unchanged ([[lmModel]] already serves the per-key sums;
+    * compaction reclaims the generation directories and removes the
+    * serve-time aggregation from the probe plan). Removal records
+    * clear with the segments: a compacted-away id has no counts
+    * anywhere, so it may re-enter under its old name again. No-op
+    * when no generations exist. Stop-the-world maintenance, like
+    * [[bm25Compact]]: the rewrite materializes behind checkpoints
+    * before overwriting the paths it read.
+    */
+  def lmCompact(spark: org.apache.spark.sql.SparkSession,
+                base: String): Unit = {
+    val deltaDirs = Seq("bi_delta", "uni_delta", "docs_delta",
+      "docs_removed")
+    if (!deltaDirs.exists(d => new java.io.File(s"$base/$d").isDirectory))
+      return
+    val (bi, uni) = lmModel(spark, base)
+    val biC = bi.withColumn("bucket", termBucket(col("w1")))
+      .localCheckpoint()
+    val uniC = uni.withColumn("bucket", termBucket(col("w1")))
+      .localCheckpoint()
+    val docsC = lmServedDocs(spark, base).localCheckpoint()
+    graft.sources.Sources.writePartitioned(biC, s"$base/bi", "bucket")
+    graft.sources.Sources.writePartitioned(uniC, s"$base/uni", "bucket")
+    docsC.write.mode("overwrite").parquet(s"$base/docs")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(rm)
+      f.delete(); ()
+    }
+    deltaDirs.map(d => new java.io.File(s"$base/$d"))
+      .filter(_.isDirectory).foreach(rm)
+  }
+
+  /** Registry probe for the full LM maintenance cycle: build on the
+    * even-doc_id reference, append the %4==1 batch, delete the %8==2
+    * slice, COMPACT the generations away, score the corpus from the
+    * (now single-generation) model. Oracle-equal to a from-scratch
+    * model over (even ∪ %4==1) ∖ %8==2; a second run is a clean
+    * no-op end to end (everything already recorded/removed/folded).
+    */
+  def lmCompactProbe(documents: DataFrame, base: String): DataFrame = {
+    val marker = java.nio.file.Paths.get(base, "MARKER_BASE")
+    val expected = lmIndexMarkerPrefix(documents) + " split=even"
+    val fresh = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == expected
+    if (!fresh) {
+      lmBuildIndex(documents, base).count()
+      java.nio.file.Files.writeString(marker, expected)
+    }
+    lmAppend(documents.filter(col("doc_id") % 4 === 1), base)
+    lmDelete(documents.filter(col("doc_id") % 8 === 2), base)
+    lmCompact(documents.sparkSession, base)
+    lmScoreStored(documents, base)
+  }
+
   /** Fuzzy string matching, BLOCKED: a candidate pair must share at
     * least one character q-gram before the exact edit-distance verify
     * runs. The all-pairs theta join this replaces is quadratic in the
