@@ -97,6 +97,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // reliable checkpointing for the iterative ops (Graph.iterCheckpoint
+    // picks this up; a cluster deployment points it at HDFS/S3)
+    spark.sparkContext.setCheckpointDir(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_bench")
     CodegenWatch.install()
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows to a subset for targeted

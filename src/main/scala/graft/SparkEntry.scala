@@ -104,6 +104,10 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .limit(500)),
+    // O18 end to end: stage → MERGE writeback → census (the oracle
+    // recomputes the UPDATE's effect as a CASE over the same input)
+    "bu_merge" -> ((s, d) =>
+      graft.sources.Sources.mergeProbe(s, d, mergeSinkBase(d))),
 
     // ---- relational breadth (SURVEY §2.2) ----
     "rel_pricing_summary" -> ((s, d) => Relational.pricingSummary(lineitem(s, d))),
@@ -644,6 +648,10 @@ object SparkEntry {
 
   private def ivfpqDeleteIndexBase(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_delete/" +
+      new java.io.File(sfDir).getName
+
+  private def mergeSinkBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_merge_sink/" +
       new java.io.File(sfDir).getName
 
   /** Target mixture for txt_mixture_sample (basis-point keep rates):
@@ -1631,6 +1639,14 @@ object SparkEntry {
     "bu_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 500""".stripMargin,
+    "bu_merge" ->
+      """SELECT l_returnflag,
+        | CASE WHEN l_quantity >= 45 THEN CAST(0.99 AS DOUBLE)
+        |      ELSE l_discount END AS l_discount,
+        | count(*) AS n
+        |FROM lineitem
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.sources.IndexFS
+
 /** Deduplication operators over `documents` — the LLM-pipeline dedup
   * family (BASELINE.json north star): exact (hash), MinHash+LSH banding,
   * SimHash, and bucketed exact n-gram Jaccard.
@@ -338,8 +340,14 @@ object Dedup {
     * pairs). Returns the per-band census as re-read from storage.
     */
   def dedupBuildIndex(history: DataFrame, base: String,
-                      w: Int = 3): DataFrame = {
+                      w: Int = 3): DataFrame =
+      IndexFS.withWriterLease(base) {
     val spark = history.sparkSession
+    // a rebuild yields a SINGLE-generation layout: delta segments left
+    // by appends against the PREVIOUS corpus must not survive the new
+    // base — served alongside it they would resurrect stale documents
+    Seq("bands_delta", "shingles_delta", "sizes_delta")
+      .foreach(d => IndexFS.deleteRecursive(s"$base/$d"))
     graft.sources.Sources.writePartitioned(
       minhashBands(history, "hist_id", w), s"$base/bands", "band_idx")
     // one shingle explosion feeds the set sidecar AND the sizes
@@ -347,9 +355,8 @@ object Dedup {
     sh.write.mode("overwrite").parquet(s"$base/shingles")
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))
       .write.mode("overwrite").parquet(s"$base/sizes")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(base, "MARKER"),
+    IndexFS.mkdirs(base)
+    IndexFS.writeString(s"$base/MARKER",
       s"${dedupIndexMarkerPrefix(history, w)} n=${history.count()}")
     spark.read.parquet(s"$base/bands")
       .groupBy(col("band_idx").cast("long").as("band_idx"))
@@ -371,10 +378,8 @@ object Dedup {
                                base: String, w: Int = 3,
                                threshold: Double = 0.3): DataFrame = {
     val spark = batch.sparkSession
-    val marker = java.nio.file.Paths.get(base, "MARKER")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker)
-        .startsWith(dedupIndexMarkerPrefix(history, w))
+    val fresh = IndexFS.markerFresh(s"$base/MARKER",
+      dedupIndexMarkerPrefix(history, w))
     if (!fresh) dedupBuildIndex(history, base, w).count()
     val bandsH = spark.read.parquet(s"$base/bands")
       .select(col("hist_id"), col("band_idx").cast("int").as("band_idx"),
@@ -410,14 +415,15 @@ object Dedup {
     * (doc_id, already_indexed, n_cands, n_dups, dup_of, admitted).
     */
   def dedupAdmit(batch: DataFrame, base: String, w: Int = 3,
-                 threshold: Double = 0.3): DataFrame = {
+                 threshold: Double = 0.3): DataFrame =
+      IndexFS.withWriterLease(base) {
     val spark = batch.sparkSession
-    require(new java.io.File(base, "MARKER").exists(),
+    require(IndexFS.exists(s"$base/MARKER"),
       s"no stored near-dup index at $base — run dedupBuildIndex first")
     // serve base ∪ delta segments for every artifact
     def withDelta(part: String, cols: Seq[String]): DataFrame = {
       val b0 = spark.read.parquet(s"$base/$part").select(cols.map(col): _*)
-      if (new java.io.File(s"$base/${part}_delta").isDirectory)
+      if (IndexFS.isDirectory(s"$base/${part}_delta"))
         b0.unionByName(spark.read.parquet(s"$base/${part}_delta")
           .select(cols.map(col): _*))
       else b0
@@ -513,9 +519,9 @@ object Dedup {
     // driver (found by the deep-chain spec). Checkpointing caps every
     // round's plan at one join over two leaf RDDs, which is also what
     // a 100 TB run needs: driver memory independent of round count.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    var labels = Graph.iterCheckpoint(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -531,12 +537,11 @@ object Dedup {
       // are clique-ish (diameter ~2, propagation already converges in
       // 2-3 rounds). Re-introduce it (or large-star/small-star) only if
       // a real corpus produces deep chains and the round cap trips.
-      val next = labels
+      val next = Graph.iterCheckpoint(labels
         .join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
-        .localCheckpoint()
+            .as("label")))
       changed = next.filter(col("label") =!= col("old_label")).count()
       labels = next.select(col("id"), col("label"))
       rounds += 1

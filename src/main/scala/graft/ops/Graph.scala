@@ -26,6 +26,21 @@ object Graph {
     */
   val scale: Long = 1000000000000L
 
+  /** Lineage truncation for iterative driver loops. With a checkpoint
+    * directory configured (`sparkContext.setCheckpointDir` — the
+    * cluster-deployment default), rounds checkpoint RELIABLY: the
+    * round's blocks land on the checkpoint filesystem, so losing an
+    * executor mid-loop replays at most one round. Without one (bare
+    * local sessions) it falls back to executor-local blocks
+    * (`localCheckpoint`) — fast, but a recompute storm under executor
+    * loss, acceptable only where there are no executors to lose.
+    * Result-identical either way: both truncate the plan to a leaf.
+    */
+  private[graft] def iterCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   /** Nation→nation trade edges: customer's nation → supplier's nation
     * for every trade relationship in the fact table, self-loops
     * dropped, deduplicated. Dims broadcast; the only big shuffle is
@@ -161,11 +176,10 @@ object Graph {
         .unionAll(cur.select(col("lo").as("u"), col("hi").as("v")))
       val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val afterLarge = canon(
+      val afterLarge = iterCheckpoint(canon(
         sym.join(mins, Seq("u"))
           .filter(col("v") > col("u"))
-          .select(col("v").as("hi"), col("m").as("lo")))
-        .localCheckpoint()
+          .select(col("v").as("hi"), col("m").as("lo"))))
       // small-star over the hi→lo orientation
       val minsS = afterLarge.groupBy(col("hi")).agg(min(col("lo")).as("m"))
       val afterSmall = canon(

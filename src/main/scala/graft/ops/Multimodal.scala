@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * vectorized Python UDF: per-partition batching amortizes codec setup,
   * and partition count — not row count — bounds memory).
   *
-  * The actual media DECODE IS A STUB (`decodeStub`): this container has
-  * no image/audio codecs, so the decoder derives deterministic fake
-  * dimensions from the payload digest. Everything around it — binary
-  * schema, batched partition processing, typed metadata output, and the
-  * expression-level twin used for the DuckDB oracle — is real. Swapping
-  * `decodeStub` for a JNI/codec call is the only change needed for real
-  * media.
+  * CODEC DISPATCH: payloads with an `image/`-prefixed mime take a REAL decode
+  * and resize through `javax.imageio` (PNG/JPEG/BMP/GIF codecs ship
+  * with the JVM — [[decodeImage]]/[[resizeImage]], spec-gated over
+  * embedded real PNGs). Everything else — including the registry
+  * fixtures, whose payloads are opaque octet-streams — keeps the
+  * deterministic digest-derived STUB dims ([[decodeStub]]), so the
+  * DuckDB-checkable expression twin stays exact. Audio/video decode
+  * would slot into the same dispatch (the per-batch mapPartitions
+  * shape is codec-agnostic); those codecs aren't in the JVM, so their
+  * arm remains the declared stub.
   */
 object Multimodal {
 
@@ -49,10 +52,47 @@ object Multimodal {
     (16L * (hv(0) + 1), 16L * (hv(1) + 1), hv(2) + 1)
   }
 
+  /** REAL image decode — `javax.imageio` (the PNG/JPEG/BMP/GIF codecs
+    * that ship with the JVM): payload bytes → (width, height), None
+    * when the bytes are not a decodable image. This is the codec swap
+    * point the stub documents: [[extractMeta]] and [[resizeMedia]]
+    * call it for `image/`-prefixed mimes and fall back to the digest stub
+    * otherwise.
+    */
+  def decodeImage(content: Array[Byte]): Option[(Int, Int)] =
+    try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content)))
+      .map(img => (img.getWidth, img.getHeight))
+    catch { case _: java.io.IOException => None }
+
+  /** REAL image resize: decode, bilinear-scale into the target
+    * dimensions, re-encode as PNG. None when the payload doesn't
+    * decode (corrupt bytes never kill the batch — the row falls back
+    * to the stub arm, the per-row error-isolation convention O17).
+    */
+  def resizeImage(content: Array[Byte], targetW: Int,
+                  targetH: Int): Option[Array[Byte]] =
+    try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))).map { img =>
+      val out = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, targetW, targetH, null)
+      g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+    catch { case _: java.io.IOException => None }
+
   /** Batched metadata extraction: mapPartitions processes payloads in
     * fixed-size batches (the shape a real codec wants — reuse one codec
     * instance per batch, bound peak memory by batch size, stay columnar
-    * on both ends).
+    * on both ends). `image/`-prefixed payloads decode for REAL
+    * ([[decodeImage]]; a single decoded image is one frame); anything
+    * else — or an image that fails to decode — takes the digest stub.
     */
   def extractMeta(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
@@ -64,32 +104,46 @@ object Multimodal {
           md.reset()
           val digest = md.digest(r.content).map("%02x".format(_)).mkString
           def hv(i: Int): Long = hexChars.indexOf(digest.charAt(i)).toLong
-          MediaMeta(r.doc_id, r.mime, r.content.length.toLong, digest,
-            16L * (hv(0) + 1), 16L * (hv(1) + 1), hv(2) + 1)
+          val real =
+            if (r.mime.startsWith("image/")) decodeImage(r.content) else None
+          real match {
+            case Some((w, h)) =>
+              MediaMeta(r.doc_id, r.mime, r.content.length.toLong, digest,
+                w.toLong, h.toLong, 1L)
+            case None =>
+              MediaMeta(r.doc_id, r.mime, r.content.length.toLong, digest,
+                16L * (hv(0) + 1), 16L * (hv(1) + 1), hv(2) + 1)
+          }
         }
       }
     }
   }
 
-  /** A "resized" media payload: real batching/schema plumbing, stubbed
-    * transform (a real implementation hands bytes to a codec and
-    * re-encodes). The stub keeps determinism: output bytes are a
+  /** A resized media payload. For `image/`-prefixed mimes the
+    * transform is a REAL bilinear resize + PNG re-encode
+    * ([[resizeImage]]); for opaque payloads (and images that fail to
+    * decode) it is the deterministic stub: output bytes are a
     * truncated/repeated view sized proportionally to the target dims,
-    * so downstream size accounting behaves like a real resize.
+    * so downstream size accounting behaves like a real resize and the
+    * registry oracle can recompute it.
     */
   case class ResizedMedia(doc_id: Long, width: Long, height: Long,
                           content: Array[Byte])
 
-  def resizeStub(media: Dataset[MediaRecord], targetW: Int, targetH: Int,
-                 batchSize: Int = 64): Dataset[ResizedMedia] = {
+  def resizeMedia(media: Dataset[MediaRecord], targetW: Int, targetH: Int,
+                  batchSize: Int = 64): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          // STUB: proportional byte budget in place of real re-encoding
-          val budget = math.max(1, targetW * targetH / 64)
-          val out = Array.tabulate[Byte](math.min(budget, r.content.length))(
-            i => r.content(i % r.content.length))
+          val real = if (r.mime.startsWith("image/"))
+            resizeImage(r.content, targetW, targetH) else None
+          val out = real.getOrElse {
+            // STUB: proportional byte budget in place of real re-encoding
+            val budget = math.max(1, targetW * targetH / 64)
+            Array.tabulate[Byte](math.min(budget, r.content.length))(
+              i => r.content(i % r.content.length))
+          }
           ResizedMedia(r.doc_id, targetW.toLong, targetH.toLong, out)
         }
       }
@@ -116,14 +170,16 @@ object Multimodal {
     }
   }
 
-  /** Registry wrapper driving the REAL `resizeStub` typed path (not an
-    * expression twin): binary payloads through mapPartitions batching,
-    * then scalar accounting columns the oracle can recompute (the stub
-    * resize is a deterministic prefix-sized view of the payload).
+  /** Registry wrapper driving the REAL [[resizeMedia]] typed path (not
+    * an expression twin): binary payloads through mapPartitions
+    * batching, then scalar accounting columns the oracle can recompute
+    * (the fixtures are octet-stream payloads, so they take the
+    * deterministic stub arm — a prefix-sized view of the payload; real
+    * PNGs take the ImageIO arm, spec-gated).
     */
   def resizeMeta(documents: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     import documents.sparkSession.implicits._
-    resizeStub(asMedia(documents).as[MediaRecord], targetW, targetH).toDF()
+    resizeMedia(asMedia(documents).as[MediaRecord], targetW, targetH).toDF()
       .select(col("doc_id"), col("width"), col("height"),
         length(col("content")).cast("long").as("n_bytes_out"),
         md5(col("content")).as("digest"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.sources.IndexFS
+
 /** Similarity search over the `embeddings` table (`Array[Float]`
   * vectors): brute-force cosine top-k as the exact baseline, and a
   * random-hyperplane LSH-bucketed variant as the scale path.
@@ -444,11 +446,10 @@ object Similarity {
         .select(col("cell"), col("vec_id"),
           posexplode(col("embedding")).as(Seq("j", "v")))
       val means = twoLevelMean(dims, Seq("cell", "j"))
-      cent = means.groupBy(col("cell"))
+      cent = Graph.iterCheckpoint(means.groupBy(col("cell"))
         .agg(transform(sort_array(collect_list(struct(col("j"), col("mv")))),
           x => x.getField("mv")).as("ce"))
-        .select(col("cell").as("centroid_id"), col("ce"))
-        .localCheckpoint()
+        .select(col("cell").as("centroid_id"), col("ce")))
     }
     cent
   }
@@ -995,6 +996,18 @@ object Similarity {
     if (df.columns.contains("label")) df
     else df.withColumn("label", lit(null).cast("int"))
 
+  /** Lazy-rebuild gate shared by every stored-IVFADC probe: freshness
+    * = geometry + input-listing fingerprint ONLY (both metadata-cheap;
+    * the build-time n= suffix is trusted, never recomputed — no
+    * corpus-wide aggregate on the probe path). Marker I/O goes through
+    * [[IndexFS]], so the layout may live on any Hadoop-compatible FS.
+    */
+  private def ensureIvfpqFresh(embeddings: DataFrame, base: String,
+                               nlist: Int): Unit =
+    if (!IndexFS.markerFresh(s"$base/MARKER",
+        indexMarkerPrefix(embeddings, nlist)))
+      ivfpqBuildIndex(embeddings, base, nlist).count()
+
   private def indexMarkerPrefix(embeddings: DataFrame, nlist: Int): String =
     s"graft-ivfpq v3 nlist=$nlist m=$pqM ksub=$pqKsub " +
       s"src=${inputListingFp(embeddings)}"
@@ -1028,7 +1041,8 @@ object Similarity {
     * against the corpus for metadata.
     */
   def ivfpqBuildIndex(embeddings: DataFrame, base: String,
-                      nlist: Int = 16): DataFrame = {
+                      nlist: Int = 16): DataFrame =
+      IndexFS.withWriterLease(base) {
     val spark = embeddings.sparkSession
     val unit = unitVectors(embeddings).localCheckpoint()
     val centroids = kmeansCentroids(embeddings, nlist)
@@ -1044,9 +1058,8 @@ object Similarity {
     graft.sources.Sources.writePartitioned(codesCells, s"$base/codes", "cell")
     centroids.write.mode("overwrite").parquet(s"$base/centroids")
     codebooks.write.mode("overwrite").parquet(s"$base/codebooks")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(base, "MARKER"), indexMarker(embeddings, nlist))
+    IndexFS.mkdirs(base)
+    IndexFS.writeString(s"$base/MARKER", indexMarker(embeddings, nlist))
     spark.read.parquet(s"$base/cells")
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("first_vec"))
@@ -1071,14 +1084,7 @@ object Similarity {
                        k: Int, nlist: Int = 16, nprobe: Int = 4,
                        shortlist: Int = 20): DataFrame = {
     val spark = embeddings.sparkSession
-    val marker = java.nio.file.Paths.get(base, "MARKER")
-    // freshness = geometry + input-listing fingerprint ONLY (both
-    // metadata-cheap); the build-time n= suffix is trusted, never
-    // recomputed here — no corpus-wide aggregate on the probe path
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker)
-        .startsWith(indexMarkerPrefix(embeddings, nlist))
-    if (!fresh) ivfpqBuildIndex(embeddings, base, nlist).count()
+    ensureIvfpqFresh(embeddings, base, nlist)
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     ivfpqScoreStored(spark, base, queries, k, nprobe, shortlist)
@@ -1104,21 +1110,27 @@ object Similarity {
   def ivfpqFilteredStored(embeddings: DataFrame, base: String,
                           nQueries: Int, k: Int, nlist: Int = 16,
                           nprobe: Int = 4,
-                          labels: Seq[Int] = Seq(0, 2, 4, 6, 8)): DataFrame = {
+                          labelMod: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
-    val marker = java.nio.file.Paths.get(base, "MARKER")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker)
-        .startsWith(indexMarkerPrefix(embeddings, nlist))
-    if (!fresh) ivfpqBuildIndex(embeddings, base, nlist).count()
+    ensureIvfpqFresh(embeddings, base, nlist)
     val centroids = spark.read.parquet(s"$base/centroids")
-    // predicate on the stored layout, as a literal IN-list: lands in
-    // the cells scan's PushedFilters (an arithmetic form like
-    // `label % 2 = 0` would only filter post-scan — membership and
-    // range predicates are what parquet pushdown evaluates against
-    // row-group statistics), evaluated before any join or scoring
-    val cells = spark.read.parquet(s"$base/cells")
-      .filter(col("label").isin(labels: _*))
+    // the predicate is `label % labelMod = 0` — the SAME semantics as
+    // the inline ivfFilteredTopK and the registry oracle — but pushed
+    // to the stored layout as a literal IN-list DERIVED from the
+    // layout's own label domain: an IN-list lands in the cells scan's
+    // PushedFilters (an arithmetic form would only filter post-scan —
+    // membership and range predicates are what parquet pushdown
+    // evaluates against row-group statistics). The domain scan reads
+    // one column; if the domain is too wide for an IN-list (> 1024
+    // passing labels) fall back to the post-scan arithmetic filter
+    // rather than a mile-long pushdown literal.
+    val cells0 = spark.read.parquet(s"$base/cells")
+    val passing = cells0.select(col("label")).na.drop().distinct()
+      .filter(pmod(col("label"), lit(labelMod)) === 0)
+      .limit(1025).collect().map(_.get(0).asInstanceOf[Number].intValue).toSeq
+    val cells = (if (passing.size <= 1024)
+        cells0.filter(col("label").isin(passing: _*))
+      else cells0.filter(pmod(col("label"), lit(labelMod)) === 0))
       .select(col("vec_id"), col("embedding"),
         col("cell").cast("long").as("cell"))
     val probes = embeddings.filter(col("vec_id") < nQueries)
@@ -1153,11 +1165,7 @@ object Similarity {
   def ivfpqHealth(embeddings: DataFrame, base: String,
                   nlist: Int = 16): DataFrame = {
     val spark = embeddings.sparkSession
-    val marker = java.nio.file.Paths.get(base, "MARKER")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker)
-        .startsWith(indexMarkerPrefix(embeddings, nlist))
-    if (!fresh) ivfpqBuildIndex(embeddings, base, nlist).count()
+    ensureIvfpqFresh(embeddings, base, nlist)
     val perCell = spark.read.parquet(s"$base/cells")
       .groupBy(col("cell").cast("int").as("cell"))
       .agg(count(lit(1)).as("n_vecs"))
@@ -1187,13 +1195,10 @@ object Similarity {
     * member pass is one scan of the hot cells' partitions only.
     */
   def ivfpqResplit(embeddings: DataFrame, base: String,
-                   nlist: Int = 16, hotFactorPct: Int = 200): DataFrame = {
+                   nlist: Int = 16, hotFactorPct: Int = 200): DataFrame =
+      IndexFS.withWriterLease(base) {
     val spark = embeddings.sparkSession
-    val marker = java.nio.file.Paths.get(base, "MARKER")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker)
-        .startsWith(indexMarkerPrefix(embeddings, nlist))
-    if (!fresh) ivfpqBuildIndex(embeddings, base, nlist).count()
+    ensureIvfpqFresh(embeddings, base, nlist)
     val cells = spark.read.parquet(s"$base/cells")
       .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
       .localCheckpoint() // one read feeds counts, pivots, and assignment
@@ -1392,7 +1397,8 @@ object Similarity {
     * of the unioned corpus under the base-trained quantizers, which is
     * what the registry oracle re-derives.
     */
-  def ivfpqAppend(batch: DataFrame, base: String): Unit = {
+  def ivfpqAppend(batch: DataFrame, base: String): Unit =
+      IndexFS.withWriterLease(base) {
     val spark = batch.sparkSession
     val centroids = spark.read.parquet(s"$base/centroids")
     val codebooks = spark.read.parquet(s"$base/codebooks")
@@ -1438,13 +1444,11 @@ object Similarity {
     val spark = embeddings.sparkSession
     val baseCorpus = embeddings.filter(col("vec_id") % 5 =!= 4)
     val batch = embeddings.filter(col("vec_id") % 5 === 4)
-    val marker = java.nio.file.Paths.get(base, "MARKER_BASE")
+    val marker = s"$base/MARKER_BASE"
     val expected = indexMarkerPrefix(embeddings, nlist) + " split=mod5"
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == expected
-    if (!fresh) {
+    if (!IndexFS.markerEquals(marker, expected)) {
       ivfpqBuildIndex(baseCorpus, base, nlist).count()
-      java.nio.file.Files.writeString(marker, expected)
+      IndexFS.writeString(marker, expected)
     }
     ivfpqAppend(batch, base)
     val queries = embeddings.filter(col("vec_id") < nQueries)
@@ -1458,7 +1462,8 @@ object Similarity {
     * probe is already EXACT (no corpus statistics to go stale);
     * [[ivfpqCompact]] later reclaims the bytes.
     */
-  def ivfpqDelete(deletedIds: DataFrame, base: String): Unit = {
+  def ivfpqDelete(deletedIds: DataFrame, base: String): Unit =
+      IndexFS.withWriterLease(base) {
     val spark = deletedIds.sparkSession
     val tPath = Text.tombstonePath(base).toString
     val merged = (if (Text.hasTombstones(base))
@@ -1476,7 +1481,7 @@ object Similarity {
     * spec-proven — because the tombstoned probe was already exact.
     */
   def ivfpqCompact(spark: org.apache.spark.sql.SparkSession,
-                   base: String): Unit = {
+                   base: String): Unit = IndexFS.withWriterLease(base) {
     if (!Text.hasTombstones(base)) return
     val tomb = spark.read.parquet(Text.tombstonePath(base).toString)
       .localCheckpoint()
@@ -1512,13 +1517,11 @@ object Similarity {
                        k: Int, nlist: Int = 16, nprobe: Int = 4,
                        shortlist: Int = 20): DataFrame = {
     val spark = embeddings.sparkSession
-    val marker = java.nio.file.Paths.get(base, "MARKER_BASE")
+    val marker = s"$base/MARKER_BASE"
     val expected = indexMarkerPrefix(embeddings, nlist) + " delete=mod7"
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == expected
-    if (!fresh) {
+    if (!IndexFS.markerEquals(marker, expected)) {
       ivfpqBuildIndex(embeddings, base, nlist).count()
-      java.nio.file.Files.writeString(marker, expected)
+      IndexFS.writeString(marker, expected)
     }
     ivfpqDelete(embeddings.filter(col("vec_id") % 7 === 3)
       .select(col("vec_id")), base)
@@ -1970,9 +1973,9 @@ object Similarity {
     val g = knnGraph(embeddings, k)
       .select(col("query_id").as("dst"), col("neighbor_id").as("src"))
       .localCheckpoint()
-    var labels = embeddings.select(col("vec_id"),
-        when(col("vec_id") < nSeeds, col("label").cast("long")).as("lbl"))
-      .localCheckpoint()
+    var labels = Graph.iterCheckpoint(
+      embeddings.select(col("vec_id"),
+        when(col("vec_id") < nSeeds, col("label").cast("long")).as("lbl")))
     for (_ <- 1 to rounds) {
       val votes = g
         .join(labels.select(col("vec_id").as("src"), col("lbl")), Seq("src"))
@@ -1984,12 +1987,11 @@ object Similarity {
       val best = votes.groupBy(col("dst"))
         .agg(max_by(col("lbl"), struct(col("votes"), -col("lbl")))
           .as("new_lbl"))
-      labels = labels
+      labels = Graph.iterCheckpoint(labels
         .join(best, labels("vec_id") === best("dst"), "left")
         .select(col("vec_id"),
           when(col("vec_id") < nSeeds, col("lbl"))
-            .otherwise(coalesce(col("new_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+            .otherwise(coalesce(col("new_lbl"), col("lbl"))).as("lbl")))
     }
     labels.select(col("vec_id"), (col("vec_id") < nSeeds).as("is_seed"),
         coalesce(col("lbl"), lit(-1L)).as("label"))

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.sources.IndexFS
+
 /** Text-analysis operators over the `documents` table — the
   * training-data-pipeline half of the engine (BASELINE.json north star):
   * token statistics, language distribution, quality scoring, language
@@ -580,8 +582,15 @@ object Text {
     * tf artifact is the per-(doc, term) count of the positional frame
     * so the build tokenizes the corpus exactly once.
     */
-  def bm25BuildIndex(documents: DataFrame, base: String): DataFrame = {
+  def bm25BuildIndex(documents: DataFrame, base: String): DataFrame =
+      IndexFS.withWriterLease(base) {
     val spark = documents.sparkSession
+    // a rebuild yields a SINGLE-generation layout: delta segments,
+    // tombstones, and resplit staging left by maintenance against the
+    // PREVIOUS corpus must not survive the new base — served alongside
+    // it they would resurrect stale postings under a fresh marker
+    Seq("tf_delta", "pos_delta", "tombstones", "tf_resplit")
+      .foreach(d => IndexFS.deleteRecursive(s"$base/$d"))
     // ONE corpus tokenize: the positional frame is the superset every
     // other artifact folds from (tf = its per-(doc, term) count)
     val toks = positionalPostings(documents).localCheckpoint()
@@ -601,9 +610,8 @@ object Text {
     dl.write.mode("overwrite").parquet(s"$base/dl")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"$base/stats")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(base, "MARKER"), bm25IndexMarker(documents))
+    IndexFS.mkdirs(base)
+    IndexFS.writeString(s"$base/MARKER", bm25IndexMarker(documents))
     spark.read.parquet(s"$base/tf")
       .groupBy(col("bucket").cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_postings"),
@@ -627,14 +635,63 @@ object Text {
   def bm25ProbeStored(documents: DataFrame, base: String,
                       k: Int = 10): DataFrame = {
     val spark = documents.sparkSession
-    val marker = java.nio.file.Paths.get(base, "MARKER")
-    // geometry + listing fingerprint only — no corpus aggregate here
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker)
-        .startsWith(bm25IndexMarkerPrefix(documents))
-    if (!fresh) bm25BuildIndex(documents, base).count()
+    ensureBm25Fresh(documents, base)
     bm25ScoreStored(spark, base, k)
   }
+
+  /** Remove `dropIds`' rows from a segmented delta layout (LSM
+    * generations under `root/seg=<id>/bucket=<b>/`) in ONE grouped
+    * rewrite regardless of how many segments are affected — the
+    * de-serialized form of the old per-segment driver loop, which
+    * launched one Spark job per segment and serialized at hundreds of
+    * segments. The affected (seg, bucket) partition list collects
+    * first (bounded by segments × buckets — metadata-scale), the
+    * surviving rows of exactly those partitions materialize, the
+    * partitions drop through [[IndexFS]] (a partition whose rows ALL
+    * belonged to dropped docs cannot be expressed by a dynamic
+    * overwrite — it must be deleted, or its stale postings survive),
+    * and the survivors rewrite in one dynamic-partition-overwrite
+    * job. `seg` is explicitly cast to string: an all-decimal segId
+    * population would otherwise make Spark's partition type inference
+    * read the column as integer, and string comparisons against it
+    * would silently null out.
+    */
+  private def scrubSegments(spark: org.apache.spark.sql.SparkSession,
+                            root: String, cols: Seq[String],
+                            dropIds: DataFrame,
+                            excludeSeg: Option[String] = None): Unit = {
+    if (!IndexFS.isDirectory(root)) return
+    import spark.implicits._
+    val delta0 = spark.read.parquet(root)
+      .withColumn("seg", col("seg").cast("string"))
+      .withColumn("bucket", col("bucket").cast("long"))
+    val delta = excludeSeg match {
+      case Some(s) => delta0.filter(col("seg") =!= s)
+      case None    => delta0
+    }
+    val affected = delta.join(dropIds, Seq("doc_id"))
+      .select(col("seg"), col("bucket")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (affected.isEmpty) return
+    val pairs = affected.toDF("seg", "bucket")
+    val keep = delta.join(broadcast(pairs), Seq("seg", "bucket"))
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .select(("seg" +: cols.filterNot(_ == "seg")).map(col): _*)
+      .localCheckpoint()
+    affected.foreach { case (s, b) =>
+      IndexFS.deleteRecursive(s"$root/seg=$s/bucket=$b") }
+    graft.sources.Sources.mergePartitioned(keep, root, "seg", "bucket")
+  }
+
+  /** Lazy-rebuild gate shared by every stored-BM25 probe: freshness =
+    * geometry + input-listing fingerprint only — no corpus aggregate
+    * on the probe path. Marker I/O goes through [[IndexFS]], so the
+    * layout may live on any Hadoop-compatible FS.
+    */
+  private def ensureBm25Fresh(documents: DataFrame, base: String): Unit =
+    if (!IndexFS.markerFresh(s"$base/MARKER",
+        bm25IndexMarkerPrefix(documents)))
+      bm25BuildIndex(documents, base).count()
 
   /** Score [[bm25Queries]] from a stored layout under `base` — the
     * shared serving core of [[bm25ProbeStored]] and
@@ -644,21 +701,14 @@ object Text {
     * and IVFADC families): present iff at least one delete has not
     * yet been compacted away.
     */
-  private[ops] def tombstonePath(base: String): java.nio.file.Path =
-    java.nio.file.Paths.get(base, "tombstones")
+  private[ops] def tombstonePath(base: String): String =
+    s"$base/tombstones"
 
-  private[ops] def hasTombstones(base: String): Boolean = {
-    val d = tombstonePath(base).toFile
-    d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
-  }
+  private[ops] def hasTombstones(base: String): Boolean =
+    IndexFS.hasParquet(tombstonePath(base))
 
-  private[ops] def clearTombstones(base: String): Unit = {
-    val d = tombstonePath(base).toFile
-    if (d.exists()) {
-      Option(d.listFiles()).toSeq.flatten.foreach(_.delete())
-      d.delete()
-    }
-  }
+  private[ops] def clearTombstones(base: String): Unit =
+    IndexFS.deleteRecursive(tombstonePath(base))
 
   private[graft] def bm25ScoreStored(spark: org.apache.spark.sql.SparkSession,
                               base: String, k: Int): DataFrame = {
@@ -676,7 +726,7 @@ object Text {
     // serve base ∪ tf delta segments ([[bm25Append]]'s LSM write): a
     // doc in any delta shadows ALL its base postings (the doc-set
     // anti-join is unfiltered by bucket)
-    val tfGen = if (new java.io.File(s"$base/tf_delta").isDirectory) {
+    val tfGen = if (IndexFS.isDirectory(s"$base/tf_delta")) {
       val delta = spark.read.parquet(s"$base/tf_delta")
       tfBase.join(delta.select(col("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
@@ -752,7 +802,8 @@ object Text {
     * equals [[bm25TopK]] over the union — the append contract the
     * registry oracle checks end-to-end.
     */
-  def bm25Append(batch: DataFrame, base: String): Unit = {
+  def bm25Append(batch: DataFrame, base: String): Unit =
+      IndexFS.withWriterLease(base) {
     val spark = batch.sparkSession
     // ONE batch tokenize: the positional frame feeds the tf fold AND
     // the positional delta segment
@@ -794,25 +845,12 @@ object Text {
     // a doc RE-appended in a later batch must not survive in an older
     // segment: scrub it from any other segment that carries it (zero
     // I/O when batches are disjoint — the common ingestion case)
-    def scrubOtherSegs(root: String, cols: Seq[String]): Unit = {
-      if (new java.io.File(root).isDirectory) {
-        val others = spark.read.parquet(root).filter(col("seg") =!= segId)
-        val affectedSegs = others.join(batchIds, Seq("doc_id"))
-          .select(col("seg")).distinct()
-          .collect().map(_.getString(0))
-        affectedSegs.foreach { s =>
-          val keep = spark.read.parquet(root)
-            .filter(col("seg") === s)
-            .join(batchIds, Seq("doc_id"), "left_anti")
-            .select(cols.map(col): _*)
-            .localCheckpoint()
-          graft.sources.Sources.writePartitioned(
-            keep, s"$root/seg=$s", "bucket")
-        }
-      }
-    }
-    scrubOtherSegs(s"$base/tf_delta", Seq("doc_id", "term", "tf", "bucket"))
-    scrubOtherSegs(s"$base/pos_delta", Seq("doc_id", "pos", "term", "bucket"))
+    scrubSegments(spark, s"$base/tf_delta",
+      Seq("doc_id", "term", "tf", "bucket"), batchIds,
+      excludeSeg = Some(segId))
+    scrubSegments(spark, s"$base/pos_delta",
+      Seq("doc_id", "pos", "term", "bucket"), batchIds,
+      excludeSeg = Some(segId))
     graft.sources.Sources.writePartitioned(
       tfB.select(col("doc_id"), col("term"), col("tf"), col("bucket")),
       s"$base/tf_delta/seg=$segId", "bucket")
@@ -834,13 +872,11 @@ object Text {
     val spark = documents.sparkSession
     val baseDocs = documents.filter(col("doc_id") % 5 =!= 4)
     val batch = documents.filter(col("doc_id") % 5 === 4)
-    val marker = java.nio.file.Paths.get(base, "MARKER_BASE")
+    val marker = s"$base/MARKER_BASE"
     val expected = bm25IndexMarkerPrefix(documents) + " split=mod5"
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == expected
-    if (!fresh) {
+    if (!IndexFS.markerEquals(marker, expected)) {
       bm25BuildIndex(baseDocs, base).count()
-      java.nio.file.Files.writeString(marker, expected)
+      IndexFS.writeString(marker, expected)
     }
     bm25Append(batch, base)
     bm25ScoreStored(spark, base, k)
@@ -871,11 +907,7 @@ object Text {
     */
   def bm25Health(documents: DataFrame, base: String): DataFrame = {
     val spark = documents.sparkSession
-    val marker = java.nio.file.Paths.get(base, "MARKER")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker)
-        .startsWith(bm25IndexMarkerPrefix(documents))
-    if (!fresh) bm25BuildIndex(documents, base).count()
+    ensureBm25Fresh(documents, base)
     val perBucket = spark.read.parquet(s"$base/tf")
       .groupBy(col("bucket").cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_postings"))
@@ -907,13 +939,10 @@ object Text {
     * the per-new-bucket postings/term mass after.
     */
   def bm25Resplit(documents: DataFrame, base: String,
-                  hotFactorPct: Int = 110): DataFrame = {
+                  hotFactorPct: Int = 110): DataFrame =
+      IndexFS.withWriterLease(base) {
     val spark = documents.sparkSession
-    val marker = java.nio.file.Paths.get(base, "MARKER")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker)
-        .startsWith(bm25IndexMarkerPrefix(documents))
-    if (!fresh) bm25BuildIndex(documents, base).count()
+    ensureBm25Fresh(documents, base)
     val tf = spark.read.parquet(s"$base/tf")
       .select(col("doc_id"), col("term"), col("tf"),
         col("bucket").cast("long").as("bucket"))
@@ -954,7 +983,8 @@ object Text {
     * cheap NOW (no way to locate a doc's postings without a scan),
     * exactness of df is restored by the next compaction.
     */
-  def bm25Delete(deletedIds: DataFrame, base: String): Unit = {
+  def bm25Delete(deletedIds: DataFrame, base: String): Unit =
+      IndexFS.withWriterLease(base) {
     val spark = deletedIds.sparkSession
     val tPath = tombstonePath(base).toString
     val merged = (if (hasTombstones(base))
@@ -975,7 +1005,7 @@ object Text {
     * registry oracle checks end-to-end.
     */
   def bm25Compact(spark: org.apache.spark.sql.SparkSession,
-                  base: String): Unit = {
+                  base: String): Unit = IndexFS.withWriterLease(base) {
     if (!hasTombstones(base)) return
     val tomb = spark.read.parquet(tombstonePath(base).toString)
       .localCheckpoint()
@@ -1014,30 +1044,12 @@ object Text {
       }
       // the delta segments (tf and positions) must drop their
       // tombstoned docs too — clearing the sidecar below would
-      // otherwise resurrect them; only segments actually carrying a
-      // tombstoned doc rewrite
-      def scrubTombstoned(root: String, cols: Seq[String]): Unit = {
-        if (new java.io.File(root).isDirectory) {
-          val delta = spark.read.parquet(root)
-          val segs = delta.join(broadcast(tomb), Seq("doc_id"))
-            .select(col("seg")).distinct().collect().map(_.getString(0))
-          segs.foreach { s =>
-            val keep = delta.filter(col("seg") === s)
-              .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-              .select(cols.map {
-                case "bucket" => col("bucket").cast("long").as("bucket")
-                case c => col(c)
-              }: _*)
-              .localCheckpoint()
-            graft.sources.Sources.writePartitioned(
-              keep, s"$root/seg=$s", "bucket")
-          }
-        }
-      }
-      scrubTombstoned(s"$base/tf_delta",
-        Seq("doc_id", "term", "tf", "bucket"))
-      scrubTombstoned(s"$base/pos_delta",
-        Seq("doc_id", "pos", "term", "bucket"))
+      // otherwise resurrect them; only (seg, bucket) partitions
+      // actually carrying a tombstoned doc rewrite
+      scrubSegments(spark, s"$base/tf_delta",
+        Seq("doc_id", "term", "tf", "bucket"), tomb)
+      scrubSegments(spark, s"$base/pos_delta",
+        Seq("doc_id", "pos", "term", "bucket"), tomb)
     }
     clearTombstones(base)
   }
@@ -1052,13 +1064,11 @@ object Text {
   def bm25DeleteProbe(documents: DataFrame, base: String,
                       k: Int = 10): DataFrame = {
     val spark = documents.sparkSession
-    val marker = java.nio.file.Paths.get(base, "MARKER_BASE")
+    val marker = s"$base/MARKER_BASE"
     val expected = bm25IndexMarkerPrefix(documents) + " delete=mod7"
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == expected
-    if (!fresh) {
+    if (!IndexFS.markerEquals(marker, expected)) {
       bm25BuildIndex(documents, base).count()
-      java.nio.file.Files.writeString(marker, expected)
+      IndexFS.writeString(marker, expected)
     }
     bm25Delete(documents.filter(col("doc_id") % 7 === 3)
       .select(col("doc_id")), base)
@@ -1138,12 +1148,10 @@ object Text {
     val lex = bm25ProbeStored(documents, bm25Base, nCand)
       .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
     // semantic arm: lazy-build the IVF-flat stub-embedding index
-    val marker = java.nio.file.Paths.get(annBase, "MARKER")
+    val marker = s"$annBase/MARKER"
     val expected = s"graft-hybrid-ann v1 nlist=$nlist " +
       s"src=${graft.ops.Similarity.inputListingFp(documents)}"
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == expected
-    if (!fresh) {
+    if (!IndexFS.markerEquals(marker, expected)) {
       val dv = documents
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id").as("vec_id"), stubVec(col("text")).as("embedding"))
@@ -1151,8 +1159,8 @@ object Text {
       graft.sources.Sources.writePartitioned(
         Similarity.assignCells(dv, centroids), s"$annBase/cells", "cell")
       centroids.write.mode("overwrite").parquet(s"$annBase/centroids")
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(annBase))
-      java.nio.file.Files.writeString(marker, expected)
+      IndexFS.mkdirs(annBase)
+      IndexFS.writeString(marker, expected)
     }
     // probe: queries are literal strings — zero corpus reads
     val qv = bm25Queries.toDF("query_id", "qtext")
@@ -1322,8 +1330,16 @@ object Text {
     * tables and never re-aggregate the reference. Returns the bucket
     * census of the written layout as re-read from storage.
     */
-  def lmBuildIndex(documents: DataFrame, base: String): DataFrame = {
+  def lmBuildIndex(documents: DataFrame, base: String): DataFrame =
+      IndexFS.withWriterLease(base) {
     val spark = documents.sparkSession
+    // a rebuild yields a SINGLE-generation layout: count deltas and
+    // removal records from maintenance against the PREVIOUS reference
+    // must not survive the new base — summed into it they would skew
+    // every probability, and a stale docs_delta would silently block
+    // valid appends of ids the new corpus has never seen
+    Seq("bi_delta", "uni_delta", "docs_delta", "docs_removed")
+      .foreach(d => IndexFS.deleteRecursive(s"$base/$d"))
     // one reference tokenize: both count tables fold from this frame
     val pr = bigramPairs(lmReference(documents)).localCheckpoint()
     graft.sources.Sources.writePartitioned(
@@ -1336,9 +1352,8 @@ object Text {
     // generations disjoint (a re-appended doc must not double-count)
     lmReference(documents).select(col("doc_id"))
       .write.mode("overwrite").parquet(s"$base/docs")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(base))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(base, "MARKER"), lmIndexMarker(documents))
+    IndexFS.mkdirs(base)
+    IndexFS.writeString(s"$base/MARKER", lmIndexMarker(documents))
     val bi = spark.read.parquet(s"$base/bi")
     val uni = spark.read.parquet(s"$base/uni")
     bi.groupBy(col("bucket").cast("long").as("bucket"))
@@ -1364,11 +1379,8 @@ object Text {
     */
   def lmScoreStored(documents: DataFrame, base: String): DataFrame = {
     val spark = documents.sparkSession
-    val marker = java.nio.file.Paths.get(base, "MARKER")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker)
-        .startsWith(lmIndexMarkerPrefix(documents))
-    if (!fresh) lmBuildIndex(documents, base).count()
+    if (!IndexFS.markerFresh(s"$base/MARKER", lmIndexMarkerPrefix(documents)))
+      lmBuildIndex(documents, base).count()
     val pr = bigramPairs(documents)
     val (bi, uni) = lmModel(spark, base)
     val scored = pr.join(bi, Seq("w1", "w2"), "left")
@@ -1400,7 +1412,7 @@ object Text {
     def serve(part: String, keys: Seq[String], cnt: String): DataFrame = {
       val b0 = spark.read.parquet(s"$base/$part")
         .select((keys :+ cnt).map(col): _*)
-      if (!new java.io.File(s"$base/${part}_delta").isDirectory) b0
+      if (!IndexFS.isDirectory(s"$base/${part}_delta")) b0
       else b0.unionByName(spark.read.parquet(s"$base/${part}_delta")
           .select((keys :+ cnt).map(col): _*))
         .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
@@ -1431,10 +1443,10 @@ object Text {
   private def lmEverSeen(spark: org.apache.spark.sql.SparkSession,
                          base: String): DataFrame = {
     var d = spark.read.parquet(s"$base/docs").select(col("doc_id"))
-    if (new java.io.File(s"$base/docs_delta").isDirectory)
+    if (IndexFS.isDirectory(s"$base/docs_delta"))
       d = d.unionByName(
         spark.read.parquet(s"$base/docs_delta").select(col("doc_id")))
-    if (new java.io.File(s"$base/docs_removed").isDirectory)
+    if (IndexFS.isDirectory(s"$base/docs_removed"))
       d = d.unionByName(
         spark.read.parquet(s"$base/docs_removed").select(col("doc_id")))
     d
@@ -1446,16 +1458,17 @@ object Text {
   private def lmServedDocs(spark: org.apache.spark.sql.SparkSession,
                            base: String): DataFrame = {
     var d = spark.read.parquet(s"$base/docs").select(col("doc_id"))
-    if (new java.io.File(s"$base/docs_delta").isDirectory)
+    if (IndexFS.isDirectory(s"$base/docs_delta"))
       d = d.unionByName(
         spark.read.parquet(s"$base/docs_delta").select(col("doc_id")))
-    if (new java.io.File(s"$base/docs_removed").isDirectory)
+    if (IndexFS.isDirectory(s"$base/docs_removed"))
       d = d.join(spark.read.parquet(s"$base/docs_removed")
         .select(col("doc_id")), Seq("doc_id"), "left_anti")
     d
   }
 
-  def lmAppend(batch: DataFrame, base: String): Unit = {
+  def lmAppend(batch: DataFrame, base: String): Unit =
+      IndexFS.withWriterLease(base) {
     val spark = batch.sparkSession
     val fresh = batch.join(lmEverSeen(spark, base), Seq("doc_id"),
         "left_anti")
@@ -1487,13 +1500,11 @@ object Text {
     * unioned reference.
     */
   def lmAppendProbe(documents: DataFrame, base: String): DataFrame = {
-    val marker = java.nio.file.Paths.get(base, "MARKER_BASE")
+    val marker = s"$base/MARKER_BASE"
     val expected = lmIndexMarkerPrefix(documents) + " split=even"
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == expected
-    if (!fresh) {
+    if (!IndexFS.markerEquals(marker, expected)) {
       lmBuildIndex(documents, base).count()
-      java.nio.file.Files.writeString(marker, expected)
+      IndexFS.writeString(marker, expected)
     }
     lmAppend(documents.filter(col("doc_id") % 4 === 1), base)
     lmScoreStored(documents, base)
@@ -1511,7 +1522,8 @@ object Text {
     * the recomputed victim set and segment id are identical, so the
     * replay overwrites its own partial segment.
     */
-  def lmDelete(victims: DataFrame, base: String): Unit = {
+  def lmDelete(victims: DataFrame, base: String): Unit =
+      IndexFS.withWriterLease(base) {
     val spark = victims.sparkSession
     val targets = victims
       .join(lmServedDocs(spark, base), Seq("doc_id"), "left_semi")
@@ -1543,13 +1555,11 @@ object Text {
     * model over the surviving reference.
     */
   def lmDeleteProbe(documents: DataFrame, base: String): DataFrame = {
-    val marker = java.nio.file.Paths.get(base, "MARKER_BASE")
+    val marker = s"$base/MARKER_BASE"
     val expected = lmIndexMarkerPrefix(documents) + " split=even"
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == expected
-    if (!fresh) {
+    if (!IndexFS.markerEquals(marker, expected)) {
       lmBuildIndex(documents, base).count()
-      java.nio.file.Files.writeString(marker, expected)
+      IndexFS.writeString(marker, expected)
     }
     lmDelete(documents.filter(col("doc_id") % 8 === 2), base)
     lmScoreStored(documents, base)
@@ -1562,31 +1572,58 @@ object Text {
     * serve-time aggregation from the probe plan). Removal records
     * clear with the segments: a compacted-away id has no counts
     * anywhere, so it may re-enter under its old name again. No-op
-    * when no generations exist. Stop-the-world maintenance, like
-    * [[bm25Compact]]: the rewrite materializes behind checkpoints
-    * before overwriting the paths it read.
+    * when no generations exist.
+    *
+    * CRASH-SAFE, unlike a fold-in-place: count subtraction/addition
+    * is not idempotent, so the fold must never be applied to a base
+    * that already contains it. The protocol: (1) fold base ∪ deltas
+    * into `*_staged` side tables — the base and deltas it reads stay
+    * byte-untouched, so a crash here costs nothing; (2) publish a
+    * COMMIT point (one marker file); (3) drop the delta dirs, swap
+    * each staged table over its base, clear the COMMIT point. A
+    * replay before the COMMIT discards the stale staging and refolds
+    * from the intact generations; a replay after it finds the COMMIT
+    * and only FINISHES the swap (the staged fold is authoritative —
+    * refolding would double-count). Re-running after success is a
+    * clean no-op.
     */
   def lmCompact(spark: org.apache.spark.sql.SparkSession,
-                base: String): Unit = {
+                base: String,
+                onStep: Int => Unit = _ => ()): Unit =
+      IndexFS.withWriterLease(base) {
     val deltaDirs = Seq("bi_delta", "uni_delta", "docs_delta",
       "docs_removed")
-    if (!deltaDirs.exists(d => new java.io.File(s"$base/$d").isDirectory))
+    val parts = Seq("bi", "uni", "docs")
+    val commit = s"$base/_COMPACT_COMMIT"
+    def finishSwap(): Unit = {
+      deltaDirs.foreach(d => IndexFS.deleteRecursive(s"$base/$d"))
+      parts.foreach { p =>
+        if (IndexFS.isDirectory(s"$base/${p}_staged")) {
+          IndexFS.deleteRecursive(s"$base/$p")
+          IndexFS.rename(s"$base/${p}_staged", s"$base/$p")
+        }
+      }
+      IndexFS.deleteRecursive(commit)
+    }
+    if (IndexFS.exists(commit)) { finishSwap(); return }
+    // staging from a run that crashed BEFORE its commit point is
+    // stale (the generations it folded are still standing) — discard
+    parts.foreach(p => IndexFS.deleteRecursive(s"$base/${p}_staged"))
+    if (!deltaDirs.exists(d => IndexFS.isDirectory(s"$base/$d")))
       return
     val (bi, uni) = lmModel(spark, base)
-    val biC = bi.withColumn("bucket", termBucket(col("w1")))
-      .localCheckpoint()
-    val uniC = uni.withColumn("bucket", termBucket(col("w1")))
-      .localCheckpoint()
-    val docsC = lmServedDocs(spark, base).localCheckpoint()
-    graft.sources.Sources.writePartitioned(biC, s"$base/bi", "bucket")
-    graft.sources.Sources.writePartitioned(uniC, s"$base/uni", "bucket")
-    docsC.write.mode("overwrite").parquet(s"$base/docs")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).toSeq.flatten.foreach(rm)
-      f.delete(); ()
-    }
-    deltaDirs.map(d => new java.io.File(s"$base/$d"))
-      .filter(_.isDirectory).foreach(rm)
+    graft.sources.Sources.writePartitioned(
+      bi.withColumn("bucket", termBucket(col("w1"))),
+      s"$base/bi_staged", "bucket")
+    graft.sources.Sources.writePartitioned(
+      uni.withColumn("bucket", termBucket(col("w1"))),
+      s"$base/uni_staged", "bucket")
+    lmServedDocs(spark, base)
+      .write.mode("overwrite").parquet(s"$base/docs_staged")
+    onStep(1) // staging complete, commit point not yet published
+    IndexFS.writeString(commit, "lm-compact folded")
+    onStep(2) // committed — the staged fold is now authoritative
+    finishSwap()
   }
 
   /** Registry probe for the full LM maintenance cycle: build on the
@@ -1597,13 +1634,11 @@ object Text {
     * no-op end to end (everything already recorded/removed/folded).
     */
   def lmCompactProbe(documents: DataFrame, base: String): DataFrame = {
-    val marker = java.nio.file.Paths.get(base, "MARKER_BASE")
+    val marker = s"$base/MARKER_BASE"
     val expected = lmIndexMarkerPrefix(documents) + " split=even"
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker) == expected
-    if (!fresh) {
+    if (!IndexFS.markerEquals(marker, expected)) {
       lmBuildIndex(documents, base).count()
-      java.nio.file.Files.writeString(marker, expected)
+      IndexFS.writeString(marker, expected)
     }
     lmAppend(documents.filter(col("doc_id") % 4 === 1), base)
     lmDelete(documents.filter(col("doc_id") % 8 === 2), base)
@@ -2404,11 +2439,7 @@ object Text {
   def phraseSearchStored(documents: DataFrame, base: String,
                          phrases: Seq[(Long, String)] = phraseQueries): DataFrame = {
     val spark = documents.sparkSession
-    val marker = java.nio.file.Paths.get(base, "MARKER")
-    val fresh = java.nio.file.Files.exists(marker) &&
-      java.nio.file.Files.readString(marker)
-        .startsWith(bm25IndexMarkerPrefix(documents))
-    if (!fresh) bm25BuildIndex(documents, base).count()
+    ensureBm25Fresh(documents, base)
     val buckets = phrases.flatMap(_._2.split(" ")).distinct
       .map(termBucketDriver).distinct.sorted
     val base0 = spark.read.parquet(s"$base/pos")
@@ -2418,8 +2449,7 @@ object Text {
     // present in the delta shadows ALL its base postings (the doc-set
     // anti-join is unfiltered by bucket — a re-appended doc whose new
     // text dropped a term must not keep matching via stale postings)
-    val deltaDir = new java.io.File(s"$base/pos_delta")
-    val withDelta = if (deltaDir.isDirectory) {
+    val withDelta = if (IndexFS.isDirectory(s"$base/pos_delta")) {
       val delta = spark.read.parquet(s"$base/pos_delta")
       base0.join(delta.select(col("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")

@@ -1,0 +1,180 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Stored-index CONTROL PLANE, routed through the Hadoop FileSystem
+  * API so markers, tombstone sidecars, delta-segment discovery, and
+  * writer leases work on ANY Hadoop-compatible store (HDFS, S3A,
+  * GCS, or local `file:`) — not just a local disk. The data plane
+  * (parquet reads/writes) was always FS-agnostic; this makes the
+  * metadata operations match, so a stored index built at
+  * `hdfs://nn/idx` and one built at `/tmp/idx` go through the same
+  * code. Paths resolve against the active session's Hadoop
+  * configuration, which carries the cluster's filesystem bindings
+  * and credentials.
+  *
+  * Semantics notes for object stores: `rename` is atomic on HDFS and
+  * a copy on S3A — the compaction protocol ([[graft.ops.Text.lmCompact]])
+  * therefore orders operations so that a non-atomic rename can only
+  * produce a transiently-stale read, never a double-fold; the
+  * exclusive-create used by [[acquireLease]] maps to
+  * `FileSystem.create(path, overwrite = false)`, which HDFS enforces
+  * atomically and S3A enforces conditionally (fs.s3a.create.conditional).
+  */
+object IndexFS {
+
+  private def conf(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Resolve a path string to its (FileSystem, Path) pair. */
+  private def resolve(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(conf()), p)
+  }
+
+  def exists(path: String): Boolean = {
+    val (fs, p) = resolve(path); fs.exists(p)
+  }
+
+  def isDirectory(path: String): Boolean = {
+    val (fs, p) = resolve(path)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
+  def mkdirs(path: String): Unit = {
+    val (fs, p) = resolve(path); fs.mkdirs(p); ()
+  }
+
+  /** Names (not full paths) of the direct children of `dir`; empty if
+    * the directory does not exist.
+    */
+  def listNames(dir: String): Seq[String] = {
+    val (fs, p) = resolve(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+  }
+
+  /** True iff `dir` exists and holds at least one parquet part file. */
+  def hasParquet(dir: String): Boolean =
+    listNames(dir).exists(_.endsWith(".parquet"))
+
+  def deleteRecursive(path: String): Unit = {
+    val (fs, p) = resolve(path)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  /** Rename `src` to `dst` (dst must not exist). Atomic on HDFS/local;
+    * a server-side copy on S3A.
+    */
+  def rename(src: String, dst: String): Boolean = {
+    val (fs, s) = resolve(src)
+    fs.rename(s, new Path(dst))
+  }
+
+  /** Overwrite `path` with `content` (UTF-8). Small control files
+    * only (markers, leases) — data goes through parquet.
+    */
+  def writeString(path: String, content: String): Unit = {
+    val (fs, p) = resolve(path)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read `path` fully as UTF-8; None if absent OR failing its
+    * filesystem checksum (a marker modified out-of-band behind a
+    * checksummed FS reads as corrupt — for freshness checks that is
+    * exactly "stale": the caller rebuilds and rewrites it cleanly).
+    */
+  def readStringOpt(path: String): Option[String] = {
+    val (fs, p) = resolve(path)
+    if (!fs.exists(p)) None
+    else
+      try {
+        val in = fs.open(p)
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(bytes.toByteArray, StandardCharsets.UTF_8))
+        } finally in.close()
+      } catch { case _: org.apache.hadoop.fs.ChecksumException => None }
+  }
+
+  /** Marker freshness by prefix: the marker file exists and starts
+    * with `prefix` (the geometry/listing fingerprint of the corpus
+    * the index was built from).
+    */
+  def markerFresh(markerPath: String, prefix: String): Boolean =
+    readStringOpt(markerPath).exists(_.startsWith(prefix))
+
+  /** Marker freshness by full equality. */
+  def markerEquals(markerPath: String, expected: String): Boolean =
+    readStringOpt(markerPath).contains(expected)
+
+  // ------------------------------------------------------------------
+  // Single-writer lease. Stored-index maintenance (append / delete /
+  // compact) assumes ONE writer per layout; concurrent writers would
+  // interleave segment writes and corrupt the LSM generations. The
+  // lease makes the contract enforced instead of assumed: acquisition
+  // is an exclusive create (fails if the lock file exists), so a
+  // second writer fails loudly up front rather than corrupting the
+  // layout, and a crashed writer's lease is reclaimable by age.
+  // ------------------------------------------------------------------
+
+  private def leasePath(base: String): String = s"$base/_WRITER_LEASE"
+
+  // leases this thread already holds — maintenance ops nest (an
+  // append may trigger a lazy rebuild of the same layout), and a
+  // writer re-entering its own lease is not contention
+  private val held = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Acquire the writer lease for a stored layout, run `body`,
+    * release. Throws [[IllegalStateException]] if another writer
+    * holds a live lease. Re-entrant within a thread. A lease older
+    * than `staleMs` (default 1 h) is presumed crashed and is broken.
+    */
+  def withWriterLease[T](base: String, staleMs: Long = 3600000L)(body: => T): T = {
+    if (held.get().contains(base)) return body
+    val (fs, p) = resolve(leasePath(base))
+    fs.mkdirs(p.getParent)
+    def tryAcquire(): Boolean =
+      try {
+        // overwrite=false: atomic exclusive create on HDFS/local
+        val out = fs.create(p, false)
+        try out.write(
+          s"pid=${ProcessHandle.current().pid()}".getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val age = try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+                catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age > staleMs) {
+        fs.delete(p, false) // break the crashed writer's lease
+        if (!tryAcquire())
+          throw new IllegalStateException(
+            s"stored layout $base: writer lease contended after stale-break")
+      } else throw new IllegalStateException(
+        s"stored layout $base: another writer holds the lease " +
+          s"(${leasePath(base)}, age ${age}ms); concurrent maintenance " +
+          "is not supported — serialize writers or remove a crashed lease")
+    }
+    held.set(held.get() + base)
+    try body
+    finally {
+      held.set(held.get() - base)
+      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+    }
+  }
+}

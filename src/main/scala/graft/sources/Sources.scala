@@ -68,12 +68,13 @@ object Sources {
     * refuses to overwrite a path that is still being read lazily.
     */
   def mergePartitioned(df: DataFrame, path: String,
-                       partitionCol: String): Unit = {
+                       partitionCols: String*): Unit = {
     val spark = df.sparkSession
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    try df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
@@ -204,6 +205,39 @@ object Sources {
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
     swapInPlace(spark, staging, targetPath)
     spark.read.parquet(targetPath).count()
+  }
+
+  /** O18 registry probe — the MERGE sink end to end, replayable: stage
+    * a FRESH copy of the lineitem slice under `base` every run (so the
+    * measured cost IS the full writeback cost and a replay is
+    * deterministic), apply a keyed single-column MERGE
+    * ([[mergeColumnUpdate]]: rows with l_quantity >= 45 get discount
+    * 0.99 — the reference's "write the changed field back per row"
+    * protocol, OBP.js:554-621, as one batch), then census the merged
+    * table by (returnflag, discount). The oracle recomputes the
+    * UPDATE's effect as a CASE projection over the same input, so a
+    * lost row, a clobbered non-target row, or a missed update all
+    * hash-mismatch. Key = md5 over (l_orderkey, l_linenumber,
+    * l_partkey, l_suppkey) — the fixtures' UNIQUE lineitem key
+    * ((orderkey, linenumber) alone is NOT unique here); the update
+    * set is key-distinct, so the MERGE can never fan a target row out.
+    */
+  def mergeProbe(spark: SparkSession, sfDir: String, base: String): DataFrame = {
+    val target = s"$base/lineitem_copy"
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))).as("rowkey"),
+        col("l_quantity"), col("l_discount"), col("l_returnflag"))
+      .write.mode(SaveMode.Overwrite).parquet(target)
+    val updates = spark.read.parquet(target)
+      .filter(col("l_quantity") >= 45)
+      .select(col("rowkey")).distinct()
+      .withColumn("l_discount", lit(0.99))
+    mergeColumnUpdate(spark, target, updates, "rowkey", "l_discount")
+    spark.read.parquet(target)
+      .groupBy(col("l_returnflag"), col("l_discount"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_discount"))
   }
 
   /** Full-row MERGE (upsert): updates replace matching keys, new keys

@@ -999,10 +999,52 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("image payloads decode and resize for REAL through javax.imageio") {
+    // the codec swap point made real: image/png payloads take the JVM
+    // ImageIO decode/resize arm end to end through the SAME typed
+    // mapPartitions path the registry fixtures drive; opaque payloads
+    // (and undecodable "images") keep the deterministic stub, so the
+    // oracle-checked queries are untouched
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val junk = "definitely not an image".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png(40, 24), "image/png"),
+      Multimodal.MediaRecord(2L, png(16, 16), "image/png"),
+      Multimodal.MediaRecord(3L, junk, "application/octet-stream"),
+      Multimodal.MediaRecord(4L, junk, "image/png")).toDS()
+    val meta = Multimodal.extractMeta(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width === 40L && meta(1L).height === 24L &&
+      meta(1L).n_frames === 1L)
+    assert(meta(2L).width === 16L && meta(2L).height === 16L)
+    // opaque payloads AND undecodable image bytes (per-row error
+    // isolation, O17) fall back to the deterministic stub dims
+    val (sw, sh, sfr) = Multimodal.decodeStub(junk)
+    Seq(3L, 4L).foreach { id =>
+      assert(meta(id).width === sw && meta(id).height === sh &&
+        meta(id).n_frames === sfr)
+    }
+    // real resize: the output is a decodable PNG at the target dims
+    val resized = Multimodal.resizeMedia(media, 8, 6).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(Multimodal.decodeImage(resized(1L).content) === Some((8, 6)))
+    assert(Multimodal.decodeImage(resized(2L).content) === Some((8, 6)))
+    // the stub arm keeps its proportional byte budget
+    assert(resized(3L).content.length === math.max(1, 8 * 6 / 64))
+  }
+
   test("multimodal resize/frame-sample plumbing produces the expected shapes") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf))
       .as[Multimodal.MediaRecord]
-    val resized = Multimodal.resizeStub(media, 128, 128).collect()
+    val resized = Multimodal.resizeMedia(media, 128, 128).collect()
     assert(resized.length === media.count())
     resized.foreach { r =>
       assert(r.width === 128L && r.height === 128L && r.content.length <= 256)

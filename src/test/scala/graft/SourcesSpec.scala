@@ -805,4 +805,146 @@ class SourcesSpec extends SparkTestBase {
       Text.phraseSearch(merged3.filter(col("doc_id") =!= 1L))
         .collect().map(key).toSeq)
   }
+
+  test("stored-index control plane runs through a file:-scheme Hadoop FileSystem") {
+    // the 100 TB deployability claim: markers/tombstones/segment
+    // discovery go through org.apache.hadoop.fs.FileSystem, so a base
+    // with an explicit URI scheme behaves identically to a bare local
+    // path (and hdfs://-style bases take the same code path)
+    import graft.ops.Text
+    import graft.sources.IndexFS
+    val docs = Tables.documents(spark, sf)
+    val plain = tmp("lmfsplain")
+    val uri = "file:" + tmp("lmfsuri")
+    Text.lmBuildIndex(docs, plain).count()
+    Text.lmBuildIndex(docs, uri).count()
+    assert(IndexFS.exists(s"$uri/MARKER"), "marker missing behind file: scheme")
+    assert(IndexFS.readStringOpt(s"$uri/MARKER")
+      === IndexFS.readStringOpt(s"$plain/MARKER"))
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))
+    assert(Text.lmScoreStored(docs, uri).collect().map(key).toMap
+      === Text.lmScoreStored(docs, plain).collect().map(key).toMap)
+    // maintenance (delta segments + discovery) works behind the scheme
+    Text.lmAppend(docs.filter(col("doc_id") % 4 === 1), uri)
+    assert(IndexFS.isDirectory(s"$uri/bi_delta"))
+    assert(Text.lmScoreStored(docs, uri).collect().map(key).toMap
+      === lmExpected(docs,
+        col("doc_id") % 2 === 0 || col("doc_id") % 4 === 1))
+  }
+
+  test("writer lease: a second writer fails loudly; stale leases are reclaimed") {
+    import graft.ops.Text
+    import graft.sources.IndexFS
+    val docs = Tables.documents(spark, sf)
+    val base = tmp("lease")
+    Text.bm25BuildIndex(docs, base).count()
+    // a live foreign lease blocks maintenance INSTEAD of corrupting
+    // the layout (single-writer contract, enforced not assumed)
+    IndexFS.writeString(s"$base/_WRITER_LEASE", "pid=foreign")
+    intercept[IllegalStateException] {
+      Text.bm25Delete(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), base)
+    }
+    // a crashed writer's lease is reclaimable by age (staleMs = -1
+    // treats any lease as expired)
+    IndexFS.withWriterLease(base, staleMs = -1L) {
+      // re-entrant within the holder: nested maintenance on the same
+      // layout runs under the outer lease instead of deadlocking
+      Text.bm25Delete(docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id")), base)
+    }
+    assert(!IndexFS.exists(s"$base/_WRITER_LEASE"),
+      "lease not released after the holder finished")
+    // and the layout is healthy: probe serves around the tombstones
+    assert(Text.bm25ProbeStored(docs, base, 5).count() > 0)
+  }
+
+  test("rebuild yields a single-generation layout: stale deltas do not survive") {
+    import graft.ops.Text
+    import graft.sources.IndexFS
+    val docs = Tables.documents(spark, sf)
+    val base = tmp("lmrebuild")
+    Text.lmBuildIndex(docs, base).count()
+    Text.lmAppend(docs.filter(col("doc_id") % 4 === 1), base)
+    Text.lmDelete(docs.filter(col("doc_id") % 8 === 2), base)
+    assert(IndexFS.isDirectory(s"$base/bi_delta"))
+    // the corpus changes under the same base → rebuild; generations
+    // from the OLD corpus must not be served alongside the new base
+    // (counts would skew) nor block appends (burned-id records)
+    val subset = docs.filter(col("doc_id") % 3 =!= 0)
+    Text.lmBuildIndex(subset, base).count()
+    Seq("bi_delta", "uni_delta", "docs_delta", "docs_removed").foreach(d =>
+      assert(!IndexFS.isDirectory(s"$base/$d"), s"stale $d survived rebuild"))
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))
+    assert(Text.lmScoreStored(subset, base).collect().map(key).toMap
+      === lmExpected(subset, col("doc_id") % 2 === 0))
+    // an id the stale docs_delta would have blocked appends cleanly
+    Text.lmAppend(subset.filter(col("doc_id") % 4 === 1), base)
+    assert(Text.lmScoreStored(subset, base).collect().map(key).toMap
+      === lmExpected(subset,
+        col("doc_id") % 2 === 0 || col("doc_id") % 4 === 1))
+  }
+
+  test("lmCompact is crash-safe: replays never double-fold the count tables") {
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))
+    val expected = lmExpected(docs,
+      (col("doc_id") % 2 === 0 || col("doc_id") % 4 === 1) &&
+        col("doc_id") % 8 =!= 2)
+    case class Crash(step: Int) extends RuntimeException
+    for (crashAt <- Seq(1, 2)) {
+      val base = tmp(s"lmcrash$crashAt")
+      Text.lmBuildIndex(docs, base).count()
+      Text.lmAppend(docs.filter(col("doc_id") % 4 === 1), base)
+      Text.lmDelete(docs.filter(col("doc_id") % 8 === 2), base)
+      // crash at step 1 (staging written, no commit point): the replay
+      // must discard the staging and refold from the intact
+      // generations; at step 2 (committed): the replay must FINISH the
+      // swap without refolding — count folds are not idempotent
+      intercept[Crash] {
+        Text.lmCompact(spark, base,
+          onStep = s => if (s == crashAt) throw Crash(s))
+      }
+      Text.lmCompact(spark, base) // the replay
+      assert(Text.lmScoreStored(docs, base).collect().map(key).toMap
+        === expected, s"replay after crash-at-step-$crashAt corrupted counts")
+      // and the layout is single-generation again
+      Seq("bi_delta", "uni_delta", "docs_delta", "docs_removed",
+        "bi_staged", "uni_staged", "docs_staged", "_COMPACT_COMMIT")
+        .foreach(d => assert(!graft.sources.IndexFS.exists(s"$base/$d"),
+          s"$d survived the replayed compaction"))
+      // re-running after success stays a no-op
+      Text.lmCompact(spark, base)
+      assert(Text.lmScoreStored(docs, base).collect().map(key).toMap
+        === expected)
+    }
+  }
+
+  test("iterative ops checkpoint reliably when a checkpoint dir is configured") {
+    import graft.ops.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 6L), (5L, 7L),
+      (8L, 9L), (9L, 10L), (10L, 8L)).toDF("src", "dst")
+    def runCc() = Graph.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val withoutDir = runCc()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val withDir = runCc()
+      // result-identical: the checkpoint mode changes fault tolerance,
+      // never the fixpoint
+      assert(withDir === withoutDir)
+      // and the rounds genuinely landed on the checkpoint filesystem
+      // (an executor loss replays at most one round, not the loop)
+      def anyRddDir(f: java.io.File): Boolean =
+        f.isDirectory && (f.getName.startsWith("rdd-") ||
+          Option(f.listFiles).toSeq.flatten.exists(anyRddDir))
+      assert(anyRddDir(new java.io.File(dir)),
+        "no reliable checkpoint written despite a configured dir")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
 }
