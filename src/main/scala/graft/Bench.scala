@@ -258,10 +258,13 @@ object Bench {
         .toMap
       val now = results.toMap
       val common = r01.keySet.intersect(now.keySet)
-      // the r01 record's tail is truncated mid-entry (one mangled
-      // name), so full coverage is 67 of its 68 queries; a subset run
-      // that misses most of the board is not comparable
-      if (common.size < 60) ""
+      // comparable only for FULL-board runs (a bench-subset run misses
+      // most r01 queries by construction). The round-7 registry fold
+      // merged 11 r01-era variant queries into multi-assert entries,
+      // so the honest apples-to-apples intersection is now ~56 names —
+      // the sum compares exactly those, which is still the engine
+      // drift signal (BENCH_NOTES.md r7 entry).
+      if (results.size < SparkEntry.queries.size || common.size < 40) ""
       else {
         val t01 = common.toSeq.map(r01).sum
         val tn = common.toSeq.map(now).sum

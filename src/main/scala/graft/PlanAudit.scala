@@ -32,6 +32,19 @@ object PlanAudit {
         if (!ok) println(plan.linesIterator.take(40).mkString("  | ", "\n  | ", ""))
       }
     }
+    // arm-level audit: some registry entries fold several variants into
+    // one multi-assert query; plan properties that are per-arm (absence
+    // checks, exchange bounds) are asserted on the arm frame directly
+    def auditDf(name: String, df: => org.apache.spark.sql.DataFrame)(
+        checks: (String, String => Boolean)*): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      checks.foreach { case (desc, check) =>
+        val ok = check(plan)
+        if (!ok) failures += 1
+        println(f"${if (ok) "PASS" else "FAIL"}  $name%-24s $desc")
+        if (!ok) println(plan.linesIterator.take(40).mkString("  | ", "\n  | ", ""))
+      }
+    }
 
     // filter pushdown + column pruning reach the scan
     audit("rel_pricing_summary")(
@@ -48,9 +61,10 @@ object PlanAudit {
     audit("rel_sort_topk")(
       ("TakeOrderedAndProject", _.contains("TakeOrderedAndProject")))
 
-    // semi/anti joins stay semi/anti
-    audit("rel_semi_join")(("LeftSemi join", _.contains("LeftSemi")))
-    audit("rel_anti_join")(("LeftAnti join", _.contains("LeftAnti")))
+    // semi/anti joins stay semi/anti (folded into one registry entry)
+    audit("rel_semi_anti")(
+      ("LeftSemi join", _.contains("LeftSemi")),
+      ("LeftAnti join", _.contains("LeftAnti")))
 
     // bulk update is a pure projection over the scan — no shuffle at all
     audit("bu_broadcast")(
@@ -99,7 +113,11 @@ object PlanAudit {
       ("no cartesian in cell scoring", p => !p.contains("CartesianProduct")))
 
     // join-strategy hint honored: shuffled hash, not sort-merge
-    audit("rel_shuffle_hash_join")(
+    // folded strategy pair: the hash arm must stay hash and the merge
+    // arm merge — per-arm exclusivity is asserted on the arm frames
+    auditDf("rel_join_strategies/hash",
+      graft.ops.Relational.supplierRevenueHashJoin(
+        Tables.lineitem(spark, sfDir), Tables.supplier(spark, sfDir)))(
       ("shuffled hash join (no probe-side sort)", _.contains("ShuffledHashJoin")),
       ("no sort-merge join", !_.contains("SortMergeJoin")))
 
@@ -110,11 +128,7 @@ object PlanAudit {
 
     // fuzzy match: gram-blocked equi-join candidates, never an
     // all-pairs nested loop over the table
-    audit("txt_fuzzy_match")(
-      ("no BroadcastNestedLoopJoin over the full table",
-        !_.contains("BroadcastNestedLoopJoin")),
-      ("no shuffle-based cartesian", !_.contains("CartesianProduct")))
-    audit("txt_fuzzy_parts")(
+    audit("txt_fuzzy_family")(
       ("no BroadcastNestedLoopJoin over the full table",
         !_.contains("BroadcastNestedLoopJoin")),
       ("no shuffle-based cartesian", !_.contains("CartesianProduct")))
@@ -126,9 +140,14 @@ object PlanAudit {
 
     // custom plan node: heap-based per-key top-k — one clustered
     // exchange, no Sort, no Window
-    audit("rel_topk_native")(
+    audit("rel_topk_variants")(
       ("two-phase: map-side partial top-k below the exchange",
         p => p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
+      ("no cartesian", p => !p.contains("CartesianProduct")))
+    // the heap arm alone keeps its strict shape
+    auditDf("rel_topk_variants/heap",
+      graft.ops.Relational.topOrdersPerCustomerNative(
+        Tables.orders(spark, sfDir), 3))(
       ("no window operator", !_.contains("Window")),
       ("single hash exchange, no extra sort below the node", p =>
         "Exchange hashpartitioning".r.findAllIn(p).size <= 1))
@@ -176,7 +195,9 @@ object PlanAudit {
 
     // merge-scan as-of: ONE co-partitioning shuffle plus the output
     // sort — never a join operator (the scan IS the join)
-    audit("rel_asof_merge")(
+    auditDf("rel_asof_directed/merge",
+      graft.ops.Relational.asofMergeJoin(
+        Tables.events(spark, sfDir), Tables.orders(spark, sfDir)))(
       ("no join operator in the plan", p =>
         !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
           !p.contains("ShuffledHashJoin") && !p.contains("BroadcastNestedLoopJoin")),
@@ -215,13 +236,16 @@ object PlanAudit {
 
     // join-strategy control: the merge hint must actually produce a
     // sort-merge join (completing broadcast / shuffle-hash / merge)
-    audit("rel_merge_join")(
+    auditDf("rel_join_strategies/merge",
+      graft.ops.Relational.supplierRevenueMergeJoin(
+        Tables.lineitem(spark, sfDir), Tables.supplier(spark, sfDir)))(
       ("hint honored: SortMergeJoin planned", _.contains("SortMergeJoin")),
       ("no broadcast of the hinted side", p =>
         !p.contains("BroadcastHashJoin")))
 
     // interpolation: both bracket windows ride ONE (user_id, day) sort
-    audit("rel_resample_interp")(
+    auditDf("rel_resample/interp",
+      graft.ops.Relational.resampleInterp(Tables.events(spark, sfDir)))(
       ("both window passes share one partitioning", p =>
         "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size <= 2),
       ("no cartesian grid", p => !p.contains("CartesianProduct")))
@@ -250,7 +274,7 @@ object PlanAudit {
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
     // Q19 shape: the disjunctive predicate must not break the equi-join
-    audit("rel_disjunctive")(
+    audit("rel_join_predicates")(
       ("join stays hash-based despite the OR residual",
         _.contains("BroadcastHashJoin")),
       ("no cartesian fallback", p => !p.contains("CartesianProduct")))
@@ -270,7 +294,7 @@ object PlanAudit {
         _.contains("GreaterThanOrEqual(o_orderdate")))
 
     // winnowing overlap pairs: fingerprint equi-join, never all-pairs
-    audit("txt_winnow_pairs")(
+    audit("txt_winnow_family")(
       ("no cartesian/BNL pair enumeration", p =>
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")))
 
@@ -398,7 +422,7 @@ object PlanAudit {
     // multimodal near-dup: banded-Hamming candidates come from an
     // equi-join per (band_idx, band_val) bucket — all-pairs never
     // enumerated; the banded exchange feeds both join sides once
-    audit("mm_phash_dups")(
+    audit("mm_phash_family")(
       ("no cartesian/BNL pair enumeration", p =>
         !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),
@@ -418,7 +442,8 @@ object PlanAudit {
     // (connectedComponents localCheckpoints its output so the cached
     // per-round edge sets can be released) — assert that boundary, and
     // that nothing downstream of it re-enumerates pairs
-    audit("mm_phash_clusters")(
+    auditDf("mm_phash_family/clusters",
+      graft.ops.Multimodal.phashClusters(Tables.documents(spark, sfDir)))(
       ("labeling materialized behind a checkpoint boundary", p =>
         p.contains("Scan ExistingRDD")),
       ("no cartesian/BNL downstream of the checkpoint", p =>
@@ -450,22 +475,17 @@ object PlanAudit {
     // codegen'd dot (one per output dim, constants inlined — no
     // trained artifact anywhere in the plan), BOTH stages prune
     // through the heap node, and nothing pairs corpus rows
-    audit("sim_rp_rerank")(
-      ("native vector_dot computes projection and scores",
+    audit("sim_rerank_family")(
+      ("native vector_dot computes projections and scores",
         _.contains("vector_dot")),
-      ("heap top-k in both stages (shortlist + rerank)", p =>
-        "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
+      ("prefix slice present (Matryoshka arm)", _.contains("slice")),
+      ("heap top-k in every shortlist+rerank stage", p =>
+        "TopKPerKeyPartial".r.findAllIn(p).size >= 4),
       ("no cartesian pair enumeration", p => !p.contains("CartesianProduct")))
 
     // MRL rerank: the compression is an array SLICE (zero compute, no
     // trained artifact, no plane constants anywhere in the plan), both
     // stages prune through the heap node
-    audit("sim_mrl_rerank")(
-      ("prefix slice is the only projection (native dot scores)",
-        p => p.contains("slice") && p.contains("vector_dot")),
-      ("heap top-k in both stages (shortlist + rerank)", p =>
-        "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
-      ("no cartesian pair enumeration", p => !p.contains("CartesianProduct")))
 
     // phrase search: corpus tokens equi-join the broadcast literal
     // query-term table; matching is pure aggregation — no corpus
@@ -598,22 +618,22 @@ object PlanAudit {
     // the totals aggregation (min(doc_id) of a count-1 gram = THE doc)
     // — the gram pipeline feeds exactly ONE chain, so the corpus is
     // tokenized/exploded once and no data-row join-back exists
-    audit("txt_dup_ngrams")(
+    audit("txt_dup_family")(
       ("single gram explode (no recomputed pipeline)", p =>
         "Generate explode".r.findAllIn(p).size == 1),
+      ("run-merge window partitioned by doc_id (no global order)", p =>
+        p.contains("hashpartitioning(doc_id")),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
     // duplicated spans: the corpus is tokenized ONCE into the
     // checkpointed positional gram index, which feeds both the dup-set
     // aggregation and the position join-back; the run-merge window
     // partitions by doc_id — never a global order
-    audit("txt_dup_spans")(
+    auditDf("txt_dup_family/spans",
+      graft.ops.Text.dupSpans(Tables.documents(spark, sfDir)))(
       ("corpus tokenized once into the checkpointed positional index " +
         "(no Generate in the serving plan)", p =>
-        !p.contains("Generate") && p.contains("Scan ExistingRDD")),
-      ("run-merge window partitioned by doc_id (no global order)", p =>
-        p.contains("hashpartitioning(doc_id")),
-      ("no cartesian", p => !p.contains("CartesianProduct")))
+        !p.contains("Generate") && p.contains("Scan ExistingRDD")))
 
     // quota sampling: the per-stratum fill is the heap node (map-side
     // prune to ≤k before the stratum shuffle); the apportionment rides
@@ -653,7 +673,7 @@ object PlanAudit {
     // kNN graph: banded candidates (never all-pairs), ONE undirected
     // scoring pass fanned to both directions by an explode (no
     // self-union replaying the pair pipeline), heap-node per-node top-k
-    audit("sim_knn_graph")(
+    audit("sim_knn_family")(
       ("no cartesian/BNL pair enumeration", p =>
         !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),
@@ -669,15 +689,6 @@ object PlanAudit {
     // checkpointed (candidates never re-enumerate the banding), the
     // expansion is edge×edge equi-join, the re-score is one undirected
     // pass through the native dot, and the top-k is the heap node
-    audit("sim_knn_refine")(
-      ("round-0 graph/cells read from checkpoints",
-        p => p.contains("Scan ExistingRDD")),
-      ("no cartesian/BNL anywhere", p =>
-        !p.contains("CartesianProduct") &&
-          !p.contains("BroadcastNestedLoopJoin")),
-      ("native vector_dot scoring", _.contains("vector_dot")),
-      ("two-phase heap top-k per node", p =>
-        p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")))
 
     // label propagation: the kNN graph builds once behind a checkpoint
     // (the serving plan never re-enumerates candidates), each round is
@@ -693,7 +704,7 @@ object PlanAudit {
     // incremental near-dup: batch bands equi-join the history band
     // index — history never self-joins, nothing enumerates all pairs,
     // and signatures come from the native codegen'd minhash_sig
-    audit("dedup_incr_near")(
+    audit("dedup_incr_family")(
       ("no cartesian/BNL pair enumeration", p =>
         !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),
@@ -901,14 +912,15 @@ object PlanAudit {
         p => !p.contains("CartesianProduct")))
 
     // resample+ffill: grid, join, and fill all partition on user_id
-    audit("rel_resample_ffill")(
+    auditDf("rel_resample/ffill",
+      graft.ops.Relational.resampleFfill(Tables.events(spark, sfDir)))(
       ("bounded exchanges on the single key", p =>
         "Exchange hashpartitioning".r.findAllIn(p).size <= 3),
       ("no cartesian grid", p => !p.contains("CartesianProduct")))
 
     // KMV overlap: strata compress to sketches BEFORE pairing — the
     // pair join runs on aggregated rows, so no unjoined-row rescan
-    audit("xtr_kmv_overlap")(
+    audit("xtr_kmv")(
       ("two-phase sketch aggregation (map-side partials)", p =>
         "ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
           "SortAggregate".r.findAllIn(p).size >= 2),
@@ -939,19 +951,19 @@ object PlanAudit {
     // optional: dump formatted plans for review (`runMain graft.PlanAudit <sfDir> <outFile>`)
     args.drop(1).headOption.foreach { out =>
       val flagship = Seq("bu_broadcast", "bu_zip", "rel_pricing_summary",
-        "rel_revenue_by_region", "rel_sort_topk", "rel_shuffle_hash_join",
-        "rel_scalar_subquery", "rel_window_range_time", "rel_topk_native",
+        "rel_revenue_by_region", "rel_sort_topk", "rel_join_strategies",
+        "rel_scalar_subquery", "rel_window_range_time", "rel_topk_variants",
         "rel_shipping_priority", "dedup_minhash",
         "dedup_jaccard", "sim_cosine_topk", "sim_ivf_topk", "str_session",
-        "txt_fuzzy_match", "rel_asof_merge", "rel_nation_trade",
+        "txt_fuzzy_family", "rel_asof_directed", "rel_nation_trade",
         "rel_market_basket", "rel_pagerank", "rel_triangles",
-        "sim_pq_topk", "txt_repetition", "str_dedup", "rel_resample_ffill",
-        "sim_ivfpq_topk", "sim_ivf_salted", "mm_phash_dups",
+        "sim_pq_topk", "txt_repetition", "str_dedup", "rel_resample",
+        "sim_ivfpq_topk", "sim_ivf_salted", "mm_phash_family",
         "sim_ivfpq_res", "sim_mmr", "rel_min_cost_supp",
-        "rel_nation_profit", "rel_merge_join", "str_late_data",
+        "rel_nation_profit", "str_watermarks",
         "sim_semdedup", "sim_sq_topk", "sim_ivfpq_stored",
         "txt_bm25_topk", "txt_bm25_stored", "txt_hybrid_rrf",
-        "txt_dup_spans", "sim_knn_graph", "dedup_incr_near",
+        "txt_dup_family", "sim_knn_family", "dedup_incr_family",
         "txt_span_cut", "txt_bm25_append", "sim_ivfpq_append",
         "txt_hybrid_stored", "sim_knn_refine", "txt_bm25_delete",
         "sim_ivfpq_delete", "txt_quality_clf", "sim_ivfpq_resplit",

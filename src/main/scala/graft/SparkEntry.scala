@@ -34,6 +34,49 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("bu_broadcast")(spark, "/root/testdata/sf0.001")
 
+  /** Registry fold (round-7 pruning): run several same-family variants
+    * as ONE multi-assert query — each arm's rows ride under a `variant`
+    * tag, padded with typed NULLs to the union of the family's columns,
+    * so one hash checks every variant at once while the per-variant
+    * semantics (and the ops functions implementing them) stay exactly
+    * as they were. `cols` is (name, sparkType) over the union; an arm
+    * contributes the columns it owns and NULLs for the rest.
+    */
+  private def foldedQuery(cols: Seq[(String, String)],
+                          arms: (String, DataFrame)*): DataFrame = {
+    val frames = arms.map { case (tag, df) =>
+      val own = df.columns.toSet
+      df.select(lit(tag).as("variant") +: cols.map { case (c, t) =>
+        if (own(c)) col(c) else lit(null).cast(t).as(c)
+      }: _*)
+    }
+    frames.reduce(_.unionByName(_))
+      .orderBy(col("variant") +: cols.map(p => col(p._1)): _*)
+  }
+
+  private def duckType(sparkType: String): String = sparkType match {
+    case "long"      => "BIGINT"
+    case "double"    => "DOUBLE"
+    case "string"    => "VARCHAR"
+    case "boolean"   => "BOOLEAN"
+    case "timestamp" => "TIMESTAMP"
+    case "int"       => "INTEGER"
+  }
+
+  /** Oracle twin of [[foldedQuery]]: tagged UNION ALL over the arms'
+    * SELECTs, NULL-padded to the same column union. Each arm lists the
+    * columns its SELECT yields.
+    */
+  private def foldedOracle(cols: Seq[(String, String)],
+                           arms: (String, Seq[String], String)*): String =
+    arms.map { case (tag, own, sql) =>
+      val proj = cols.map { case (c, t) =>
+        if (own.contains(c)) s""""$c""""
+        else s"""CAST(NULL AS ${duckType(t)}) AS "$c""""
+      }.mkString(", ")
+      s"SELECT '$tag' AS variant, $proj FROM (\n$sql\n) q_$tag"
+    }.mkString("\nUNION ALL\n")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference core: bulk update (SURVEY §2.1) ----
     "bu_broadcast" -> ((s, d) => {
@@ -109,31 +152,204 @@ object SparkEntry {
     "bu_merge" -> ((s, d) =>
       graft.sources.Sources.mergeProbe(s, d, mergeSinkBase(d))),
 
+    // ---- registry folds (round-7 pruning): each runs a whole variant
+    // family as ONE multi-assert query; the ops functions behind every
+    // variant are unchanged ----
+    "txt_fuzzy_family" -> ((s, d) =>
+      foldedQuery(Seq("name1" -> "string", "name2" -> "string",
+          "dist" -> "long"),
+        "names" -> Text.fuzzyNamePairs(nation(s, d), "n_nationkey", "n_name"),
+        "parts" -> Text.fuzzyDistinctNames(part(s, d), "p_name"))),
+    // hash- vs merge-hinted strategies over the same relation: both
+    // arms must produce the identical aggregate
+    "rel_join_strategies" -> ((s, d) =>
+      foldedQuery(Seq("s_name" -> "string", "n_items" -> "long",
+          "revenue" -> "double"),
+        "hash" -> Relational.supplierRevenueHashJoin(lineitem(s, d), supplier(s, d)),
+        "merge" -> Relational.supplierRevenueMergeJoin(lineitem(s, d), supplier(s, d)))),
+    "txt_sample_strata" -> ((s, d) =>
+      foldedQuery(Seq("lang" -> "string", "n_sampled" -> "long",
+          "first_doc" -> "long"),
+        "uniform" -> Text.hashSample(documents(s, d)),
+        "stratified" -> Text.stratifiedSample(documents(s, d),
+          Map("en" -> 50, "zh" -> 25)))),
+    "txt_winnow_family" -> ((s, d) =>
+      foldedQuery(Seq("doc_id" -> "long", "n_fp" -> "long",
+          "fp_min" -> "long", "fp_max" -> "long", "fp_xor" -> "long",
+          "doc1" -> "long", "doc2" -> "long", "n_shared" -> "long"),
+        "sketch" -> Text.winnowSketch(documents(s, d)),
+        "pairs" -> Text.winnowMatches(documents(s, d)))),
+    "txt_dup_family" -> ((s, d) =>
+      foldedQuery(Seq("doc_id" -> "long", "n_positions" -> "long",
+          "n_dup" -> "long", "dup_frac" -> "double", "span_start" -> "long",
+          "span_end" -> "long", "span_tokens" -> "long"),
+        "ngrams" -> Text.ngramCoverage(documents(s, d)),
+        "spans" -> Text.dupSpans(documents(s, d)))),
+    "mm_phash_family" -> ((s, d) =>
+      foldedQuery(Seq("id1" -> "long", "id2" -> "long", "hamming" -> "long",
+          "doc_id" -> "long", "canon_id" -> "long", "n_members" -> "long"),
+        "dups" -> Multimodal.phashDups(documents(s, d)),
+        "clusters" -> Multimodal.phashClusters(documents(s, d)))),
+    "rel_resample" -> ((s, d) =>
+      foldedQuery(Seq("user_id" -> "long", "day" -> "timestamp",
+          "n_events" -> "long", "filled_value" -> "double",
+          "interp_value" -> "double", "is_gap" -> "boolean"),
+        "ffill" -> Relational.resampleFfill(events(s, d)),
+        "interp" -> Relational.resampleInterp(events(s, d)))),
+    "xtr_kmv" -> ((s, d) =>
+      foldedQuery(Seq("l_returnflag" -> "string", "exact_parts" -> "long",
+          "kmv_est" -> "double", "lang1" -> "string", "lang2" -> "string",
+          "est_1" -> "double", "est_2" -> "double", "est_union" -> "double",
+          "est_inter" -> "double", "jaccard_est" -> "double"),
+        "distinct" -> Scalar.kmvDistinct(lineitem(s, d)),
+        "overlap" -> Text.langTokenOverlap(documents(s, d)))),
+    "xtr_quantiles" -> ((s, d) =>
+      foldedQuery(Seq("event_type" -> "string", "exact_p50" -> "double",
+          "approx_in_rank_band" -> "boolean", "l_returnflag" -> "string",
+          "qty_p25" -> "double", "qty_p50" -> "double", "qty_p75" -> "double",
+          "n" -> "long"),
+        "approx_gate" -> Scalar.approxQuantileGate(events(s, d)),
+        "grouped" -> Relational.groupQuantiles(lineitem(s, d)))),
+    // the custom heap-node top-k and the LATERAL-subquery top-k
+    "rel_topk_variants" -> ((s, d) =>
+      foldedQuery(Seq("o_orderkey" -> "long", "o_custkey" -> "long",
+          "o_totalprice" -> "double", "n_nationkey" -> "int",
+          "s_suppkey" -> "long", "s_acctbal" -> "double"),
+        "native_heap" -> Relational.topOrdersPerCustomerNative(orders(s, d), 3),
+        "lateral" -> Relational.topSuppliersPerNationLateral(
+          nation(s, d), supplier(s, d)))),
+    "rel_argminmax" -> ((s, d) =>
+      foldedQuery(Seq("l_partkey" -> "long", "l_suppkey" -> "long",
+          "o_orderstatus" -> "string", "priciest_order" -> "long",
+          "cheapest_order" -> "long", "max_price" -> "double",
+          "min_price" -> "double"),
+        "argmin" -> Relational.cheapestSuppliers(lineitem(s, d)),
+        "minmax_by" -> Relational.orderExtremes(orders(s, d)))),
+    "mm_grid_family" -> ((s, d) =>
+      foldedQuery(Seq("doc_id" -> "long", "frame_idx" -> "long",
+          "frame_len" -> "long", "tx" -> "long", "ty" -> "long",
+          "tile_w" -> "long", "tile_h" -> "long"),
+        "frames" -> Multimodal.frameStats(documents(s, d), 256, 2),
+        "tiles" -> Multimodal.tileGrid(documents(s, d)))),
+    "sca_genseq" -> ((s, d) =>
+      foldedQuery(Seq("n_nationkey" -> "int", "pos" -> "long",
+          "part" -> "string", "seq_len" -> "long", "seq_sum" -> "long",
+          "one_two_three" -> "string"),
+        "generators" -> Scalar.generatorFamily(nation(s, d)),
+        "sequence" -> Scalar.sequenceFamily(nation(s, d)))),
+    "txt_doc_metrics" -> ((s, d) =>
+      foldedQuery(Seq("doc_id" -> "long", "n_tokens" -> "long",
+          "n_types" -> "long", "ttr" -> "double", "n_words" -> "long",
+          "n_sentences" -> "long", "n_syllables" -> "long",
+          "flesch" -> "double"),
+        "ttr" -> Text.typeTokenRatio(documents(s, d)),
+        "readability" -> Text.readability(documents(s, d)))),
+    "str_watermarks" -> ((s, d) =>
+      foldedQuery(Seq("event_type" -> "string", "n_events" -> "long",
+          "n_late" -> "long", "n_on_time" -> "long", "late_share" -> "double",
+          "window_start" -> "timestamp", "n_users" -> "long"),
+        "late_audit" -> graft.streaming.StreamingOps.lateDataAudit(events(s, d)),
+        "window_users" -> graft.streaming.StreamingOps
+          .windowUserCounts(events(s, d)))),
+    "rel_scd_family" -> ((s, d) => {
+      // deterministic synthetic "next snapshot": every 97th key deleted,
+      // every 11th price bumped, every 101st key re-inserted shifted
+      val prev = orders(s, d)
+      val next = prev
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(prev.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+      foldedQuery(Seq("o_custkey" -> "long", "o_orderkey" -> "long",
+          "o_orderstatus" -> "string", "effective_from" -> "timestamp",
+          "effective_to" -> "timestamp", "is_current" -> "boolean",
+          "op" -> "string", "n_rows" -> "long"),
+        "scd2" -> Relational.scd2Intervals(orders(s, d)),
+        "snapshot_diff" -> Relational.snapshotDiff(prev, next, "o_orderkey",
+          Seq("o_orderstatus", "o_totalprice")))
+    }),
+    "rel_join_predicates" -> ((s, d) =>
+      foldedQuery(Seq("ckey_s" -> "long", "n_pairs" -> "long",
+          "revenue" -> "double", "n_items" -> "long"),
+        "null_safe" -> Relational.nullSafeJoinCounts(customer(s, d), supplier(s, d)),
+        "disjunctive" -> Relational.disjunctiveRevenue(lineitem(s, d), part(s, d)))),
+    "txt_pack_family" -> ((s, d) =>
+      foldedQuery(Seq("shard" -> "long", "bin" -> "long", "n_docs" -> "long",
+          "sum_tokens" -> "long", "first_doc" -> "long", "last_doc" -> "long",
+          "doc_id" -> "long", "pos" -> "long"),
+        "bins" -> Text.packBins(documents(s, d), capacity = 512)
+          .withColumn("shard", col("shard").cast("long")),
+        "epoch_shuffle" -> Text.epochShuffle(documents(s, d), 1))),
+    // backward as-of is rel_asof_join; the directed variants fold here
+    "rel_asof_directed" -> ((s, d) =>
+      foldedQuery(Seq("o_orderkey" -> "long", "next_event_id" -> "long",
+          "next_ts" -> "timestamp", "event_id" -> "long",
+          "asof_orderkey" -> "long", "asof_orderdate" -> "timestamp"),
+        "forward" -> Relational.asofNextEvent(orders(s, d), events(s, d)),
+        "merge_scan" -> Relational.asofMergeJoin(events(s, d), orders(s, d)))),
+    // exact + fuzzy incremental dedup against the train-split history
+    "dedup_incr_family" -> ((s, d) => {
+      val docs = documents(s, d)
+      val split = Text.trainValSplit(docs).select(col("doc_id"), col("split"))
+      val withSplit = docs.join(split, Seq("doc_id"))
+      val batch = withSplit.filter(col("split") =!= "train")
+      val hist = withSplit.filter(col("split") === "train")
+      foldedQuery(Seq("doc_id" -> "long", "lang" -> "string",
+          "source" -> "string", "n_cands" -> "long", "n_dups" -> "long",
+          "dup_of" -> "long", "is_dup" -> "boolean"),
+        "exact" -> Dedup.incrementalDedup(batch,
+          hist.select(md5(col("text")).as("seen_hash")).distinct()),
+        "near" -> Dedup.incrementalNearDup(batch, hist))
+    }),
+    // all six set operators in one multi-assert result: the ±ALL arms
+    // carry their multiplicity, the distinct arms a constant 1
+    "rel_set_ops" -> ((s, d) => {
+      val c = customer(s, d); val su = supplier(s, d)
+      val one = lit(1L)
+      foldedQuery(Seq("nk" -> "int", "n" -> "long"),
+        "union" -> Relational.nationKeysUnion(c, su).withColumn("n", one),
+        "union_all" -> Relational.nationKeysUnionAll(c, su),
+        "intersect" -> Relational.nationKeysIntersect(c, su).withColumn("n", one),
+        "intersect_all" -> Relational.nationKeysIntersectAll(c, su),
+        "except" -> Relational.nationKeysExcept(c, su).withColumn("n", one),
+        "except_all" -> Relational.nationKeysExceptAll(c, su))
+    }),
+    // ROLLUP + CUBE + GROUPING SETS under generic key/aggregate names
+    "rel_grouping_family" -> ((s, d) => {
+      def k(df: DataFrame, k1: String, k2: String, agg: String) =
+        df.select(col(k1).as("k1"), col(k2).as("k2"), col("n"),
+          col(agg).as("agg"))
+      foldedQuery(Seq("k1" -> "string", "k2" -> "string", "n" -> "long",
+          "agg" -> "double"),
+        "rollup" -> k(Relational.orderRollup(orders(s, d)),
+          "o_orderstatus", "o_orderpriority", "total"),
+        "cube" -> k(Relational.lineitemCube(lineitem(s, d)),
+          "l_returnflag", "l_linestatus", "sum_qty"),
+        "gsets" -> k(Relational.orderGroupingSets(orders(s, d)),
+          "o_orderstatus", "o_orderpriority", "total"))
+    }),
+    "rel_semi_anti" -> ((s, d) =>
+      foldedQuery(Seq("c_custkey" -> "long", "c_name" -> "string",
+          "c_mktsegment" -> "string", "acctbal" -> "double"),
+        "semi" -> Relational.customersWithOrders(customer(s, d), orders(s, d)),
+        "anti" -> Relational.customersWithoutOrders(customer(s, d), orders(s, d)))),
+
     // ---- relational breadth (SURVEY §2.2) ----
     "rel_pricing_summary" -> ((s, d) => Relational.pricingSummary(lineitem(s, d))),
     "rel_revenue_by_region" -> ((s, d) =>
       Relational.revenueByRegion(lineitem(s, d), orders(s, d), customer(s, d),
         nation(s, d), region(s, d))),
-    "rel_semi_join" -> ((s, d) => Relational.customersWithOrders(customer(s, d), orders(s, d))),
     "rel_full_outer" -> ((s, d) => Relational.customerOrderFullOuter(customer(s, d), orders(s, d))),
     "rel_right_outer" -> ((s, d) => Relational.orderCustomerRightOuter(customer(s, d), orders(s, d))),
-    "rel_anti_join" -> ((s, d) => Relational.customersWithoutOrders(customer(s, d), orders(s, d))),
     "rel_window_topk" -> ((s, d) => Relational.topOrdersPerCustomer(orders(s, d), 3)),
     "rel_window_running" -> ((s, d) => Relational.runningLineTotals(lineitem(s, d))),
     "rel_sort_topk" -> ((s, d) => Relational.topKByPrice(lineitem(s, d), 100)),
-    "rel_union" -> ((s, d) => Relational.nationKeysUnion(customer(s, d), supplier(s, d))),
-    "rel_intersect" -> ((s, d) => Relational.nationKeysIntersect(customer(s, d), supplier(s, d))),
-    "rel_except" -> ((s, d) => Relational.nationKeysExcept(customer(s, d), supplier(s, d))),
-    "rel_rollup" -> ((s, d) => Relational.orderRollup(orders(s, d))),
-    "rel_cube" -> ((s, d) => Relational.lineitemCube(lineitem(s, d))),
     "rel_count_distinct" -> ((s, d) => Relational.distinctPartsPerSupplier(lineitem(s, d))),
     "rel_range_join" -> ((s, d) => Relational.partSizeBuckets(part(s, d))),
     "rel_asof_join" -> ((s, d) => Relational.asofLatestOrder(events(s, d), orders(s, d))),
 
-    "rel_union_all" -> ((s, d) => Relational.nationKeysUnionAll(customer(s, d), supplier(s, d))),
-    "rel_intersect_all" -> ((s, d) => Relational.nationKeysIntersectAll(customer(s, d), supplier(s, d))),
-    "rel_except_all" -> ((s, d) => Relational.nationKeysExceptAll(customer(s, d), supplier(s, d))),
-    "rel_grouping_sets" -> ((s, d) => Relational.orderGroupingSets(orders(s, d))),
     "rel_pivot" -> ((s, d) => Relational.orderPivot(orders(s, d))),
     "rel_window_family" -> ((s, d) => Relational.windowFunctionFamily(orders(s, d))),
 
@@ -184,8 +400,6 @@ object SparkEntry {
       graft.streaming.StreamingOps.clickAttributionBatch(events(s, d))),
     "str_dedup" -> ((s, d) =>
       graft.streaming.StreamingOps.firstEventPerKey(events(s, d))),
-    "str_late_data" -> ((s, d) =>
-      graft.streaming.StreamingOps.lateDataAudit(events(s, d))),
 
     // ---- deduplication (LLM-pipeline operators) ----
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(documents(s, d))),
@@ -206,17 +420,6 @@ object SparkEntry {
       Similarity.ivfFilteredTopK(embeddings(s, d), 8, 5)),
     // JL random-projection shortlist (16-dim, constant planes — no
     // training, no stored artifacts) + exact full-width re-rank
-    "sim_rp_rerank" -> ((s, d) =>
-      Similarity.rpRerankTopK(embeddings(s, d), 8, 5)),
-    // Matryoshka truncation: prefix-slice shortlist (zero-compute
-    // compression) + exact full-width re-rank
-    "sim_mrl_rerank" -> ((s, d) =>
-      Similarity.mrlRerankTopK(embeddings(s, d), 8, 5)),
-    // recall of filtered IVF vs the filtered brute force — the gate
-    // that tells a serving stack when predicate selectivity calls for
-    // a higher nprobe
-    "sim_filtered_recall" -> ((s, d) =>
-      Similarity.ivfFilteredRecall(embeddings(s, d), 8, 5)),
     // multimodal retrieval end-to-end: payload -> stub embedding ->
     // cosine top-k (the encoder swap point is the projection only)
     "mm_ann" -> ((s, d) => Multimodal.annRetrieve(documents(s, d))),
@@ -231,7 +434,6 @@ object SparkEntry {
     // BPE merge LEARNING on the word-frequency table: one corpus scan,
     // then vocabulary-sized rounds — all integer counts
     "txt_bpe_train" -> ((s, d) => Text.bpeTrain(documents(s, d))),
-    "sim_ivf_recall" -> ((s, d) => Similarity.ivfRecall(embeddings(s, d), 8, 5)),
     "txt_bpe_tokens" -> ((s, d) => Text.bpeTokenCounts(documents(s, d))),
     "txt_train_val_split" -> ((s, d) => Text.trainValSplit(documents(s, d))),
     "txt_split_stats" -> ((s, d) => Text.splitStats(documents(s, d))),
@@ -241,46 +443,25 @@ object SparkEntry {
     // ---- multimodal binary columns ----
     "mm_meta" -> ((s, d) => Multimodal.metaExpr(documents(s, d))),
     "mm_resize" -> ((s, d) => Multimodal.resizeMeta(documents(s, d), 64, 64)),
-    "mm_frames" -> ((s, d) => Multimodal.frameStats(documents(s, d), 256, 2)),
-    "mm_tiles" -> ((s, d) => Multimodal.tileGrid(documents(s, d))),
 
     // ---- round-2 breadth: agg/window/join/scalar families ----
     "rel_string_agg" -> ((s, d) => Relational.nationSupplierNames(supplier(s, d))),
-    "rel_minmax_by" -> ((s, d) => Relational.orderExtremes(orders(s, d))),
     "rel_window_range_time" -> ((s, d) => Relational.trailingHourStats(events(s, d))),
     "rel_cross_join" -> ((s, d) => Relational.regionNationPairs(region(s, d), nation(s, d))),
     "rel_scalar_subquery" -> ((s, d) => Relational.aboveAverageOrders(orders(s, d))),
-    "rel_shuffle_hash_join" -> ((s, d) =>
-      Relational.supplierRevenueHashJoin(lineitem(s, d), supplier(s, d))),
-    "rel_merge_join" -> ((s, d) =>
-      Relational.supplierRevenueMergeJoin(lineitem(s, d), supplier(s, d))),
     "sca_cast" -> ((s, d) => Scalar.castFamily(s)),
     "sca_hof" -> ((s, d) => Scalar.hofFamily(documents(s, d))),
-    "sca_sequence" -> ((s, d) => Scalar.sequenceFamily(nation(s, d))),
     "xtr_custom_agg" -> ((s, d) => Scalar.customStatsAgg(events(s, d))),
-    "txt_hash_sample" -> ((s, d) => Text.hashSample(documents(s, d))),
     "dedup_cluster" -> ((s, d) => Dedup.nearDupClusters(documents(s, d))),
     "rel_shipping_priority" -> ((s, d) =>
       Relational.shippingPriority(lineitem(s, d), orders(s, d), customer(s, d))),
     "rel_returned_items" -> ((s, d) =>
       Relational.returnedItemRevenue(lineitem(s, d), orders(s, d),
         customer(s, d), nation(s, d))),
-    "txt_fuzzy_match" -> ((s, d) =>
-      Text.fuzzyNamePairs(nation(s, d), "n_nationkey", "n_name")),
-    "txt_fuzzy_parts" -> ((s, d) =>
-      Text.fuzzyDistinctNames(part(s, d), "p_name")),
-    "sca_generators" -> ((s, d) => Scalar.generatorFamily(nation(s, d))),
     "sim_knn_classify" -> ((s, d) => Similarity.knnClassify(embeddings(s, d), 8, 5)),
     "rel_exists_subquery" -> ((s, d) =>
       Relational.customersWithBigOrders(customer(s, d), orders(s, d))),
-    "rel_lateral_topk" -> ((s, d) =>
-      Relational.topSuppliersPerNationLateral(nation(s, d), supplier(s, d))),
-    "rel_topk_native" -> ((s, d) =>
-      Relational.topOrdersPerCustomerNative(orders(s, d), 3)),
-    "txt_readability" -> ((s, d) => Text.readability(documents(s, d))),
     "sca_bits" -> ((s, d) => Scalar.bitsFamily(nation(s, d))),
-    "rel_null_safe_join" -> ((s, d) =>
-      Relational.nullSafeJoinCounts(customer(s, d), supplier(s, d))),
     "rel_market_basket" -> ((s, d) => Relational.partCooccurrence(lineitem(s, d))),
     "rel_salted_join" -> ((s, d) =>
       Relational.saltedSupplierRevenue(lineitem(s, d), supplier(s, d))),
@@ -295,14 +476,9 @@ object SparkEntry {
     "txt_sentence_dedup" -> ((s, d) => Text.sentenceDedupStats(documents(s, d))),
     "sca_url" -> ((s, d) => Scalar.urlFamily(documents(s, d))),
     "sca_date3" -> ((s, d) => Scalar.dateFormatFamily(orders(s, d))),
-    "txt_stratified_sample" -> ((s, d) =>
-      Text.stratifiedSample(documents(s, d), Map("en" -> 50, "zh" -> 25))),
     "rel_latest_per_key" -> ((s, d) => Relational.latestEventPerUser(events(s, d))),
-    "rel_asof_forward" -> ((s, d) =>
-      Relational.asofNextEvent(orders(s, d), events(s, d))),
     "txt_bigram_lm" -> ((s, d) => Text.bigramLm(documents(s, d))),
     "txt_contamination" -> ((s, d) => Text.contaminationScores(documents(s, d))),
-    "xtr_group_quantiles" -> ((s, d) => Relational.groupQuantiles(lineitem(s, d))),
     "rel_funnel" -> ((s, d) => Relational.viewToPurchaseFunnel(events(s, d))),
     "rel_unpivot" -> ((s, d) => Relational.partMeasuresUnpivot(part(s, d))),
     "rel_nation_trade" -> ((s, d) =>
@@ -314,21 +490,10 @@ object SparkEntry {
       Relational.custOrderDistribution(customer(s, d), orders(s, d))),
     "str_session_native" -> ((s, d) =>
       graft.streaming.StreamingOps.nativeSessionWindows(events(s, d))),
-    "str_window_users" -> ((s, d) =>
-      graft.streaming.StreamingOps.windowUserCounts(events(s, d))),
-    "rel_scd2" -> ((s, d) => Relational.scd2Intervals(orders(s, d))),
-    "rel_asof_merge" -> ((s, d) =>
-      Relational.asofMergeJoin(events(s, d), orders(s, d))),
-    "txt_ttr" -> ((s, d) => Text.typeTokenRatio(documents(s, d))),
     "sca_struct" -> ((s, d) => Scalar.structFamily(customer(s, d))),
-    "xtr_kmv_distinct" -> ((s, d) => Scalar.kmvDistinct(lineitem(s, d))),
-    "rel_argmin" -> ((s, d) => Relational.cheapestSuppliers(lineitem(s, d))),
     "rel_dq_audit" -> ((s, d) =>
       Relational.dataQualityAudit(customer(s, d), orders(s, d), lineitem(s, d))),
     "mm_embed" -> ((s, d) => Multimodal.embedStub(documents(s, d))),
-    "mm_phash_dups" -> ((s, d) => Multimodal.phashDups(documents(s, d))),
-    "mm_phash_clusters" -> ((s, d) =>
-      Multimodal.phashClusters(documents(s, d))),
     "rel_supplier_dist" -> ((s, d) =>
       Relational.partTypeSuppliers(lineitem(s, d), part(s, d))),
     "dedup_apply" -> ((s, d) => Dedup.applyNearDupDedup(documents(s, d))),
@@ -343,19 +508,14 @@ object SparkEntry {
       Bloom.pruneStats(orders(s, d), col("o_custkey"), dim, col("c_custkey"))
     }),
     "xtr_cms_topk" -> ((s, d) => CountMin.heavyHitters(documents(s, d))),
-    "rel_disjunctive" -> ((s, d) =>
-      Relational.disjunctiveRevenue(lineitem(s, d), part(s, d))),
     "rel_waiting_supp" -> ((s, d) =>
       Relational.waitingSuppliers(lineitem(s, d), orders(s, d), supplier(s, d))),
     "rel_idle_rich" -> ((s, d) =>
       Relational.idleRichCustomers(customer(s, d), orders(s, d))),
     "rel_event_paths" -> ((s, d) => Relational.eventPaths(events(s, d))),
     "xtr_outliers" -> ((s, d) => Scalar.robustOutliers(events(s, d))),
-    "txt_winnow" -> ((s, d) => Text.winnowSketch(documents(s, d))),
-    "txt_winnow_pairs" -> ((s, d) => Text.winnowMatches(documents(s, d))),
     // capacity sized to the fixture's ~54-token docs so shards actually
     // span multiple bins (4096 would degenerate to one bin per shard)
-    "txt_pack_bins" -> ((s, d) => Text.packBins(documents(s, d), capacity = 512)),
     "xtr_zorder_key" -> ((s, d) => {
       // the clustering key behind Sources.writeZOrdered: Morton
       // interleave of (l_partkey, l_suppkey), computed by the native
@@ -373,7 +533,6 @@ object SparkEntry {
     "txt_mixture_sample" -> ((s, d) =>
       Text.mixtureSample(documents(s, d), mixtureRates)),
     "txt_novel_bigrams" -> ((s, d) => Text.novelBigrams(documents(s, d))),
-    "txt_dup_ngrams" -> ((s, d) => Text.ngramCoverage(documents(s, d))),
     "txt_quota_sample" -> ((s, d) => Text.quotaSample(documents(s, d))),
     "rel_concomp" -> ((s, d) =>
       Graph.copurchaseComponents(lineitem(s, d), orders(s, d))),
@@ -381,10 +540,7 @@ object SparkEntry {
       Graph.nationPageRank(nation(s, d), lineitem(s, d), orders(s, d),
         customer(s, d), supplier(s, d))),
     "sim_pq_topk" -> ((s, d) => Similarity.pqTopK(embeddings(s, d), 8, 5)),
-    "sim_pq_recall" -> ((s, d) => Similarity.pqRecall(embeddings(s, d), 8, 5)),
-    "sim_pq_rerank" -> ((s, d) => Similarity.pqRerankTopK(embeddings(s, d), 8, 5)),
     "sim_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(embeddings(s, d), 8, 5)),
-    "sim_ivfpq_recall" -> ((s, d) => Similarity.ivfpqRecall(embeddings(s, d), 8, 5)),
     "sim_ivf_salted" -> ((s, d) => Similarity.ivfTopKSalted(embeddings(s, d), 8, 5)),
     "sim_kmeans_cells" -> ((s, d) => Similarity.kmeansCellStats(embeddings(s, d), 16)),
     "rel_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(lineitem(s, d))),
@@ -406,18 +562,42 @@ object SparkEntry {
       Relational.priorityMix(lineitem(s, d), orders(s, d))),
     "rel_bulk_suppliers" -> ((s, d) => Relational.bulkSuppliers(
       lineitem(s, d), part(s, d), supplier(s, d))),
-    "txt_epoch_shuffle" -> ((s, d) => Text.epochShuffle(documents(s, d), 1)),
     "sim_ivfpq_res" -> ((s, d) => Similarity.ivfpqResidualTopK(embeddings(s, d), 8, 5)),
-    "sim_ivfpq_res_recall" -> ((s, d) => Similarity.ivfpqResidualRecall(embeddings(s, d), 8, 5)),
     "sim_label_centroids" -> ((s, d) => Similarity.labelCentroids(embeddings(s, d))),
     "sim_mmr" -> ((s, d) => Similarity.mmrTopK(embeddings(s, d), 8)),
     "sim_semdedup" -> ((s, d) => Similarity.semDedup(embeddings(s, d), 16, 0.2)),
     "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(embeddings(s, d), 8, 5)),
-    "sim_sq_recall" -> ((s, d) => Similarity.sqRecall(embeddings(s, d), 8, 5)),
-    "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(embeddings(s, d), 5)),
-    // one NN-Descent round over the kNN graph + IVF-cell wiring for
-    // band-orphan nodes; recall strictly above sim_knn_graph (spec-gated)
-    "sim_knn_refine" -> ((s, d) => Similarity.knnRefine(embeddings(s, d), 5)),
+    // every approximate arm's recall gate vs its brute-force twin,
+    // folded into ONE multi-assert query (one row per arm × query)
+    "sim_recall_gates" -> ((s, d) => {
+      val e = embeddings(s, d)
+      foldedQuery(Seq("query_id" -> "long", "recall_at_k" -> "double"),
+        "pq" -> Similarity.pqRecall(e, 8, 5),
+        "sq" -> Similarity.sqRecall(e, 8, 5),
+        "ivf" -> Similarity.ivfRecall(e, 8, 5),
+        "ivfpq" -> Similarity.ivfpqRecall(e, 8, 5),
+        "ivfpq_res" -> Similarity.ivfpqResidualRecall(e, 8, 5),
+        "ivf_filtered" -> Similarity.ivfFilteredRecall(e, 8, 5))
+    }),
+    // kNN graph + its NN-Descent refinement round, folded (refined
+    // recall strictly above the banded graph stays spec-gated)
+    "sim_knn_family" -> ((s, d) => {
+      val e = embeddings(s, d)
+      foldedQuery(Seq("query_id" -> "long", "neighbor_id" -> "long",
+          "sim" -> "double", "rank" -> "long"),
+        "graph" -> Similarity.knnGraph(e, 5),
+        "refine" -> Similarity.knnRefine(e, 5))
+    }),
+    // the three shortlist-compression re-rank arms (PQ ADC, random
+    // projection, Matryoshka truncation), folded
+    "sim_rerank_family" -> ((s, d) => {
+      val e = embeddings(s, d)
+      foldedQuery(Seq("query_id" -> "long", "neighbor_id" -> "long",
+          "sim" -> "double", "rank" -> "long"),
+        "pq" -> Similarity.pqRerankTopK(e, 8, 5),
+        "rp" -> Similarity.rpRerankTopK(e, 8, 5),
+        "mrl" -> Similarity.mrlRerankTopK(e, 8, 5))
+    }),
     "sim_label_prop" -> ((s, d) =>
       Similarity.labelPropagate(embeddings(s, d), 100, 5, 3)),
     "txt_bm25_topk" -> ((s, d) => Text.bm25TopK(documents(s, d))),
@@ -461,7 +641,6 @@ object SparkEntry {
     // full-corpus training). Compaction equivalence is spec-proven.
     "sim_ivfpq_delete" -> ((s, d) =>
       Similarity.ivfpqDeleteProbe(embeddings(s, d), ivfpqDeleteIndexBase(d), 8, 5)),
-    "txt_dup_spans" -> ((s, d) => Text.dupSpans(documents(s, d))),
     "txt_span_cut" -> ((s, d) => Text.spanCut(documents(s, d))),
     "txt_hybrid_rrf" -> ((s, d) => Text.hybridRrf(documents(s, d))),
     // hybrid retrieval over the STANDING indexes: lexical arm from the
@@ -533,49 +712,10 @@ object SparkEntry {
     // documented stale df, is spec-proven)
     "txt_bm25_delete" -> ((s, d) =>
       Text.bm25DeleteProbe(documents(s, d), bm25DeleteIndexBase(d))),
-    "rel_snapshot_diff" -> ((s, d) => {
-      // deterministic synthetic "next snapshot": every 97th key deleted,
-      // every 11th price bumped, every 101st key re-inserted shifted
-      val prev = orders(s, d)
-      val next = prev
-        .filter(col("o_orderkey") % 97 =!= 0)
-        .withColumn("o_totalprice",
-          when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
-            .otherwise(col("o_totalprice")))
-        .unionByName(prev.filter(col("o_orderkey") % 101 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
-      Relational.snapshotDiff(prev, next, "o_orderkey",
-        Seq("o_orderstatus", "o_totalprice"))
-    }),
     "txt_gopher_gate" -> ((s, d) => Text.gopherGate(documents(s, d))),
-    "xtr_kmv_overlap" -> ((s, d) => Text.langTokenOverlap(documents(s, d))),
-    "xtr_approx_quantile" -> ((s, d) => Scalar.approxQuantileGate(events(s, d))),
-    "rel_resample_ffill" -> ((s, d) => Relational.resampleFfill(events(s, d))),
-    "rel_resample_interp" -> ((s, d) => Relational.resampleInterp(events(s, d))),
-    "dedup_incremental" -> ((s, d) => {
-      // the train split plays the historical corpus; test+val arrive
-      // as the incoming batch and dedup against train's hash index
-      val docs = documents(s, d)
-      val split = Text.trainValSplit(docs).select(col("doc_id"), col("split"))
-      val withSplit = docs.join(split, Seq("doc_id"))
-      val seen = withSplit.filter(col("split") === "train")
-        .select(md5(col("text")).as("seen_hash")).distinct()
-      Dedup.incrementalDedup(
-        withSplit.filter(col("split") =!= "train"), seen)
-    }),
     "rel_triangles" -> ((s, d) =>
       Graph.nationTriangles(lineitem(s, d), orders(s, d), customer(s, d),
         supplier(s, d))),
-    "dedup_incr_near" -> ((s, d) => {
-      // the fuzzy twin of dedup_incremental: train split = historical
-      // corpus, the rest = incoming batch banded against its LSH index
-      val docs = documents(s, d)
-      val split = Text.trainValSplit(docs).select(col("doc_id"), col("split"))
-      val withSplit = docs.join(split, Seq("doc_id"))
-      Dedup.incrementalNearDup(
-        withSplit.filter(col("split") =!= "train"),
-        withSplit.filter(col("split") === "train"))
-    }),
     // the stored near-dup index pair: _build persists the history's
     // band postings + shingle sets (signatures computed once, when a
     // doc enters the history), _stored probes them without ever
@@ -1639,6 +1779,476 @@ object SparkEntry {
     "bu_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 500""".stripMargin,
+    "txt_fuzzy_family" -> foldedOracle(
+      Seq("name1" -> "string", "name2" -> "string", "dist" -> "long"),
+      ("names", Seq("name1", "name2", "dist"),
+        """WITH n AS (SELECT n_nationkey AS k, n_name AS nm FROM nation),
+                |g AS (SELECT DISTINCT k, nm, substring(nm, CAST(i AS INT), 3) AS gram
+                |      FROM n, unnest(generate_series(1, greatest(1, length(nm) - 2))) AS u(i)),
+                |c AS (SELECT DISTINCT a.nm AS name1, b.nm AS name2, a.k AS k1, b.k AS k2
+                |      FROM g a JOIN g b ON a.gram = b.gram AND a.k < b.k)
+                |SELECT name1, name2, CAST(levenshtein(name1, name2) AS BIGINT) AS dist
+                |FROM c WHERE levenshtein(name1, name2) <= 4
+                |ORDER BY name1, name2""".stripMargin),
+      ("parts", Seq("name1", "name2", "dist"),
+        """WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
+                |t AS (SELECT nm, split_part(nm, ' ', 1) AS tok FROM n)
+                |SELECT a.nm AS name1, b.nm AS name2,
+                | CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+                |FROM t a JOIN t b ON a.tok = b.tok AND a.nm < b.nm
+                |WHERE levenshtein(a.nm, b.nm) <= 4
+                |ORDER BY name1, name2""".stripMargin)),
+    "rel_join_strategies" -> foldedOracle(
+      Seq("s_name" -> "string", "n_items" -> "long", "revenue" -> "double"),
+      ("hash", Seq("s_name", "n_items", "revenue"),
+        """SELECT s_name, count(*) AS n_items,
+                | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+                |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                |GROUP BY s_name ORDER BY s_name""".stripMargin),
+      ("merge", Seq("s_name", "n_items", "revenue"),
+        """SELECT s_name, count(*) AS n_items,
+                | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+                |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                |GROUP BY s_name ORDER BY s_name""".stripMargin)),
+    "txt_sample_strata" -> foldedOracle(
+      Seq("lang" -> "string", "n_sampled" -> "long", "first_doc" -> "long"),
+      ("uniform", Seq("lang", "n_sampled", "first_doc"),
+        """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+                |FROM documents
+                |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+                |GROUP BY lang ORDER BY lang""".stripMargin),
+      ("stratified", Seq("lang", "n_sampled", "first_doc"),
+        """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+                |FROM documents
+                |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                |      < CASE WHEN lang = 'zh' THEN 25 WHEN lang = 'en' THEN 50 ELSE 10 END
+                |GROUP BY lang ORDER BY lang""".stripMargin)),
+    "txt_winnow_family" -> foldedOracle(
+      Seq("doc_id" -> "long", "n_fp" -> "long", "fp_min" -> "long", "fp_max" -> "long", "fp_xor" -> "long", "doc1" -> "long", "doc2" -> "long", "n_shared" -> "long"),
+      ("sketch", Seq("doc_id", "n_fp", "fp_min", "fp_max", "fp_xor"),
+        (winnowCte() + """
+                |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max,
+                |  bit_xor(fp) AS fp_xor
+                |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      ("pairs", Seq("doc1", "doc2", "n_shared"),
+        (winnowCte() + """,
+                |m AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
+                |      FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                |      GROUP BY 1, 2)
+                |SELECT doc1, doc2, n_shared FROM m WHERE n_shared >= 3
+                |ORDER BY doc1, doc2""".stripMargin))),
+    "txt_dup_family" -> foldedOracle(
+      Seq("doc_id" -> "long", "n_positions" -> "long", "n_dup" -> "long", "dup_frac" -> "double", "span_start" -> "long", "span_end" -> "long", "span_tokens" -> "long"),
+      ("ngrams", Seq("doc_id", "n_positions", "n_dup", "dup_frac"),
+        ngramCoverageOracle(5)),
+      ("spans", Seq("doc_id", "span_start", "span_end", "span_tokens"),
+        dupSpansOracle(5))),
+    "mm_phash_family" -> foldedOracle(
+      Seq("id1" -> "long", "id2" -> "long", "hamming" -> "long", "doc_id" -> "long", "canon_id" -> "long", "n_members" -> "long"),
+      ("dups", Seq("id1", "id2", "hamming"),
+        phashDupsOracle(4)),
+      ("clusters", Seq("doc_id", "canon_id", "n_members"),
+        phashClustersOracle(4))),
+    "rel_resample" -> foldedOracle(
+      Seq("user_id" -> "long", "day" -> "timestamp", "n_events" -> "long", "filled_value" -> "double", "interp_value" -> "double", "is_gap" -> "boolean"),
+      ("ffill", Seq("user_id", "day", "n_events", "filled_value", "is_gap"),
+        """WITH daily AS (
+                |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                |    sum(CAST(value AS DECIMAL(12,2))) AS day_value,
+                |    count(*) AS n_events
+                |  FROM events GROUP BY 1, 2),
+                |grid AS (
+                |  SELECT user_id, unnest(generate_series(min(day), max(day),
+                |    INTERVAL 1 DAY)) AS day
+                |  FROM daily GROUP BY user_id)
+                |SELECT g.user_id, g.day,
+                |  CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
+                |  CAST(last_value(d.day_value IGNORE NULLS) OVER (
+                |    PARTITION BY g.user_id ORDER BY g.day
+                |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                |    AS filled_value,
+                |  d.day_value IS NULL AS is_gap
+                |FROM grid g LEFT JOIN daily d
+                |  ON g.user_id = d.user_id AND g.day = d.day
+                |ORDER BY g.user_id, g.day""".stripMargin),
+      ("interp", Seq("user_id", "day", "interp_value", "is_gap"),
+        """WITH daily AS (
+                |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                |    sum(CAST(value AS DECIMAL(12,2))) AS day_value
+                |  FROM events GROUP BY 1, 2),
+                |grid AS (
+                |  SELECT user_id, unnest(generate_series(min(day), max(day),
+                |    INTERVAL 1 DAY)) AS day
+                |  FROM daily GROUP BY user_id),
+                |br AS (
+                |  SELECT g.user_id, g.day, d.day_value,
+                |    last_value(d.day_value IGNORE NULLS) OVER (
+                |      PARTITION BY g.user_id ORDER BY g.day
+                |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                |    last_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+                |      IGNORE NULLS) OVER (
+                |      PARTITION BY g.user_id ORDER BY g.day
+                |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                |    first_value(d.day_value IGNORE NULLS) OVER (
+                |      PARTITION BY g.user_id ORDER BY g.day
+                |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                |    first_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
+                |      IGNORE NULLS) OVER (
+                |      PARTITION BY g.user_id ORDER BY g.day
+                |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+                |  FROM grid g LEFT JOIN daily d
+                |    ON g.user_id = d.user_id AND g.day = d.day)
+                |SELECT user_id, day,
+                |  CASE WHEN day_value IS NOT NULL THEN CAST(day_value AS DOUBLE)
+                |    ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                |      * (CAST(date_diff('day', CAST(pd AS DATE), CAST(day AS DATE)) AS DOUBLE)
+                |         / CAST(date_diff('day', CAST(pd AS DATE), CAST(nd AS DATE)) AS DOUBLE))
+                |  END AS interp_value,
+                |  day_value IS NULL AS is_gap
+                |FROM br ORDER BY user_id, day""".stripMargin)),
+    "xtr_kmv" -> foldedOracle(
+      Seq("l_returnflag" -> "string", "exact_parts" -> "long", "kmv_est" -> "double", "lang1" -> "string", "lang2" -> "string", "est_1" -> "double", "est_2" -> "double", "est_union" -> "double", "est_inter" -> "double", "jaccard_est" -> "double"),
+      ("distinct", Seq("l_returnflag", "exact_parts", "kmv_est"),
+        """WITH ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+                |            FROM lineitem GROUP BY 1),
+                |h AS (SELECT DISTINCT l_returnflag,
+                |        ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+                |      FROM lineitem),
+                |r AS (SELECT l_returnflag, hv,
+                |        row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+                |        count(*) OVER (PARTITION BY l_returnflag) AS nd
+                |      FROM h),
+                |est AS (SELECT l_returnflag,
+                |          CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+                |               ELSE 63.0 * 4294967296.0 /
+                |                    CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END AS kmv_est
+                |        FROM r GROUP BY l_returnflag)
+                |SELECT ex.l_returnflag, exact_parts, kmv_est
+                |FROM ex JOIN est USING (l_returnflag)
+                |ORDER BY l_returnflag""".stripMargin),
+      ("overlap", Seq("lang1", "lang2", "est_1", "est_2", "est_union", "est_inter", "jaccard_est"),
+        """WITH tok AS (SELECT lang,
+                |        ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv
+                |      FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+                |            FROM documents) u),
+                |h AS (SELECT DISTINCT lang, hv FROM tok),
+                |r AS (SELECT lang, hv,
+                |        row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+                |      FROM h),
+                |sk AS (SELECT lang, list(hv ORDER BY hv) AS s
+                |       FROM r WHERE rn <= 64 GROUP BY lang),
+                |p AS (SELECT a.lang AS lang1, b.lang AS lang2, a.s AS sa, b.s AS sb
+                |      FROM sk a JOIN sk b ON a.lang < b.lang),
+                |u2 AS (SELECT lang1, lang2, sa, sb,
+                |        list_slice(list_sort(list_distinct(sa || sb)), 1, 64) AS su
+                |       FROM p),
+                |e AS (SELECT lang1, lang2,
+                |    CASE WHEN len(sa) < 64 THEN CAST(len(sa) AS DOUBLE)
+                |         ELSE 63.0 * 4294967296.0 / CAST(sa[64] AS DOUBLE) END AS est_1,
+                |    CASE WHEN len(sb) < 64 THEN CAST(len(sb) AS DOUBLE)
+                |         ELSE 63.0 * 4294967296.0 / CAST(sb[64] AS DOUBLE) END AS est_2,
+                |    CASE WHEN len(su) < 64 THEN CAST(len(su) AS DOUBLE)
+                |         ELSE 63.0 * 4294967296.0 / CAST(su[64] AS DOUBLE) END AS est_union
+                |  FROM u2)
+                |SELECT lang1, lang2, est_1, est_2, est_union,
+                |  greatest(est_1 + est_2 - est_union, 0.0) AS est_inter,
+                |  greatest(est_1 + est_2 - est_union, 0.0) / est_union AS jaccard_est
+                |FROM e ORDER BY lang1, lang2""".stripMargin)),
+    "xtr_quantiles" -> foldedOracle(
+      Seq("event_type" -> "string", "exact_p50" -> "double", "approx_in_rank_band" -> "boolean", "l_returnflag" -> "string", "qty_p25" -> "double", "qty_p50" -> "double", "qty_p75" -> "double", "n" -> "long"),
+      ("approx_gate", Seq("event_type", "exact_p50", "approx_in_rank_band"),
+        approxQuantileOracle),
+      ("grouped", Seq("l_returnflag", "qty_p25", "qty_p50", "qty_p75", "n"),
+        """SELECT l_returnflag,
+                | quantile_cont(l_quantity, 0.25) AS qty_p25,
+                | quantile_cont(l_quantity, 0.5) AS qty_p50,
+                | quantile_cont(l_quantity, 0.75) AS qty_p75,
+                | count(*) AS n
+                |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    "rel_topk_variants" -> foldedOracle(
+      Seq("o_orderkey" -> "long", "o_custkey" -> "long", "o_totalprice" -> "double", "n_nationkey" -> "int", "s_suppkey" -> "long", "s_acctbal" -> "double"),
+      ("native_heap", Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        """WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                |  row_number() OVER (PARTITION BY o_custkey
+                |    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT)
+                |             * 10000000 + o_orderkey DESC) AS rn
+                |  FROM orders)
+                |SELECT o_orderkey, o_custkey, o_totalprice FROM r WHERE rn <= 3
+                |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      ("lateral", Seq("n_nationkey", "s_suppkey", "s_acctbal"),
+        """SELECT n_nationkey, s_suppkey, s_acctbal
+                |FROM nation n,
+                |LATERAL (SELECT s_suppkey, s_acctbal FROM supplier s
+                |         WHERE s.s_nationkey = n.n_nationkey
+                |         ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+                |ORDER BY n_nationkey, s_acctbal DESC, s_suppkey""".stripMargin)),
+    "rel_argminmax" -> foldedOracle(
+      Seq("l_partkey" -> "long", "l_suppkey" -> "long", "o_orderstatus" -> "string", "priciest_order" -> "long", "cheapest_order" -> "long", "max_price" -> "double", "min_price" -> "double"),
+      ("argmin", Seq("l_partkey", "l_suppkey", "min_price"),
+        """SELECT DISTINCT l_partkey, l_suppkey,
+                | CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS min_price
+                |FROM lineitem l
+                |WHERE CAST(l_extendedprice AS DECIMAL(12,2)) = (
+                |  SELECT min(CAST(x.l_extendedprice AS DECIMAL(12,2)))
+                |  FROM lineitem x WHERE x.l_partkey = l.l_partkey)
+                |ORDER BY l_partkey, l_suppkey""".stripMargin),
+      ("minmax_by", Seq("o_orderstatus", "priciest_order", "cheapest_order", "max_price", "min_price"),
+        """SELECT o_orderstatus,
+                | arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT) * 10000000 + o_orderkey) AS priciest_order,
+                | arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order,
+                | CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+                | CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price
+                |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+    "mm_grid_family" -> foldedOracle(
+      Seq("doc_id" -> "long", "frame_idx" -> "long", "frame_len" -> "long", "tx" -> "long", "ty" -> "long", "tile_w" -> "long", "tile_h" -> "long"),
+      ("frames", Seq("doc_id", "frame_idx", "frame_len"),
+        """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+                |f AS (SELECT doc_id, n,
+                |        unnest(generate_series(0, greatest(1, n // 256) - 1)) AS i FROM d)
+                |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                | CAST(least(256, n - i * 256) AS BIGINT) AS frame_len
+                |FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin),
+      ("tiles", Seq("doc_id", "tx", "ty", "tile_w", "tile_h"),
+        """WITH m AS (SELECT doc_id,
+                |   CAST(16 * strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS BIGINT) AS width,
+                |   CAST(16 * strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS BIGINT) AS height
+                | FROM documents),
+                |g AS (SELECT doc_id, width, height,
+                |   unnest(generate_series(0, (width + 63) // 64 - 1)) AS tx FROM m),
+                |t AS (SELECT doc_id, width, height, tx,
+                |   unnest(generate_series(0, (height + 63) // 64 - 1)) AS ty FROM g)
+                |SELECT doc_id, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+                | CAST(least(64, width - tx * 64) AS BIGINT) AS tile_w,
+                | CAST(least(64, height - ty * 64) AS BIGINT) AS tile_h
+                |FROM t ORDER BY doc_id, tx, ty""".stripMargin)),
+    "sca_genseq" -> foldedOracle(
+      Seq("n_nationkey" -> "int", "pos" -> "long", "part" -> "string", "seq_len" -> "long", "seq_sum" -> "long", "one_two_three" -> "string"),
+      ("generators", Seq("n_nationkey", "pos", "part"),
+        """WITH s AS (SELECT n_nationkey, string_split(n_name, '_') AS parts FROM nation)
+                |SELECT n_nationkey, CAST(i - 1 AS BIGINT) AS pos, parts[i] AS part
+                |FROM s, unnest(generate_series(1, len(parts))) AS u(i)
+                |ORDER BY n_nationkey, pos""".stripMargin),
+      ("sequence", Seq("n_nationkey", "seq_len", "seq_sum", "one_two_three"),
+        """SELECT n_nationkey,
+                | CAST(len(generate_series(0, n_nationkey)) AS BIGINT) AS seq_len,
+                | CAST(list_sum(generate_series(0, n_nationkey)) AS BIGINT) AS seq_sum,
+                | '1-2-3' AS one_two_three
+                |FROM nation ORDER BY n_nationkey""".stripMargin)),
+    "txt_doc_metrics" -> foldedOracle(
+      Seq("doc_id" -> "long", "n_tokens" -> "long", "n_types" -> "long", "ttr" -> "double", "n_words" -> "long", "n_sentences" -> "long", "n_syllables" -> "long", "flesch" -> "double"),
+      ("ttr", Seq("doc_id", "n_tokens", "n_types", "ttr"),
+        """SELECT doc_id,
+                | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+                | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                |   / len(string_split(text, ' ')) AS ttr
+                |FROM documents ORDER BY doc_id""".stripMargin),
+      ("readability", Seq("doc_id", "n_words", "n_sentences", "n_syllables", "flesch"),
+        """SELECT doc_id,
+                | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                | CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+                | CAST(greatest(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))) AS BIGINT) AS n_syllables,
+                | 206.835
+                |   - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
+                |              / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+                |   - 84.6 * (CAST(greatest(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))) AS DOUBLE)
+                |             / len(string_split(text, ' '))) AS flesch
+                |FROM documents ORDER BY doc_id""".stripMargin)),
+    "str_watermarks" -> foldedOracle(
+      Seq("event_type" -> "string", "n_events" -> "long", "n_late" -> "long", "n_on_time" -> "long", "late_share" -> "double", "window_start" -> "timestamp", "n_users" -> "long"),
+      ("late_audit", Seq("event_type", "n_events", "n_late", "n_on_time", "late_share"),
+        """WITH b AS (SELECT event_type, epoch_us(ts) AS tsu,
+                |    (epoch_us(ts)
+                |      + (('0x' || substr(md5('lda:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                |         % 3600) * 1000000) // 3600000000 AS batch_id
+                |  FROM events),
+                |bm AS (SELECT batch_id, max(tsu) AS bmax FROM b GROUP BY batch_id),
+                |wm AS (SELECT batch_id,
+                |    max(bmax) OVER (ORDER BY batch_id
+                |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                |      - 1800000000 AS wmu
+                |  FROM bm),
+                |t AS (SELECT event_type,
+                |    (wmu IS NOT NULL AND tsu < wmu) AS late
+                |  FROM b JOIN wm USING (batch_id))
+                |SELECT event_type, count(*) AS n_events,
+                |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                |  CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time,
+                |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                |    AS late_share
+                |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin),
+      ("window_users", Seq("window_start", "n_users", "n_events"),
+        """SELECT date_trunc('hour', ts) AS window_start,
+                | count(DISTINCT user_id) AS n_users, count(*) AS n_events
+                |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin)),
+    "rel_scd_family" -> foldedOracle(
+      Seq("o_custkey" -> "long", "o_orderkey" -> "long", "o_orderstatus" -> "string", "effective_from" -> "timestamp", "effective_to" -> "timestamp", "is_current" -> "boolean", "op" -> "string", "n_rows" -> "long"),
+      ("scd2", Seq("o_custkey", "o_orderkey", "o_orderstatus", "effective_from", "effective_to", "is_current"),
+        """SELECT o_custkey, o_orderkey, o_orderstatus,
+                | o_orderdate AS effective_from,
+                | coalesce(lead(o_orderdate) OVER w, TIMESTAMP '2200-01-01') AS effective_to,
+                | (lead(o_orderdate) OVER w IS NULL) AS is_current
+                |FROM orders
+                |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                |ORDER BY o_custkey, effective_from, o_orderkey""".stripMargin),
+      ("snapshot_diff", Seq("op", "n_rows"),
+        """WITH next AS (
+                |  SELECT o_orderkey,
+                |    o_orderstatus,
+                |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+                |         ELSE o_totalprice END AS o_totalprice
+                |  FROM orders WHERE o_orderkey % 97 <> 0
+                |  UNION ALL
+                |  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
+                |  FROM orders WHERE o_orderkey % 101 = 0),
+                |d AS (SELECT
+                |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                |         WHEN n.o_orderkey IS NULL THEN 'delete'
+                |         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                |           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                |           THEN 'update'
+                |         ELSE 'same' END AS op
+                |  FROM orders o FULL OUTER JOIN next n
+                |    ON o.o_orderkey = n.o_orderkey)
+                |SELECT op, count(*) AS n_rows FROM d GROUP BY op ORDER BY op""".stripMargin)),
+    "rel_join_predicates" -> foldedOracle(
+      Seq("ckey_s" -> "long", "n_pairs" -> "long", "revenue" -> "double", "n_items" -> "long"),
+      ("null_safe", Seq("ckey_s", "n_pairs"),
+        """SELECT coalesce(ckey, -1) AS ckey_s, count(*) AS n_pairs
+                |FROM (SELECT nullif(CAST(c_nationkey % 5 AS BIGINT), 0) AS ckey FROM customer) c
+                |JOIN (SELECT nullif(CAST(s_nationkey % 5 AS BIGINT), 0) AS skey FROM supplier) s
+                |ON c.ckey IS NOT DISTINCT FROM s.skey
+                |GROUP BY 1 ORDER BY 1""".stripMargin),
+      ("disjunctive", Seq("revenue", "n_items"),
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                |   CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+                | count(*) AS n_items
+                |FROM lineitem JOIN part ON l_partkey = p_partkey
+                |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                |        AND l_quantity BETWEEN 1 AND 20)
+                |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                |        AND l_quantity BETWEEN 10 AND 35)
+                |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                |        AND l_quantity BETWEEN 20 AND 50)""".stripMargin)),
+    "txt_pack_family" -> foldedOracle(
+      Seq("shard" -> "long", "bin" -> "long", "n_docs" -> "long", "sum_tokens" -> "long", "first_doc" -> "long", "last_doc" -> "long", "doc_id" -> "long", "pos" -> "long"),
+      ("bins", Seq("shard", "bin", "n_docs", "sum_tokens", "first_doc", "last_doc"),
+        """WITH d AS (SELECT doc_id,
+                |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                |    CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 8 AS INT) AS shard
+                |  FROM documents),
+                |c AS (SELECT doc_id, n_tokens, shard,
+                |        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+                |      FROM d)
+                |SELECT shard, (cum - n_tokens) // 512 AS bin,
+                |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+                |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin),
+      ("epoch_shuffle", Seq("doc_id", "shard", "pos"),
+        s"""WITH h AS (SELECT doc_id,
+                |    ('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+                |  FROM documents)
+                |SELECT doc_id, h % 8 AS shard,
+                |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+                |FROM h ORDER BY doc_id""".stripMargin)),
+    "rel_asof_directed" -> foldedOracle(
+      Seq("o_orderkey" -> "long", "next_event_id" -> "long", "next_ts" -> "timestamp", "event_id" -> "long", "asof_orderkey" -> "long", "asof_orderdate" -> "timestamp"),
+      ("forward", Seq("o_orderkey", "next_event_id", "next_ts"),
+        """SELECT o_orderkey, next_event_id, next_ts FROM (
+                |  SELECT o.o_orderkey, e.event_id AS next_event_id, e.ts AS next_ts,
+                |         row_number() OVER (PARTITION BY o.o_orderkey
+                |                            ORDER BY e.ts ASC, e.event_id ASC) AS rn
+                |  FROM orders o JOIN events e
+                |    ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate) t
+                |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin),
+      ("merge_scan", Seq("event_id", "asof_orderkey", "asof_orderdate"),
+        """SELECT event_id, asof_orderkey, asof_orderdate FROM (
+                |  SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
+                |         row_number() OVER (PARTITION BY e.event_id
+                |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                |  FROM events e JOIN orders o
+                |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
+                |WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+    "dedup_incr_family" -> foldedOracle(
+      Seq("doc_id" -> "long", "lang" -> "string", "source" -> "string", "n_cands" -> "long", "n_dups" -> "long", "dup_of" -> "long", "is_dup" -> "boolean"),
+      ("exact", Seq("doc_id", "lang", "source"),
+        """WITH s AS (SELECT doc_id, lang, source, text,
+                |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                |         ELSE 'test' END AS split
+                |  FROM documents),
+                |seen AS (SELECT DISTINCT md5(text) AS h FROM s WHERE split = 'train'),
+                |inc AS (SELECT doc_id, lang, source, text FROM s
+                |        WHERE split <> 'train'
+                |          AND md5(text) NOT IN (SELECT h FROM seen)),
+                |r AS (SELECT doc_id, lang, source,
+                |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                |      FROM inc)
+                |SELECT doc_id, lang, source FROM r WHERE rn = 1
+                |ORDER BY doc_id""".stripMargin),
+      ("near", Seq("doc_id", "n_cands", "n_dups", "dup_of", "is_dup"),
+        incrNearOracle(0.3))),
+    "rel_set_ops" -> foldedOracle(
+      Seq("nk" -> "int", "n" -> "long"),
+      ("union", Seq("nk", "n"),
+        "SELECT nk, CAST(1 AS BIGINT) AS n FROM (" + (
+        """SELECT c_nationkey AS nk FROM customer
+                |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) + ") q1"),
+      ("intersect", Seq("nk", "n"),
+        "SELECT nk, CAST(1 AS BIGINT) AS n FROM (" + (
+        """SELECT c_nationkey AS nk FROM customer
+                |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) + ") q1"),
+      ("except", Seq("nk", "n"),
+        "SELECT nk, CAST(1 AS BIGINT) AS n FROM (" + (
+        """SELECT c_nationkey AS nk FROM customer
+                |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) + ") q1"),
+      ("union_all", Seq("nk", "n"),
+        """SELECT nk, count(*) AS n FROM (
+                |  SELECT c_nationkey AS nk FROM customer
+                |  UNION ALL SELECT s_nationkey FROM supplier) t
+                |GROUP BY nk ORDER BY nk""".stripMargin),
+      ("intersect_all", Seq("nk", "n"),
+        """SELECT nk, count(*) AS n FROM (
+                |  SELECT c_nationkey AS nk FROM customer
+                |  INTERSECT ALL SELECT s_nationkey FROM supplier) t
+                |GROUP BY nk ORDER BY nk""".stripMargin),
+      ("except_all", Seq("nk", "n"),
+        """SELECT nk, count(*) AS n FROM (
+                |  SELECT c_nationkey AS nk FROM customer
+                |  EXCEPT ALL SELECT s_nationkey FROM supplier) t
+                |GROUP BY nk ORDER BY nk""".stripMargin)),
+    "rel_grouping_family" -> foldedOracle(
+      Seq("k1" -> "string", "k2" -> "string", "n" -> "long", "agg" -> "double"),
+      ("rollup", Seq("k1", "k2", "n", "agg"),
+        "SELECT o_orderstatus AS k1, o_orderpriority AS k2, n, total AS agg FROM (" + (
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+                |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+                |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) + ") qg"),
+      ("cube", Seq("k1", "k2", "n", "agg"),
+        "SELECT l_returnflag AS k1, l_linestatus AS k2, n, sum_qty AS agg FROM (" + (
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+                |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+                |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) + ") qg"),
+      ("gsets", Seq("k1", "k2", "n", "agg"),
+        "SELECT o_orderstatus AS k1, o_orderpriority AS k2, n, total AS agg FROM (" + (
+        """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+                | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+                |FROM orders
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+                |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) + ") qg")),
+    "rel_semi_anti" -> foldedOracle(
+      Seq("c_custkey" -> "long", "c_name" -> "string", "c_mktsegment" -> "string", "acctbal" -> "double"),
+      ("semi", Seq("c_custkey", "c_name", "c_mktsegment"),
+        """SELECT c_custkey, c_name, c_mktsegment FROM customer
+                |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                |ORDER BY c_custkey""".stripMargin),
+      ("anti", Seq("c_custkey", "c_name", "acctbal"),
+        """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
+                |FROM customer
+                |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+                |ORDER BY c_custkey""".stripMargin)),
     "bu_merge" ->
       """SELECT l_returnflag,
         | CASE WHEN l_quantity >= 45 THEN CAST(0.99 AS DOUBLE)
@@ -1684,15 +2294,6 @@ object SparkEntry {
         |RIGHT JOIN (SELECT o_orderkey, o_custkey FROM orders) o
         |  ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
-    "rel_semi_join" ->
-      """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
-    "rel_anti_join" ->
-      """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
-        |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY c_custkey""".stripMargin,
     "rel_window_topk" ->
       """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice, rk
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1719,25 +2320,6 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
         |FROM lineitem
         |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
-    "rel_union" ->
-      """SELECT c_nationkey AS nk FROM customer
-        |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
-    "rel_intersect" ->
-      """SELECT c_nationkey AS nk FROM customer
-        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
-    "rel_except" ->
-      """SELECT c_nationkey AS nk FROM customer
-        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
-    "rel_rollup" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
-        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
-    "rel_cube" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "rel_count_distinct" ->
       """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_orderkey) AS n_orders
@@ -1756,27 +2338,6 @@ object SparkEntry {
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
-    "rel_union_all" ->
-      """SELECT nk, count(*) AS n FROM (
-        |  SELECT c_nationkey AS nk FROM customer
-        |  UNION ALL SELECT s_nationkey FROM supplier) t
-        |GROUP BY nk ORDER BY nk""".stripMargin,
-    "rel_intersect_all" ->
-      """SELECT nk, count(*) AS n FROM (
-        |  SELECT c_nationkey AS nk FROM customer
-        |  INTERSECT ALL SELECT s_nationkey FROM supplier) t
-        |GROUP BY nk ORDER BY nk""".stripMargin,
-    "rel_except_all" ->
-      """SELECT nk, count(*) AS n FROM (
-        |  SELECT c_nationkey AS nk FROM customer
-        |  EXCEPT ALL SELECT s_nationkey FROM supplier) t
-        |GROUP BY nk ORDER BY nk""".stripMargin,
-    "rel_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "rel_pivot" ->
       """SELECT o_orderstatus,
         | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
@@ -2046,7 +2607,6 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1
         |ORDER BY text_hash""".stripMargin,
     "dedup_minhash" -> minhashOracle,
-    "dedup_incr_near" -> incrNearOracle(0.3),
     "dedup_index_build" -> dedupIndexBuildOracle,
     // the stored probe serves the same signatures (parquet round-trips
     // the integer hashes exactly), so its oracle IS the inline one
@@ -2077,8 +2637,6 @@ object SparkEntry {
     // the stored filtered probe serves the same trained geometry, so
     // its oracle IS the inline filtered-IVF derivation
     "sim_ivfpq_filtered" -> ivfOracle(8, 5, candPred = "a.label % 2 = 0"),
-    "sim_rp_rerank" -> rpRerankOracle(8, 5, 20),
-    "sim_mrl_rerank" -> mrlRerankOracle(8, 5, 20),
     "mm_ann" -> mmAnnOracle(8, 5, 8),
     "txt_phrase_search" -> phraseOracle,
     // the stored probe serves the same positional token frame, so its
@@ -2087,8 +2645,6 @@ object SparkEntry {
     "txt_collocations" -> collocationsOracle(5, 20),
     "txt_dsir_weights" -> dsirOracle(50),
     "txt_bpe_train" -> bpeTrainOracle(4),
-    "sim_ivf_recall" -> ivfRecallOracle(8, 5),
-    "sim_filtered_recall" -> filteredRecallOracle(8, 5),
     "txt_bpe_tokens" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
@@ -2129,42 +2685,15 @@ object SparkEntry {
         | CAST(16 * strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS BIGINT) AS height,
         | CAST(strpos('0123456789abcdef', substr(md5(text), 3, 1)) AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "mm_tiles" ->
-      """WITH m AS (SELECT doc_id,
-        |   CAST(16 * strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS BIGINT) AS width,
-        |   CAST(16 * strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS BIGINT) AS height
-        | FROM documents),
-        |g AS (SELECT doc_id, width, height,
-        |   unnest(generate_series(0, (width + 63) // 64 - 1)) AS tx FROM m),
-        |t AS (SELECT doc_id, width, height, tx,
-        |   unnest(generate_series(0, (height + 63) // 64 - 1)) AS ty FROM g)
-        |SELECT doc_id, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
-        | CAST(least(64, width - tx * 64) AS BIGINT) AS tile_w,
-        | CAST(least(64, height - ty * 64) AS BIGINT) AS tile_h
-        |FROM t ORDER BY doc_id, tx, ty""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
         | CAST(least(64, octet_length(encode(text))) AS BIGINT) AS n_bytes_out,
         | md5(substr(text, 1, 64)) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "mm_frames" ->
-      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-        |f AS (SELECT doc_id, n,
-        |        unnest(generate_series(0, greatest(1, n // 256) - 1)) AS i FROM d)
-        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-        | CAST(least(256, n - i * 256) AS BIGINT) AS frame_len
-        |FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
     "rel_string_agg" ->
       """SELECT s_nationkey, count(*) AS n_suppliers,
         | string_agg(s_name, ',' ORDER BY s_name) AS names
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
-    "rel_minmax_by" ->
-      """SELECT o_orderstatus,
-        | arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT) * 10000000 + o_orderkey) AS priciest_order,
-        | arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order,
-        | CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
-        | CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "rel_window_range_time" ->
       """SELECT event_id, user_id,
         | CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
@@ -2184,18 +2713,8 @@ object SparkEntry {
         |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
-    "rel_shuffle_hash_join" ->
-      """SELECT s_name, count(*) AS n_items,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     // same relation as rel_shuffle_hash_join — the oracle proves the
     // merge-hinted plan is result-identical to the hash-strategy one
-    "rel_merge_join" ->
-      """SELECT s_name, count(*) AS n_items,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "sca_cast" ->
       """SELECT raw,
         | TRY_CAST(raw AS DOUBLE) AS as_double,
@@ -2216,21 +2735,10 @@ object SparkEntry {
         |   p -> p[1] || ':' || p[2])[1:3], ',') AS first3_tagged
         |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) s
         |ORDER BY doc_id""".stripMargin,
-    "sca_sequence" ->
-      """SELECT n_nationkey,
-        | CAST(len(generate_series(0, n_nationkey)) AS BIGINT) AS seq_len,
-        | CAST(list_sum(generate_series(0, n_nationkey)) AS BIGINT) AS seq_sum,
-        | '1-2-3' AS one_two_three
-        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "xtr_custom_agg" ->
       """SELECT event_type, count(*) AS n,
         | min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "txt_hash_sample" ->
-      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
-        |FROM documents
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
-        |GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_cluster" -> (clusterCte +
       """
         |SELECT id AS doc_id, canon_id,
@@ -2335,21 +2843,6 @@ object SparkEntry {
         |SELECT w1, w2, n_pair, n_w1, CAST(n_pair AS DOUBLE) / n_w1 AS cond_p
         |FROM bc JOIN u2 USING (w1)
         |ORDER BY n_pair DESC, w1, w2 LIMIT 20""".stripMargin,
-    "rel_asof_forward" ->
-      """SELECT o_orderkey, next_event_id, next_ts FROM (
-        |  SELECT o.o_orderkey, e.event_id AS next_event_id, e.ts AS next_ts,
-        |         row_number() OVER (PARTITION BY o.o_orderkey
-        |                            ORDER BY e.ts ASC, e.event_id ASC) AS rn
-        |  FROM orders o JOIN events e
-        |    ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate) t
-        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
-    "xtr_group_quantiles" ->
-      """SELECT l_returnflag,
-        | quantile_cont(l_quantity, 0.25) AS qty_p25,
-        | quantile_cont(l_quantity, 0.5) AS qty_p50,
-        | quantile_cont(l_quantity, 0.75) AS qty_p75,
-        | count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "rel_latest_per_key" ->
       """SELECT user_id, last_event_id, last_type, last_ts FROM (
         |  SELECT user_id, event_id AS last_event_id, event_type AS last_type,
@@ -2358,12 +2851,6 @@ object SparkEntry {
         |           ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "txt_stratified_sample" ->
-      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
-        |FROM documents
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
-        |      < CASE WHEN lang = 'zh' THEN 25 WHEN lang = 'en' THEN 50 ELSE 10 END
-        |GROUP BY lang ORDER BY lang""".stripMargin,
     "sca_date3" ->
       """SELECT o_orderkey,
         | strftime(o_orderdate, '%Y-%m') AS period,
@@ -2455,17 +2942,6 @@ object SparkEntry {
         |SELECT (fv IS NOT NULL AND fp IS NOT NULL AND fv < fp) AS converted,
         |  count(*) AS n_users
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
-    "txt_readability" ->
-      """SELECT doc_id,
-        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        | CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
-        | CAST(greatest(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))) AS BIGINT) AS n_syllables,
-        | 206.835
-        |   - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
-        |              / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
-        |   - 84.6 * (CAST(greatest(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))) AS DOUBLE)
-        |             / len(string_split(text, ' '))) AS flesch
-        |FROM documents ORDER BY doc_id""".stripMargin,
     "sca_bits" ->
       """SELECT n_nationkey,
         | CAST(n_nationkey & 5 AS BIGINT) AS band,
@@ -2475,33 +2951,12 @@ object SparkEntry {
         | CAST(n_nationkey >> 1 AS BIGINT) AS shr,
         | CAST(bit_count(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS popcount
         |FROM nation ORDER BY n_nationkey""".stripMargin,
-    "rel_null_safe_join" ->
-      """SELECT coalesce(ckey, -1) AS ckey_s, count(*) AS n_pairs
-        |FROM (SELECT nullif(CAST(c_nationkey % 5 AS BIGINT), 0) AS ckey FROM customer) c
-        |JOIN (SELECT nullif(CAST(s_nationkey % 5 AS BIGINT), 0) AS skey FROM supplier) s
-        |ON c.ckey IS NOT DISTINCT FROM s.skey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "rel_topk_native" ->
-      """WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice,
-        |  row_number() OVER (PARTITION BY o_custkey
-        |    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT)
-        |             * 10000000 + o_orderkey DESC) AS rn
-        |  FROM orders)
-        |SELECT o_orderkey, o_custkey, o_totalprice FROM r WHERE rn <= 3
-        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "rel_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
-    "rel_lateral_topk" ->
-      """SELECT n_nationkey, s_suppkey, s_acctbal
-        |FROM nation n,
-        |LATERAL (SELECT s_suppkey, s_acctbal FROM supplier s
-        |         WHERE s.s_nationkey = n.n_nationkey
-        |         ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
-        |ORDER BY n_nationkey, s_acctbal DESC, s_suppkey""".stripMargin,
     "sim_knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
         |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label FROM embeddings),
@@ -2518,11 +2973,6 @@ object SparkEntry {
         |      FROM v)
         |SELECT query_id, CAST(label AS BIGINT) AS predicted_label, votes
         |FROM p WHERE rn = 1 ORDER BY query_id""".stripMargin,
-    "sca_generators" ->
-      """WITH s AS (SELECT n_nationkey, string_split(n_name, '_') AS parts FROM nation)
-        |SELECT n_nationkey, CAST(i - 1 AS BIGINT) AS pos, parts[i] AS part
-        |FROM s, unnest(generate_series(1, len(parts))) AS u(i)
-        |ORDER BY n_nationkey, pos""".stripMargin,
     "rel_unpivot" ->
       """SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
         |UNION ALL
@@ -2560,23 +3010,6 @@ object SparkEntry {
     // blocked semantics on both sides: candidates share a 3-gram
     // (txt_fuzzy_match) or their first token (txt_fuzzy_parts), then the
     // exact levenshtein verify runs per candidate
-    "txt_fuzzy_match" ->
-      """WITH n AS (SELECT n_nationkey AS k, n_name AS nm FROM nation),
-        |g AS (SELECT DISTINCT k, nm, substring(nm, CAST(i AS INT), 3) AS gram
-        |      FROM n, unnest(generate_series(1, greatest(1, length(nm) - 2))) AS u(i)),
-        |c AS (SELECT DISTINCT a.nm AS name1, b.nm AS name2, a.k AS k1, b.k AS k2
-        |      FROM g a JOIN g b ON a.gram = b.gram AND a.k < b.k)
-        |SELECT name1, name2, CAST(levenshtein(name1, name2) AS BIGINT) AS dist
-        |FROM c WHERE levenshtein(name1, name2) <= 4
-        |ORDER BY name1, name2""".stripMargin,
-    "txt_fuzzy_parts" ->
-      """WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
-        |t AS (SELECT nm, split_part(nm, ' ', 1) AS tok FROM n)
-        |SELECT a.nm AS name1, b.nm AS name2,
-        | CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
-        |FROM t a JOIN t b ON a.tok = b.tok AND a.nm < b.nm
-        |WHERE levenshtein(a.nm, b.nm) <= 4
-        |ORDER BY name1, name2""".stripMargin,
     "rel_nation_trade" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | CAST(year(l_shipdate) AS BIGINT) AS ship_year,
@@ -2632,10 +3065,6 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM z GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
-    "str_window_users" ->
-      """SELECT date_trunc('hour', ts) AS window_start,
-        | count(DISTINCT user_id) AS n_users, count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
     "rel_supplier_dist" ->
       """SELECT p_brand, p_type,
         | count(DISTINCT l_suppkey) AS supplier_cnt,
@@ -2655,8 +3084,6 @@ object SparkEntry {
         | ('0x' || substr(md5(text), 13, 2))::BIGINT / 255.0 AS e6,
         | ('0x' || substr(md5(text), 15, 2))::BIGINT / 255.0 AS e7
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "mm_phash_dups" -> phashDupsOracle(4),
-    "mm_phash_clusters" -> phashClustersOracle(4),
     "rel_dq_audit" ->
       """SELECT 'orders_fk_customer' AS "check",
         |  (SELECT count(*) FROM orders o LEFT JOIN customer c
@@ -2673,39 +3100,6 @@ object SparkEntry {
         |UNION ALL SELECT 'totalprice_positive',
         |  (SELECT count(*) FILTER (WHERE o_totalprice <= 0) FROM orders)
         |ORDER BY "check"""".stripMargin,
-    "rel_argmin" ->
-      """SELECT DISTINCT l_partkey, l_suppkey,
-        | CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS min_price
-        |FROM lineitem l
-        |WHERE CAST(l_extendedprice AS DECIMAL(12,2)) = (
-        |  SELECT min(CAST(x.l_extendedprice AS DECIMAL(12,2)))
-        |  FROM lineitem x WHERE x.l_partkey = l.l_partkey)
-        |ORDER BY l_partkey, l_suppkey""".stripMargin,
-    "xtr_kmv_distinct" ->
-      """WITH ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
-        |            FROM lineitem GROUP BY 1),
-        |h AS (SELECT DISTINCT l_returnflag,
-        |        ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS hv
-        |      FROM lineitem),
-        |r AS (SELECT l_returnflag, hv,
-        |        row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
-        |        count(*) OVER (PARTITION BY l_returnflag) AS nd
-        |      FROM h),
-        |est AS (SELECT l_returnflag,
-        |          CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
-        |               ELSE 63.0 * 4294967296.0 /
-        |                    CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END AS kmv_est
-        |        FROM r GROUP BY l_returnflag)
-        |SELECT ex.l_returnflag, exact_parts, kmv_est
-        |FROM ex JOIN est USING (l_returnflag)
-        |ORDER BY l_returnflag""".stripMargin,
-    "txt_ttr" ->
-      """SELECT doc_id,
-        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
-        | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |   / len(string_split(text, ' ')) AS ttr
-        |FROM documents ORDER BY doc_id""".stripMargin,
     "sca_struct" ->
       """SELECT c_custkey, c_name AS name_rt,
         | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_rt,
@@ -2713,36 +3107,9 @@ object SparkEntry {
         | c_mktsegment AS segment_rt,
         | true AS struct_eq
         |FROM customer ORDER BY c_custkey""".stripMargin,
-    "rel_asof_merge" ->
-      """SELECT event_id, asof_orderkey, asof_orderdate FROM (
-        |  SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
-        |         row_number() OVER (PARTITION BY e.event_id
-        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e JOIN orders o
-        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
-    "rel_scd2" ->
-      """SELECT o_custkey, o_orderkey, o_orderstatus,
-        | o_orderdate AS effective_from,
-        | coalesce(lead(o_orderdate) OVER w, TIMESTAMP '2200-01-01') AS effective_to,
-        | (lead(o_orderdate) OVER w IS NULL) AS is_current
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, effective_from, o_orderkey""".stripMargin,
     "xtr_bloom_prune" -> bloomPruneOracle,
     "xtr_zorder_key" -> zorderOracle,
     "xtr_cms_topk" -> cmsOracle,
-    "rel_disjunctive" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |   CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-        | count(*) AS n_items
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-        |        AND l_quantity BETWEEN 1 AND 20)
-        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
-        |        AND l_quantity BETWEEN 10 AND 35)
-        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
-        |        AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     "rel_waiting_supp" ->
       """WITH f AS (
         |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate FROM lineitem l
@@ -2803,28 +3170,6 @@ object SparkEntry {
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
-    "txt_winnow" -> (winnowCte() + """
-        |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max,
-        |  bit_xor(fp) AS fp_xor
-        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-    "txt_winnow_pairs" -> (winnowCte() + """,
-        |m AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
-        |      FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT doc1, doc2, n_shared FROM m WHERE n_shared >= 3
-        |ORDER BY doc1, doc2""".stripMargin),
-    "txt_pack_bins" ->
-      """WITH d AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 8 AS INT) AS shard
-        |  FROM documents),
-        |c AS (SELECT doc_id, n_tokens, shard,
-        |        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
-        |      FROM d)
-        |SELECT shard, (cum - n_tokens) // 512 AS bin,
-        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "txt_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
         |           FROM documents),
@@ -2858,12 +3203,8 @@ object SparkEntry {
     "txt_mixture_sample" -> mixtureSampleOracle,
     "rel_pagerank" -> pageRankOracle(3),
     "sim_pq_topk" -> pqTopkOracle(8, 5),
-    "sim_pq_recall" -> pqRecallOracle(8, 5),
-    "sim_pq_rerank" -> pqRerankOracle(8, 5, 20),
     "sim_ivfpq_topk" -> ivfpqOracle(8, 5),
-    "sim_ivfpq_recall" -> ivfpqRecallOracle(8, 5),
     "sim_ivfpq_res" -> ivfpqResidualOracle(8, 5),
-    "sim_ivfpq_res_recall" -> ivfpqResidualRecallOracle(8, 5),
     "sim_mmr" -> mmrOracle(8, 5, 20, 0.7),
     // salting is a physical-plan device: the oracle is the UNSALTED
     // plan, so the hash check proves result-identity under salting
@@ -2871,9 +3212,32 @@ object SparkEntry {
     "sim_kmeans_cells" -> kmeansCellsOracle(16),
     "sim_semdedup" -> semDedupOracle(16, 0.2),
     "sim_sq_topk" -> sqTopkOracle(8, 5),
-    "sim_sq_recall" -> sqRecallOracle(8, 5),
-    "sim_knn_graph" -> knnGraphOracle(5),
-    "sim_knn_refine" -> knnRefineOracle(5),
+    "sim_recall_gates" -> foldedOracle(
+      Seq("query_id" -> "long", "recall_at_k" -> "double"),
+      ("pq", Seq("query_id", "recall_at_k"), pqRecallOracle(8, 5)),
+      ("sq", Seq("query_id", "recall_at_k"), sqRecallOracle(8, 5)),
+      ("ivf", Seq("query_id", "recall_at_k"), ivfRecallOracle(8, 5)),
+      ("ivfpq", Seq("query_id", "recall_at_k"), ivfpqRecallOracle(8, 5)),
+      ("ivfpq_res", Seq("query_id", "recall_at_k"),
+        ivfpqResidualRecallOracle(8, 5)),
+      ("ivf_filtered", Seq("query_id", "recall_at_k"),
+        filteredRecallOracle(8, 5))),
+    "sim_rerank_family" -> foldedOracle(
+      Seq("query_id" -> "long", "neighbor_id" -> "long",
+        "sim" -> "double", "rank" -> "long"),
+      ("pq", Seq("query_id", "neighbor_id", "sim", "rank"),
+        pqRerankOracle(8, 5, 20)),
+      ("rp", Seq("query_id", "neighbor_id", "sim", "rank"),
+        rpRerankOracle(8, 5, 20)),
+      ("mrl", Seq("query_id", "neighbor_id", "sim", "rank"),
+        mrlRerankOracle(8, 5, 20))),
+    "sim_knn_family" -> foldedOracle(
+      Seq("query_id" -> "long", "neighbor_id" -> "long",
+        "sim" -> "double", "rank" -> "long"),
+      ("graph", Seq("query_id", "neighbor_id", "sim", "rank"),
+        knnGraphOracle(5)),
+      ("refine", Seq("query_id", "neighbor_id", "sim", "rank"),
+        knnRefineOracle(5))),
     "sim_label_prop" -> labelPropOracle(100, 5, 3),
     "txt_bm25_topk" -> bm25Oracle(10),
     // the stored-index pair: the build's census is the k-means census
@@ -2938,7 +3302,6 @@ object SparkEntry {
     // deletion: quantizers trained on the FULL corpus (the standing
     // index's training), candidates restricted to the survivors
     "sim_ivfpq_delete" -> ivfpqOracle(8, 5, corpusPred = "e.vec_id % 7 <> 3"),
-    "txt_dup_spans" -> dupSpansOracle(5),
     "txt_span_cut" -> spanCutOracle(5),
     "txt_hybrid_rrf" -> hybridRrfOracle(10, 20, 60),
     "txt_hybrid_stored" -> hybridStoredOracle(10, 20, 60),
@@ -3141,16 +3504,8 @@ object SparkEntry {
         |  coalesce(m.mean_p, 0.0) AS mean_p
         |FROM documents d2 LEFT JOIN m USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
-    "txt_dup_ngrams" -> ngramCoverageOracle(5),
     "txt_quota_sample" -> quotaSampleOracle(50),
     "rel_concomp" -> concompOracle,
-    "txt_epoch_shuffle" ->
-      s"""WITH h AS (SELECT doc_id,
-        |    ('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
-        |  FROM documents)
-        |SELECT doc_id, h % 8 AS shard,
-        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
-        |FROM h ORDER BY doc_id""".stripMargin,
     "sim_label_centroids" ->
       s"""WITH d AS (SELECT CAST(label AS BIGINT) AS label, vec_id, j,
         |    CAST(embedding[j] AS DOUBLE) AS v
@@ -3306,126 +3661,7 @@ object SparkEntry {
         |SELECT s_suppkey, s_name FROM supplier
         |WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
         |ORDER BY s_suppkey""".stripMargin,
-    "rel_snapshot_diff" ->
-      """WITH next AS (
-        |  SELECT o_orderkey,
-        |    o_orderstatus,
-        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
-        |         ELSE o_totalprice END AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 97 <> 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
-        |  FROM orders WHERE o_orderkey % 101 = 0),
-        |d AS (SELECT
-        |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
-        |         WHEN n.o_orderkey IS NULL THEN 'delete'
-        |         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
-        |           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
-        |           THEN 'update'
-        |         ELSE 'same' END AS op
-        |  FROM orders o FULL OUTER JOIN next n
-        |    ON o.o_orderkey = n.o_orderkey)
-        |SELECT op, count(*) AS n_rows FROM d GROUP BY op ORDER BY op""".stripMargin,
     "txt_gopher_gate" -> gopherGateOracle,
-    "xtr_kmv_overlap" ->
-      """WITH tok AS (SELECT lang,
-        |        ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv
-        |      FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS t
-        |            FROM documents) u),
-        |h AS (SELECT DISTINCT lang, hv FROM tok),
-        |r AS (SELECT lang, hv,
-        |        row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
-        |      FROM h),
-        |sk AS (SELECT lang, list(hv ORDER BY hv) AS s
-        |       FROM r WHERE rn <= 64 GROUP BY lang),
-        |p AS (SELECT a.lang AS lang1, b.lang AS lang2, a.s AS sa, b.s AS sb
-        |      FROM sk a JOIN sk b ON a.lang < b.lang),
-        |u2 AS (SELECT lang1, lang2, sa, sb,
-        |        list_slice(list_sort(list_distinct(sa || sb)), 1, 64) AS su
-        |       FROM p),
-        |e AS (SELECT lang1, lang2,
-        |    CASE WHEN len(sa) < 64 THEN CAST(len(sa) AS DOUBLE)
-        |         ELSE 63.0 * 4294967296.0 / CAST(sa[64] AS DOUBLE) END AS est_1,
-        |    CASE WHEN len(sb) < 64 THEN CAST(len(sb) AS DOUBLE)
-        |         ELSE 63.0 * 4294967296.0 / CAST(sb[64] AS DOUBLE) END AS est_2,
-        |    CASE WHEN len(su) < 64 THEN CAST(len(su) AS DOUBLE)
-        |         ELSE 63.0 * 4294967296.0 / CAST(su[64] AS DOUBLE) END AS est_union
-        |  FROM u2)
-        |SELECT lang1, lang2, est_1, est_2, est_union,
-        |  greatest(est_1 + est_2 - est_union, 0.0) AS est_inter,
-        |  greatest(est_1 + est_2 - est_union, 0.0) / est_union AS jaccard_est
-        |FROM e ORDER BY lang1, lang2""".stripMargin,
-    "xtr_approx_quantile" -> approxQuantileOracle,
-    "dedup_incremental" ->
-      """WITH s AS (SELECT doc_id, lang, source, text,
-        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-        |         ELSE 'test' END AS split
-        |  FROM documents),
-        |seen AS (SELECT DISTINCT md5(text) AS h FROM s WHERE split = 'train'),
-        |inc AS (SELECT doc_id, lang, source, text FROM s
-        |        WHERE split <> 'train'
-        |          AND md5(text) NOT IN (SELECT h FROM seen)),
-        |r AS (SELECT doc_id, lang, source,
-        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |      FROM inc)
-        |SELECT doc_id, lang, source FROM r WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin,
-    "rel_resample_ffill" ->
-      """WITH daily AS (
-        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-        |    sum(CAST(value AS DECIMAL(12,2))) AS day_value,
-        |    count(*) AS n_events
-        |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT user_id, unnest(generate_series(min(day), max(day),
-        |    INTERVAL 1 DAY)) AS day
-        |  FROM daily GROUP BY user_id)
-        |SELECT g.user_id, g.day,
-        |  CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
-        |  CAST(last_value(d.day_value IGNORE NULLS) OVER (
-        |    PARTITION BY g.user_id ORDER BY g.day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |    AS filled_value,
-        |  d.day_value IS NULL AS is_gap
-        |FROM grid g LEFT JOIN daily d
-        |  ON g.user_id = d.user_id AND g.day = d.day
-        |ORDER BY g.user_id, g.day""".stripMargin,
-    "rel_resample_interp" ->
-      """WITH daily AS (
-        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-        |    sum(CAST(value AS DECIMAL(12,2))) AS day_value
-        |  FROM events GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT user_id, unnest(generate_series(min(day), max(day),
-        |    INTERVAL 1 DAY)) AS day
-        |  FROM daily GROUP BY user_id),
-        |br AS (
-        |  SELECT g.user_id, g.day, d.day_value,
-        |    last_value(d.day_value IGNORE NULLS) OVER (
-        |      PARTITION BY g.user_id ORDER BY g.day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-        |    last_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
-        |      IGNORE NULLS) OVER (
-        |      PARTITION BY g.user_id ORDER BY g.day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
-        |    first_value(d.day_value IGNORE NULLS) OVER (
-        |      PARTITION BY g.user_id ORDER BY g.day
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-        |    first_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
-        |      IGNORE NULLS) OVER (
-        |      PARTITION BY g.user_id ORDER BY g.day
-        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
-        |  FROM grid g LEFT JOIN daily d
-        |    ON g.user_id = d.user_id AND g.day = d.day)
-        |SELECT user_id, day,
-        |  CASE WHEN day_value IS NOT NULL THEN CAST(day_value AS DOUBLE)
-        |    ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
-        |      * (CAST(date_diff('day', CAST(pd AS DATE), CAST(day AS DATE)) AS DOUBLE)
-        |         / CAST(date_diff('day', CAST(pd AS DATE), CAST(nd AS DATE)) AS DOUBLE))
-        |  END AS interp_value,
-        |  day_value IS NULL AS is_gap
-        |FROM br ORDER BY user_id, day""".stripMargin,
     "rel_triangles" ->
       """WITH edges AS MATERIALIZED (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
         |                 CAST(s.s_nationkey AS BIGINT) AS dst
@@ -3469,27 +3705,6 @@ object SparkEntry {
     // hour, and the watermark advances at batch boundaries
     // (strictly-previous frame: the first batch never drops); mirrors
     // StreamingOps.lateDataAudit constant-for-constant
-    "str_late_data" ->
-      """WITH b AS (SELECT event_type, epoch_us(ts) AS tsu,
-        |    (epoch_us(ts)
-        |      + (('0x' || substr(md5('lda:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
-        |         % 3600) * 1000000) // 3600000000 AS batch_id
-        |  FROM events),
-        |bm AS (SELECT batch_id, max(tsu) AS bmax FROM b GROUP BY batch_id),
-        |wm AS (SELECT batch_id,
-        |    max(bmax) OVER (ORDER BY batch_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |      - 1800000000 AS wmu
-        |  FROM bm),
-        |t AS (SELECT event_type,
-        |    (wmu IS NOT NULL AND tsu < wmu) AS late
-        |  FROM b JOIN wm USING (batch_id))
-        |SELECT event_type, count(*) AS n_events,
-        |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-        |  CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time,
-        |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
-        |    AS late_share
-        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     "txt_novel_bigrams" ->
       """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
         |           FROM documents),

@@ -29,7 +29,7 @@ def norm(v):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
     for t in TABLES:
@@ -38,6 +38,8 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only and name not in only:
+            continue
         res_dir = os.path.join(out_dir, name)
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
@@ -80,4 +82,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:]) or None))
