@@ -101,6 +101,12 @@ object Bench {
     // picks this up; a cluster deployment points it at HDFS/S3)
     spark.sparkContext.setCheckpointDir(
       s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_bench")
+    // provenance: the bench measures the AQE-ON plans (the Spark 4
+    // default and the 100×-scale deployment default); only PLANS.md's
+    // static dumps run AQE-off, for readability
+    System.err.println(
+      s"[bench] spark.sql.adaptive.enabled=" +
+        spark.conf.get("spark.sql.adaptive.enabled"))
     CodegenWatch.install()
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 narrows to a subset for targeted

@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   *
   * ```scala
   * val spark = GraftSession.builder(master = "local[8]").getOrCreate()
+  * // cluster deployments: point the checkpoint dir at durable storage
+  * // so the iterative operators (connected components, label
+  * // propagation, k-means) checkpoint RELIABLY — an executor loss then
+  * // replays one round, not the whole loop (Graph.iterCheckpoint)
+  * spark.sparkContext.setCheckpointDir("hdfs:///checkpoints/graft")
   * Tables.registerViews(spark, "/data/sf0.01")
   * spark.sql("SELECT vector_dot(embedding, embedding) FROM embeddings")
   * ```
