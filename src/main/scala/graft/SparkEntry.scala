@@ -568,17 +568,10 @@ object SparkEntry {
     "sim_semdedup" -> ((s, d) => Similarity.semDedup(embeddings(s, d), 16, 0.2)),
     "sim_sq_topk" -> ((s, d) => Similarity.sqTopK(embeddings(s, d), 8, 5)),
     // every approximate arm's recall gate vs its brute-force twin,
-    // folded into ONE multi-assert query (one row per arm × query)
-    "sim_recall_gates" -> ((s, d) => {
-      val e = embeddings(s, d)
-      foldedQuery(Seq("query_id" -> "long", "recall_at_k" -> "double"),
-        "pq" -> Similarity.pqRecall(e, 8, 5),
-        "sq" -> Similarity.sqRecall(e, 8, 5),
-        "ivf" -> Similarity.ivfRecall(e, 8, 5),
-        "ivfpq" -> Similarity.ivfpqRecall(e, 8, 5),
-        "ivfpq_res" -> Similarity.ivfpqResidualRecall(e, 8, 5),
-        "ivf_filtered" -> Similarity.ivfFilteredRecall(e, 8, 5))
-    }),
+    // folded into ONE multi-assert query (one row per arm × query);
+    // the shared exact ground truth is scored once (recallGates)
+    "sim_recall_gates" -> ((s, d) =>
+      Similarity.recallGates(embeddings(s, d), 8, 5)),
     // kNN graph + its NN-Descent refinement round, folded (refined
     // recall strictly above the banded graph stays spec-gated)
     "sim_knn_family" -> ((s, d) => {

@@ -108,6 +108,71 @@ object Similarity {
     * when it trades exactness for probe count). Both rankings come from
     * the operators above; the join is per (query, neighbor).
     */
+  /** All six recall gates in ONE pass — the engine behind the folded
+    * `sim_recall_gates` registry entry. The unfiltered arms (pq, sq,
+    * ivf, ivfpq, ivfpq_res) compare against the SAME brute-force
+    * ground truth, so it is scored ONCE and checkpointed —
+    * [[cosineTopK]] is deterministic, so sharing it is
+    * result-identical to the per-gate formulations the oracle
+    * re-derives, while saving four full-corpus exact passes. The
+    * filtered arm keeps its own filtered ground truth (different
+    * candidate set by construction). Each approximate arm keeps its
+    * independent training: the gate judges THAT family's index,
+    * trained the way that family trains it.
+    */
+  def recallGates(embeddings: DataFrame, nQueries: Int, k: Int,
+                  nlist: Int = 16, nprobe: Int = 4,
+                  labelMod: Int = 2): DataFrame = {
+    val bf = cosineTopK(embeddings, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    // shared training: pq/ivf/ivfpq/filtered quantize identically to
+    // their standalone formulations (deterministic training over the
+    // same inputs), so ONE coarse quantizer and ONE codebook table
+    // serve four arms. The residual arm trains on unit vectors
+    // (different centroids by construction) and stays independent;
+    // SQ8's per-dim min/max "training" is one cheap aggregate.
+    val unit = unitVectors(embeddings).localCheckpoint()
+    val centroids = kmeansCentroids(embeddings, nlist)
+    val codebooks = pqCodebooks(unit).localCheckpoint()
+    def gate(variant: String, truth: DataFrame,
+             approx: DataFrame): DataFrame =
+      truth.join(approx.select(col("query_id").as("q2"),
+            col("neighbor_id").as("n2")),
+          col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+          "left")
+        .groupBy(col("query_id"))
+        .agg((count(col("n2")).cast("double") / k).as("recall_at_k"))
+        .select(lit(variant).as("variant"), col("query_id"),
+          col("recall_at_k"))
+    // filtered ground truth: the same predicate applied to the
+    // candidate set before exact scoring ([[ivfFilteredRecall]]'s arm)
+    val parallelism =
+      embeddings.sparkSession.sparkContext.defaultParallelism
+    val fcand = embeddings
+      .filter(pmod(col("label"), lit(labelMod)) === 0)
+      .repartition(parallelism, col("vec_id"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val fbf = topKRanked(fcand
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("qe"), col("ce")).as("sim")), "sim", k)
+      .select(col("query_id"), col("neighbor_id"))
+    gate("pq", bf, pqTopKWith(unit, codebooks, nQueries, k))
+      .unionByName(gate("sq", bf, sqTopK(embeddings, nQueries, k)))
+      .unionByName(gate("ivf", bf,
+        ivfTopKWith(embeddings, centroids, nQueries, k, nprobe)))
+      .unionByName(gate("ivfpq", bf, ivfpqTopKWith(embeddings, unit,
+        centroids, codebooks, nQueries, k, nprobe)))
+      .unionByName(gate("ivfpq_res", bf,
+        ivfpqResidualTopK(embeddings, nQueries, k)))
+      .unionByName(gate("ivf_filtered", fbf, ivfFilteredTopKWith(
+        embeddings, centroids, nQueries, k, nprobe, labelMod)))
+      .orderBy(col("variant"), col("query_id"))
+  }
+
   def ivfRecall(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val bf = cosineTopK(embeddings, nQueries, k)
       .select(col("query_id"), col("neighbor_id"))
@@ -502,8 +567,16 @@ object Similarity {
     * (checkpointed nlist-row frame, broadcast to both sides).
     */
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = kmeansCentroids(embeddings, nlist)
+              nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWith(embeddings, kmeansCentroids(embeddings, nlist),
+      nQueries, k, nprobe)
+
+  /** [[ivfTopK]] with a precomputed coarse quantizer (the
+    * [[recallGates]] sharing point). Result-identical.
+    */
+  private[graft] def ivfTopKWith(embeddings: DataFrame,
+                                 centroids: DataFrame, nQueries: Int,
+                                 k: Int, nprobe: Int = 4): DataFrame = {
     val assigned = assignCells(embeddings, centroids)
     // query → its nprobe nearest centroids
     val probes = embeddings.filter(col("vec_id") < nQueries)
@@ -586,8 +659,19 @@ object Similarity {
     */
   def ivfFilteredTopK(embeddings: DataFrame, nQueries: Int, k: Int,
                       nlist: Int = 16, nprobe: Int = 4,
-                      labelMod: Int = 2): DataFrame = {
-    val centroids = kmeansCentroids(embeddings, nlist)
+                      labelMod: Int = 2): DataFrame =
+    ivfFilteredTopKWith(embeddings, kmeansCentroids(embeddings, nlist),
+      nQueries, k, nprobe, labelMod)
+
+  /** [[ivfFilteredTopK]] with a precomputed coarse quantizer (the
+    * [[recallGates]] sharing point — the filtered index is built over
+    * the FULL corpus, so it trains exactly like [[ivfTopK]]'s).
+    */
+  private[graft] def ivfFilteredTopKWith(embeddings: DataFrame,
+                                         centroids: DataFrame,
+                                         nQueries: Int, k: Int,
+                                         nprobe: Int = 4,
+                                         labelMod: Int = 2): DataFrame = {
     // assignment carrying the filter column (assignCells drops it; the
     // max_by struct is the same shape plus `label`)
     val scoredAssign = embeddings
@@ -746,7 +830,16 @@ object Similarity {
     // normalization feeds training, encoding, AND the query LUTs —
     // checkpoint once instead of re-normalizing per consumer
     val unit = unitVectors(embeddings).localCheckpoint()
-    val codebooks = pqCodebooks(unit).localCheckpoint()
+    pqTopKWith(unit, pqCodebooks(unit).localCheckpoint(), nQueries, k)
+  }
+
+  /** [[pqTopK]] with precomputed unit vectors and trained codebooks —
+    * the sharing point [[recallGates]] uses so ONE training serves
+    * every arm that quantizes the same way. Result-identical: the
+    * training is deterministic, only the redundant recomputation goes.
+    */
+  private[graft] def pqTopKWith(unit: DataFrame, codebooks: DataFrame,
+                                nQueries: Int, k: Int): DataFrame = {
     val codes = pqEncode(unit, codebooks)
     val qsubs = unit.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), posexplode(
@@ -833,8 +926,20 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4,
                 shortlist: Int = 20): DataFrame = {
     val unit = unitVectors(embeddings).localCheckpoint()
-    val centroids = kmeansCentroids(embeddings, nlist)
-    val codebooks = pqCodebooks(unit).localCheckpoint()
+    ivfpqTopKWith(embeddings, unit, kmeansCentroids(embeddings, nlist),
+      pqCodebooks(unit).localCheckpoint(), nQueries, k, nprobe, shortlist)
+  }
+
+  /** [[ivfpqTopK]] with precomputed unit vectors, coarse quantizer,
+    * and PQ codebooks (the [[recallGates]] sharing point — the
+    * no-residual variant's codebooks are exactly [[pqTopK]]'s and its
+    * centroids exactly [[ivfTopK]]'s).
+    */
+  private[graft] def ivfpqTopKWith(embeddings: DataFrame, unit: DataFrame,
+                                   centroids: DataFrame,
+                                   codebooks: DataFrame, nQueries: Int,
+                                   k: Int, nprobe: Int = 4,
+                                   shortlist: Int = 20): DataFrame = {
     // index build (once per corpus, the write-side cost): cell
     // assignment ⋈ PQ codes on vec_id — co-partitioned equi-join
     val codesCells = pqEncode(unit, codebooks)
