@@ -185,11 +185,15 @@ object SparkEntry {
           "span_end" -> "long", "span_tokens" -> "long"),
         "ngrams" -> Text.ngramCoverage(documents(s, d)),
         "spans" -> Text.dupSpans(documents(s, d)))),
-    "mm_phash_family" -> ((s, d) =>
+    // the pair arm's candidate enumeration is computed ONCE and feeds
+    // the cluster arm's connected components
+    "mm_phash_family" -> ((s, d) => {
+      val dups = Multimodal.phashDups(documents(s, d)).localCheckpoint()
       foldedQuery(Seq("id1" -> "long", "id2" -> "long", "hamming" -> "long",
           "doc_id" -> "long", "canon_id" -> "long", "n_members" -> "long"),
-        "dups" -> Multimodal.phashDups(documents(s, d)),
-        "clusters" -> Multimodal.phashClusters(documents(s, d)))),
+        "dups" -> dups,
+        "clusters" -> Multimodal.phashClustersFrom(dups))
+    }),
     "rel_resample" -> ((s, d) =>
       foldedQuery(Seq("user_id" -> "long", "day" -> "timestamp",
           "n_events" -> "long", "filled_value" -> "double",
@@ -573,13 +577,16 @@ object SparkEntry {
     "sim_recall_gates" -> ((s, d) =>
       Similarity.recallGates(embeddings(s, d), 8, 5)),
     // kNN graph + its NN-Descent refinement round, folded (refined
-    // recall strictly above the banded graph stays spec-gated)
+    // recall strictly above the banded graph stays spec-gated); the
+    // round-0 graph is computed ONCE and feeds both arms
     "sim_knn_family" -> ((s, d) => {
       val e = embeddings(s, d)
+      val g = Similarity.knnGraph(e, 5).localCheckpoint()
       foldedQuery(Seq("query_id" -> "long", "neighbor_id" -> "long",
           "sim" -> "double", "rank" -> "long"),
-        "graph" -> Similarity.knnGraph(e, 5),
-        "refine" -> Similarity.knnRefine(e, 5))
+        "graph" -> g,
+        "refine" -> Similarity.knnRefineWith(e,
+          g.select(col("query_id"), col("neighbor_id")), 5))
     }),
     // the three shortlist-compression re-rank arms (PQ ADC, random
     // projection, Matryoshka truncation), folded

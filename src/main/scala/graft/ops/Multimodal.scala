@@ -356,9 +356,15 @@ object Multimodal {
     * near-dup pair; doc_id = canon_id marks the survivor.
     */
   def phashClusters(documents: DataFrame, maxHamming: Int = 4): DataFrame =
+    phashClustersFrom(phashDups(documents, maxHamming))
+
+  /** [[phashClusters]] from a precomputed pair set — the sharing point
+    * the folded `mm_phash_family` registry entry uses so the pair arm
+    * and the cluster arm enumerate candidates once. Result-identical.
+    */
+  private[graft] def phashClustersFrom(dups: DataFrame): DataFrame =
     graft.ops.Graph.connectedComponents(
-        phashDups(documents, maxHamming)
-          .select(col("id1").as("src"), col("id2").as("dst")))
+        dups.select(col("id1").as("src"), col("id2").as("dst")))
       .select(col("id").as("doc_id"), col("component").as("canon_id"),
         col("n_members"))
       .orderBy(col("doc_id"))

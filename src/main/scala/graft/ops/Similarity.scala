@@ -2013,10 +2013,21 @@ object Similarity {
     * NN-Descent convergence.
     */
   def knnRefine(embeddings: DataFrame, k: Int = 5, nlist: Int = 16,
-                salts: Int = 8): DataFrame = {
-    val g0 = knnGraph(embeddings, k, salts)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+                salts: Int = 8): DataFrame =
+    knnRefineWith(embeddings,
+      knnGraph(embeddings, k, salts)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint(), k, nlist)
+
+  /** [[knnRefine]] with a precomputed round-0 graph — the sharing
+    * point the folded `sim_knn_family` registry entry uses so the
+    * graph arm and the refine arm compute the banded kNN join once.
+    * `g0` must be materialized (checkpointed) (query_id, neighbor_id)
+    * edges. Result-identical.
+    */
+  private[graft] def knnRefineWith(embeddings: DataFrame, g0: DataFrame,
+                                   k: Int = 5,
+                                   nlist: Int = 16): DataFrame = {
     val nn = g0.alias("a")
       .join(g0.alias("b"),
         col("a.neighbor_id") === col("b.query_id") &&
