@@ -9,16 +9,18 @@ import org.apache.spark.sql.functions._
   * vectorized Python UDF: per-partition batching amortizes codec setup,
   * and partition count — not row count — bounds memory).
   *
-  * CODEC DISPATCH: payloads with an `image/`-prefixed mime take a REAL decode
-  * and resize through `javax.imageio` (PNG/JPEG/BMP/GIF codecs ship
-  * with the JVM — [[decodeImage]]/[[resizeImage]], spec-gated over
-  * embedded real PNGs). Everything else — including the registry
-  * fixtures, whose payloads are opaque octet-streams — keeps the
-  * deterministic digest-derived STUB dims ([[decodeStub]]), so the
-  * DuckDB-checkable expression twin stays exact. Audio/video decode
-  * would slot into the same dispatch (the per-batch mapPartitions
-  * shape is codec-agnostic); those codecs aren't in the JVM, so their
-  * arm remains the declared stub.
+  * CODEC DISPATCH: payloads with an `image/`-prefixed mime take a REAL
+  * decode and resize through `javax.imageio` (PNG/JPEG/BMP/GIF codecs
+  * ship with the JVM — [[decodeImage]]/[[resizeImage]], spec-gated
+  * over embedded real PNGs); `audio/`-prefixed payloads take a REAL
+  * decode through `javax.sound.sampled` (WAV/AIFF/AU —
+  * [[decodeAudio]], spec-gated over an embedded real WAV). Everything
+  * else — including the registry fixtures, whose payloads are opaque
+  * octet-streams — keeps the deterministic digest-derived STUB dims
+  * ([[decodeStub]]), so the DuckDB-checkable expression twin stays
+  * exact. Video decode would slot into the same dispatch (the
+  * per-batch mapPartitions shape is codec-agnostic); no video codec
+  * ships with the JVM, so that arm remains the declared stub.
   */
 object Multimodal {
 
@@ -87,12 +89,36 @@ object Multimodal {
     }
     catch { case _: java.io.IOException => None }
 
+  /** REAL audio decode — `javax.sound.sampled` (the WAV/AIFF/AU codecs
+    * that ship with the JVM): payload bytes →
+    * (sampleRate, channels, frames), None when the bytes are not a
+    * decodable audio stream. Compressed formats (MP3/Opus) would need
+    * an SPI on the classpath; they fall back to the stub arm like any
+    * undecodable payload.
+    */
+  def decodeAudio(content: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(
+          new java.io.ByteArrayInputStream(content)))
+      try {
+        val f = in.getFormat
+        Some((f.getSampleRate.toInt, f.getChannels, in.getFrameLength))
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
   /** Batched metadata extraction: mapPartitions processes payloads in
     * fixed-size batches (the shape a real codec wants — reuse one codec
     * instance per batch, bound peak memory by batch size, stay columnar
     * on both ends). `image/`-prefixed payloads decode for REAL
-    * ([[decodeImage]]; a single decoded image is one frame); anything
-    * else — or an image that fails to decode — takes the digest stub.
+    * ([[decodeImage]]; a single decoded image is one frame);
+    * `audio/`-prefixed payloads likewise ([[decodeAudio]] — the meta
+    * fields map as width = sample rate, height = channels,
+    * n_frames = PCM frame count); anything else — or a payload that
+    * fails its codec — takes the digest stub.
     */
   def extractMeta(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
@@ -104,12 +130,18 @@ object Multimodal {
           md.reset()
           val digest = md.digest(r.content).map("%02x".format(_)).mkString
           def hv(i: Int): Long = hexChars.indexOf(digest.charAt(i)).toLong
-          val real =
-            if (r.mime.startsWith("image/")) decodeImage(r.content) else None
+          val real: Option[(Long, Long, Long)] =
+            if (r.mime.startsWith("image/"))
+              decodeImage(r.content).map { case (w, h) =>
+                (w.toLong, h.toLong, 1L) }
+            else if (r.mime.startsWith("audio/"))
+              decodeAudio(r.content).map { case (rate, ch, frames) =>
+                (rate.toLong, ch.toLong, frames) }
+            else None
           real match {
-            case Some((w, h)) =>
+            case Some((w, h, nf)) =>
               MediaMeta(r.doc_id, r.mime, r.content.length.toLong, digest,
-                w.toLong, h.toLong, 1L)
+                w, h, nf)
             case None =>
               MediaMeta(r.doc_id, r.mime, r.content.length.toLong, digest,
                 16L * (hv(0) + 1), 16L * (hv(1) + 1), hv(2) + 1)

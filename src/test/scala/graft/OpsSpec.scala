@@ -1041,6 +1041,32 @@ class OpsSpec extends SparkTestBase {
     assert(resized(3L).content.length === math.max(1, 8 * 6 / 64))
   }
 
+  test("audio payloads decode for REAL through javax.sound.sampled") {
+    // a genuine PCM WAV built in-test: 800 mono 16-bit frames at 8 kHz
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = Array.tabulate[Byte](1600)(i => (i % 251).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 800)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+    val junk = "not audio".getBytes("UTF-8")
+    val media = Seq(
+      Multimodal.MediaRecord(1L, wav, "audio/wav"),
+      Multimodal.MediaRecord(2L, junk, "audio/wav")).toDS()
+    val meta = Multimodal.extractMeta(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    // field mapping for audio: width = sample rate, height = channels,
+    // n_frames = PCM frame count
+    assert(meta(1L).width === 8000L && meta(1L).height === 1L &&
+      meta(1L).n_frames === 800L)
+    // undecodable "audio" falls back to the deterministic stub (O17)
+    val (sw, sh, sfr) = Multimodal.decodeStub(junk)
+    assert(meta(2L).width === sw && meta(2L).height === sh &&
+      meta(2L).n_frames === sfr)
+  }
+
   test("multimodal resize/frame-sample plumbing produces the expected shapes") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf))
       .as[Multimodal.MediaRecord]
