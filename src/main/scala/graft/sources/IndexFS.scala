@@ -139,10 +139,37 @@ object IndexFS {
     override def initialValue(): Set[String] = Set.empty
   }
 
+  private def localHost: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: java.net.UnknownHostException => "unknown" }
+
+  /** True iff the lease at `p` was written by a process on THIS host
+    * that is no longer alive — a SIGKILLed writer's leftover, safe to
+    * break immediately (its finally never ran). Cross-host leases
+    * can't be liveness-checked and fall back to the age policy.
+    */
+  private def holderDead(fs: FileSystem, p: Path): Boolean =
+    try {
+      val in = fs.open(p)
+      val txt = try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(0, n), StandardCharsets.UTF_8)
+      } finally in.close()
+      val kv = txt.split("\\s+").flatMap(_.split("=") match {
+        case Array(k, v) => Some(k -> v); case _ => None
+      }).toMap
+      kv.get("host").contains(localHost) &&
+        kv.get("pid").exists(pid =>
+          !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false))
+    } catch { case _: Exception => false }
+
   /** Acquire the writer lease for a stored layout, run `body`,
     * release. Throws [[IllegalStateException]] if another writer
-    * holds a live lease. Re-entrant within a thread. A lease older
-    * than `staleMs` (default 1 h) is presumed crashed and is broken.
+    * holds a live lease. Re-entrant within a thread. A crashed
+    * writer's lease is reclaimed immediately when its recorded
+    * (host, pid) is provably dead on this host, or by age otherwise
+    * (`staleMs`, default 1 h).
     */
   def withWriterLease[T](base: String, staleMs: Long = 3600000L)(body: => T): T = {
     if (held.get().contains(base)) return body
@@ -153,14 +180,15 @@ object IndexFS {
         // overwrite=false: atomic exclusive create on HDFS/local
         val out = fs.create(p, false)
         try out.write(
-          s"pid=${ProcessHandle.current().pid()}".getBytes(StandardCharsets.UTF_8))
+          s"pid=${ProcessHandle.current().pid()} host=$localHost"
+            .getBytes(StandardCharsets.UTF_8))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
       val age = try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
                 catch { case _: java.io.FileNotFoundException => Long.MaxValue }
-      if (age > staleMs) {
+      if (age > staleMs || holderDead(fs, p)) {
         fs.delete(p, false) // break the crashed writer's lease
         if (!tryAcquire())
           throw new IllegalStateException(

@@ -846,8 +846,16 @@ class SourcesSpec extends SparkTestBase {
       Text.bm25Delete(docs.filter(col("doc_id") % 7 === 3)
         .select(col("doc_id")), base)
     }
-    // a crashed writer's lease is reclaimable by age (staleMs = -1
-    // treats any lease as expired)
+    // a SIGKILLed writer's lease (this host, provably dead pid) is
+    // reclaimed immediately — no one-hour red window for the next run
+    IndexFS.writeString(s"$base/_WRITER_LEASE",
+      s"pid=999999999 host=${java.net.InetAddress.getLocalHost.getHostName}")
+    Text.bm25Delete(docs.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id")), base)
+    assert(!IndexFS.exists(s"$base/_WRITER_LEASE"))
+    // ...and by age for cross-host leases (staleMs = -1 treats any
+    // lease as expired)
+    IndexFS.writeString(s"$base/_WRITER_LEASE", "pid=1 host=elsewhere")
     IndexFS.withWriterLease(base, staleMs = -1L) {
       // re-entrant within the holder: nested maintenance on the same
       // layout runs under the outer lease instead of deadlocking
