@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * else — including the registry fixtures, whose payloads are opaque
   * octet-streams — keeps the deterministic digest-derived STUB dims
   * ([[decodeStub]]), so the DuckDB-checkable expression twin stays
-  * exact. Video decode would slot into the same dispatch (the
-  * per-batch mapPartitions shape is codec-agnostic); no video codec
-  * ships with the JVM, so that arm remains the declared stub.
+  * exact. `video/`-prefixed payloads yield REAL container metadata
+  * through a pure-JVM ISO BMFF box parser ([[decodeVideoMeta]] —
+  * dimensions and frame count from `moov/trak/tkhd` + `stts`,
+  * spec-gated over a handcrafted MP4); FRAME decode stays a declared
+  * stub, since no video codec ships with the JVM.
   */
 object Multimodal {
 
@@ -110,6 +112,72 @@ object Multimodal {
       case _: java.io.IOException => None
     }
 
+  /** REAL video-container metadata — a pure-JVM ISO BMFF (MP4/MOV) box
+    * parser (ISO/IEC 14496-12: a file is a sequence of
+    * [size:u32][type:4cc] boxes; `moov/trak/tkhd` carries the track's
+    * 16.16-fixed width/height, `moov/trak/mdia/minf/stbl/stts` the
+    * sample table whose counts sum to the frame count). No frame
+    * DECODE happens — no video codec ships with the JVM — but the
+    * metadata a curation pipeline filters on (dimensions, frame count)
+    * comes from the real container, not a digest. Returns the first
+    * track with nonzero dimensions; None for anything that isn't
+    * well-formed BMFF.
+    */
+  def decodeVideoMeta(content: Array[Byte]): Option[(Long, Long, Long)] = {
+    def u32(o: Int): Long =
+      if (o + 4 > content.length) -1L
+      else ((content(o) & 0xffL) << 24) | ((content(o + 1) & 0xffL) << 16) |
+        ((content(o + 2) & 0xffL) << 8) | (content(o + 3) & 0xffL)
+    def fourcc(o: Int): String =
+      if (o + 4 > content.length) ""
+      else new String(content, o, 4, "ISO-8859-1")
+    /** (type, payloadStart, payloadEnd) of each box in [start, end). */
+    def boxes(start: Int, end: Int): List[(String, Int, Int)] = {
+      var o = start
+      val out = List.newBuilder[(String, Int, Int)]
+      while (o + 8 <= end) {
+        val size = u32(o)
+        val tpe = fourcc(o + 4)
+        // size==0 (to end) and size==1 (64-bit largesize) per spec
+        val (pStart, boxEnd) =
+          if (size == 0L) (o + 8, end)
+          else if (size == 1L) {
+            val hi = u32(o + 8); val lo = u32(o + 12)
+            (o + 16, o + math.min((hi << 32 | lo), (end - o).toLong).toInt)
+          } else (o + 8, o + math.min(size, (end - o).toLong).toInt)
+        if (boxEnd <= o || pStart > boxEnd) return out.result()
+        out += ((tpe, pStart, boxEnd))
+        o = boxEnd
+      }
+      out.result()
+    }
+    def child(tpe: String, within: (Int, Int)): Option[(Int, Int)] =
+      boxes(within._1, within._2).collectFirst {
+        case (t, s, e) if t == tpe => (s, e) }
+    try {
+      val moov = child("moov", (0, content.length)).getOrElse(return None)
+      boxes(moov._1, moov._2).collect { case ("trak", s, e) =>
+        val dims = child("tkhd", (s, e)).flatMap { case (ts, _) =>
+          // v0: 4 (version/flags) + 20 (times/id/reserved/duration) +
+          // 8 + 2+2 + 2+2 (layer/group/volume/reserved) + 36 (matrix)
+          // = 76 to width; v1's 64-bit times push it to 88
+          val version = content(ts) & 0xff
+          val off = ts + (if (version == 1) 88 else 76)
+          val w = u32(off) >> 16; val h = u32(off + 4) >> 16
+          if (w > 0 && h > 0) Some((w, h)) else None
+        }
+        val frames = for {
+          mdia <- child("mdia", (s, e)); minf <- child("minf", mdia)
+          stbl <- child("stbl", minf); stts <- child("stts", stbl)
+        } yield {
+          val n = u32(stts._1 + 4)
+          (0L until n).map(i => u32(stts._1 + 8 + (i * 8).toInt)).sum
+        }
+        dims.map { case (w, h) => (w, h, frames.getOrElse(0L)) }
+      }.flatten.headOption
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
   /** Batched metadata extraction: mapPartitions processes payloads in
     * fixed-size batches (the shape a real codec wants — reuse one codec
     * instance per batch, bound peak memory by batch size, stay columnar
@@ -137,6 +205,8 @@ object Multimodal {
             else if (r.mime.startsWith("audio/"))
               decodeAudio(r.content).map { case (rate, ch, frames) =>
                 (rate.toLong, ch.toLong, frames) }
+            else if (r.mime.startsWith("video/"))
+              decodeVideoMeta(r.content)
             else None
           real match {
             case Some((w, h, nf)) =>

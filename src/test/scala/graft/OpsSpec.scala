@@ -1067,6 +1067,47 @@ class OpsSpec extends SparkTestBase {
       meta(2L).n_frames === sfr)
   }
 
+  test("video payloads yield REAL container metadata (ISO BMFF box parse)") {
+    // a minimal well-formed MP4: ftyp + moov[trak[tkhd(320x240),
+    // mdia[minf[stbl[stts(10x?,5x? -> 15 frames)]]]]]
+    import java.nio.ByteBuffer
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(tpe.getBytes("ISO-8859-1"))
+        .put(payload)
+      b.array()
+    }
+    val tkhd = {
+      val b = ByteBuffer.allocate(84)
+      b.position(76)            // v0 header/times/matrix all zero
+      b.putInt(320 << 16).putInt(240 << 16)
+      b.array()
+    }
+    val stts = {
+      val b = ByteBuffer.allocate(4 + 4 + 2 * 8)
+      b.putInt(0).putInt(2)     // version/flags, entry_count
+      b.putInt(10).putInt(100).putInt(5).putInt(200)
+      b.array()
+    }
+    val mp4 = box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+      box("moov", box("trak",
+        box("tkhd", tkhd) ++
+          box("mdia", box("minf", box("stbl", box("stts", stts))))))
+    assert(Multimodal.decodeVideoMeta(mp4) === Some((320L, 240L, 15L)))
+    assert(Multimodal.decodeVideoMeta("not a video".getBytes) === None)
+    // dispatched through the typed batch path by mime
+    val media = Seq(
+      Multimodal.MediaRecord(1L, mp4, "video/mp4"),
+      Multimodal.MediaRecord(2L, "junk".getBytes, "video/mp4")).toDS()
+    val meta = Multimodal.extractMeta(media).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width === 320L && meta(1L).height === 240L &&
+      meta(1L).n_frames === 15L)
+    val (sw, sh, sfr) = Multimodal.decodeStub("junk".getBytes)
+    assert(meta(2L).width === sw && meta(2L).height === sh &&
+      meta(2L).n_frames === sfr)
+  }
+
   test("multimodal resize/frame-sample plumbing produces the expected shapes") {
     val media = Multimodal.asMedia(Tables.documents(spark, sf))
       .as[Multimodal.MediaRecord]
