@@ -422,7 +422,15 @@ object PlanAudit {
     // multimodal near-dup: banded-Hamming candidates come from an
     // equi-join per (band_idx, band_val) bucket — all-pairs never
     // enumerated; the banded exchange feeds both join sides once
+    // the folded entry shares the CHECKPOINTED pair set between the
+    // arms, so its plan shows the leaf; the pair-enumeration shape is
+    // audited on the arm frame
     audit("mm_phash_family")(
+      ("no cartesian/BNL pair enumeration", p =>
+        !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
+    auditDf("mm_phash_family/dups",
+      graft.ops.Multimodal.phashDups(Tables.documents(spark, sfDir)))(
       ("no cartesian/BNL pair enumeration", p =>
         !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),
@@ -673,17 +681,25 @@ object PlanAudit {
     // kNN graph: banded candidates (never all-pairs), ONE undirected
     // scoring pass fanned to both directions by an explode (no
     // self-union replaying the pair pipeline), heap-node per-node top-k
+    // the folded entry shares a CHECKPOINTED round-0 graph between the
+    // arms, so its plan shows the leaf; the graph-construction shape is
+    // audited on the arm frame
     audit("sim_knn_family")(
       ("no cartesian/BNL pair enumeration", p =>
         !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")),
-      ("banding checkpointed once for both join sides",
+      ("round-0 graph checkpointed once for both arms",
         p => p.contains("Scan ExistingRDD")),
-      ("candidate join keyed on (band, salt) — hot buckets spread",
-        p => "band_key#\\d+, salt#".r.findAllIn(p).nonEmpty),
       ("two-phase heap top-k per node", p =>
         p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
       ("native vector_dot scoring", _.contains("vector_dot")))
+    auditDf("sim_knn_family/graph",
+      graft.ops.Similarity.knnGraph(Tables.embeddings(spark, sfDir), 5))(
+      ("candidate join keyed on (band, salt) — hot buckets spread",
+        p => "band_key#\\d+, salt#".r.findAllIn(p).nonEmpty),
+      ("no cartesian/BNL pair enumeration", p =>
+        !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")))
 
     // NN-Descent refinement: the round-0 graph and cell assignment are
     // checkpointed (candidates never re-enumerate the banding), the

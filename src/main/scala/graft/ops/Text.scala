@@ -681,6 +681,11 @@ object Text {
     affected.foreach { case (s, b) =>
       IndexFS.deleteRecursive(s"$root/seg=$s/bucket=$b") }
     graft.sources.Sources.mergePartitioned(keep, root, "seg", "bucket")
+    // if the scrub emptied the LAST generation, remove the root: a
+    // parquet read of a directory holding only empty partition dirs
+    // cannot infer a schema, and an absent delta dir is the normal
+    // single-generation serve-time signal anyway
+    if (!IndexFS.hasParquetRecursive(root)) IndexFS.deleteRecursive(root)
   }
 
   /** Lazy-rebuild gate shared by every stored-BM25 probe: freshness =

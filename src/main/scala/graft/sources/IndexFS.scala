@@ -64,6 +64,19 @@ object IndexFS {
   def hasParquet(dir: String): Boolean =
     listNames(dir).exists(_.endsWith(".parquet"))
 
+  /** True iff any parquet part file exists anywhere under `dir`. */
+  def hasParquetRecursive(dir: String): Boolean = {
+    val (fs, p) = resolve(dir)
+    if (!fs.exists(p)) false
+    else {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+  }
+
   def deleteRecursive(path: String): Unit = {
     val (fs, p) = resolve(path)
     if (fs.exists(p)) fs.delete(p, true)

@@ -806,6 +806,32 @@ class SourcesSpec extends SparkTestBase {
         .collect().map(key).toSeq)
   }
 
+  test("compacting away an entire delta generation leaves a servable layout") {
+    // tombstone EVERY doc of the only delta segment, compact: the
+    // (seg, bucket) partitions all empty out, so the scrub must remove
+    // the delta root itself — a parquet directory holding only empty
+    // partition dirs cannot infer a schema and would crash serving
+    import graft.ops.Text
+    import graft.sources.IndexFS
+    val docs = Tables.documents(spark, sf)
+    val base = tmp("wipe")
+    Text.bm25BuildIndex(docs.filter(col("doc_id") < 900), base).count()
+    val batch = docs.filter(col("doc_id") >= 900)
+    Text.bm25Append(batch, base)
+    assert(IndexFS.isDirectory(s"$base/tf_delta"))
+    Text.bm25Delete(batch.select(col("doc_id")), base)
+    Text.bm25Compact(spark, base)
+    assert(!IndexFS.isDirectory(s"$base/tf_delta"),
+      "emptied delta root survived compaction")
+    assert(!IndexFS.isDirectory(s"$base/pos_delta"))
+    // serving equals the inline ranking over the surviving corpus
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    assert(Text.bm25ScoreStored(spark, base, 5).collect().map(key).toSeq
+      === Text.bm25TopK(docs.filter(col("doc_id") < 900), 5)
+        .collect().map(key).toSeq)
+  }
+
   test("stored-index control plane runs through a file:-scheme Hadoop FileSystem") {
     // the 100 TB deployability claim: markers/tombstones/segment
     // discovery go through org.apache.hadoop.fs.FileSystem, so a base
