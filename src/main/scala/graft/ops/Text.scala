@@ -661,6 +661,12 @@ object Text {
                             dropIds: DataFrame,
                             excludeSeg: Option[String] = None): Unit = {
     if (!IndexFS.isDirectory(root)) return
+    // heal a parquet-less root (e.g. a crash between a segment dir's
+    // creation and its part files): unreadable, and semantically "no
+    // generations" — remove it instead of failing the scan below
+    if (!IndexFS.hasParquetRecursive(root)) {
+      IndexFS.deleteRecursive(root); return
+    }
     import spark.implicits._
     val delta0 = spark.read.parquet(root)
       .withColumn("seg", col("seg").cast("string"))
@@ -820,6 +826,9 @@ object Text {
       .agg(count(lit(1)).as("tf"))
       .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
       .localCheckpoint()
+    // an empty batch is a no-op: writing its "segment" would leave a
+    // parquet-less seg directory that poisons every later delta read
+    if (tfB.isEmpty) return
     val batchIds = tfB.select(col("doc_id")).distinct()
     // doc lengths and corpus stats stay merged artifacts: they are
     // doc-count-sized and one-row — the cheap end of the index
@@ -1029,12 +1038,6 @@ object Text {
         tfAff.groupBy(col("term")).agg(count(lit(1)).as("df"))
           .withColumn("bucket", termBucket(col("term"))),
         s"$base/df", "bucket")
-      val dl = spark.read.parquet(s"$base/dl")
-        .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      dl.write.mode("overwrite").parquet(s"$base/dl")
-      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-        .write.mode("overwrite").parquet(s"$base/stats")
       val posAll = spark.read.parquet(s"$base/pos")
       val posAffected = posAll.join(broadcast(tomb), Seq("doc_id"))
         .select(col("bucket").cast("long")).distinct()
@@ -1047,15 +1050,25 @@ object Text {
           .localCheckpoint()
         graft.sources.Sources.mergePartitioned(posAff, s"$base/pos", "bucket")
       }
-      // the delta segments (tf and positions) must drop their
-      // tombstoned docs too — clearing the sidecar below would
-      // otherwise resurrect them; only (seg, bucket) partitions
-      // actually carrying a tombstoned doc rewrite
-      scrubSegments(spark, s"$base/tf_delta",
-        Seq("doc_id", "term", "tf", "bucket"), tomb)
-      scrubSegments(spark, s"$base/pos_delta",
-        Seq("doc_id", "pos", "term", "bucket"), tomb)
     }
+    // Everything below runs whether or not any BASE bucket was hit: a
+    // doc appended after the build lives ONLY in delta segments and dl,
+    // so gating it on base-postings membership would resurrect the doc
+    // the moment the sidecar clears (found by the total-wipe spec).
+    // doc lengths and corpus stats drop the tombstoned docs…
+    val dl = spark.read.parquet(s"$base/dl")
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    dl.write.mode("overwrite").parquet(s"$base/dl")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+      .write.mode("overwrite").parquet(s"$base/stats")
+    // …and the delta segments (tf and positions) drop theirs; only
+    // (seg, bucket) partitions actually carrying a tombstoned doc
+    // rewrite, and an emptied-out generation removes its root
+    scrubSegments(spark, s"$base/tf_delta",
+      Seq("doc_id", "term", "tf", "bucket"), tomb)
+    scrubSegments(spark, s"$base/pos_delta",
+      Seq("doc_id", "pos", "term", "bucket"), tomb)
     clearTombstones(base)
   }
 
@@ -1605,7 +1618,11 @@ object Text {
       parts.foreach { p =>
         if (IndexFS.isDirectory(s"$base/${p}_staged")) {
           IndexFS.deleteRecursive(s"$base/$p")
-          IndexFS.rename(s"$base/${p}_staged", s"$base/$p")
+          // a silent rename failure here would lose the table (the
+          // base is already deleted) — fail loudly; the staged copy
+          // and the commit marker survive for the replay to finish
+          require(IndexFS.rename(s"$base/${p}_staged", s"$base/$p"),
+            s"lmCompact: rename $base/${p}_staged -> $base/$p failed")
         }
       }
       IndexFS.deleteRecursive(commit)

@@ -815,8 +815,10 @@ class SourcesSpec extends SparkTestBase {
     import graft.sources.IndexFS
     val docs = Tables.documents(spark, sf)
     val base = tmp("wipe")
-    Text.bm25BuildIndex(docs.filter(col("doc_id") < 900), base).count()
-    val batch = docs.filter(col("doc_id") >= 900)
+    // fixture-size-independent split: every 10th doc is the batch
+    Text.bm25BuildIndex(docs.filter(col("doc_id") % 10 =!= 7), base).count()
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+    assert(!batch.isEmpty)
     Text.bm25Append(batch, base)
     assert(IndexFS.isDirectory(s"$base/tf_delta"))
     Text.bm25Delete(batch.select(col("doc_id")), base)
@@ -828,8 +830,12 @@ class SourcesSpec extends SparkTestBase {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
     assert(Text.bm25ScoreStored(spark, base, 5).collect().map(key).toSeq
-      === Text.bm25TopK(docs.filter(col("doc_id") < 900), 5)
+      === Text.bm25TopK(docs.filter(col("doc_id") % 10 =!= 7), 5)
         .collect().map(key).toSeq)
+    // an EMPTY append is a no-op (it must not write a parquet-less
+    // segment dir that would poison the next delta read)
+    Text.bm25Append(docs.filter(col("doc_id") < 0), base)
+    assert(!IndexFS.isDirectory(s"$base/tf_delta"))
   }
 
   test("stored-index control plane runs through a file:-scheme Hadoop FileSystem") {
