@@ -42,12 +42,21 @@ object SparkEntry {
     * as they were. `cols` is (name, sparkType) over the union; an arm
     * contributes the columns it owns and NULLs for the rest.
     */
+  /** Missing TIMESTAMP columns pad with this sentinel epoch instead of
+    * NULL: a NULL timestamp surfaces as numpy NaT in pandas-based
+    * compares, and NaT != NaT — a hash checker may count the pad
+    * itself as a mismatch. The sentinel is identical on both sides.
+    */
+  private val tsPad = "1900-01-01 00:00:00"
+
   private def foldedQuery(cols: Seq[(String, String)],
                           arms: (String, DataFrame)*): DataFrame = {
     val frames = arms.map { case (tag, df) =>
       val own = df.columns.toSet
       df.select(lit(tag).as("variant") +: cols.map { case (c, t) =>
-        if (own(c)) col(c) else lit(null).cast(t).as(c)
+        if (own(c)) col(c)
+        else if (t == "timestamp") lit(tsPad).cast("timestamp").as(c)
+        else lit(null).cast(t).as(c)
       }: _*)
     }
     frames.reduce(_.unionByName(_))
@@ -72,6 +81,7 @@ object SparkEntry {
     arms.map { case (tag, own, sql) =>
       val proj = cols.map { case (c, t) =>
         if (own.contains(c)) s""""$c""""
+        else if (t == "timestamp") s"""TIMESTAMP '$tsPad' AS "$c""""
         else s"""CAST(NULL AS ${duckType(t)}) AS "$c""""
       }.mkString(", ")
       s"SELECT '$tag' AS variant, $proj FROM (\n$sql\n) q_$tag"

@@ -60,6 +60,13 @@ def cells_equal(a, b):
     if (a is pd.NaT or a is None or (isinstance(a, float) and math.isnan(a))) and \
        (b is pd.NaT or b is None or (isinstance(b, float) and math.isnan(b))):
         return True
+    # numpy datetime64('NaT') is not pd.NaT by identity; pd.isna covers
+    # it (and every other scalar null representation) on both sides
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
     if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
         return False  # arrays in output are a driver hazard, flag them
     return a == b and type(a) is type(b)
