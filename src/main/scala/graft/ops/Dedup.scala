@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.IndexFS
+import graft.sources.Sources.MaintCheckpointSyntax
 
 /** Deduplication operators over `documents` — the LLM-pipeline dedup
   * family (BASELINE.json north star): exact (hash), MinHash+LSH banding,
@@ -351,11 +352,12 @@ object Dedup {
     graft.sources.Sources.writePartitioned(
       minhashBands(history, "hist_id", w), s"$base/bands", "band_idx")
     // one shingle explosion feeds the set sidecar AND the sizes
-    val sh = explodedShingleHashes(history, w).localCheckpoint()
+    val sh = explodedShingleHashes(history, w).maintCheckpoint()
     sh.write.mode("overwrite").parquet(s"$base/shingles")
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))
       .write.mode("overwrite").parquet(s"$base/sizes")
     IndexFS.mkdirs(base)
+    IndexFS.stampVersion(base, "dedup")
     IndexFS.writeString(s"$base/MARKER",
       s"${dedupIndexMarkerPrefix(history, w)} n=${history.count()}")
     spark.read.parquet(s"$base/bands")
@@ -378,6 +380,7 @@ object Dedup {
                                base: String, w: Int = 3,
                                threshold: Double = 0.3): DataFrame = {
     val spark = batch.sparkSession
+    IndexFS.requireVersion(base, "dedup")
     val fresh = IndexFS.markerFresh(s"$base/MARKER",
       dedupIndexMarkerPrefix(history, w))
     if (!fresh) dedupBuildIndex(history, base, w).count()
@@ -418,6 +421,7 @@ object Dedup {
                  threshold: Double = 0.3): DataFrame =
       IndexFS.withWriterLease(base) {
     val spark = batch.sparkSession
+    IndexFS.requireVersion(base, "dedup")
     require(IndexFS.exists(s"$base/MARKER"),
       s"no stored near-dup index at $base — run dedupBuildIndex first")
     // serve base ∪ delta segments for every artifact
@@ -428,13 +432,13 @@ object Dedup {
           .select(cols.map(col): _*))
       else b0
     }
-    val b = batch.localCheckpoint()
+    val b = batch.maintCheckpoint()
     val sizesH = withDelta("sizes", Seq("doc_id", "szh"))
     // a replayed document (already in the index) re-admits by id —
     // checking it again would flag it as a dup of itself
     val freshB = b.join(sizesH.select(col("doc_id")), Seq("doc_id"),
         "left_anti")
-      .localCheckpoint()
+      .maintCheckpoint()
     val bandsH = withDelta("bands", Seq("hist_id", "band_idx", "band_key"))
       .select(col("hist_id"), col("band_idx").cast("int").as("band_idx"),
         col("band_key"))
@@ -448,11 +452,11 @@ object Dedup {
       withDelta("shingles", Seq("doc_id", "s"))
         .select(col("doc_id"), col("s")),
       sizesH, w, threshold)
-      .localCheckpoint()
+      .maintCheckpoint()
     val admitted = freshB.join(
         verdicts.filter(!col("is_dup")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .maintCheckpoint()
     if (!admitted.isEmpty) {
       val segId = java.lang.Long.toHexString(
         Option(admitted.select(col("doc_id")).distinct()
@@ -461,7 +465,7 @@ object Dedup {
       graft.sources.Sources.writePartitioned(
         minhashBands(admitted, "hist_id", w),
         s"$base/bands_delta/seg=$segId", "band_idx")
-      val sh = explodedShingleHashes(admitted, w).localCheckpoint()
+      val sh = explodedShingleHashes(admitted, w).maintCheckpoint()
       sh.write.mode("overwrite").parquet(s"$base/shingles_delta/seg=$segId")
       sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))
         .write.mode("overwrite").parquet(s"$base/sizes_delta/seg=$segId")

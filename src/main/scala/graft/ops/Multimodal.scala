@@ -170,8 +170,16 @@ object Multimodal {
           mdia <- child("mdia", (s, e)); minf <- child("minf", mdia)
           stbl <- child("stbl", minf); stts <- child("stts", stbl)
         } yield {
-          val n = u32(stts._1 + 4)
-          (0L until n).map(i => u32(stts._1 + 8 + (i * 8).toInt)).sum
+          // entry_count is untrusted u32: clamp to what the box can
+          // actually hold (8 bytes/entry) so a hostile payload can't
+          // drive an OOM-sized range; u32 returns -1 past the buffer,
+          // which the clamp also absorbs.
+          val declared = u32(stts._1 + 4)
+          val capacity = math.max(0L, ((stts._2 - stts._1 - 8) / 8).toLong)
+          val n = math.min(math.max(0L, declared), capacity)
+          var sum = 0L; var i = 0L
+          while (i < n) { sum += u32(stts._1 + 8 + (i * 8).toInt); i += 1 }
+          sum
         }
         dims.map { case (w, h) => (w, h, frames.getOrElse(0L)) }
       }.flatten.headOption

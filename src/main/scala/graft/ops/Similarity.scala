@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.IndexFS
+import graft.sources.Sources.MaintCheckpointSyntax
 
 /** Similarity search over the `embeddings` table (`Array[Float]`
   * vectors): brute-force cosine top-k as the exact baseline, and a
@@ -1108,10 +1109,12 @@ object Similarity {
     * [[IndexFS]], so the layout may live on any Hadoop-compatible FS.
     */
   private def ensureIvfpqFresh(embeddings: DataFrame, base: String,
-                               nlist: Int): Unit =
+                               nlist: Int): Unit = {
+    IndexFS.requireVersion(base, "ivfpq")
     if (!IndexFS.markerFresh(s"$base/MARKER",
         indexMarkerPrefix(embeddings, nlist)))
       ivfpqBuildIndex(embeddings, base, nlist).count()
+  }
 
   private def indexMarkerPrefix(embeddings: DataFrame, nlist: Int): String =
     s"graft-ivfpq v3 nlist=$nlist m=$pqM ksub=$pqKsub " +
@@ -1149,14 +1152,14 @@ object Similarity {
                       nlist: Int = 16): DataFrame =
       IndexFS.withWriterLease(base) {
     val spark = embeddings.sparkSession
-    val unit = unitVectors(embeddings).localCheckpoint()
+    val unit = unitVectors(embeddings).maintCheckpoint()
     val centroids = kmeansCentroids(embeddings, nlist)
-    val codebooks = pqCodebooks(unit).localCheckpoint()
+    val codebooks = pqCodebooks(unit).maintCheckpoint()
     // assignment feeds BOTH the cells write and the codes join —
     // checkpoint it so the corpus-wide argmax runs once, not per sink
     val assigned =
       assignCells(withLabel(embeddings), centroids, extra = Seq("label"))
-        .localCheckpoint()
+        .maintCheckpoint()
     val codesCells = pqEncode(unit, codebooks)
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
     graft.sources.Sources.writePartitioned(assigned, s"$base/cells", "cell")
@@ -1164,6 +1167,7 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$base/centroids")
     codebooks.write.mode("overwrite").parquet(s"$base/codebooks")
     IndexFS.mkdirs(base)
+    IndexFS.stampVersion(base, "ivfpq")
     IndexFS.writeString(s"$base/MARKER", indexMarker(embeddings, nlist))
     spark.read.parquet(s"$base/cells")
       .groupBy(col("cell").cast("long").as("cell"))
@@ -1306,7 +1310,7 @@ object Similarity {
     ensureIvfpqFresh(embeddings, base, nlist)
     val cells = spark.read.parquet(s"$base/cells")
       .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
-      .localCheckpoint() // one read feeds counts, pivots, and assignment
+      .maintCheckpoint() // one read feeds counts, pivots, and assignment
     val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
     val total = cells.agg(count(lit(1)).as("n_total"))
     // hot iff n > (hotFactorPct/100)× the mean cell — exact integers.
@@ -1319,7 +1323,7 @@ object Similarity {
       .select(col("cell"))
     val resplit = resplitAssignment(cells, hot,
       spark.read.parquet(s"$base/centroids"), nlist)
-      .localCheckpoint() // feeds the staging write AND the report
+      .maintCheckpoint() // feeds the staging write AND the report
     graft.sources.Sources.mergePartitioned(
       resplit.filter(col("pe").isNotNull)
         .select(col("vec_id"), col("embedding"), col("new_cell").as("cell")),
@@ -1509,10 +1513,10 @@ object Similarity {
     val codebooks = spark.read.parquet(s"$base/codebooks")
     val assigned =
       assignCells(withLabel(batch), centroids, extra = Seq("label"))
-        .localCheckpoint()
+        .maintCheckpoint()
     val codesB = pqEncode(unitVectors(batch), codebooks)
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .localCheckpoint()
+      .maintCheckpoint()
     val batchIds = assigned.select(col("vec_id"))
     val affected = assigned.select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
@@ -1523,14 +1527,14 @@ object Similarity {
     val mergedCells = oldCells.join(batchIds, Seq("vec_id"), "left_anti")
       .unionByName(assigned
         .select(col("vec_id"), col("embedding"), col("label"), col("cell")))
-      .localCheckpoint() // materialize before overwriting the read path
+      .maintCheckpoint() // materialize before overwriting the read path
     graft.sources.Sources.mergePartitioned(mergedCells, s"$base/cells", "cell")
     val oldCodes = spark.read.parquet(s"$base/codes")
       .filter(col("cell").isin(affected: _*))
       .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell"))
     val mergedCodes = oldCodes.join(batchIds, Seq("vec_id"), "left_anti")
       .unionByName(codesB.select(col("vec_id"), col("codes"), col("cell")))
-      .localCheckpoint()
+      .maintCheckpoint()
     graft.sources.Sources.mergePartitioned(mergedCodes, s"$base/codes", "cell")
   }
 
@@ -1574,7 +1578,7 @@ object Similarity {
     val merged = (if (Text.hasTombstones(base))
         spark.read.parquet(tPath).unionByName(deletedIds.select(col("vec_id")))
       else deletedIds.select(col("vec_id")))
-      .distinct().localCheckpoint()
+      .distinct().maintCheckpoint()
     merged.write.mode("overwrite").parquet(tPath)
   }
 
@@ -1589,7 +1593,7 @@ object Similarity {
                    base: String): Unit = IndexFS.withWriterLease(base) {
     if (!Text.hasTombstones(base)) return
     val tomb = spark.read.parquet(Text.tombstonePath(base).toString)
-      .localCheckpoint()
+      .maintCheckpoint()
     val cellsAll = spark.read.parquet(s"$base/cells")
     val affected = cellsAll.join(broadcast(tomb), Seq("vec_id"))
       .select(col("cell").cast("int")).distinct()
@@ -1599,13 +1603,13 @@ object Similarity {
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("embedding"), col("label"),
           col("cell").cast("long").as("cell"))
-        .localCheckpoint()
+        .maintCheckpoint()
       graft.sources.Sources.mergePartitioned(keepCells, s"$base/cells", "cell")
       val keepCodes = spark.read.parquet(s"$base/codes")
         .filter(col("cell").isin(affected: _*))
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell"))
-        .localCheckpoint()
+        .maintCheckpoint()
       graft.sources.Sources.mergePartitioned(keepCodes, s"$base/codes", "cell")
     }
     Text.clearTombstones(base)

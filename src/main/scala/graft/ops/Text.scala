@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.sources.IndexFS
+import graft.sources.Sources.MaintCheckpointSyntax
 
 /** Text-analysis operators over the `documents` table — the
   * training-data-pipeline half of the engine (BASELINE.json north star):
@@ -593,13 +594,13 @@ object Text {
       .foreach(d => IndexFS.deleteRecursive(s"$base/$d"))
     // ONE corpus tokenize: the positional frame is the superset every
     // other artifact folds from (tf = its per-(doc, term) count)
-    val toks = positionalPostings(documents).localCheckpoint()
+    val toks = positionalPostings(documents).maintCheckpoint()
     val tf = toks
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .maintCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .localCheckpoint()
+      .maintCheckpoint()
     graft.sources.Sources.writePartitioned(
       tf.withColumn("bucket", termBucket(col("term"))), s"$base/tf", "bucket")
     graft.sources.Sources.writePartitioned(
@@ -611,6 +612,7 @@ object Text {
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"$base/stats")
     IndexFS.mkdirs(base)
+    IndexFS.stampVersion(base, "bm25")
     IndexFS.writeString(s"$base/MARKER", bm25IndexMarker(documents))
     spark.read.parquet(s"$base/tf")
       .groupBy(col("bucket").cast("long").as("bucket"))
@@ -683,10 +685,34 @@ object Text {
     val keep = delta.join(broadcast(pairs), Seq("seg", "bucket"))
       .join(dropIds, Seq("doc_id"), "left_anti")
       .select(("seg" +: cols.filterNot(_ == "seg")).map(col): _*)
-      .localCheckpoint()
-    affected.foreach { case (s, b) =>
-      IndexFS.deleteRecursive(s"$root/seg=$s/bucket=$b") }
-    graft.sources.Sources.mergePartitioned(keep, root, "seg", "bucket")
+      .maintCheckpoint()
+    // survivors-first ordering: the dynamic overwrite below replaces
+    // every affected partition that still HAS survivors, so a crash at
+    // any point loses nothing — before the overwrite the old partitions
+    // are intact; after it only stale all-dropped partitions remain,
+    // and a replay (tombstones still list the dropped docs) or the
+    // serve-time tombstone anti-join covers those. The previous
+    // delete-first ordering could lose survivors that existed only in
+    // the executor-memory checkpoint.
+    val kept = keep.select(col("seg"), col("bucket")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    if (kept.nonEmpty)
+      graft.sources.Sources.mergePartitioned(keep, root, "seg", "bucket")
+    // a partition whose rows ALL belonged to dropped docs cannot be
+    // expressed by a dynamic overwrite — delete it; batched over a
+    // small pool so hundreds of segments don't serialize driver-side
+    // FS round-trips
+    val emptied = affected.filterNot(kept)
+    if (emptied.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, emptied.size))
+      try emptied.map { case (s, b) =>
+        pool.submit(new Runnable {
+          def run(): Unit = IndexFS.deleteRecursive(s"$root/seg=$s/bucket=$b")
+        })
+      }.foreach(_.get())
+      finally pool.shutdown()
+    }
     // if the scrub emptied the LAST generation, remove the root: a
     // parquet read of a directory holding only empty partition dirs
     // cannot infer a schema, and an absent delta dir is the normal
@@ -699,10 +725,12 @@ object Text {
     * on the probe path. Marker I/O goes through [[IndexFS]], so the
     * layout may live on any Hadoop-compatible FS.
     */
-  private def ensureBm25Fresh(documents: DataFrame, base: String): Unit =
+  private def ensureBm25Fresh(documents: DataFrame, base: String): Unit = {
+    IndexFS.requireVersion(base, "bm25")
     if (!IndexFS.markerFresh(s"$base/MARKER",
         bm25IndexMarkerPrefix(documents)))
       bm25BuildIndex(documents, base).count()
+  }
 
   /** Score [[bm25Queries]] from a stored layout under `base` — the
     * shared serving core of [[bm25ProbeStored]] and
@@ -820,12 +848,12 @@ object Text {
     // the positional delta segment
     val posB = positionalPostings(batch)
       .withColumn("bucket", termBucket(col("term")))
-      .localCheckpoint()
+      .maintCheckpoint()
     val tfB = posB
       .groupBy(col("doc_id"), col("term"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
       .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
-      .localCheckpoint()
+      .maintCheckpoint()
     // an empty batch is a no-op: writing its "segment" would leave a
     // parquet-less seg directory that poisons every later delta read
     if (tfB.isEmpty) return
@@ -836,7 +864,7 @@ object Text {
     val mergedDl = spark.read.parquet(s"$base/dl")
       .join(batchIds, Seq("doc_id"), "left_anti")
       .unionByName(dlB)
-      .localCheckpoint()
+      .maintCheckpoint()
     mergedDl.write.mode("overwrite").parquet(s"$base/dl")
     mergedDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"$base/stats")
@@ -960,7 +988,7 @@ object Text {
     val tf = spark.read.parquet(s"$base/tf")
       .select(col("doc_id"), col("term"), col("tf"),
         col("bucket").cast("long").as("bucket"))
-      .localCheckpoint() // one read feeds counts and the split
+      .maintCheckpoint() // one read feeds counts and the split
     val counts = tf.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
     val total = tf.agg(count(lit(1)).as("n_total"))
     val hot = counts.join(broadcast(total))
@@ -974,7 +1002,7 @@ object Text {
       .withColumn("new_bucket",
         when(col("is_hot").isNull, col("bucket"))
           .otherwise(col("bucket") + lit(bm25Buckets.toLong) * sub))
-      .localCheckpoint() // feeds the staging write AND the report
+      .maintCheckpoint() // feeds the staging write AND the report
     graft.sources.Sources.mergePartitioned(
       split.filter(col("is_hot").isNotNull)
         .select(col("doc_id"), col("term"), col("tf"),
@@ -1004,7 +1032,7 @@ object Text {
     val merged = (if (hasTombstones(base))
         spark.read.parquet(tPath).unionByName(deletedIds.select(col("doc_id")))
       else deletedIds.select(col("doc_id")))
-      .distinct().localCheckpoint()
+      .distinct().maintCheckpoint()
     merged.write.mode("overwrite").parquet(tPath)
   }
 
@@ -1022,7 +1050,7 @@ object Text {
                   base: String): Unit = IndexFS.withWriterLease(base) {
     if (!hasTombstones(base)) return
     val tomb = spark.read.parquet(tombstonePath(base).toString)
-      .localCheckpoint()
+      .maintCheckpoint()
     val tfAll = spark.read.parquet(s"$base/tf")
     val affected = tfAll.join(broadcast(tomb), Seq("doc_id"))
       .select(col("bucket").cast("long")).distinct()
@@ -1032,7 +1060,7 @@ object Text {
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("term"), col("tf"),
           col("bucket").cast("long").as("bucket"))
-        .localCheckpoint()
+        .maintCheckpoint()
       graft.sources.Sources.mergePartitioned(tfAff, s"$base/tf", "bucket")
       graft.sources.Sources.mergePartitioned(
         tfAff.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -1047,7 +1075,7 @@ object Text {
           .join(broadcast(tomb), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("pos"), col("term"),
             col("bucket").cast("long").as("bucket"))
-          .localCheckpoint()
+          .maintCheckpoint()
         graft.sources.Sources.mergePartitioned(posAff, s"$base/pos", "bucket")
       }
     }
@@ -1058,7 +1086,7 @@ object Text {
     // doc lengths and corpus stats drop the tombstoned docs…
     val dl = spark.read.parquet(s"$base/dl")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .maintCheckpoint()
     dl.write.mode("overwrite").parquet(s"$base/dl")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
       .write.mode("overwrite").parquet(s"$base/stats")
@@ -1359,7 +1387,7 @@ object Text {
     Seq("bi_delta", "uni_delta", "docs_delta", "docs_removed")
       .foreach(d => IndexFS.deleteRecursive(s"$base/$d"))
     // one reference tokenize: both count tables fold from this frame
-    val pr = bigramPairs(lmReference(documents)).localCheckpoint()
+    val pr = bigramPairs(lmReference(documents)).maintCheckpoint()
     graft.sources.Sources.writePartitioned(
       pr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
         .withColumn("bucket", termBucket(col("w1"))), s"$base/bi", "bucket")
@@ -1371,6 +1399,7 @@ object Text {
     lmReference(documents).select(col("doc_id"))
       .write.mode("overwrite").parquet(s"$base/docs")
     IndexFS.mkdirs(base)
+    IndexFS.stampVersion(base, "lm")
     IndexFS.writeString(s"$base/MARKER", lmIndexMarker(documents))
     val bi = spark.read.parquet(s"$base/bi")
     val uni = spark.read.parquet(s"$base/uni")
@@ -1397,6 +1426,7 @@ object Text {
     */
   def lmScoreStored(documents: DataFrame, base: String): DataFrame = {
     val spark = documents.sparkSession
+    IndexFS.requireVersion(base, "lm")
     if (!IndexFS.markerFresh(s"$base/MARKER", lmIndexMarkerPrefix(documents)))
       lmBuildIndex(documents, base).count()
     val pr = bigramPairs(documents)
@@ -1490,13 +1520,13 @@ object Text {
     val spark = batch.sparkSession
     val fresh = batch.join(lmEverSeen(spark, base), Seq("doc_id"),
         "left_anti")
-      .localCheckpoint()
+      .maintCheckpoint()
     if (!fresh.isEmpty) {
       val segId = java.lang.Long.toHexString(
         Option(fresh.select(col("doc_id")).distinct()
           .agg(sum(tokenHash(col("doc_id").cast("string"))))
           .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
-      val pr = bigramPairs(fresh).localCheckpoint()
+      val pr = bigramPairs(fresh).maintCheckpoint()
       graft.sources.Sources.writePartitioned(
         pr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
           .withColumn("bucket", termBucket(col("w1"))),
@@ -1545,13 +1575,13 @@ object Text {
     val spark = victims.sparkSession
     val targets = victims
       .join(lmServedDocs(spark, base), Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+      .maintCheckpoint()
     if (!targets.isEmpty) {
       val segId = "del" + java.lang.Long.toHexString(
         Option(targets.select(col("doc_id")).distinct()
           .agg(sum(tokenHash(col("doc_id").cast("string"))))
           .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
-      val pr = bigramPairs(targets).localCheckpoint()
+      val pr = bigramPairs(targets).maintCheckpoint()
       graft.sources.Sources.writePartitioned(
         pr.groupBy(col("w1"), col("w2"))
           .agg((-count(lit(1))).as("n_pair"))

@@ -28,7 +28,12 @@ import org.apache.spark.sql.SparkSession
 object IndexFS {
 
   private def conf(): Configuration =
+    // getActiveSession is thread-local: control-plane calls from a
+    // non-Spark thread (e.g. the lease heartbeat) must still see the
+    // session's filesystem bindings/credentials (fs.s3a.* etc.), so
+    // fall through to the process-wide default session first.
     SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
@@ -134,6 +139,52 @@ object IndexFS {
     readStringOpt(markerPath).contains(expected)
 
   // ------------------------------------------------------------------
+  // Layout-version contract. Freshness markers guard CONTENT drift
+  // (corpus changed → rebuild); _VERSION guards SHAPE drift (the
+  // on-disk layout format itself changed). The two must fail
+  // differently: stale content rebuilds silently, a foreign version
+  // fails LOUDLY — a v1 reader that "lazily rebuilt" a v2 layout
+  // would clobber data a newer deployment still serves.
+  // ------------------------------------------------------------------
+
+  /** Current on-disk layout version per stored-index kind. Bump the
+    * value here (one line) when a kind's physical layout changes
+    * incompatibly; old layouts then fail loudly instead of being
+    * misread or clobbered.
+    */
+  val layoutVersions: Map[String, Int] =
+    Map("bm25" -> 1, "lm" -> 1, "ivfpq" -> 1, "dedup" -> 1)
+
+  private def versionPath(base: String): String = s"$base/_VERSION"
+
+  private def versionLine(kind: String): String =
+    s"graft-layout kind=$kind v=${layoutVersions(kind)}"
+
+  /** Stamp `base` as holding `kind`'s current layout version — called
+    * by every index build alongside its freshness marker.
+    */
+  def stampVersion(base: String, kind: String): Unit =
+    writeString(versionPath(base), versionLine(kind))
+
+  /** Fail loudly if `base` carries a DIFFERENT kind or version than
+    * this reader understands. An absent `_VERSION` (not yet built, or
+    * a pre-contract layout) is accepted — the freshness marker governs
+    * rebuild there.
+    */
+  def requireVersion(base: String, kind: String): Unit =
+    readStringOpt(versionPath(base)).foreach { txt =>
+      val expected = versionLine(kind)
+      if (txt.trim != expected)
+        throw new IllegalStateException(
+          s"stored layout $base: layout-version mismatch — on disk " +
+            s"'${txt.trim}', this reader understands '$expected'. " +
+            "Refusing to read or lazily rebuild: a newer/foreign layout " +
+            "must not be silently misread or clobbered. Rebuild the " +
+            "layout with a matching library version or point at a " +
+            "compatible base.")
+    }
+
+  // ------------------------------------------------------------------
   // Single-writer lease. Stored-index maintenance (append / delete /
   // compact) assumes ONE writer per layout; concurrent writers would
   // interleave segment writes and corrupt the LSM generations. The
@@ -177,32 +228,66 @@ object IndexFS {
           !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false))
     } catch { case _: Exception => false }
 
+  /** Default heartbeat cadence for held leases — a live writer's lease
+    * mtime is refreshed this often, so age-based reclaim (`staleMs`)
+    * only ever fires against a writer that stopped heartbeating
+    * (crashed or partitioned), never against a slow-but-alive one.
+    */
+  val defaultHeartbeatMs: Long = 60000L
+
   /** Acquire the writer lease for a stored layout, run `body`,
     * release. Throws [[IllegalStateException]] if another writer
     * holds a live lease. Re-entrant within a thread. A crashed
     * writer's lease is reclaimed immediately when its recorded
     * (host, pid) is provably dead on this host, or by age otherwise
-    * (`staleMs`, default 1 h).
+    * (`staleMs`, default 1 h). While held, a daemon heartbeat
+    * refreshes the lease mtime every `heartbeatMs`, so a >staleMs
+    * maintenance job keeps its lease as long as it is alive; only a
+    * writer whose heartbeats STOPPED is reclaimable by age. Breaking
+    * a stale lease is race-free: the breaker first RENAMES the stale
+    * lease to a unique tombstone (rename is atomic — exactly one
+    * contender wins) and only the winner proceeds to re-create it,
+    * then read-back-verifies its own token.
     */
-  def withWriterLease[T](base: String, staleMs: Long = 3600000L)(body: => T): T = {
+  def withWriterLease[T](base: String, staleMs: Long = 3600000L,
+                         heartbeatMs: Long = defaultHeartbeatMs)(body: => T): T = {
     if (held.get().contains(base)) return body
     val (fs, p) = resolve(leasePath(base))
     fs.mkdirs(p.getParent)
+    val token = java.util.UUID.randomUUID().toString
+    val content =
+      s"pid=${ProcessHandle.current().pid()} host=$localHost token=$token"
+    def ownsLease(): Boolean =
+      try {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](256)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(0, n), StandardCharsets.UTF_8)
+            .contains(s"token=$token")
+        } finally in.close()
+      } catch { case _: Exception => false }
     def tryAcquire(): Boolean =
       try {
         // overwrite=false: atomic exclusive create on HDFS/local
         val out = fs.create(p, false)
-        try out.write(
-          s"pid=${ProcessHandle.current().pid()} host=$localHost"
-            .getBytes(StandardCharsets.UTF_8))
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
         finally out.close()
-        true
+        // read-back: a concurrent stale-breaker could have deleted and
+        // replaced our fresh lease — only believe it if it carries our
+        // token.
+        ownsLease()
       } catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
       val age = try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
                 catch { case _: java.io.FileNotFoundException => Long.MaxValue }
       if (age > staleMs || holderDead(fs, p)) {
-        fs.delete(p, false) // break the crashed writer's lease
+        // rename-to-tombstone: atomic, so of N contenders that all saw
+        // the same stale lease exactly one wins the break; the losers'
+        // renames fail and they contend normally on tryAcquire below.
+        val tomb = new Path(s"${leasePath(base)}.broken.$token")
+        val won = try fs.rename(p, tomb) catch { case _: java.io.IOException => false }
+        if (won) { try fs.delete(tomb, false) catch { case _: java.io.IOException => () } }
         if (!tryAcquire())
           throw new IllegalStateException(
             s"stored layout $base: writer lease contended after stale-break")
@@ -212,10 +297,31 @@ object IndexFS {
           "is not supported — serialize writers or remove a crashed lease")
     }
     held.set(held.get() + base)
+    // heartbeat: touch mtime while we hold the lease, but only while
+    // the file still carries OUR token (never refresh a lease someone
+    // legitimately broke and re-took).
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          Thread.sleep(heartbeatMs)
+          if (!stop.get() && ownsLease())
+            fs.setTimes(p, System.currentTimeMillis(), -1)
+        } catch {
+          case _: InterruptedException => // release path; fall through
+          case _: Exception => () // FS hiccup: skip this beat
+        }
+      }
+    }, s"graft-lease-heartbeat-${p.getName}")
+    beat.setDaemon(true)
+    beat.start()
     try body
     finally {
+      stop.set(true)
+      beat.interrupt()
       held.set(held.get() - base)
-      try fs.delete(p, false) catch { case _: java.io.IOException => () }
+      try { if (ownsLease()) fs.delete(p, false) }
+      catch { case _: java.io.IOException => () }
     }
   }
 }

@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object Sources {
 
+  /** Lineage truncation for stored-layout MAINTENANCE materializations
+    * (build/append/delete/compact under the writer lease). With a
+    * checkpoint directory configured (`sparkContext.setCheckpointDir` —
+    * the cluster-deployment default) the materialized rounds land on
+    * the checkpoint FILESYSTEM: losing an executor mid-maintenance
+    * replays from durable storage instead of failing the nightly job.
+    * Without one it falls back to executor-local blocks
+    * (`localCheckpoint`) — fine where there are no executors to lose.
+    * Result-identical either way; same contract as
+    * [[graft.ops.Graph.iterCheckpoint]], packaged as syntax so the
+    * ~30 maintenance call sites stay suffix-form.
+    */
+  private[graft] implicit class MaintCheckpointSyntax(private val df: DataFrame) extends AnyVal {
+    def maintCheckpoint(): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+  }
+
   /** CSV round-trip: header + explicit schema on read (schema inference
     * would scan twice — never at 100 TB).
     */
@@ -93,7 +111,7 @@ object Sources {
   def writeIvfCells(embeddings: DataFrame, path: String,
                     nlist: Int): DataFrame = {
     val centroids = graft.ops.Similarity
-      .kmeansCentroids(embeddings, nlist).localCheckpoint()
+      .kmeansCentroids(embeddings, nlist).maintCheckpoint()
     val assigned = graft.ops.Similarity.assignCells(embeddings, centroids)
     writePartitioned(assigned, path, "cell")
     centroids

@@ -900,6 +900,67 @@ class SourcesSpec extends SparkTestBase {
     assert(Text.bm25ProbeStored(docs, base, 5).count() > 0)
   }
 
+  test("layout _VERSION contract: a foreign version fails loudly, never silently rebuilds") {
+    import graft.ops.Text
+    import graft.sources.IndexFS
+    val docs = Tables.documents(spark, sf)
+    val base = tmp("versioned")
+    Text.bm25BuildIndex(docs, base).count()
+    assert(IndexFS.readStringOpt(s"$base/_VERSION")
+      .exists(_.startsWith("graft-layout kind=bm25 v=")))
+    val markerBefore = IndexFS.readStringOpt(s"$base/MARKER")
+    // a layout stamped by a FUTURE library version must not be misread
+    // or clobbered by this reader's lazy rebuild — loud failure only
+    IndexFS.writeString(s"$base/_VERSION", "graft-layout kind=bm25 v=99")
+    val ex = intercept[IllegalStateException] {
+      Text.bm25ProbeStored(docs, base, 5).count()
+    }
+    assert(ex.getMessage.contains("layout-version mismatch"))
+    assert(IndexFS.readStringOpt(s"$base/MARKER") === markerBefore,
+      "mismatch handling touched the layout (clobber risk)")
+    // wrong KIND at the same version is the same loud failure
+    IndexFS.writeString(s"$base/_VERSION", "graft-layout kind=ivfpq v=1")
+    intercept[IllegalStateException] { Text.bm25ProbeStored(docs, base, 5).count() }
+    // matching version serves; absent _VERSION (pre-contract layout)
+    // is accepted and governed by the freshness marker alone
+    IndexFS.stampVersion(base, "bm25")
+    assert(Text.bm25ProbeStored(docs, base, 5).count() > 0)
+    IndexFS.deleteRecursive(s"$base/_VERSION")
+    assert(Text.bm25ProbeStored(docs, base, 5).count() > 0)
+  }
+
+  test("lease heartbeat: a slow-but-alive writer outliving staleMs is NOT broken") {
+    import graft.sources.IndexFS
+    val base = tmp("heartbeat")
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    val holderEntered = new java.util.concurrent.CountDownLatch(1)
+    @volatile var holderFailed: Option[Throwable] = None
+    val holder = new Thread(() => {
+      try IndexFS.withWriterLease(base, staleMs = 400L, heartbeatMs = 50L) {
+        holderEntered.countDown()
+        // outlive staleMs by >2x: without heartbeats the contender
+        // below would age-break this lease mid-flight
+        Thread.sleep(1200L)
+      } catch { case t: Throwable => holderFailed = Some(t) }
+      finally holderDone.countDown()
+    })
+    holder.start()
+    assert(holderEntered.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(800L) // well past staleMs since acquisition
+    // contender sees a lease older than its own staleMs ONLY if the
+    // heartbeat stopped; a live writer's beats keep the age fresh, so
+    // the contender must fail loudly instead of stealing the lease
+    intercept[IllegalStateException] {
+      IndexFS.withWriterLease(base, staleMs = 400L) { fail("lease stolen from a live writer") }
+    }
+    assert(holderDone.await(5, java.util.concurrent.TimeUnit.SECONDS))
+    assert(holderFailed.isEmpty, s"holder failed: $holderFailed")
+    assert(!IndexFS.exists(s"$base/_WRITER_LEASE"),
+      "lease not released after the slow holder finished")
+    // after release the layout is immediately acquirable
+    IndexFS.withWriterLease(base, staleMs = 400L) { () }
+  }
+
   test("rebuild yields a single-generation layout: stale deltas do not survive") {
     import graft.ops.Text
     import graft.sources.IndexFS
@@ -985,6 +1046,30 @@ class SourcesSpec extends SparkTestBase {
           Option(f.listFiles).toSeq.flatten.exists(anyRddDir))
       assert(anyRddDir(new java.io.File(dir)),
         "no reliable checkpoint written despite a configured dir")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
+  test("stored-index maintenance checkpoints durably when a checkpoint dir is configured") {
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sf)
+    val base = tmp("maintckpt")
+    Text.bm25BuildIndex(docs.filter(col("doc_id") % 2 === 0), base).count()
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      // an append under a configured checkpoint dir: its merge
+      // materializations must land on the checkpoint FILESYSTEM, so a
+      // lost executor replays from durable storage instead of failing
+      // the nightly maintenance job
+      Text.bm25Append(docs.filter(col("doc_id") % 2 === 1), base)
+      def anyRddDir(f: java.io.File): Boolean =
+        f.isDirectory && (f.getName.startsWith("rdd-") ||
+          Option(f.listFiles).toSeq.flatten.exists(anyRddDir))
+      assert(anyRddDir(new java.io.File(dir)),
+        "maintenance bypassed the configured checkpoint dir (executor-local blocks)")
+      // and the maintained layout still serves the full corpus
+      val probed = Text.bm25ProbeStored(docs, base, 5)
+      assert(probed.count() > 0)
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 }
