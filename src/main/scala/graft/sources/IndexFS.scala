@@ -88,6 +88,27 @@ object IndexFS {
     ()
   }
 
+  /** Modification time of `path`, if it exists. */
+  def mtimeOf(path: String): Option[Long] = {
+    val (fs, p) = resolve(path)
+    if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
+  }
+
+  /** Create `path` with `content` iff it does not exist (atomic
+    * exclusive create — the snapshot-manifest publish primitive).
+    * Returns false when the path already exists.
+    */
+  def createExclusive(path: String, content: String): Boolean = {
+    val (fs, p) = resolve(path)
+    try {
+      val out = fs.create(p, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+
   /** Rename `src` to `dst` (dst must not exist). Atomic on HDFS/local;
     * a server-side copy on S3A.
     */
@@ -153,7 +174,8 @@ object IndexFS {
     * misread or clobbered.
     */
   val layoutVersions: Map[String, Int] =
-    Map("bm25" -> 1, "lm" -> 1, "ivfpq" -> 1, "dedup" -> 1)
+    Map("bm25" -> 2, "lm" -> 2, "ivfpq" -> 2, "dedup" -> 2, "table" -> 1,
+      "ann" -> 1)
 
   private def versionPath(base: String): String = s"$base/_VERSION"
 
@@ -166,23 +188,73 @@ object IndexFS {
   def stampVersion(base: String, kind: String): Unit =
     writeString(versionPath(base), versionLine(kind))
 
-  /** Fail loudly if `base` carries a DIFFERENT kind or version than
-    * this reader understands. An absent `_VERSION` (not yet built, or
-    * a pre-contract layout) is accepted — the freshness marker governs
-    * rebuild there.
+  /** How `base`'s on-disk layout version relates to this reader. */
+  sealed trait VersionState
+  /** Matches this reader's version (or no `_VERSION` yet — a not-yet-
+    * built base, where the freshness marker governs).
+    */
+  case object VersionCurrent extends VersionState
+  /** An OLDER version of the same kind: this reader may wipe and
+    * rebuild it in place (self-upgrade) — the pre-snapshot layouts
+    * migrate through this path.
+    */
+  case object VersionStale extends VersionState
+
+  /** Classify `base`'s layout version. A NEWER version or a different
+    * KIND fails loudly — a newer/foreign layout must not be silently
+    * misread or lazily clobbered (a deployment still serving it would
+    * lose data); an OLDER version of the same kind returns
+    * [[VersionStale]] so the build path can wipe and rebuild.
+    */
+  def versionState(base: String, kind: String): VersionState =
+    readStringOpt(versionPath(base)) match {
+      case None => VersionCurrent
+      case Some(txt) =>
+        val t = txt.trim
+        if (t == versionLine(kind)) VersionCurrent
+        else {
+          val kv = t.stripPrefix("graft-layout ").split("\\s+")
+            .flatMap(_.split("=") match {
+              case Array(k, v) => Some(k -> v); case _ => None
+            }).toMap
+          val sameKind = kv.get("kind").contains(kind)
+          val older = kv.get("v").flatMap(_.toIntOption)
+            .exists(_ < layoutVersions(kind))
+          if (sameKind && older) VersionStale
+          else throw new IllegalStateException(
+            s"stored layout $base: layout-version mismatch — on disk " +
+              s"'$t', this reader understands '${versionLine(kind)}'. " +
+              "Refusing to read or lazily rebuild: a newer/foreign " +
+              "layout must not be silently misread or clobbered. " +
+              "Rebuild the layout with a matching library version or " +
+              "point at a compatible base.")
+        }
+    }
+
+  /** Fail loudly unless `base` is readable by this reader (current
+    * version or not-yet-built). Probe-path guard: a STALE layout must
+    * go through its build path (which wipes and rebuilds), never be
+    * read directly.
     */
   def requireVersion(base: String, kind: String): Unit =
-    readStringOpt(versionPath(base)).foreach { txt =>
-      val expected = versionLine(kind)
-      if (txt.trim != expected)
-        throw new IllegalStateException(
-          s"stored layout $base: layout-version mismatch — on disk " +
-            s"'${txt.trim}', this reader understands '$expected'. " +
-            "Refusing to read or lazily rebuild: a newer/foreign layout " +
-            "must not be silently misread or clobbered. Rebuild the " +
-            "layout with a matching library version or point at a " +
-            "compatible base.")
+    versionState(base, kind) match {
+      case VersionCurrent => ()
+      case VersionStale => throw new IllegalStateException(
+        s"stored layout $base: on-disk layout is an older '$kind' " +
+          "version — rebuild it (the build path self-upgrades) before " +
+          "probing.")
     }
+
+  /** Delete everything under `base` except the writer-lease file and
+    * the held lease's tombstones — the self-upgrade wipe. Caller must
+    * hold the writer lease.
+    */
+  def wipeLayout(base: String): Unit = {
+    scala.Predef.require(holdsLease(base),
+      s"wipeLayout($base) outside the writer lease")
+    listNames(base).filterNot(_.startsWith("_WRITER_LEASE"))
+      .foreach(n => deleteRecursive(s"$base/$n"))
+  }
 
   // ------------------------------------------------------------------
   // Single-writer lease. Stored-index maintenance (append / delete /
@@ -202,6 +274,11 @@ object IndexFS {
   private val held = new ThreadLocal[Set[String]] {
     override def initialValue(): Set[String] = Set.empty
   }
+
+  /** True iff this thread currently holds the writer lease on `base`
+    * — the precondition for snapshot publishes and layout wipes.
+    */
+  def holdsLease(base: String): Boolean = held.get().contains(base)
 
   private def localHost: String =
     try java.net.InetAddress.getLocalHost.getHostName

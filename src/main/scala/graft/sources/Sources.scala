@@ -173,57 +173,76 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
-  /** Replace `targetPath` with `stagingPath` WITHOUT a window where the
-    * only copy of the data has been deleted: the old target is renamed
-    * ASIDE (to `.old`) before the staging dir renames IN, and the aside
-    * copy is deleted only after the new data is in place. A crash at any
-    * step leaves at least one complete copy on disk:
-    *   - before step 2: target intact (staging is extra);
-    *   - between 2 and 3: `.old` holds the previous data, staging holds
-    *     the new — recovery is a rename of either into place;
-    *   - after 3: target holds the new data (`.old` cleanup may be
-    *     pending; stale `.old` dirs are cleared at the next swap).
-    * The previous delete-then-rename ordering could lose the table to a
-    * crash between its two steps. `onStep` is a fault-injection hook for
-    * the crash-window spec (no-op in production use).
+  /** Versioned tables: a parquet table whose rewrites go through the
+    * [[Snapshot]] manifest — MERGE/upsert/compact write a new
+    * generation and flip one manifest atomically, so a reader racing
+    * any rewrite either sees the complete old table or the complete
+    * new one, never a half-swap or vanished files. The table data
+    * lives under `base/data/gsn=<stamp>/`; [[readVersioned]] resolves
+    * the latest manifest (falling back to a plain parquet directory
+    * for tables that have never been rewritten).
     */
-  private[graft] def swapInPlace(spark: SparkSession, stagingPath: String,
-                                 targetPath: String,
-                                 onStep: Int => Unit = _ => ()): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(stagingPath), spark.sparkContext.hadoopConfiguration)
-    val tgt = new org.apache.hadoop.fs.Path(targetPath)
-    val stg = new org.apache.hadoop.fs.Path(stagingPath)
-    val old = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + ".old")
-    onStep(1); fs.delete(old, true)
-    onStep(2); if (fs.exists(tgt) && !fs.rename(tgt, old))
-      throw new java.io.IOException(s"rename-aside $tgt -> $old failed")
-    onStep(3); if (!fs.rename(stg, tgt))
-      throw new java.io.IOException(s"rename-in $stg -> $tgt failed")
-    onStep(4); fs.delete(old, true)
-  }
+  private val tableComp = "data"
+
+  def readVersioned(spark: SparkSession, base: String): DataFrame =
+    Snapshot.current(base).map(_.read(spark, tableComp))
+      .getOrElse(spark.read.parquet(base))
+
+  /** (Re)write a versioned table: one staged generation write + one
+    * atomic manifest flip; prior generations serve concurrent readers
+    * until GC's grace period passes.
+    */
+  def writeVersioned(df: DataFrame, base: String): Unit =
+    IndexFS.withWriterLease(base) {
+      val txn = Snapshot.begin(base)
+      txn.writeFull(df, tableComp)
+      txn.commit()
+      ()
+    }
+
+  /** Upgrade a plain parquet directory to the versioned layout on its
+    * first rewrite: stage its rows as generation 1, publish, then
+    * clear the now-unreferenced root files. Idempotent; no-op when
+    * the table is already versioned or the directory is empty.
+    */
+  private def adoptIfPlain(spark: SparkSession, base: String): Unit =
+    IndexFS.withWriterLease(base) {
+      if (!Snapshot.enabled(base) && IndexFS.hasParquet(base)) {
+        val txn = Snapshot.begin(base)
+        txn.writeFull(spark.read.parquet(base), tableComp)
+        txn.commit()
+      }
+      // root part-files are unreferenced once a manifest exists —
+      // clear them (also finishes an adoption that crashed here)
+      if (Snapshot.enabled(base))
+        IndexFS.listNames(base).filter(_.endsWith(".parquet"))
+          .foreach(n => IndexFS.deleteRecursive(s"$base/$n"))
+    }
 
   /** O18 — bulk writeback: apply a keyed update set to a stored table
     * (the reference's per-row commit protocol, OBP.js:554-621, as a
     * batch MERGE). Reads the target, left-joins the updates on the key,
     * and rewrites with the updated column — the update set is broadcast,
     * so the target is scanned exactly once and never shuffled. Parquet
-    * has no in-place update; the rewrite goes to a staging dir then
-    * [[swapInPlace]] replaces the target (the transactional-table
-    * pattern without a table format).
+    * has no in-place update; the rewrite lands as a new [[Snapshot]]
+    * generation and one manifest flip makes it live (the
+    * transactional-table pattern without a table format) — concurrent
+    * readers keep the previous generation.
     */
   def mergeColumnUpdate(spark: SparkSession, targetPath: String,
-                        updates: DataFrame, key: String, column: String): Long = {
-    val target = spark.read.parquet(targetPath)
-    val upd = updates.select(col(key), col(column).as("__newval"))
-    val merged = target.join(broadcast(upd), Seq(key), "left")
-      .withColumn(column, coalesce(col("__newval"), col(column)))
-      .drop("__newval")
-    val staging = targetPath.stripSuffix("/") + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    swapInPlace(spark, staging, targetPath)
-    spark.read.parquet(targetPath).count()
-  }
+                        updates: DataFrame, key: String, column: String): Long =
+    IndexFS.withWriterLease(targetPath) {
+      adoptIfPlain(spark, targetPath)
+      val target = readVersioned(spark, targetPath)
+      val upd = updates.select(col(key), col(column).as("__newval"))
+      val merged = target.join(broadcast(upd), Seq(key), "left")
+        .withColumn(column, coalesce(col("__newval"), col(column)))
+        .drop("__newval")
+      val txn = Snapshot.begin(targetPath)
+      txn.writeFull(merged, tableComp)
+      txn.commit()
+      readVersioned(spark, targetPath).count()
+    }
 
   /** O18 registry probe — the MERGE sink end to end, replayable: stage
     * a FRESH copy of the lineitem slice under `base` every run (so the
@@ -242,17 +261,17 @@ object Sources {
     */
   def mergeProbe(spark: SparkSession, sfDir: String, base: String): DataFrame = {
     val target = s"$base/lineitem_copy"
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    writeVersioned(spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"))).as("rowkey"),
-        col("l_quantity"), col("l_discount"), col("l_returnflag"))
-      .write.mode(SaveMode.Overwrite).parquet(target)
-    val updates = spark.read.parquet(target)
+        col("l_quantity"), col("l_discount"), col("l_returnflag")),
+      target)
+    val updates = readVersioned(spark, target)
       .filter(col("l_quantity") >= 45)
       .select(col("rowkey")).distinct()
       .withColumn("l_discount", lit(0.99))
     mergeColumnUpdate(spark, target, updates, "rowkey", "l_discount")
-    spark.read.parquet(target)
+    readVersioned(spark, target)
       .groupBy(col("l_returnflag"), col("l_discount"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_discount"))
@@ -266,16 +285,18 @@ object Sources {
     * the same no-partial-visibility contract as `mergeColumnUpdate`.
     */
   def upsert(spark: SparkSession, targetPath: String,
-             updates: DataFrame, key: String): Long = {
-    val target = spark.read.parquet(targetPath)
-    val merged = target
-      .join(broadcast(updates.select(col(key))), Seq(key), "left_anti")
-      .unionByName(updates.select(target.columns.map(col): _*))
-    val staging = targetPath.stripSuffix("/") + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    swapInPlace(spark, staging, targetPath)
-    spark.read.parquet(targetPath).count()
-  }
+             updates: DataFrame, key: String): Long =
+    IndexFS.withWriterLease(targetPath) {
+      adoptIfPlain(spark, targetPath)
+      val target = readVersioned(spark, targetPath)
+      val merged = target
+        .join(broadcast(updates.select(col(key))), Seq(key), "left_anti")
+        .unionByName(updates.select(target.columns.map(col): _*))
+      val txn = Snapshot.begin(targetPath)
+      txn.writeFull(merged, tableComp)
+      txn.commit()
+      readVersioned(spark, targetPath).count()
+    }
 
   /** Small-file compaction: rewrite a directory into ⌈rows/target⌉
     * files. Streaming sinks and per-batch upserts accumulate small
@@ -284,13 +305,15 @@ object Sources {
     * bigger write — readers pay per-file open cost and the driver pays
     * per-file planning cost until compaction runs.
     */
-  def compact(spark: SparkSession, path: String, rowsPerFile: Long): Long = {
-    val df = spark.read.parquet(path)
-    val n = df.count()
-    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
-    val staging = path.stripSuffix("/") + ".staging"
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(staging)
-    swapInPlace(spark, staging, path)
-    files.toLong
-  }
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long): Long =
+    IndexFS.withWriterLease(path) {
+      adoptIfPlain(spark, path)
+      val df = readVersioned(spark, path)
+      val n = df.count()
+      val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+      val txn = Snapshot.begin(path)
+      txn.writeFull(df.repartition(files), tableComp)
+      txn.commit()
+      files.toLong
+    }
 }

@@ -479,7 +479,7 @@ class SourcesSpec extends SparkTestBase {
     val updates = Seq((1L, "UPDATED_1"), (3L, "UPDATED_3"))
       .toDF("s_suppkey", "s_name")
     val n = Sources.mergeColumnUpdate(spark, path, updates, "s_suppkey", "s_name")
-    val after = spark.read.parquet(path)
+    val after = Sources.readVersioned(spark, path)
     assert(n === after.count())
     val names = after.select("s_suppkey", "s_name").as[(Long, String)].collect().toMap
     assert(names(1L) === "UPDATED_1" && names(3L) === "UPDATED_3")
@@ -528,39 +528,91 @@ class SourcesSpec extends SparkTestBase {
       .toDF("key", "value", "score")
     val n = Sources.upsert(spark, tgt, updates, "key")
     assert(n === 4L)
-    val back = spark.read.parquet(tgt).orderBy("key")
+    val back = Sources.readVersioned(spark, tgt).orderBy("key")
       .as[(Long, String, Long)].collect().toSeq
     assert(back === Seq((1L, "old", 10L), (2L, "new", 99L),
       (3L, "old", 30L), (4L, "new", 40L)))
   }
 
-  test("staging swap keeps a complete copy alive through a crash at every step") {
+  test("snapshot rewrite keeps a complete readable table through a crash " +
+      "at every step") {
+    import graft.sources.{IndexFS, Snapshot}
     case class Crash(step: Int) extends RuntimeException
     val oldData = Set(1, 2, 3)
     val newData = Set(4, 5, 6)
-    for (failAt <- 1 to 4) {
-      val tgt = tmp(s"swap$failAt")
-      val stg = tgt + ".staging"
-      oldData.toSeq.toDF("v").coalesce(1).write.parquet(tgt)
-      newData.toSeq.toDF("v").coalesce(1).write.parquet(stg)
+    for (failAt <- 1 to 3) {
+      val tgt = tmp(s"snapcrash$failAt")
+      Sources.writeVersioned(oldData.toSeq.toDF("v"), tgt)
       intercept[Crash] {
-        Sources.swapInPlace(spark, stg, tgt,
-          s => if (s == failAt) throw Crash(s))
+        IndexFS.withWriterLease(tgt) {
+          val txn = Snapshot.begin(tgt)
+          txn.writeFull(newData.toSeq.toDF("v"), "data")
+          txn.commit(s => if (s == failAt) throw Crash(s))
+        }
       }
-      // the invariant the rename-aside ordering buys: no step sequence
-      // deletes the last complete copy — after ANY crash, target/.old/
-      // staging still contains at least one fully readable table
-      val survivors = Seq(tgt, tgt + ".old", stg)
-        .filter(p => new java.io.File(p).exists)
-        .flatMap(p => scala.util.Try(
-          spark.read.parquet(p).as[Int].collect().toSet).toOption)
-      assert(survivors.contains(oldData) || survivors.contains(newData),
-        s"failAt=$failAt left no complete copy")
-      // and finishing the interrupted swap (no injection) commits cleanly
-      if (new java.io.File(stg).exists) {
-        Sources.swapInPlace(spark, stg, tgt)
-        assert(spark.read.parquet(tgt).as[Int].collect().toSet === newData)
+      // the manifest IS the commit point: a crash before the publish
+      // (step 1) leaves the old table live; at/after it (steps 2, 3)
+      // the new table is live — never a mixture, never an error
+      val seen = Sources.readVersioned(spark, tgt).as[Int].collect().toSet
+      assert(seen === (if (failAt <= 1) oldData else newData),
+        s"failAt=$failAt read $seen")
+      // and a clean retry of the rewrite commits
+      Sources.writeVersioned(newData.toSeq.toDF("v"), tgt)
+      assert(Sources.readVersioned(spark, tgt)
+        .as[Int].collect().toSet === newData)
+    }
+  }
+
+  test("readers racing table rewrites always see one complete generation") {
+    val tgt = tmp("snaprace")
+    Sources.writeVersioned(Seq.tabulate(100)(i => (i.toLong, 0L))
+      .toDF("k", "gen"), tgt)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          // a consistent snapshot has exactly 100 rows, all one gen
+          val gens = Sources.readVersioned(spark, tgt)
+            .groupBy(col("gen")).agg(count(lit(1)).as("n"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+          if (gens.size != 1 || gens.head._2 != 100L)
+            bad.compareAndSet(null, s"torn read: $gens")
+        }
+      } catch {
+        case e: Throwable => bad.compareAndSet(null, s"reader crashed: $e")
       }
+    })
+    reader.start()
+    try (1 to 5).foreach { g =>
+      Sources.writeVersioned(Seq.tabulate(100)(i => (i.toLong, g.toLong))
+        .toDF("k", "gen"), tgt)
+    } finally { stop.set(true); reader.join(30000) }
+    assert(bad.get() === null, s"${bad.get()}")
+  }
+
+  test("snapshot GC reclaims unreferenced generations after the grace " +
+      "period and keeps the live one intact") {
+    val tgt = tmp("snapgc")
+    spark.conf.set("graft.snapshot.keepLast", "1")
+    spark.conf.set("graft.snapshot.graceMs", "0")
+    try {
+      (1 to 4).foreach { g =>
+        Sources.writeVersioned(Seq.tabulate(10)(i => (i.toLong, g.toLong))
+          .toDF("k", "gen"), tgt)
+      }
+      val gens = new java.io.File(s"$tgt/data").listFiles
+        .filter(_.getName.startsWith("gsn=")).map(_.getName).toSeq
+      assert(gens.size === 1, s"expected one surviving generation: $gens")
+      assert(Sources.readVersioned(spark, tgt)
+        .agg(max(col("gen"))).as[Long].head === 4L)
+      // manifests beyond keepLast are retired too
+      val manifests = new java.io.File(s"$tgt/_SNAPSHOTS").listFiles
+        .map(_.getName).filter(_.startsWith("m")).toSeq
+      assert(manifests.size === 1, s"manifests kept: $manifests")
+    } finally {
+      spark.conf.unset("graft.snapshot.keepLast")
+      spark.conf.unset("graft.snapshot.graceMs")
     }
   }
 
@@ -570,13 +622,28 @@ class SourcesSpec extends SparkTestBase {
       Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
         .write.mode("append").parquet(dir)
     }
-    def dataFiles = new java.io.File(dir).listFiles
+    def rootFiles = new java.io.File(dir).listFiles
       .count(f => f.getName.endsWith(".parquet"))
-    assert(dataFiles === 8)
-    val written = Sources.compact(spark, dir, rowsPerFile = 4L)
-    assert(written === 2L)
-    assert(dataFiles === 2)
-    assert(spark.read.parquet(dir).count() === 8)
+    assert(rootFiles === 8)
+    spark.conf.set("graft.snapshot.keepLast", "1")
+    spark.conf.set("graft.snapshot.graceMs", "0")
+    try {
+      val written = Sources.compact(spark, dir, rowsPerFile = 4L)
+      assert(written === 2L)
+      // the plain directory was adopted into the versioned layout: root
+      // files cleared, live generation holds the compacted files
+      assert(rootFiles === 0)
+      val gen = new java.io.File(s"$dir/data").listFiles
+        .filter(_.getName.startsWith("gsn=")) match {
+          case Array(g) => g
+          case other => fail(s"expected one generation: ${other.toSeq}")
+        }
+      assert(gen.listFiles.count(_.getName.endsWith(".parquet")) === 2)
+      assert(Sources.readVersioned(spark, dir).count() === 8)
+    } finally {
+      spark.conf.unset("graft.snapshot.keepLast")
+      spark.conf.unset("graft.snapshot.graceMs")
+    }
   }
 
   test("bucketed tables join WITHOUT a shuffle (co-located join)") {
