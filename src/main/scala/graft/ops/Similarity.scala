@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.sources.IndexFS
+import graft.sources.{IndexFS, Snapshot}
 import graft.sources.Sources.MaintCheckpointSyntax
 
 /** Similarity search over the `embeddings` table (`Array[Float]`
@@ -1109,12 +1109,16 @@ object Similarity {
     * [[IndexFS]], so the layout may live on any Hadoop-compatible FS.
     */
   private def ensureIvfpqFresh(embeddings: DataFrame, base: String,
-                               nlist: Int): Unit = {
-    IndexFS.requireVersion(base, "ivfpq")
-    if (!IndexFS.markerFresh(s"$base/MARKER",
-        indexMarkerPrefix(embeddings, nlist)))
-      ivfpqBuildIndex(embeddings, base, nlist).count()
-  }
+                               nlist: Int): Unit =
+    IndexFS.versionState(base, "ivfpq") match {
+      case IndexFS.VersionStale =>
+        // older same-kind layout: the build path wipes and rebuilds
+        ivfpqBuildIndex(embeddings, base, nlist).count()
+      case IndexFS.VersionCurrent =>
+        if (!IndexFS.markerFresh(s"$base/MARKER",
+            indexMarkerPrefix(embeddings, nlist)))
+          ivfpqBuildIndex(embeddings, base, nlist).count()
+    }
 
   private def indexMarkerPrefix(embeddings: DataFrame, nlist: Int): String =
     s"graft-ivfpq v3 nlist=$nlist m=$pqM ksub=$pqKsub " +
@@ -1152,6 +1156,10 @@ object Similarity {
                       nlist: Int = 16): DataFrame =
       IndexFS.withWriterLease(base) {
     val spark = embeddings.sparkSession
+    // an older same-kind layout cannot be served or extended — wipe it
+    // and rebuild under the current shape (self-upgrade)
+    if (IndexFS.versionState(base, "ivfpq") == IndexFS.VersionStale)
+      IndexFS.wipeLayout(base)
     val unit = unitVectors(embeddings).maintCheckpoint()
     val centroids = kmeansCentroids(embeddings, nlist)
     val codebooks = pqCodebooks(unit).maintCheckpoint()
@@ -1162,14 +1170,22 @@ object Similarity {
         .maintCheckpoint()
     val codesCells = pqEncode(unit, codebooks)
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    graft.sources.Sources.writePartitioned(assigned, s"$base/cells", "cell")
-    graft.sources.Sources.writePartitioned(codesCells, s"$base/codes", "cell")
-    centroids.write.mode("overwrite").parquet(s"$base/centroids")
-    codebooks.write.mode("overwrite").parquet(s"$base/codebooks")
+    // one snapshot transaction: the four artifacts AND the clearing of
+    // any maintenance residue (tombstones, resplit staging) from a
+    // previous corpus flip atomically — a probe racing the rebuild
+    // serves either the old index or the new one, never a mixture
     IndexFS.mkdirs(base)
+    val txn = Snapshot.begin(base)
+    txn.writeFull(assigned, "cells", "cell")
+    txn.writeFull(codesCells, "codes", "cell")
+    txn.writeFull(centroids, "centroids")
+    txn.writeFull(codebooks, "codebooks")
+    txn.dropComp("tombstones")
+    txn.dropComp("cells_resplit")
+    val snap = txn.commit()
     IndexFS.stampVersion(base, "ivfpq")
     IndexFS.writeString(s"$base/MARKER", indexMarker(embeddings, nlist))
-    spark.read.parquet(s"$base/cells")
+    snap.read(spark, "cells")
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("first_vec"))
       .orderBy(col("cell"))
@@ -1222,7 +1238,8 @@ object Similarity {
                           labelMod: Int = 2): DataFrame = {
     val spark = embeddings.sparkSession
     ensureIvfpqFresh(embeddings, base, nlist)
-    val centroids = spark.read.parquet(s"$base/centroids")
+    val snap = Snapshot.require(base)
+    val centroids = snap.read(spark, "centroids")
     // the predicate is `label % labelMod = 0` — the SAME semantics as
     // the inline ivfFilteredTopK and the registry oracle — but pushed
     // to the stored layout as a literal IN-list DERIVED from the
@@ -1233,7 +1250,7 @@ object Similarity {
     // one column; if the domain is too wide for an IN-list (> 1024
     // passing labels) fall back to the post-scan arithmetic filter
     // rather than a mile-long pushdown literal.
-    val cells0 = spark.read.parquet(s"$base/cells")
+    val cells0 = snap.read(spark, "cells")
     val passing = cells0.select(col("label")).na.drop().distinct()
       .filter(pmod(col("label"), lit(labelMod)) === 0)
       .limit(1025).collect().map(_.get(0).asInstanceOf[Number].intValue).toSeq
@@ -1275,10 +1292,11 @@ object Similarity {
                   nlist: Int = 16): DataFrame = {
     val spark = embeddings.sparkSession
     ensureIvfpqFresh(embeddings, base, nlist)
-    val perCell = spark.read.parquet(s"$base/cells")
+    val snap = Snapshot.require(base)
+    val perCell = snap.read(spark, "cells")
       .groupBy(col("cell").cast("int").as("cell"))
       .agg(count(lit(1)).as("n_vecs"))
-    val total = spark.read.parquet(s"$base/cells")
+    val total = snap.read(spark, "cells")
       .agg(count(lit(1)).as("n_total"))
     perCell.join(broadcast(total))
       .select(col("cell"), col("n_vecs"),
@@ -1308,7 +1326,8 @@ object Similarity {
       IndexFS.withWriterLease(base) {
     val spark = embeddings.sparkSession
     ensureIvfpqFresh(embeddings, base, nlist)
-    val cells = spark.read.parquet(s"$base/cells")
+    val snap = Snapshot.require(base)
+    val cells = snap.read(spark, "cells")
       .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
       .maintCheckpoint() // one read feeds counts, pivots, and assignment
     val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
@@ -1322,12 +1341,19 @@ object Similarity {
         col("n_total") * lit(hotFactorPct.toLong))
       .select(col("cell"))
     val resplit = resplitAssignment(cells, hot,
-      spark.read.parquet(s"$base/centroids"), nlist)
+      snap.read(spark, "centroids"), nlist)
       .maintCheckpoint() // feeds the staging write AND the report
-    graft.sources.Sources.mergePartitioned(
-      resplit.filter(col("pe").isNotNull)
-        .select(col("vec_id"), col("embedding"), col("new_cell").as("cell")),
-      s"$base/cells_resplit", "cell")
+    val splitRows = resplit.filter(col("pe").isNotNull)
+      .select(col("vec_id"), col("embedding"), col("new_cell").as("cell"))
+    // the staged split cells' ids — ≤ 2·nlist values (each hot cell
+    // yields its own id and id+nlist), so the collect is metadata-size
+    val splitCells = splitRows.select(col("cell")).distinct()
+      .collect().map(r => Seq(r.getLong(0).toString)).toSeq
+    if (splitCells.nonEmpty) {
+      val txn = Snapshot.begin(base)
+      txn.writeParts(splitRows, "cells_resplit", Seq("cell"), splitCells)
+      txn.commit()
+    }
     resplit.groupBy(col("new_cell"))
       .agg(min(col("cell")).as("parent_cell"),
         count(lit(1)).as("n_members"))
@@ -1355,7 +1381,8 @@ object Similarity {
                         nprobe: Int = 4): DataFrame = {
     val spark = embeddings.sparkSession
     ivfpqResplit(embeddings, base, nlist, hotFactorPct).count()
-    val cellsAll = spark.read.parquet(s"$base/cells")
+    val snap = Snapshot.require(base)
+    val cellsAll = snap.read(spark, "cells")
       .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
       .localCheckpoint()
     val counts = cellsAll.groupBy(col("cell")).agg(count(lit(1)).as("n"))
@@ -1370,12 +1397,12 @@ object Similarity {
       .select(col("vec_id").as("pivot_id"), col("embedding").as("pe"))
       .join(broadcast(pivotIds), Seq("pivot_id"))
       .select((col("cell") + lit(nlist.toLong)).as("cell"), col("pe").as("ce"))
-    val aug = spark.read.parquet(s"$base/centroids")
+    val aug = snap.read(spark, "centroids")
       .select(col("centroid_id").cast("long").as("cell"), col("ce"))
       .unionByName(halfOneCents)
       .localCheckpoint() // ≤ 2·nlist rows
     val layout = cellsAll.join(broadcast(hot), Seq("cell"), "left_anti")
-      .unionByName(spark.read.parquet(s"$base/cells_resplit")
+      .unionByName(snap.read(spark, "cells_resplit")
         .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell")))
     val probes = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -1428,20 +1455,24 @@ object Similarity {
   private[graft] def ivfpqScoreStored(spark: org.apache.spark.sql.SparkSession,
                                base: String, queries: DataFrame, k: Int,
                                nprobe: Int, shortlist: Int): DataFrame = {
-    val centroids = spark.read.parquet(s"$base/centroids")
-    val codebooks = spark.read.parquet(s"$base/codebooks")
+    // ONE manifest resolution pins the whole probe to a consistent
+    // snapshot: concurrent maintenance publishes new generations but
+    // never touches the files this resolution references
+    val snap = Snapshot.require(base)
+    val centroids = snap.read(spark, "centroids")
+    val codebooks = snap.read(spark, "codebooks")
     // tombstone serving: deleted vectors drop out of the candidate set
     // via anti-join (no stats to go stale here, unlike BM25 — the
     // tombstoned probe is already EXACTLY the index minus the deletes;
     // compaction only reclaims the bytes)
     def minusTombstones(df: DataFrame): DataFrame =
-      if (Text.hasTombstones(base))
-        df.join(broadcast(
-          spark.read.parquet(Text.tombstonePath(base).toString)
-            .withColumnRenamed("doc_id", "vec_id")),
+      snap.readOpt(spark, "tombstones") match {
+        case Some(t) => df.join(
+          broadcast(t.withColumnRenamed("doc_id", "vec_id")),
           Seq("vec_id"), "left_anti")
-      else df
-    val codesCells = minusTombstones(spark.read.parquet(s"$base/codes")
+        case None => df
+      }
+    val codesCells = minusTombstones(snap.read(spark, "codes")
       .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell")))
     // probe ranking: the query's nprobe best stored centroids
     val probes = queries
@@ -1481,7 +1512,7 @@ object Similarity {
         Seq("query_id"), Seq("adc", "__tie"), shortlist)
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank from the STORED full-vector layout
-    val storedVecs = spark.read.parquet(s"$base/cells")
+    val storedVecs = snap.read(spark, "cells")
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -1509,33 +1540,42 @@ object Similarity {
   def ivfpqAppend(batch: DataFrame, base: String): Unit =
       IndexFS.withWriterLease(base) {
     val spark = batch.sparkSession
-    val centroids = spark.read.parquet(s"$base/centroids")
-    val codebooks = spark.read.parquet(s"$base/codebooks")
+    val snap = Snapshot.require(base)
+    val centroids = snap.read(spark, "centroids")
+    val codebooks = snap.read(spark, "codebooks")
     val assigned =
       assignCells(withLabel(batch), centroids, extra = Seq("label"))
         .maintCheckpoint()
     val codesB = pqEncode(unitVectors(batch), codebooks)
       .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .maintCheckpoint()
     val batchIds = assigned.select(col("vec_id"))
     val affected = assigned.select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    val oldCells = spark.read.parquet(s"$base/cells")
+    val oldCells = snap.read(spark, "cells")
       .filter(col("cell").isin(affected: _*))
       .select(col("vec_id"), col("embedding"), col("label"),
         col("cell").cast("long").as("cell"))
     val mergedCells = oldCells.join(batchIds, Seq("vec_id"), "left_anti")
       .unionByName(assigned
         .select(col("vec_id"), col("embedding"), col("label"), col("cell")))
-      .maintCheckpoint() // materialize before overwriting the read path
-    graft.sources.Sources.mergePartitioned(mergedCells, s"$base/cells", "cell")
-    val oldCodes = spark.read.parquet(s"$base/codes")
+    val oldCodes = snap.read(spark, "codes")
       .filter(col("cell").isin(affected: _*))
       .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell"))
     val mergedCodes = oldCodes.join(batchIds, Seq("vec_id"), "left_anti")
       .unionByName(codesB.select(col("vec_id"), col("codes"), col("cell")))
-      .maintCheckpoint()
-    graft.sources.Sources.mergePartitioned(mergedCodes, s"$base/codes", "cell")
+    // both merged rewrites and their ownership handoff flip in ONE
+    // manifest publish: a probe racing the append serves either the
+    // old layout or the fully merged one (the staged writes read the
+    // old generation's files, which stay live through GC grace — no
+    // defensive materialization needed)
+    if (affected.nonEmpty) { // an empty batch is a no-op
+      val parts = affected.map(c => Seq(c.toString))
+      val txn = Snapshot.begin(base)
+      txn.writeParts(mergedCells, "cells", Seq("cell"), parts)
+      txn.writeParts(mergedCodes, "codes", Seq("cell"), parts)
+      txn.commit()
+    }
+    ()
   }
 
   /** Build-on-base → append-batch → probe, end to end: the corpus
@@ -1574,12 +1614,15 @@ object Similarity {
   def ivfpqDelete(deletedIds: DataFrame, base: String): Unit =
       IndexFS.withWriterLease(base) {
     val spark = deletedIds.sparkSession
-    val tPath = Text.tombstonePath(base).toString
-    val merged = (if (Text.hasTombstones(base))
-        spark.read.parquet(tPath).unionByName(deletedIds.select(col("vec_id")))
-      else deletedIds.select(col("vec_id")))
-      .distinct().maintCheckpoint()
-    merged.write.mode("overwrite").parquet(tPath)
+    val snap = Snapshot.require(base)
+    val merged = (snap.readOpt(spark, "tombstones") match {
+        case Some(t) => t.unionByName(deletedIds.select(col("vec_id")))
+        case None    => deletedIds.select(col("vec_id"))
+      }).distinct()
+    val txn = Snapshot.begin(base)
+    txn.writeFull(merged, "tombstones")
+    txn.commit()
+    ()
   }
 
   /** COMPACT tombstones into the stored IVFADC layout: one
@@ -1591,28 +1634,36 @@ object Similarity {
     */
   def ivfpqCompact(spark: org.apache.spark.sql.SparkSession,
                    base: String): Unit = IndexFS.withWriterLease(base) {
-    if (!Text.hasTombstones(base)) return
-    val tomb = spark.read.parquet(Text.tombstonePath(base).toString)
-      .maintCheckpoint()
-    val cellsAll = spark.read.parquet(s"$base/cells")
+    val snap = Snapshot.require(base)
+    val tomb = snap.readOpt(spark, "tombstones") match {
+      case Some(t) => t
+      case None    => return
+    }
+    val cellsAll = snap.read(spark, "cells")
     val affected = cellsAll.join(broadcast(tomb), Seq("vec_id"))
       .select(col("cell").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
+    // the affected-cell rewrites AND the tombstone clear are one
+    // atomic manifest flip — no window where a probe could see the
+    // compacted layout with the tombstones still applied (or vice
+    // versa), which the old rewrite-then-clear ordering had
+    val txn = Snapshot.begin(base)
     if (affected.nonEmpty) {
+      val parts = affected.map(c => Seq(c.toString))
       val keepCells = cellsAll.filter(col("cell").isin(affected: _*))
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("embedding"), col("label"),
           col("cell").cast("long").as("cell"))
-        .maintCheckpoint()
-      graft.sources.Sources.mergePartitioned(keepCells, s"$base/cells", "cell")
-      val keepCodes = spark.read.parquet(s"$base/codes")
+      txn.writeParts(keepCells, "cells", Seq("cell"), parts)
+      val keepCodes = snap.read(spark, "codes")
         .filter(col("cell").isin(affected: _*))
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell"))
-        .maintCheckpoint()
-      graft.sources.Sources.mergePartitioned(keepCodes, s"$base/codes", "cell")
+      txn.writeParts(keepCodes, "codes", Seq("cell"), parts)
     }
-    Text.clearTombstones(base)
+    txn.dropComp("tombstones")
+    txn.commit()
+    ()
   }
 
   /** Build-on-full → tombstone-delete → probe, end to end: every

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.sources.IndexFS
+import graft.sources.{IndexFS, Snapshot}
 import graft.sources.Sources.MaintCheckpointSyntax
 
 /** Text-analysis operators over the `documents` table — the
@@ -1195,23 +1195,30 @@ object Text {
       .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
     // semantic arm: lazy-build the IVF-flat stub-embedding index
     val marker = s"$annBase/MARKER"
-    val expected = s"graft-hybrid-ann v1 nlist=$nlist " +
+    val expected = s"graft-hybrid-ann v2 nlist=$nlist " +
       s"src=${graft.ops.Similarity.inputListingFp(documents)}"
-    if (!IndexFS.markerEquals(marker, expected)) {
-      val dv = documents
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id").as("vec_id"), stubVec(col("text")).as("embedding"))
-      val centroids = Similarity.kmeansCentroids(dv, nlist).localCheckpoint()
-      graft.sources.Sources.writePartitioned(
-        Similarity.assignCells(dv, centroids), s"$annBase/cells", "cell")
-      centroids.write.mode("overwrite").parquet(s"$annBase/centroids")
-      IndexFS.mkdirs(annBase)
-      IndexFS.writeString(marker, expected)
-    }
+    if (!IndexFS.markerEquals(marker, expected))
+      IndexFS.withWriterLease(annBase) {
+        if (IndexFS.versionState(annBase, "ann") == IndexFS.VersionStale)
+          IndexFS.wipeLayout(annBase)
+        val dv = documents
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id").as("vec_id"), stubVec(col("text")).as("embedding"))
+        val centroids = Similarity.kmeansCentroids(dv, nlist).localCheckpoint()
+        IndexFS.mkdirs(annBase)
+        val txn = Snapshot.begin(annBase)
+        txn.writeFull(Similarity.assignCells(dv, centroids),
+          "cells", "cell")
+        txn.writeFull(centroids, "centroids")
+        txn.commit()
+        IndexFS.stampVersion(annBase, "ann")
+        IndexFS.writeString(marker, expected)
+      }
+    val annSnap = Snapshot.require(annBase)
     // probe: queries are literal strings — zero corpus reads
     val qv = bm25Queries.toDF("query_id", "qtext")
       .select(col("query_id"), stubVec(col("qtext")).as("qv"))
-    val cent = spark.read.parquet(s"$annBase/centroids")
+    val cent = annSnap.read(spark, "centroids")
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cs").desc, col("centroid_id"))
@@ -1223,7 +1230,7 @@ object Text {
       .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
     // the broadcast probed-cell join keys the partitioned scan on
     // `cell` → dynamic partition pruning trims to nprobe directories
-    val cells = spark.read.parquet(s"$annBase/cells")
+    val cells = annSnap.read(spark, "cells")
       .select(col("vec_id").as("doc_id"), col("embedding"),
         col("cell").cast("long").as("cell"))
     val scored = cells.join(broadcast(probeCells), Seq("cell"))

@@ -816,7 +816,8 @@ class OpsSpec extends SparkTestBase {
       assert(halves === health(parent), s"cell $parent leaks members")
     }
     // the staged layout holds exactly the split cells' members
-    val staged = spark.read.parquet(s"$base/cells_resplit")
+    val staged = graft.sources.Snapshot.require(base)
+      .read(spark, "cells_resplit")
     assert(staged.count() === mean110.toSeq.map(health).sum)
     assert(staged.select("vec_id").distinct().count() === staged.count())
   }

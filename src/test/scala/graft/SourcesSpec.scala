@@ -253,38 +253,40 @@ class SourcesSpec extends SparkTestBase {
 
   test("stored-index append: idempotent merge, untouched partitions stay byte-identical") {
     import graft.ops.{Similarity, Text}
+    import graft.sources.Snapshot
     val emb = Tables.embeddings(spark, sf)
     val base = tmp("ivfpqapp")
+    def cellsNow = Snapshot.require(base).read(spark, "cells")
+    def codesNow = Snapshot.require(base).read(spark, "codes")
     Similarity.ivfpqBuildIndex(emb, base, 16).count()
-    val n = spark.read.parquet(s"$base/cells").count()
+    val n = cellsNow.count()
     // three brand-new vectors land in at most three of the 16 cells
     val batch = emb.filter(col("vec_id") < 3)
       .withColumn("vec_id", col("vec_id") + 1000000L)
-    def files(dir: String): Map[String, Set[String]] =
-      Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .filter(_.isDirectory)
-        .map(d => d.getName ->
-          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
-        .toMap
+    def files(dir: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).map(_.getPath)
+        .filter(_.endsWith(".parquet")).toSet
+    }
     val before = files(s"$base/cells")
     Similarity.ivfpqAppend(batch, base)
     val after = files(s"$base/cells")
-    val touched = spark.read.parquet(s"$base/cells")
-      .filter(col("vec_id") >= 1000000L)
-      .select(col("cell").cast("int")).distinct().collect()
-      .map(r => s"cell=${r.getInt(0)}").toSet
-    assert(touched.nonEmpty && touched.size <= 3)
-    // dynamic partition overwrite: every UNtouched cell directory keeps
-    // its exact files; only the batch's cells were rewritten
-    before.keys.filterNot(touched).foreach { d =>
-      assert(after(d) === before(d), s"untouched partition $d was rewritten")
-    }
-    assert(spark.read.parquet(s"$base/cells").count() === n + 3)
-    assert(spark.read.parquet(s"$base/codes").count() === n + 3)
+    // snapshot maintenance is PURE ADDITION: every pre-append file is
+    // still present byte-untouched (a racing probe keeps a complete
+    // generation); the new generation carries only the batch's ≤ 3
+    // affected cell directories
+    assert(before.subsetOf(after), "append modified or deleted live files")
+    val newCells = (after -- before)
+      .map(p => p.split("/").find(_.startsWith("cell=")).get)
+    assert(newCells.nonEmpty && newCells.size <= 3, s"$newCells")
+    assert(cellsNow.count() === n + 3)
+    assert(codesNow.count() === n + 3)
     // replaying the same append is a no-op on the row level
     Similarity.ivfpqAppend(batch, base)
-    assert(spark.read.parquet(s"$base/cells").count() === n + 3)
-    assert(spark.read.parquet(s"$base/codes").count() === n + 3)
+    assert(cellsNow.count() === n + 3)
+    assert(codesNow.count() === n + 3)
 
     // BM25: build-on-base → append-batch → probe equals the inline
     // index over the FULL corpus, and replaying it changes nothing
@@ -330,7 +332,8 @@ class SourcesSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, sf)
     val bi = tmp("ivfpqdel")
     Similarity.ivfpqBuildIndex(emb, bi, 16).count()
-    val n = spark.read.parquet(s"$bi/cells").count()
+    def cellsNow = graft.sources.Snapshot.require(bi).read(spark, "cells")
+    val n = cellsNow.count()
     val delVec = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
     val nDel = delVec.count()
     val delVecSet = delVec.as[Long].collect().toSet
@@ -342,8 +345,46 @@ class SourcesSpec extends SparkTestBase {
     Similarity.ivfpqCompact(spark, bi)
     assert(Similarity.ivfpqProbeStored(emb, bi, 4, 5)
       .collect().map(key).toSeq === tombP)
-    assert(spark.read.parquet(s"$bi/cells").count() === n - nDel)
-    assert(spark.read.parquet(s"$bi/codes").count() === n - nDel)
+    assert(cellsNow.count() === n - nDel)
+    assert(graft.sources.Snapshot.require(bi)
+      .read(spark, "codes").count() === n - nDel)
+  }
+
+  test("stored-index probes racing maintenance never fail and always " +
+      "serve a complete snapshot") {
+    import graft.ops.Similarity
+    val emb = Tables.embeddings(spark, sf).localCheckpoint()
+    val base = tmp("ivfpqrace")
+    Similarity.ivfpqBuildIndex(emb, base, 16).count()
+    val batch = emb.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    // one append fixes the logical layout; REPLAYS of the same append
+    // are row-level no-ops but physically rewrite the affected cells'
+    // ownership each time — exactly the window where the old in-place
+    // overwrite could crash a concurrent probe or serve half a merge
+    Similarity.ivfpqAppend(batch, base)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val expected = Similarity.ivfpqProbeStored(emb, base, 4, 5)
+      .collect().map(key).toSeq
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val prober = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val got = Similarity.ivfpqProbeStored(emb, base, 4, 5)
+            .collect().map(key).toSeq
+          if (got != expected)
+            bad.compareAndSet(null, s"torn probe: $got")
+        }
+      } catch {
+        case e: Throwable => bad.compareAndSet(null, s"probe crashed: $e")
+      }
+    })
+    prober.start()
+    try (1 to 4).foreach(_ => Similarity.ivfpqAppend(batch, base))
+    finally { stop.set(true); prober.join(60000) }
+    assert(bad.get() === null, s"${bad.get()}")
   }
 
   test("stored-index probes: fresh-marker check runs no corpus-wide job") {
@@ -782,13 +823,13 @@ class SourcesSpec extends SparkTestBase {
       Similarity.ivfpqFilteredStored(emb, base, 4, 5).collect().map(key).toSeq
     assert(stored === inline)
     // the metadata column rides in the cell-partitioned layout
-    assert(spark.read.parquet(s"$base/cells").columns.contains("label"))
+    def cellsNow = graft.sources.Snapshot.require(base).read(spark, "cells")
+    assert(cellsNow.columns.contains("label"))
     // an append WITHOUT a label column stores nulls...
     val batch = emb.filter(col("vec_id") < 3)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     Similarity.ivfpqAppend(batch, base)
-    val appended = spark.read.parquet(s"$base/cells")
-      .filter(col("vec_id") >= 1000000L)
+    val appended = cellsNow.filter(col("vec_id") >= 1000000L)
     assert(appended.count() === 3)
     assert(appended.filter(col("label").isNull).count() === 3)
     // ...and null never satisfies the predicate: the appended rows are
