@@ -18,6 +18,10 @@ object PlanAudit {
       // audit the STATIC plan shape: with AQE on, codegen spans and
       // ReusedExchange only surface in the final adaptive plan
       .config("spark.sql.adaptive.enabled", "false")
+      // stored layouts carry a leading generation-stamp partition
+      // filter; keep scan metadata untruncated so the bucket/cell
+      // pruning assertions below see the full PartitionFilters list
+      .config("spark.sql.maxMetadataStringLength", "2048")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -32,6 +36,25 @@ object PlanAudit {
         if (!ok) println(plan.linesIterator.take(40).mkString("  | ", "\n  | ", ""))
       }
     }
+    // runtime audit: properties that only surface in the FINAL
+    // adaptive plan (AQE-materialized broadcast reuse, runtime DPP) —
+    // the query executes under AQE and the post-execution plan is
+    // what gets asserted (the production runtime runs AQE-on)
+    def auditRuntime(name: String)(checks: (String, String => Boolean)*): Unit = {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        checks.foreach { case (desc, check) =>
+          val ok = check(plan)
+          if (!ok) failures += 1
+          println(f"${if (ok) "PASS" else "FAIL"}  $name%-24s $desc")
+          if (!ok) println(plan.linesIterator.take(40).mkString("  | ", "\n  | ", ""))
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+    }
+
     // arm-level audit: some registry entries fold several variants into
     // one multi-assert query; plan properties that are per-arm (absence
     // checks, exchange bounds) are asserted on the arm frame directly
@@ -548,7 +571,7 @@ object PlanAudit {
     // corpus (no Generate), and matching stays pure aggregation
     audit("txt_phrase_stored")(
       ("pos scan statically pruned to the phrase-term buckets",
-        p => "PartitionFilters: \\[bucket".r.findAllIn(p).nonEmpty),
+        p => "PartitionFilters: \\[[^\\]]*bucket#\\d+ IN".r.findAllIn(p).nonEmpty),
       ("no corpus tokenize in the serving plan (index-only read)",
         p => !p.contains("Generate")),
       ("vote + match counting are hash aggregations", p =>
@@ -733,7 +756,7 @@ object PlanAudit {
     // tokenize anywhere in the serving plan)
     audit("txt_bm25_stored")(
       ("postings scan statically pruned to the query-term buckets",
-        p => "PartitionFilters: \\[bucket".r.findAllIn(p).size >= 2),
+        p => "PartitionFilters: \\[[^\\]]*bucket#\\d+ IN".r.findAllIn(p).size >= 2),
       ("no corpus tokenize in the serving plan (index-only read)",
         p => !p.contains("Generate")),
       ("two-phase heap top-k", p =>
@@ -799,26 +822,32 @@ object PlanAudit {
     // corpus tokenize (the append work happened at construction time)
     audit("txt_bm25_append")(
       ("postings scan statically pruned to the query-term buckets",
-        p => "PartitionFilters: \\[bucket".r.findAllIn(p).size >= 2),
+        p => "PartitionFilters: \\[[^\\]]*bucket#\\d+ IN".r.findAllIn(p).size >= 2),
       ("no corpus tokenize in the serving plan (index-only read)",
         p => !p.contains("Generate")),
       ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
 
     // IVFADC append probe: serves the merged cell layout through the
-    // same DPP-pruned path as sim_ivfpq_stored
+    // same DPP-pruned path as sim_ivfpq_stored. The DPP check runs on
+    // the EXECUTED adaptive plan: the merged layout's two-owner
+    // snapshot filter defeats the static planner's broadcast-reuse
+    // matching, but the production AQE runtime reuses the
+    // materialized probe broadcast and keeps the pruning subquery —
+    // audit what actually runs.
     audit("sim_ivfpq_append")(
-      ("codes scan partition-pruned by the probed cells (DPP subquery)",
-        p => p.toLowerCase.contains("dynamicpruning")),
       ("shortlist + re-rank both use the heap top-k node", p =>
         "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
       ("no cartesian", p => !p.contains("CartesianProduct")))
+    auditRuntime("sim_ivfpq_append")(
+      ("codes scan partition-pruned by the probed cells (DPP subquery, " +
+        "adaptive runtime)", p => p.toLowerCase.contains("dynamicpruning")))
 
     // BM25 delete probe: after compaction the serving plan is again
     // the plain index-only read — no tombstone anti-join left, same
     // static bucket pruning
     audit("txt_bm25_delete")(
       ("postings scan statically pruned to the query-term buckets",
-        p => "PartitionFilters: \\[bucket".r.findAllIn(p).size >= 2),
+        p => "PartitionFilters: \\[[^\\]]*bucket#\\d+ IN".r.findAllIn(p).size >= 2),
       ("no corpus tokenize in the serving plan (index-only read)",
         p => !p.contains("Generate")),
       ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
@@ -841,7 +870,7 @@ object PlanAudit {
       ("no corpus tokenize/brute-force scoring (no Generate)",
         p => !p.contains("Generate")),
       ("lexical scans statically bucket-pruned",
-        p => "PartitionFilters: \\[bucket".r.findAllIn(p).size >= 2),
+        p => "PartitionFilters: \\[[^\\]]*bucket#\\d+ IN".r.findAllIn(p).size >= 2),
       ("semantic cells scan DPP-pruned to the probed cells",
         p => p.toLowerCase.contains("dynamicpruning")),
       ("three heap prunes (lexical arm, semantic arm, fusion)", p =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.sources.IndexFS
+import graft.sources.{IndexFS, Snapshot}
 import graft.sources.Sources.MaintCheckpointSyntax
 
 /** Deduplication operators over `documents` — the LLM-pipeline dedup
@@ -344,23 +344,28 @@ object Dedup {
                       w: Int = 3): DataFrame =
       IndexFS.withWriterLease(base) {
     val spark = history.sparkSession
-    // a rebuild yields a SINGLE-generation layout: delta segments left
-    // by appends against the PREVIOUS corpus must not survive the new
-    // base — served alongside it they would resurrect stale documents
-    Seq("bands_delta", "shingles_delta", "sizes_delta")
-      .foreach(d => IndexFS.deleteRecursive(s"$base/$d"))
-    graft.sources.Sources.writePartitioned(
-      minhashBands(history, "hist_id", w), s"$base/bands", "band_idx")
+    // an older same-kind layout cannot be served or extended — wipe it
+    // and rebuild under the current shape (self-upgrade)
+    if (Snapshot.layoutStale(base, "dedup")) IndexFS.wipeLayout(base)
     // one shingle explosion feeds the set sidecar AND the sizes
     val sh = explodedShingleHashes(history, w).maintCheckpoint()
-    sh.write.mode("overwrite").parquet(s"$base/shingles")
-    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))
-      .write.mode("overwrite").parquet(s"$base/sizes")
+    // one snapshot transaction: the three artifacts AND the clearing
+    // of delta segments left by appends against a previous corpus
+    // (served alongside a fresh base they would resurrect stale
+    // documents) flip atomically
     IndexFS.mkdirs(base)
+    val txn = Snapshot.begin(base)
+    txn.writeFull(minhashBands(history, "hist_id", w), "bands", "band_idx")
+    txn.writeFull(sh, "shingles")
+    txn.writeFull(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh")),
+      "sizes")
+    Seq("bands_delta", "shingles_delta", "sizes_delta")
+      .foreach(txn.dropComp)
+    val snap = txn.commit()
     IndexFS.stampVersion(base, "dedup")
     IndexFS.writeString(s"$base/MARKER",
       s"${dedupIndexMarkerPrefix(history, w)} n=${history.count()}")
-    spark.read.parquet(s"$base/bands")
+    snap.read(spark, "bands")
       .groupBy(col("band_idx").cast("long").as("band_idx"))
       .agg(count(lit(1)).as("n_postings"),
         count_distinct(col("band_key")).as("n_keys"))
@@ -380,19 +385,20 @@ object Dedup {
                                base: String, w: Int = 3,
                                threshold: Double = 0.3): DataFrame = {
     val spark = batch.sparkSession
-    IndexFS.requireVersion(base, "dedup")
-    val fresh = IndexFS.markerFresh(s"$base/MARKER",
-      dedupIndexMarkerPrefix(history, w))
-    if (!fresh) dedupBuildIndex(history, base, w).count()
-    val bandsH = spark.read.parquet(s"$base/bands")
+    if (Snapshot.layoutStale(base, "dedup") ||
+        !IndexFS.markerFresh(s"$base/MARKER",
+          dedupIndexMarkerPrefix(history, w)))
+      dedupBuildIndex(history, base, w).count()
+    val snap = Snapshot.require(base)
+    val bandsH = snap.read(spark, "bands")
       .select(col("hist_id"), col("band_idx").cast("int").as("band_idx"),
         col("band_key"))
     val cand = minhashBands(batch, "batch_id", w)
       .join(bandsH, Seq("band_idx", "band_key"))
       .select(col("batch_id"), col("hist_id")).distinct()
     nearDupVerdicts(batch, cand,
-      spark.read.parquet(s"$base/shingles"),
-      spark.read.parquet(s"$base/sizes"), w, threshold)
+      snap.read(spark, "shingles"),
+      snap.read(spark, "sizes"), w, threshold)
   }
 
   /** Streaming ADMISSION GATE over the stored near-dup index: verdict
@@ -424,13 +430,15 @@ object Dedup {
     IndexFS.requireVersion(base, "dedup")
     require(IndexFS.exists(s"$base/MARKER"),
       s"no stored near-dup index at $base — run dedupBuildIndex first")
-    // serve base ∪ delta segments for every artifact
+    // ONE manifest resolution pins the whole admission pass; serve
+    // base ∪ delta segments for every artifact
+    val snap = Snapshot.require(base)
     def withDelta(part: String, cols: Seq[String]): DataFrame = {
-      val b0 = spark.read.parquet(s"$base/$part").select(cols.map(col): _*)
-      if (IndexFS.isDirectory(s"$base/${part}_delta"))
-        b0.unionByName(spark.read.parquet(s"$base/${part}_delta")
-          .select(cols.map(col): _*))
-      else b0
+      val b0 = snap.read(spark, part).select(cols.map(col): _*)
+      snap.readOpt(spark, s"${part}_delta") match {
+        case Some(d) => b0.unionByName(d.select(cols.map(col): _*))
+        case None    => b0
+      }
     }
     val b = batch.maintCheckpoint()
     val sizesH = withDelta("sizes", Seq("doc_id", "szh"))
@@ -462,13 +470,22 @@ object Dedup {
         Option(admitted.select(col("doc_id")).distinct()
           .agg(sum(Text.tokenHash(col("doc_id").cast("string"))))
           .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
-      graft.sources.Sources.writePartitioned(
-        minhashBands(admitted, "hist_id", w),
-        s"$base/bands_delta/seg=$segId", "band_idx")
       val sh = explodedShingleHashes(admitted, w).maintCheckpoint()
-      sh.write.mode("overwrite").parquet(s"$base/shingles_delta/seg=$segId")
-      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))
-        .write.mode("overwrite").parquet(s"$base/sizes_delta/seg=$segId")
+      // the three delta segments flip in ONE manifest publish — a
+      // crash can no longer leave bands landed with sizes missing
+      // (the partially-appended-replay window shrinks to zero)
+      val txn = Snapshot.begin(base)
+      txn.writeParts(
+        minhashBands(admitted, "hist_id", w).withColumn("seg", lit(segId)),
+        "bands_delta", Seq("seg", "band_idx"),
+        (0 until numBands).map(i => Seq(segId, i.toString)))
+      txn.writeParts(sh.withColumn("seg", lit(segId)),
+        "shingles_delta", Seq("seg"), Seq(Seq(segId)))
+      txn.writeParts(
+        sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))
+          .withColumn("seg", lit(segId)),
+        "sizes_delta", Seq("seg"), Seq(Seq(segId)))
+      txn.commit()
     }
     b.select(col("doc_id"))
       .join(verdicts, Seq("doc_id"), "left")

@@ -1110,15 +1110,10 @@ object Similarity {
     */
   private def ensureIvfpqFresh(embeddings: DataFrame, base: String,
                                nlist: Int): Unit =
-    IndexFS.versionState(base, "ivfpq") match {
-      case IndexFS.VersionStale =>
-        // older same-kind layout: the build path wipes and rebuilds
-        ivfpqBuildIndex(embeddings, base, nlist).count()
-      case IndexFS.VersionCurrent =>
-        if (!IndexFS.markerFresh(s"$base/MARKER",
-            indexMarkerPrefix(embeddings, nlist)))
-          ivfpqBuildIndex(embeddings, base, nlist).count()
-    }
+    if (Snapshot.layoutStale(base, "ivfpq") ||
+        !IndexFS.markerFresh(s"$base/MARKER",
+          indexMarkerPrefix(embeddings, nlist)))
+      ivfpqBuildIndex(embeddings, base, nlist).count()
 
   private def indexMarkerPrefix(embeddings: DataFrame, nlist: Int): String =
     s"graft-ivfpq v3 nlist=$nlist m=$pqM ksub=$pqKsub " +
@@ -1158,8 +1153,7 @@ object Similarity {
     val spark = embeddings.sparkSession
     // an older same-kind layout cannot be served or extended — wipe it
     // and rebuild under the current shape (self-upgrade)
-    if (IndexFS.versionState(base, "ivfpq") == IndexFS.VersionStale)
-      IndexFS.wipeLayout(base)
+    if (Snapshot.layoutStale(base, "ivfpq")) IndexFS.wipeLayout(base)
     val unit = unitVectors(embeddings).maintCheckpoint()
     val centroids = kmeansCentroids(embeddings, nlist)
     val codebooks = pqCodebooks(unit).maintCheckpoint()
@@ -1595,7 +1589,8 @@ object Similarity {
     val batch = embeddings.filter(col("vec_id") % 5 === 4)
     val marker = s"$base/MARKER_BASE"
     val expected = indexMarkerPrefix(embeddings, nlist) + " split=mod5"
-    if (!IndexFS.markerEquals(marker, expected)) {
+    if (Snapshot.layoutStale(base, "ivfpq") ||
+        !IndexFS.markerEquals(marker, expected)) {
       ivfpqBuildIndex(baseCorpus, base, nlist).count()
       IndexFS.writeString(marker, expected)
     }
@@ -1679,7 +1674,8 @@ object Similarity {
     val spark = embeddings.sparkSession
     val marker = s"$base/MARKER_BASE"
     val expected = indexMarkerPrefix(embeddings, nlist) + " delete=mod7"
-    if (!IndexFS.markerEquals(marker, expected)) {
+    if (Snapshot.layoutStale(base, "ivfpq") ||
+        !IndexFS.markerEquals(marker, expected)) {
       ivfpqBuildIndex(embeddings, base, nlist).count()
       IndexFS.writeString(marker, expected)
     }

@@ -586,12 +586,9 @@ object Text {
   def bm25BuildIndex(documents: DataFrame, base: String): DataFrame =
       IndexFS.withWriterLease(base) {
     val spark = documents.sparkSession
-    // a rebuild yields a SINGLE-generation layout: delta segments,
-    // tombstones, and resplit staging left by maintenance against the
-    // PREVIOUS corpus must not survive the new base — served alongside
-    // it they would resurrect stale postings under a fresh marker
-    Seq("tf_delta", "pos_delta", "tombstones", "tf_resplit")
-      .foreach(d => IndexFS.deleteRecursive(s"$base/$d"))
+    // an older same-kind layout cannot be served or extended — wipe it
+    // and rebuild under the current shape (self-upgrade)
+    if (Snapshot.layoutStale(base, "bm25")) IndexFS.wipeLayout(base)
     // ONE corpus tokenize: the positional frame is the superset every
     // other artifact folds from (tf = its per-(doc, term) count)
     val toks = positionalPostings(documents).maintCheckpoint()
@@ -601,20 +598,27 @@ object Text {
       .maintCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .maintCheckpoint()
-    graft.sources.Sources.writePartitioned(
-      tf.withColumn("bucket", termBucket(col("term"))), s"$base/tf", "bucket")
-    graft.sources.Sources.writePartitioned(
-      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .withColumn("bucket", termBucket(col("term"))), s"$base/df", "bucket")
-    graft.sources.Sources.writePartitioned(
-      toks.withColumn("bucket", termBucket(col("term"))), s"$base/pos", "bucket")
-    dl.write.mode("overwrite").parquet(s"$base/dl")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-      .write.mode("overwrite").parquet(s"$base/stats")
+    // one snapshot transaction: the five artifacts AND the clearing of
+    // maintenance residue from a previous corpus (delta segments,
+    // tombstones, resplit staging — served alongside a fresh base they
+    // would resurrect stale postings) flip atomically
     IndexFS.mkdirs(base)
+    val txn = Snapshot.begin(base)
+    txn.writeFull(tf.withColumn("bucket", termBucket(col("term"))),
+      "tf", "bucket")
+    txn.writeFull(tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("bucket", termBucket(col("term"))), "df", "bucket")
+    txn.writeFull(toks.withColumn("bucket", termBucket(col("term"))),
+      "pos", "bucket")
+    txn.writeFull(dl, "dl")
+    txn.writeFull(dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_dl")), "stats")
+    Seq("tf_delta", "pos_delta", "tombstones", "tf_resplit")
+      .foreach(txn.dropComp)
+    val snap = txn.commit()
     IndexFS.stampVersion(base, "bm25")
     IndexFS.writeString(s"$base/MARKER", bm25IndexMarker(documents))
-    spark.read.parquet(s"$base/tf")
+    snap.read(spark, "tf")
       .groupBy(col("bucket").cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_postings"),
         count_distinct(col("term")).as("n_terms"))
@@ -641,38 +645,33 @@ object Text {
     bm25ScoreStored(spark, base, k)
   }
 
-  /** Remove `dropIds`' rows from a segmented delta layout (LSM
-    * generations under `root/seg=<id>/bucket=<b>/`) in ONE grouped
-    * rewrite regardless of how many segments are affected — the
-    * de-serialized form of the old per-segment driver loop, which
-    * launched one Spark job per segment and serialized at hundreds of
-    * segments. The affected (seg, bucket) partition list collects
-    * first (bounded by segments × buckets — metadata-scale), the
-    * surviving rows of exactly those partitions materialize, the
-    * partitions drop through [[IndexFS]] (a partition whose rows ALL
-    * belonged to dropped docs cannot be expressed by a dynamic
-    * overwrite — it must be deleted, or its stale postings survive),
-    * and the survivors rewrite in one dynamic-partition-overwrite
-    * job. `seg` is explicitly cast to string: an all-decimal segId
-    * population would otherwise make Spark's partition type inference
-    * read the column as integer, and string comparisons against it
-    * would silently null out.
+  /** Remove `dropIds`' rows from a segmented delta component (LSM
+    * segments under `comp/seg=<id>/bucket=<b>/`) in ONE grouped
+    * rewrite regardless of how many segments are affected. The
+    * affected (seg, bucket) partition list collects first (bounded by
+    * segments × buckets — metadata-scale), the surviving rows of
+    * exactly those partitions stage as this transaction's generation,
+    * and partitions whose rows ALL belonged to dropped docs simply
+    * lose their ownership (no physical delete on the scrub path at
+    * all — GC reclaims the dead leaves later). Everything lands in
+    * the CALLER's transaction, so the scrub commits atomically with
+    * whatever maintenance triggered it; a crash anywhere leaves the
+    * previous snapshot fully live. `seg` is explicitly cast to
+    * string: an all-decimal segId population would otherwise make
+    * Spark's partition type inference read the column as integer, and
+    * string comparisons against it would silently null out.
     */
   private def scrubSegments(spark: org.apache.spark.sql.SparkSession,
-                            root: String, cols: Seq[String],
-                            dropIds: DataFrame,
+                            snap: Option[Snapshot.Manifest],
+                            txn: Snapshot.Txn, comp: String,
+                            cols: Seq[String], dropIds: DataFrame,
                             excludeSeg: Option[String] = None): Unit = {
-    if (!IndexFS.isDirectory(root)) return
-    // heal a parquet-less root (e.g. a crash between a segment dir's
-    // creation and its part files): unreadable, and semantically "no
-    // generations" — remove it instead of failing the scan below
-    if (!IndexFS.hasParquetRecursive(root)) {
-      IndexFS.deleteRecursive(root); return
+    val delta0 = snap.flatMap(_.readOpt(spark, comp)) match {
+      case Some(d) => d.withColumn("seg", col("seg").cast("string"))
+        .withColumn("bucket", col("bucket").cast("long"))
+      case None => return
     }
     import spark.implicits._
-    val delta0 = spark.read.parquet(root)
-      .withColumn("seg", col("seg").cast("string"))
-      .withColumn("bucket", col("bucket").cast("long"))
     val delta = excludeSeg match {
       case Some(s) => delta0.filter(col("seg") =!= s)
       case None    => delta0
@@ -685,39 +684,15 @@ object Text {
     val keep = delta.join(broadcast(pairs), Seq("seg", "bucket"))
       .join(dropIds, Seq("doc_id"), "left_anti")
       .select(("seg" +: cols.filterNot(_ == "seg")).map(col): _*)
-      .maintCheckpoint()
-    // survivors-first ordering: the dynamic overwrite below replaces
-    // every affected partition that still HAS survivors, so a crash at
-    // any point loses nothing — before the overwrite the old partitions
-    // are intact; after it only stale all-dropped partitions remain,
-    // and a replay (tombstones still list the dropped docs) or the
-    // serve-time tombstone anti-join covers those. The previous
-    // delete-first ordering could lose survivors that existed only in
-    // the executor-memory checkpoint.
+      .maintCheckpoint() // feeds the kept-pair census AND the stage write
     val kept = keep.select(col("seg"), col("bucket")).distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     if (kept.nonEmpty)
-      graft.sources.Sources.mergePartitioned(keep, root, "seg", "bucket")
-    // a partition whose rows ALL belonged to dropped docs cannot be
-    // expressed by a dynamic overwrite — delete it; batched over a
-    // small pool so hundreds of segments don't serialize driver-side
-    // FS round-trips
+      txn.writeParts(keep, comp, Seq("seg", "bucket"),
+        kept.toSeq.map { case (s, b) => Seq(s, b.toString) })
     val emptied = affected.filterNot(kept)
-    if (emptied.nonEmpty) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(8, emptied.size))
-      try emptied.map { case (s, b) =>
-        pool.submit(new Runnable {
-          def run(): Unit = IndexFS.deleteRecursive(s"$root/seg=$s/bucket=$b")
-        })
-      }.foreach(_.get())
-      finally pool.shutdown()
-    }
-    // if the scrub emptied the LAST generation, remove the root: a
-    // parquet read of a directory holding only empty partition dirs
-    // cannot infer a schema, and an absent delta dir is the normal
-    // single-generation serve-time signal anyway
-    if (!IndexFS.hasParquetRecursive(root)) IndexFS.deleteRecursive(root)
+    if (emptied.nonEmpty)
+      txn.dropParts(comp, emptied.map { case (s, b) => Seq(s, b.toString) })
   }
 
   /** Lazy-rebuild gate shared by every stored-BM25 probe: freshness =
@@ -725,33 +700,29 @@ object Text {
     * on the probe path. Marker I/O goes through [[IndexFS]], so the
     * layout may live on any Hadoop-compatible FS.
     */
-  private def ensureBm25Fresh(documents: DataFrame, base: String): Unit = {
-    IndexFS.requireVersion(base, "bm25")
-    if (!IndexFS.markerFresh(s"$base/MARKER",
-        bm25IndexMarkerPrefix(documents)))
+  private def ensureBm25Fresh(documents: DataFrame, base: String): Unit =
+    if (Snapshot.layoutStale(base, "bm25") ||
+        !IndexFS.markerFresh(s"$base/MARKER",
+          bm25IndexMarkerPrefix(documents)))
       bm25BuildIndex(documents, base).count()
-  }
 
   /** Score [[bm25Queries]] from a stored layout under `base` — the
     * shared serving core of [[bm25ProbeStored]] and
     * [[bm25AppendProbe]]; touches ONLY the persisted artifacts.
+    * (Tombstones are the snapshot component `tombstones`, shared by
+    * the BM25 and IVFADC families: live iff at least one delete has
+    * not yet been compacted away, read via `readOpt`, cleared by
+    * `dropComp` atomically with the compaction that folds them in.)
     */
-  /** Tombstone sidecar path for a stored layout (shared by the BM25
-    * and IVFADC families): present iff at least one delete has not
-    * yet been compacted away.
-    */
-  private[ops] def tombstonePath(base: String): String =
-    s"$base/tombstones"
-
-  private[ops] def hasTombstones(base: String): Boolean =
-    IndexFS.hasParquet(tombstonePath(base))
-
-  private[ops] def clearTombstones(base: String): Unit =
-    IndexFS.deleteRecursive(tombstonePath(base))
-
   private[graft] def bm25ScoreStored(spark: org.apache.spark.sql.SparkSession,
                               base: String, k: Int): DataFrame = {
     import spark.implicits._
+    // ONE manifest resolution pins the whole probe — base postings,
+    // delta segments, doc lengths, stats, and tombstones are all read
+    // as of the same snapshot, so a probe racing maintenance is
+    // internally consistent (never base-from-one-generation with
+    // stats-from-another)
+    val snap = Snapshot.require(base)
     val qterms = bm25Queries
       .flatMap { case (id, q) => q.split(" ").distinct.map(t => (id, t)) }
       .toDF("query_id", "term")
@@ -759,36 +730,38 @@ object Text {
     val buckets = bm25Queries
       .flatMap(_._2.split(" ")).distinct
       .map(termBucketDriver).distinct.sorted
-    val tfBase = spark.read.parquet(s"$base/tf")
+    val tfBase = snap.read(spark, "tf")
       .filter(col("bucket").isin(buckets: _*))
       .select(col("doc_id"), col("term"), col("tf"))
     // serve base ∪ tf delta segments ([[bm25Append]]'s LSM write): a
     // doc in any delta shadows ALL its base postings (the doc-set
     // anti-join is unfiltered by bucket)
-    val tfGen = if (IndexFS.isDirectory(s"$base/tf_delta")) {
-      val delta = spark.read.parquet(s"$base/tf_delta")
-      tfBase.join(delta.select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-        .unionByName(delta
-          .filter(col("bucket").isin(buckets: _*))
-          .select(col("doc_id"), col("term"), col("tf")))
-    } else tfBase
-    val dl0 = spark.read.parquet(s"$base/dl")
-    val stats0 = spark.read.parquet(s"$base/stats")
+    val tfGen = snap.readOpt(spark, "tf_delta") match {
+      case Some(delta) =>
+        tfBase.join(delta.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .unionByName(delta
+            .filter(col("bucket").isin(buckets: _*))
+            .select(col("doc_id"), col("term"), col("tf")))
+      case None => tfBase
+    }
+    val dl0 = snap.read(spark, "dl")
+    val stats0 = snap.read(spark, "stats")
     // tombstone serving: deleted docs are excluded from MATCHING
     // (postings/dl anti-join the tombstone sidecar) and from the
     // corpus stats (adjusted by the tombstoned docs' lengths)
-    val (tf, dl, stats) = if (hasTombstones(base)) {
-      val tomb = spark.read.parquet(tombstonePath(base).toString)
-      val removed = dl0.join(broadcast(tomb), Seq("doc_id"))
-        .agg(coalesce(count(lit(1)), lit(0L)).as("rm_n"),
-          coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
-      (tfGen.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
-        dl0.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
-        stats0.crossJoin(broadcast(removed))
-          .select((col("n_docs") - col("rm_n")).as("n_docs"),
-            (col("tot_dl") - col("rm_dl")).as("tot_dl")))
-    } else (tfGen, dl0, stats0)
+    val (tf, dl, stats) = snap.readOpt(spark, "tombstones") match {
+      case Some(tomb) =>
+        val removed = dl0.join(broadcast(tomb), Seq("doc_id"))
+          .agg(coalesce(count(lit(1)), lit(0L)).as("rm_n"),
+            coalesce(sum(col("dl")), lit(0L)).as("rm_dl"))
+        (tfGen.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+          dl0.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+          stats0.crossJoin(broadcast(removed))
+            .select((col("n_docs") - col("rm_n")).as("n_docs"),
+              (col("tot_dl") - col("rm_dl")).as("tot_dl")))
+      case None => (tfGen, dl0, stats0)
+    }
     // per-term df derives from the SERVED postings themselves: a
     // term's postings are bucket-complete across every generation
     // (base and deltas hash terms identically), so counting the rows
@@ -844,6 +817,7 @@ object Text {
   def bm25Append(batch: DataFrame, base: String): Unit =
       IndexFS.withWriterLease(base) {
     val spark = batch.sparkSession
+    val snap = Snapshot.require(base)
     // ONE batch tokenize: the positional frame feeds the tf fold AND
     // the positional delta segment
     val posB = positionalPostings(batch)
@@ -854,51 +828,68 @@ object Text {
       .agg(count(lit(1)).as("tf"))
       .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
       .maintCheckpoint()
-    // an empty batch is a no-op: writing its "segment" would leave a
-    // parquet-less seg directory that poisons every later delta read
+    // an empty batch is a no-op
     if (tfB.isEmpty) return
     val batchIds = tfB.select(col("doc_id")).distinct()
     // doc lengths and corpus stats stay merged artifacts: they are
     // doc-count-sized and one-row — the cheap end of the index
     val dlB = tfB.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val mergedDl = spark.read.parquet(s"$base/dl")
+    val mergedDl = snap.read(spark, "dl")
       .join(batchIds, Seq("doc_id"), "left_anti")
       .unionByName(dlB)
-      .maintCheckpoint()
-    mergedDl.write.mode("overwrite").parquet(s"$base/dl")
-    mergedDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-      .write.mode("overwrite").parquet(s"$base/stats")
+      .maintCheckpoint() // feeds the dl write AND the stats fold
     // token-level postings (tf AND positions) append as DELTA SEGMENTS
     // (Lucene segment semantics: write the new postings, never
     // read-modify-rewrite the standing ones — the token-level tables
     // are the index's largest artifacts, and an in-place bucket merge
     // rewrites most of them for any batch whose vocabulary spans the
     // buckets). Segment id = order-insensitive hash of the batch's
-    // doc set, so a crash-replayed batch overwrites ITS OWN segments
-    // (exactly-once) while successive distinct batches accumulate
-    // side by side. The probes shadow base postings by the union of
-    // the delta doc sets; per-term df derives at probe time from the
-    // served postings (bucket-complete across generations), so no df
-    // merge is needed at all.
+    // doc set, so a crash-replayed batch REPLACES its own segments'
+    // ownership (exactly-once) while successive distinct batches
+    // accumulate side by side. The probes shadow base postings by the
+    // union of the delta doc sets; per-term df derives at probe time
+    // from the served postings (bucket-complete across generations),
+    // so no df merge is needed at all.
     val segId = java.lang.Long.toHexString(
       Option(posB.select(col("doc_id")).distinct()
         .agg(sum(tokenHash(col("doc_id").cast("string"))))
         .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    val txn = Snapshot.begin(base)
+    txn.writeFull(mergedDl, "dl")
+    txn.writeFull(mergedDl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_dl")), "stats")
     // a doc RE-appended in a later batch must not survive in an older
     // segment: scrub it from any other segment that carries it (zero
-    // I/O when batches are disjoint — the common ingestion case)
-    scrubSegments(spark, s"$base/tf_delta",
+    // I/O when batches are disjoint — the common ingestion case); the
+    // scrub joins THIS transaction, so dl/stats, the scrub, and the
+    // new segment all flip atomically
+    scrubSegments(spark, Some(snap), txn, "tf_delta",
       Seq("doc_id", "term", "tf", "bucket"), batchIds,
       excludeSeg = Some(segId))
-    scrubSegments(spark, s"$base/pos_delta",
+    scrubSegments(spark, Some(snap), txn, "pos_delta",
       Seq("doc_id", "pos", "term", "bucket"), batchIds,
       excludeSeg = Some(segId))
-    graft.sources.Sources.writePartitioned(
-      tfB.select(col("doc_id"), col("term"), col("tf"), col("bucket")),
-      s"$base/tf_delta/seg=$segId", "bucket")
-    graft.sources.Sources.writePartitioned(
-      posB.select(col("doc_id"), col("pos"), col("term"), col("bucket")),
-      s"$base/pos_delta/seg=$segId", "bucket")
+    // a replayed batch reuses its segment id with possibly different
+    // text: drop the old segment's ENTIRE claim first (whatever
+    // buckets it covered), then claim exactly the buckets this batch
+    // wrote — ownership stays equal to physical data, so "the delta
+    // is gone" remains readable straight off the manifest
+    val segBuckets = tfB.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted // bounded by bm25Buckets
+    val parts = segBuckets.map(b => Seq(segId, b.toString))
+    Seq("tf_delta", "pos_delta").foreach(txn.dropPrefix(_, Seq(segId)))
+    txn.writeParts(
+      tfB.withColumn("seg", lit(segId))
+        .select(col("seg"), col("doc_id"), col("term"), col("tf"),
+          col("bucket")),
+      "tf_delta", Seq("seg", "bucket"), parts)
+    txn.writeParts(
+      posB.withColumn("seg", lit(segId))
+        .select(col("seg"), col("doc_id"), col("pos"), col("term"),
+          col("bucket")),
+      "pos_delta", Seq("seg", "bucket"), parts)
+    txn.commit()
+    ()
   }
 
   /** Build-on-base → append-batch → probe, end to end: the corpus
@@ -916,7 +907,8 @@ object Text {
     val batch = documents.filter(col("doc_id") % 5 === 4)
     val marker = s"$base/MARKER_BASE"
     val expected = bm25IndexMarkerPrefix(documents) + " split=mod5"
-    if (!IndexFS.markerEquals(marker, expected)) {
+    if (Snapshot.layoutStale(base, "bm25") ||
+        !IndexFS.markerEquals(marker, expected)) {
       bm25BuildIndex(baseDocs, base).count()
       IndexFS.writeString(marker, expected)
     }
@@ -950,13 +942,14 @@ object Text {
   def bm25Health(documents: DataFrame, base: String): DataFrame = {
     val spark = documents.sparkSession
     ensureBm25Fresh(documents, base)
-    val perBucket = spark.read.parquet(s"$base/tf")
+    val snap = Snapshot.require(base)
+    val perBucket = snap.read(spark, "tf")
       .groupBy(col("bucket").cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_postings"))
-    val terms = spark.read.parquet(s"$base/df")
+    val terms = snap.read(spark, "df")
       .groupBy(col("bucket").cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_terms"))
-    val total = spark.read.parquet(s"$base/tf")
+    val total = snap.read(spark, "tf")
       .agg(count(lit(1)).as("n_total"))
     perBucket.join(terms, Seq("bucket")).join(broadcast(total))
       .select(col("bucket"), col("n_postings"), col("n_terms"),
@@ -985,7 +978,7 @@ object Text {
       IndexFS.withWriterLease(base) {
     val spark = documents.sparkSession
     ensureBm25Fresh(documents, base)
-    val tf = spark.read.parquet(s"$base/tf")
+    val tf = Snapshot.require(base).read(spark, "tf")
       .select(col("doc_id"), col("term"), col("tf"),
         col("bucket").cast("long").as("bucket"))
       .maintCheckpoint() // one read feeds counts and the split
@@ -1003,11 +996,18 @@ object Text {
         when(col("is_hot").isNull, col("bucket"))
           .otherwise(col("bucket") + lit(bm25Buckets.toLong) * sub))
       .maintCheckpoint() // feeds the staging write AND the report
-    graft.sources.Sources.mergePartitioned(
-      split.filter(col("is_hot").isNotNull)
-        .select(col("doc_id"), col("term"), col("tf"),
-          col("new_bucket").as("bucket")),
-      s"$base/tf_resplit", "bucket")
+    val splitRows = split.filter(col("is_hot").isNotNull)
+      .select(col("doc_id"), col("term"), col("tf"),
+        col("new_bucket").as("bucket"))
+    // the staged split buckets' ids — ≤ 2·bm25Buckets values, so the
+    // collect is metadata-size
+    val splitBuckets = splitRows.select(col("bucket")).distinct()
+      .collect().map(r => Seq(r.getLong(0).toString)).toSeq
+    if (splitBuckets.nonEmpty) {
+      val txn = Snapshot.begin(base)
+      txn.writeParts(splitRows, "tf_resplit", Seq("bucket"), splitBuckets)
+      txn.commit()
+    }
     split.groupBy(col("new_bucket"))
       .agg(min(col("bucket")).as("parent_bucket"),
         count(lit(1)).as("n_postings"),
@@ -1028,12 +1028,15 @@ object Text {
   def bm25Delete(deletedIds: DataFrame, base: String): Unit =
       IndexFS.withWriterLease(base) {
     val spark = deletedIds.sparkSession
-    val tPath = tombstonePath(base).toString
-    val merged = (if (hasTombstones(base))
-        spark.read.parquet(tPath).unionByName(deletedIds.select(col("doc_id")))
-      else deletedIds.select(col("doc_id")))
-      .distinct().maintCheckpoint()
-    merged.write.mode("overwrite").parquet(tPath)
+    val snap = Snapshot.require(base)
+    val merged = (snap.readOpt(spark, "tombstones") match {
+        case Some(t) => t.unionByName(deletedIds.select(col("doc_id")))
+        case None    => deletedIds.select(col("doc_id"))
+      }).distinct()
+    val txn = Snapshot.begin(base)
+    txn.writeFull(merged, "tombstones")
+    txn.commit()
+    ()
   }
 
   /** COMPACT the tombstones into the stored BM25 layout: one
@@ -1048,10 +1051,18 @@ object Text {
     */
   def bm25Compact(spark: org.apache.spark.sql.SparkSession,
                   base: String): Unit = IndexFS.withWriterLease(base) {
-    if (!hasTombstones(base)) return
-    val tomb = spark.read.parquet(tombstonePath(base).toString)
-      .maintCheckpoint()
-    val tfAll = spark.read.parquet(s"$base/tf")
+    val snap = Snapshot.require(base)
+    val tomb = snap.readOpt(spark, "tombstones") match {
+      case Some(t) => t.maintCheckpoint() // feeds every rewrite below
+      case None    => return
+    }
+    // the bucket rewrites, the dl/stats refresh, the delta scrubs, and
+    // the tombstone clear all flip in ONE manifest publish: a probe
+    // racing the compaction serves either the tombstoned layout or the
+    // fully compacted one — no window where the sidecar is gone while
+    // stale postings still serve
+    val txn = Snapshot.begin(base)
+    val tfAll = snap.read(spark, "tf")
     val affected = tfAll.join(broadcast(tomb), Seq("doc_id"))
       .select(col("bucket").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
@@ -1060,13 +1071,14 @@ object Text {
         .join(broadcast(tomb), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("term"), col("tf"),
           col("bucket").cast("long").as("bucket"))
-        .maintCheckpoint()
-      graft.sources.Sources.mergePartitioned(tfAff, s"$base/tf", "bucket")
-      graft.sources.Sources.mergePartitioned(
+        .maintCheckpoint() // feeds the tf stage AND the df re-derive
+      val parts = affected.map(b => Seq(b.toString))
+      txn.writeParts(tfAff, "tf", Seq("bucket"), parts)
+      txn.writeParts(
         tfAff.groupBy(col("term")).agg(count(lit(1)).as("df"))
           .withColumn("bucket", termBucket(col("term"))),
-        s"$base/df", "bucket")
-      val posAll = spark.read.parquet(s"$base/pos")
+        "df", Seq("bucket"), parts)
+      val posAll = snap.read(spark, "pos")
       val posAffected = posAll.join(broadcast(tomb), Seq("doc_id"))
         .select(col("bucket").cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq.sorted
@@ -1075,8 +1087,8 @@ object Text {
           .join(broadcast(tomb), Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("pos"), col("term"),
             col("bucket").cast("long").as("bucket"))
-          .maintCheckpoint()
-        graft.sources.Sources.mergePartitioned(posAff, s"$base/pos", "bucket")
+        txn.writeParts(posAff, "pos", Seq("bucket"),
+          posAffected.map(b => Seq(b.toString)))
       }
     }
     // Everything below runs whether or not any BASE bucket was hit: a
@@ -1084,20 +1096,22 @@ object Text {
     // so gating it on base-postings membership would resurrect the doc
     // the moment the sidecar clears (found by the total-wipe spec).
     // doc lengths and corpus stats drop the tombstoned docs…
-    val dl = spark.read.parquet(s"$base/dl")
+    val dl = snap.read(spark, "dl")
       .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-      .maintCheckpoint()
-    dl.write.mode("overwrite").parquet(s"$base/dl")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-      .write.mode("overwrite").parquet(s"$base/stats")
+      .maintCheckpoint() // feeds the dl write AND the stats fold
+    txn.writeFull(dl, "dl")
+    txn.writeFull(dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_dl")), "stats")
     // …and the delta segments (tf and positions) drop theirs; only
     // (seg, bucket) partitions actually carrying a tombstoned doc
-    // rewrite, and an emptied-out generation removes its root
-    scrubSegments(spark, s"$base/tf_delta",
+    // rewrite, and an emptied-out partition just loses its ownership
+    scrubSegments(spark, Some(snap), txn, "tf_delta",
       Seq("doc_id", "term", "tf", "bucket"), tomb)
-    scrubSegments(spark, s"$base/pos_delta",
+    scrubSegments(spark, Some(snap), txn, "pos_delta",
       Seq("doc_id", "pos", "term", "bucket"), tomb)
-    clearTombstones(base)
+    txn.dropComp("tombstones")
+    txn.commit()
+    ()
   }
 
   /** Build-on-full → tombstone-delete → compact → probe, end to end:
@@ -1112,7 +1126,8 @@ object Text {
     val spark = documents.sparkSession
     val marker = s"$base/MARKER_BASE"
     val expected = bm25IndexMarkerPrefix(documents) + " delete=mod7"
-    if (!IndexFS.markerEquals(marker, expected)) {
+    if (Snapshot.layoutStale(base, "bm25") ||
+        !IndexFS.markerEquals(marker, expected)) {
       bm25BuildIndex(documents, base).count()
       IndexFS.writeString(marker, expected)
     }
@@ -1199,7 +1214,7 @@ object Text {
       s"src=${graft.ops.Similarity.inputListingFp(documents)}"
     if (!IndexFS.markerEquals(marker, expected))
       IndexFS.withWriterLease(annBase) {
-        if (IndexFS.versionState(annBase, "ann") == IndexFS.VersionStale)
+        if (Snapshot.layoutStale(annBase, "ann"))
           IndexFS.wipeLayout(annBase)
         val dv = documents
           .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
@@ -1386,30 +1401,34 @@ object Text {
   def lmBuildIndex(documents: DataFrame, base: String): DataFrame =
       IndexFS.withWriterLease(base) {
     val spark = documents.sparkSession
-    // a rebuild yields a SINGLE-generation layout: count deltas and
-    // removal records from maintenance against the PREVIOUS reference
-    // must not survive the new base — summed into it they would skew
-    // every probability, and a stale docs_delta would silently block
-    // valid appends of ids the new corpus has never seen
-    Seq("bi_delta", "uni_delta", "docs_delta", "docs_removed")
-      .foreach(d => IndexFS.deleteRecursive(s"$base/$d"))
+    // an older same-kind layout cannot be served or extended — wipe it
+    // and rebuild under the current shape (self-upgrade)
+    if (Snapshot.layoutStale(base, "lm")) IndexFS.wipeLayout(base)
     // one reference tokenize: both count tables fold from this frame
     val pr = bigramPairs(lmReference(documents)).maintCheckpoint()
-    graft.sources.Sources.writePartitioned(
+    // one snapshot transaction: the count tables, the reference doc
+    // set, AND the clearing of maintenance residue from a previous
+    // reference (count deltas and removal records — summed into a new
+    // base they would skew every probability, and a stale docs_delta
+    // would silently block valid appends) flip atomically
+    IndexFS.mkdirs(base)
+    val txn = Snapshot.begin(base)
+    txn.writeFull(
       pr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
-        .withColumn("bucket", termBucket(col("w1"))), s"$base/bi", "bucket")
-    graft.sources.Sources.writePartitioned(
+        .withColumn("bucket", termBucket(col("w1"))), "bi", "bucket")
+    txn.writeFull(
       pr.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
-        .withColumn("bucket", termBucket(col("w1"))), s"$base/uni", "bucket")
+        .withColumn("bucket", termBucket(col("w1"))), "uni", "bucket")
     // the reference doc set, recorded so [[lmAppend]] can keep its
     // generations disjoint (a re-appended doc must not double-count)
-    lmReference(documents).select(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$base/docs")
-    IndexFS.mkdirs(base)
+    txn.writeFull(lmReference(documents).select(col("doc_id")), "docs")
+    Seq("bi_delta", "uni_delta", "docs_delta", "docs_removed")
+      .foreach(txn.dropComp)
+    val snap = txn.commit()
     IndexFS.stampVersion(base, "lm")
     IndexFS.writeString(s"$base/MARKER", lmIndexMarker(documents))
-    val bi = spark.read.parquet(s"$base/bi")
-    val uni = spark.read.parquet(s"$base/uni")
+    val bi = snap.read(spark, "bi")
+    val uni = snap.read(spark, "uni")
     bi.groupBy(col("bucket").cast("long").as("bucket"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("n_pair")).as("n_pairs"))
       .join(uni.groupBy(col("bucket").cast("long").as("bucket"))
@@ -1433,11 +1452,12 @@ object Text {
     */
   def lmScoreStored(documents: DataFrame, base: String): DataFrame = {
     val spark = documents.sparkSession
-    IndexFS.requireVersion(base, "lm")
-    if (!IndexFS.markerFresh(s"$base/MARKER", lmIndexMarkerPrefix(documents)))
+    if (Snapshot.layoutStale(base, "lm") ||
+        !IndexFS.markerFresh(s"$base/MARKER",
+          lmIndexMarkerPrefix(documents)))
       lmBuildIndex(documents, base).count()
     val pr = bigramPairs(documents)
-    val (bi, uni) = lmModel(spark, base)
+    val (bi, uni) = lmModel(spark, Snapshot.require(base))
     val scored = pr.join(bi, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .select(col("doc_id"), col("pos"),
@@ -1463,19 +1483,21 @@ object Text {
     * the plan).
     */
   private def lmModel(spark: org.apache.spark.sql.SparkSession,
-                      base: String): (DataFrame, DataFrame) = {
+                      snap: Snapshot.Manifest): (DataFrame, DataFrame) = {
     def serve(part: String, keys: Seq[String], cnt: String): DataFrame = {
-      val b0 = spark.read.parquet(s"$base/$part")
+      val b0 = snap.read(spark, part)
         .select((keys :+ cnt).map(col): _*)
-      if (!IndexFS.isDirectory(s"$base/${part}_delta")) b0
-      else b0.unionByName(spark.read.parquet(s"$base/${part}_delta")
-          .select((keys :+ cnt).map(col): _*))
-        .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
-        // net-zero keys (a [[lmDelete]] cancelled every occurrence)
-        // must DROP, not serve a 0: a 0-count unigram would put
-        // 0.0/0.0 = NaN into the scores where the from-scratch model
-        // has a left-join miss (exact 0.0)
-        .filter(col(cnt) =!= 0L)
+      snap.readOpt(spark, s"${part}_delta") match {
+        case None => b0
+        case Some(delta) =>
+          b0.unionByName(delta.select((keys :+ cnt).map(col): _*))
+            .groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+            // net-zero keys (a [[lmDelete]] cancelled every occurrence)
+            // must DROP, not serve a 0: a 0-count unigram would put
+            // 0.0/0.0 = NaN into the scores where the from-scratch model
+            // has a left-join miss (exact 0.0)
+            .filter(col(cnt) =!= 0L)
+      }
     }
     (serve("bi", Seq("w1", "w2"), "n_pair"),
       serve("uni", Seq("w1"), "n_w1"))
@@ -1496,14 +1518,12 @@ object Text {
     * the tombstone-system convention).
     */
   private def lmEverSeen(spark: org.apache.spark.sql.SparkSession,
-                         base: String): DataFrame = {
-    var d = spark.read.parquet(s"$base/docs").select(col("doc_id"))
-    if (IndexFS.isDirectory(s"$base/docs_delta"))
-      d = d.unionByName(
-        spark.read.parquet(s"$base/docs_delta").select(col("doc_id")))
-    if (IndexFS.isDirectory(s"$base/docs_removed"))
-      d = d.unionByName(
-        spark.read.parquet(s"$base/docs_removed").select(col("doc_id")))
+                         snap: Snapshot.Manifest): DataFrame = {
+    var d = snap.read(spark, "docs").select(col("doc_id"))
+    snap.readOpt(spark, "docs_delta").foreach(x =>
+      d = d.unionByName(x.select(col("doc_id"))))
+    snap.readOpt(spark, "docs_removed").foreach(x =>
+      d = d.unionByName(x.select(col("doc_id"))))
     d
   }
 
@@ -1511,21 +1531,20 @@ object Text {
     * recorded generations minus removals.
     */
   private def lmServedDocs(spark: org.apache.spark.sql.SparkSession,
-                           base: String): DataFrame = {
-    var d = spark.read.parquet(s"$base/docs").select(col("doc_id"))
-    if (IndexFS.isDirectory(s"$base/docs_delta"))
-      d = d.unionByName(
-        spark.read.parquet(s"$base/docs_delta").select(col("doc_id")))
-    if (IndexFS.isDirectory(s"$base/docs_removed"))
-      d = d.join(spark.read.parquet(s"$base/docs_removed")
-        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+                           snap: Snapshot.Manifest): DataFrame = {
+    var d = snap.read(spark, "docs").select(col("doc_id"))
+    snap.readOpt(spark, "docs_delta").foreach(x =>
+      d = d.unionByName(x.select(col("doc_id"))))
+    snap.readOpt(spark, "docs_removed").foreach(x =>
+      d = d.join(x.select(col("doc_id")), Seq("doc_id"), "left_anti"))
     d
   }
 
   def lmAppend(batch: DataFrame, base: String): Unit =
       IndexFS.withWriterLease(base) {
     val spark = batch.sparkSession
-    val fresh = batch.join(lmEverSeen(spark, base), Seq("doc_id"),
+    val snap = Snapshot.require(base)
+    val fresh = batch.join(lmEverSeen(spark, snap), Seq("doc_id"),
         "left_anti")
       .maintCheckpoint()
     if (!fresh.isEmpty) {
@@ -1534,17 +1553,49 @@ object Text {
           .agg(sum(tokenHash(col("doc_id").cast("string"))))
           .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
       val pr = bigramPairs(fresh).maintCheckpoint()
-      graft.sources.Sources.writePartitioned(
-        pr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
-          .withColumn("bucket", termBucket(col("w1"))),
-        s"$base/bi_delta/seg=$segId", "bucket")
-      graft.sources.Sources.writePartitioned(
-        pr.groupBy(col("w1")).agg(count(lit(1)).as("n_w1"))
-          .withColumn("bucket", termBucket(col("w1"))),
-        s"$base/uni_delta/seg=$segId", "bucket")
-      fresh.select(col("doc_id"))
-        .write.mode("overwrite").parquet(s"$base/docs_delta/seg=$segId")
+      // the three delta segments flip in ONE manifest publish — no
+      // window where the counts serve without the doc-set record (the
+      // old write order existed only to keep a crash replayable)
+      lmWriteSegment(pr, fresh, segId, negate = false,
+        docsComp = "docs_delta", base = base)
     }
+  }
+
+  /** Stage one LM delta segment (bigram + unigram counts and its doc
+    * set) and publish it atomically — shared by [[lmAppend]] (positive
+    * counts into `docs_delta`) and [[lmDelete]] (negated counts into
+    * `docs_removed`).
+    */
+  private def lmWriteSegment(pr: DataFrame, docs: DataFrame, segId: String,
+                             negate: Boolean, docsComp: String,
+                             base: String): Unit = {
+    val cnt = if (negate) -count(lit(1)) else count(lit(1))
+    val bi = pr.groupBy(col("w1"), col("w2")).agg(cnt.as("n_pair"))
+      .withColumn("bucket", termBucket(col("w1")))
+      .withColumn("seg", lit(segId))
+      .select(col("seg"), col("w1"), col("w2"), col("n_pair"), col("bucket"))
+      .maintCheckpoint() // feeds the bucket census AND the stage write
+    // drop the segment's old claim first (replays supersede), then
+    // claim exactly the written buckets — ownership == physical data
+    val segBuckets = bi.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted // bounded by bm25Buckets
+    val parts = segBuckets.map(b => Seq(segId, b.toString))
+    val txn = Snapshot.begin(base)
+    Seq("bi_delta", "uni_delta").foreach(txn.dropPrefix(_, Seq(segId)))
+    if (parts.nonEmpty) { // all-single-token docs carry no bigrams
+      txn.writeParts(bi, "bi_delta", Seq("seg", "bucket"), parts)
+      txn.writeParts(
+        pr.groupBy(col("w1")).agg(cnt.as("n_w1"))
+          .withColumn("bucket", termBucket(col("w1")))
+          .withColumn("seg", lit(segId))
+          .select(col("seg"), col("w1"), col("n_w1"), col("bucket")),
+        "uni_delta", Seq("seg", "bucket"), parts)
+    }
+    txn.writeParts(
+      docs.select(col("doc_id")).withColumn("seg", lit(segId)),
+      docsComp, Seq("seg"), Seq(Seq(segId)))
+    txn.commit()
+    ()
   }
 
   /** Registry probe for the LM append pair: base model trained on the
@@ -1557,7 +1608,8 @@ object Text {
   def lmAppendProbe(documents: DataFrame, base: String): DataFrame = {
     val marker = s"$base/MARKER_BASE"
     val expected = lmIndexMarkerPrefix(documents) + " split=even"
-    if (!IndexFS.markerEquals(marker, expected)) {
+    if (Snapshot.layoutStale(base, "lm") ||
+        !IndexFS.markerEquals(marker, expected)) {
       lmBuildIndex(documents, base).count()
       IndexFS.writeString(marker, expected)
     }
@@ -1580,8 +1632,9 @@ object Text {
   def lmDelete(victims: DataFrame, base: String): Unit =
       IndexFS.withWriterLease(base) {
     val spark = victims.sparkSession
+    val snap = Snapshot.require(base)
     val targets = victims
-      .join(lmServedDocs(spark, base), Seq("doc_id"), "left_semi")
+      .join(lmServedDocs(spark, snap), Seq("doc_id"), "left_semi")
       .maintCheckpoint()
     if (!targets.isEmpty) {
       val segId = "del" + java.lang.Long.toHexString(
@@ -1589,17 +1642,8 @@ object Text {
           .agg(sum(tokenHash(col("doc_id").cast("string"))))
           .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
       val pr = bigramPairs(targets).maintCheckpoint()
-      graft.sources.Sources.writePartitioned(
-        pr.groupBy(col("w1"), col("w2"))
-          .agg((-count(lit(1))).as("n_pair"))
-          .withColumn("bucket", termBucket(col("w1"))),
-        s"$base/bi_delta/seg=$segId", "bucket")
-      graft.sources.Sources.writePartitioned(
-        pr.groupBy(col("w1")).agg((-count(lit(1))).as("n_w1"))
-          .withColumn("bucket", termBucket(col("w1"))),
-        s"$base/uni_delta/seg=$segId", "bucket")
-      targets.select(col("doc_id"))
-        .write.mode("overwrite").parquet(s"$base/docs_removed/seg=$segId")
+      lmWriteSegment(pr, targets, segId, negate = true,
+        docsComp = "docs_removed", base = base)
     }
   }
 
@@ -1612,7 +1656,8 @@ object Text {
   def lmDeleteProbe(documents: DataFrame, base: String): DataFrame = {
     val marker = s"$base/MARKER_BASE"
     val expected = lmIndexMarkerPrefix(documents) + " split=even"
-    if (!IndexFS.markerEquals(marker, expected)) {
+    if (Snapshot.layoutStale(base, "lm") ||
+        !IndexFS.markerEquals(marker, expected)) {
       lmBuildIndex(documents, base).count()
       IndexFS.writeString(marker, expected)
     }
@@ -1629,60 +1674,38 @@ object Text {
     * anywhere, so it may re-enter under its old name again. No-op
     * when no generations exist.
     *
-    * CRASH-SAFE, unlike a fold-in-place: count subtraction/addition
-    * is not idempotent, so the fold must never be applied to a base
-    * that already contains it. The protocol: (1) fold base ∪ deltas
-    * into `*_staged` side tables — the base and deltas it reads stay
-    * byte-untouched, so a crash here costs nothing; (2) publish a
-    * COMMIT point (one marker file); (3) drop the delta dirs, swap
-    * each staged table over its base, clear the COMMIT point. A
-    * replay before the COMMIT discards the stale staging and refolds
-    * from the intact generations; a replay after it finds the COMMIT
-    * and only FINISHES the swap (the staged fold is authoritative —
-    * refolding would double-count). Re-running after success is a
-    * clean no-op.
+    * CRASH-SAFE structurally: count subtraction/addition is not
+    * idempotent, so the fold must never be applied to a base that
+    * already contains it — and under the snapshot manifest it cannot
+    * be. The fold stages the summed tables as a new generation
+    * (reading the still-live base and delta generations) and ONE
+    * manifest publish makes the fold authoritative while dropping
+    * every delta component. A crash before the publish leaves the
+    * generations standing (a replay refolds from them); after it the
+    * deltas are gone from the manifest, so a replay is a clean no-op.
+    * This retires the bespoke `_COMPACT_COMMIT` two-phase protocol —
+    * the manifest IS the commit point. `onStep` forwards to the
+    * snapshot commit's fault-injection hook: (1) fold staged,
+    * manifest not yet published; (2) published; (3) GC done.
     */
   def lmCompact(spark: org.apache.spark.sql.SparkSession,
                 base: String,
                 onStep: Int => Unit = _ => ()): Unit =
       IndexFS.withWriterLease(base) {
-    val deltaDirs = Seq("bi_delta", "uni_delta", "docs_delta",
+    val snap = Snapshot.require(base)
+    val deltaComps = Seq("bi_delta", "uni_delta", "docs_delta",
       "docs_removed")
-    val parts = Seq("bi", "uni", "docs")
-    val commit = s"$base/_COMPACT_COMMIT"
-    def finishSwap(): Unit = {
-      deltaDirs.foreach(d => IndexFS.deleteRecursive(s"$base/$d"))
-      parts.foreach { p =>
-        if (IndexFS.isDirectory(s"$base/${p}_staged")) {
-          IndexFS.deleteRecursive(s"$base/$p")
-          // a silent rename failure here would lose the table (the
-          // base is already deleted) — fail loudly; the staged copy
-          // and the commit marker survive for the replay to finish
-          require(IndexFS.rename(s"$base/${p}_staged", s"$base/$p"),
-            s"lmCompact: rename $base/${p}_staged -> $base/$p failed")
-        }
-      }
-      IndexFS.deleteRecursive(commit)
-    }
-    if (IndexFS.exists(commit)) { finishSwap(); return }
-    // staging from a run that crashed BEFORE its commit point is
-    // stale (the generations it folded are still standing) — discard
-    parts.foreach(p => IndexFS.deleteRecursive(s"$base/${p}_staged"))
-    if (!deltaDirs.exists(d => IndexFS.isDirectory(s"$base/$d")))
-      return
-    val (bi, uni) = lmModel(spark, base)
-    graft.sources.Sources.writePartitioned(
-      bi.withColumn("bucket", termBucket(col("w1"))),
-      s"$base/bi_staged", "bucket")
-    graft.sources.Sources.writePartitioned(
-      uni.withColumn("bucket", termBucket(col("w1"))),
-      s"$base/uni_staged", "bucket")
-    lmServedDocs(spark, base)
-      .write.mode("overwrite").parquet(s"$base/docs_staged")
-    onStep(1) // staging complete, commit point not yet published
-    IndexFS.writeString(commit, "lm-compact folded")
-    onStep(2) // committed — the staged fold is now authoritative
-    finishSwap()
+    if (!deltaComps.exists(snap.has)) return
+    val (bi, uni) = lmModel(spark, snap)
+    val txn = Snapshot.begin(base)
+    txn.writeFull(bi.withColumn("bucket", termBucket(col("w1"))),
+      "bi", "bucket")
+    txn.writeFull(uni.withColumn("bucket", termBucket(col("w1"))),
+      "uni", "bucket")
+    txn.writeFull(lmServedDocs(spark, snap), "docs")
+    deltaComps.foreach(txn.dropComp)
+    txn.commit(onStep)
+    ()
   }
 
   /** Registry probe for the full LM maintenance cycle: build on the
@@ -1695,7 +1718,8 @@ object Text {
   def lmCompactProbe(documents: DataFrame, base: String): DataFrame = {
     val marker = s"$base/MARKER_BASE"
     val expected = lmIndexMarkerPrefix(documents) + " split=even"
-    if (!IndexFS.markerEquals(marker, expected)) {
+    if (Snapshot.layoutStale(base, "lm") ||
+        !IndexFS.markerEquals(marker, expected)) {
       lmBuildIndex(documents, base).count()
       IndexFS.writeString(marker, expected)
     }
@@ -2499,29 +2523,31 @@ object Text {
                          phrases: Seq[(Long, String)] = phraseQueries): DataFrame = {
     val spark = documents.sparkSession
     ensureBm25Fresh(documents, base)
+    val snap = Snapshot.require(base)
     val buckets = phrases.flatMap(_._2.split(" ")).distinct
       .map(termBucketDriver).distinct.sorted
-    val base0 = spark.read.parquet(s"$base/pos")
+    val base0 = snap.read(spark, "pos")
       .filter(col("bucket").isin(buckets: _*))
       .select(col("doc_id"), col("pos"), col("term"))
     // serve base ∪ delta segments ([[bm25Append]]'s LSM write): a doc
     // present in the delta shadows ALL its base postings (the doc-set
     // anti-join is unfiltered by bucket — a re-appended doc whose new
     // text dropped a term must not keep matching via stale postings)
-    val withDelta = if (IndexFS.isDirectory(s"$base/pos_delta")) {
-      val delta = spark.read.parquet(s"$base/pos_delta")
-      base0.join(delta.select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-        .unionByName(delta
-          .filter(col("bucket").isin(buckets: _*))
-          .select(col("doc_id"), col("pos"), col("term")))
-    } else base0
+    val withDelta = snap.readOpt(spark, "pos_delta") match {
+      case Some(delta) =>
+        base0.join(delta.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .unionByName(delta
+            .filter(col("bucket").isin(buckets: _*))
+            .select(col("doc_id"), col("pos"), col("term")))
+      case None => base0
+    }
     // tombstones exclude docs from BOTH generations
-    val pos = if (hasTombstones(base))
-      withDelta.join(broadcast(
-        spark.read.parquet(tombstonePath(base).toString)), Seq("doc_id"),
-        "left_anti")
-    else withDelta
+    val pos = snap.readOpt(spark, "tombstones") match {
+      case Some(t) =>
+        withDelta.join(broadcast(t), Seq("doc_id"), "left_anti")
+      case None => withDelta
+    }
     phraseMatch(pos, phraseTermsDF(spark, phrases))
   }
 

@@ -179,6 +179,10 @@ object IndexFS {
 
   private def versionPath(base: String): String = s"$base/_VERSION"
 
+  // a base holding ONLY snapshot manifests (a versioned table) is not
+  // a pre-contract index layout
+  private val manifestDirNameForVersioning = "_SNAPSHOTS"
+
   private def versionLine(kind: String): String =
     s"graft-layout kind=$kind v=${layoutVersions(kind)}"
 
@@ -208,7 +212,15 @@ object IndexFS {
     */
   def versionState(base: String, kind: String): VersionState =
     readStringOpt(versionPath(base)) match {
-      case None => VersionCurrent
+      case None =>
+        // no _VERSION: a not-yet-built base is Current (the marker
+        // governs), but a base that already HAS content is a
+        // pre-contract layout — treat as Stale so the build path
+        // wipes and rebuilds it under the current shape
+        if (listNames(base).exists(n => !n.startsWith("_WRITER_LEASE") &&
+            n != manifestDirNameForVersioning))
+          VersionStale
+        else VersionCurrent
       case Some(txt) =>
         val t = txt.trim
         if (t == versionLine(kind)) VersionCurrent

@@ -236,6 +236,18 @@ object Snapshot {
     current(base).getOrElse(throw new IllegalStateException(
       s"stored layout $base has no published snapshot manifest"))
 
+  /** True iff the layout at `base` cannot be served as-is and must go
+    * through its build path's wipe-and-rebuild: an OLDER same-kind
+    * `_VERSION`, or layout content with no snapshot manifest (a
+    * pre-snapshot layout, or one whose manifest directory was lost —
+    * either way unreadable under the current contract). Newer/foreign
+    * versions still throw from [[IndexFS.versionState]].
+    */
+  def layoutStale(base: String, kind: String): Boolean =
+    IndexFS.versionState(base, kind) == IndexFS.VersionStale ||
+      (!enabled(base) && IndexFS.listNames(base)
+        .exists(n => !n.startsWith("_") && !n.startsWith(".")))
+
   private def load(base: String, id: Long): Manifest = {
     val path = s"${manifestDir(base)}/${manifestName(id)}"
     val txt = IndexFS.readStringOpt(path).getOrElse(
@@ -344,6 +356,31 @@ object Snapshot {
       * tombstones, folded delta segments).
       */
     def dropComp(comp: String): Unit = comps -= comp
+
+    /** Remove every partition tuple starting with `prefix` from the
+      * component's ownership — how a replayed LSM segment supersedes
+      * its own previous claim no matter which partitions the old
+      * write covered. Only valid on components whose owners are all
+      * include-form (delta components by construction): an
+      * exclude-form owner's prefix complement has no finite
+      * representation.
+      */
+    def dropPrefix(comp: String, prefix: Seq[String]): Unit =
+      comps.get(comp).foreach { c =>
+        val owners = c.owners.flatMap { o =>
+          o.include match {
+            case Some(ts) =>
+              val kept = ts.filterNot(_.startsWith(prefix))
+              if (kept.isEmpty) None else Some(o.copy(include = Some(kept)))
+            case None => throw new IllegalStateException(
+              s"dropPrefix($comp): component has a full-ownership " +
+                "(exclude-form) owner — prefix subtraction is only " +
+                "defined on enumerated claims")
+          }
+        }
+        if (owners.isEmpty) comps -= comp
+        else comps += comp -> c.copy(owners = owners)
+      }
 
     private def subtract(owners: Seq[Owner],
                          parts: Seq[Seq[String]]): Seq[Owner] = {

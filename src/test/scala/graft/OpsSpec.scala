@@ -829,12 +829,13 @@ class OpsSpec extends SparkTestBase {
       .createTempDirectory("graft-bm25rs").toString + "/idx"
     val report = Text.bm25Resplit(docs, base, 110)
       .as[(Long, Long, Long, Long, Boolean)].collect()
-    val totalPostings = spark.read.parquet(s"$base/tf").count()
+    def snapTf = graft.sources.Snapshot.require(base).read(spark, "tf")
+    val totalPostings = snapTf.count()
     assert(report.map(_._3).sum === totalPostings)
     // a term's postings never straddle halves: the split key is a
     // function of the term, so per (bucket) the halves' term sets are
     // disjoint and their term counts sum to the parent's
-    val parentTerms = spark.read.parquet(s"$base/tf")
+    val parentTerms = snapTf
       .groupBy(col("bucket")).agg(countDistinct(col("term")).as("nt"))
       .as[(Long, Long)].collect().toMap
     report.groupBy(_._2).foreach { case (parent, halves) =>
@@ -844,7 +845,8 @@ class OpsSpec extends SparkTestBase {
     // the staged layout holds exactly the hot buckets' postings, and
     // probes over it can still prune statically: every staged row's
     // partition value is derivable from its term alone
-    val staged = spark.read.parquet(s"$base/tf_resplit")
+    val staged = graft.sources.Snapshot.require(base)
+      .read(spark, "tf_resplit")
       .select(col("bucket"),
         (pmod(Text.tokenHash(col("term")), lit(64L)) +
           lit(64L) * pmod(expr(

@@ -321,10 +321,10 @@ class SourcesSpec extends SparkTestBase {
     assert(tombRes.toSeq === survInline,
       "pre-compaction serving is not exact over the survivors")
     Text.bm25Compact(spark, b)
-    assert(!new java.io.File(b, "tombstones").exists())
+    assert(!graft.sources.Snapshot.require(b).has("tombstones"))
     assert(Text.bm25ProbeStored(docs, b, 10).collect().map(key).toSeq
       === survInline)
-    assert(spark.read.parquet(s"$b/dl")
+    assert(graft.sources.Snapshot.require(b).read(spark, "dl")
       .join(delDocs, Seq("doc_id")).count() === 0)
 
     // IVFADC: the tombstoned probe is already exact, so compaction
@@ -920,7 +920,7 @@ class SourcesSpec extends SparkTestBase {
     // the delta root itself — a parquet directory holding only empty
     // partition dirs cannot infer a schema and would crash serving
     import graft.ops.Text
-    import graft.sources.IndexFS
+    import graft.sources.Snapshot
     val docs = Tables.documents(spark, sf)
     val base = tmp("wipe")
     // fixture-size-independent split: every 10th doc is the batch
@@ -928,22 +928,25 @@ class SourcesSpec extends SparkTestBase {
     val batch = docs.filter(col("doc_id") % 10 === 7)
     assert(!batch.isEmpty)
     Text.bm25Append(batch, base)
-    assert(IndexFS.isDirectory(s"$base/tf_delta"))
+    assert(Snapshot.require(base).has("tf_delta"))
     Text.bm25Delete(batch.select(col("doc_id")), base)
     Text.bm25Compact(spark, base)
-    assert(!IndexFS.isDirectory(s"$base/tf_delta"),
-      "emptied delta root survived compaction")
-    assert(!IndexFS.isDirectory(s"$base/pos_delta"))
+    // under the snapshot manifest "the delta is gone" is an ownership
+    // fact, not a directory fact: the emptied segments lose every
+    // owner, so the component drops out of the manifest (dead leaves
+    // are GC'd later)
+    assert(!Snapshot.require(base).has("tf_delta"),
+      "emptied delta survived compaction in the manifest")
+    assert(!Snapshot.require(base).has("pos_delta"))
     // serving equals the inline ranking over the surviving corpus
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
     assert(Text.bm25ScoreStored(spark, base, 5).collect().map(key).toSeq
       === Text.bm25TopK(docs.filter(col("doc_id") % 10 =!= 7), 5)
         .collect().map(key).toSeq)
-    // an EMPTY append is a no-op (it must not write a parquet-less
-    // segment dir that would poison the next delta read)
+    // an EMPTY append is a no-op
     Text.bm25Append(docs.filter(col("doc_id") < 0), base)
-    assert(!IndexFS.isDirectory(s"$base/tf_delta"))
+    assert(!Snapshot.require(base).has("tf_delta"))
   }
 
   test("stored-index control plane runs through a file:-scheme Hadoop FileSystem") {
@@ -1071,20 +1074,20 @@ class SourcesSpec extends SparkTestBase {
 
   test("rebuild yields a single-generation layout: stale deltas do not survive") {
     import graft.ops.Text
-    import graft.sources.IndexFS
+    import graft.sources.Snapshot
     val docs = Tables.documents(spark, sf)
     val base = tmp("lmrebuild")
     Text.lmBuildIndex(docs, base).count()
     Text.lmAppend(docs.filter(col("doc_id") % 4 === 1), base)
     Text.lmDelete(docs.filter(col("doc_id") % 8 === 2), base)
-    assert(IndexFS.isDirectory(s"$base/bi_delta"))
+    assert(Snapshot.require(base).has("bi_delta"))
     // the corpus changes under the same base → rebuild; generations
     // from the OLD corpus must not be served alongside the new base
     // (counts would skew) nor block appends (burned-id records)
     val subset = docs.filter(col("doc_id") % 3 =!= 0)
     Text.lmBuildIndex(subset, base).count()
     Seq("bi_delta", "uni_delta", "docs_delta", "docs_removed").foreach(d =>
-      assert(!IndexFS.isDirectory(s"$base/$d"), s"stale $d survived rebuild"))
+      assert(!Snapshot.require(base).has(d), s"stale $d survived rebuild"))
     def key(r: org.apache.spark.sql.Row) =
       r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))
     assert(Text.lmScoreStored(subset, base).collect().map(key).toMap
@@ -1110,10 +1113,12 @@ class SourcesSpec extends SparkTestBase {
       Text.lmBuildIndex(docs, base).count()
       Text.lmAppend(docs.filter(col("doc_id") % 4 === 1), base)
       Text.lmDelete(docs.filter(col("doc_id") % 8 === 2), base)
-      // crash at step 1 (staging written, no commit point): the replay
-      // must discard the staging and refold from the intact
-      // generations; at step 2 (committed): the replay must FINISH the
-      // swap without refolding — count folds are not idempotent
+      // crash at step 1 (fold staged, manifest not published): the
+      // generations are still live in the old manifest, so the replay
+      // refolds from them; at step 2 (manifest published): the deltas
+      // are gone from the manifest, so the replay is a clean no-op —
+      // either way the fold applies EXACTLY once (count folds are not
+      // idempotent)
       intercept[Crash] {
         Text.lmCompact(spark, base,
           onStep = s => if (s == crashAt) throw Crash(s))
@@ -1121,10 +1126,10 @@ class SourcesSpec extends SparkTestBase {
       Text.lmCompact(spark, base) // the replay
       assert(Text.lmScoreStored(docs, base).collect().map(key).toMap
         === expected, s"replay after crash-at-step-$crashAt corrupted counts")
-      // and the layout is single-generation again
-      Seq("bi_delta", "uni_delta", "docs_delta", "docs_removed",
-        "bi_staged", "uni_staged", "docs_staged", "_COMPACT_COMMIT")
-        .foreach(d => assert(!graft.sources.IndexFS.exists(s"$base/$d"),
+      // and the served layout is single-generation again
+      Seq("bi_delta", "uni_delta", "docs_delta", "docs_removed")
+        .foreach(d => assert(
+          !graft.sources.Snapshot.require(base).has(d),
           s"$d survived the replayed compaction"))
       // re-running after success stays a no-op
       Text.lmCompact(spark, base)

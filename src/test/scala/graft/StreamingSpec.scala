@@ -397,7 +397,8 @@ class StreamingSpec extends SparkTestBase {
         .coalesce(1).write.mode("append").parquet(srcDir)
       q.processAllAvailable()
     } finally q.stop()
-    val got = spark.read.parquet(tgt).as[(Long, String)].collect().toMap
+    val got = graft.sources.Sources.readVersioned(spark, tgt)
+      .as[(Long, String)].collect().toMap
     assert(got === Map(1L -> "old", 2L -> "new", 3L -> "old"))
   }
 
@@ -463,7 +464,8 @@ class StreamingSpec extends SparkTestBase {
     try q1.stop() catch { case _: Throwable => () }
     // the merge DID land before the crash — the replay must not undo
     // or double-apply it
-    assert(spark.read.parquet(tgt).as[(Long, String)].collect().toMap
+    assert(graft.sources.Sources.readVersioned(spark, tgt)
+      .as[(Long, String)].collect().toMap
       === Map(1L -> "old", 2L -> "new", 3L -> "old", 10L -> "ins"))
 
     // second incarnation over the SAME checkpoint: the uncommitted
@@ -476,7 +478,8 @@ class StreamingSpec extends SparkTestBase {
       q2.processAllAvailable()
     } finally q2.stop()
     assert(merges.get() >= 3, s"batch was not replayed (merges=${merges.get()})")
-    val rows = spark.read.parquet(tgt).as[(Long, String)].collect().toSeq
+    val rows = graft.sources.Sources.readVersioned(spark, tgt)
+      .as[(Long, String)].collect().toSeq
     assert(rows.map(_._1).distinct.length === rows.length, "duplicated keys")
     assert(rows.toMap ===
       Map(1L -> "old", 2L -> "new", 3L -> "upd", 10L -> "ins"))
@@ -532,7 +535,8 @@ class StreamingSpec extends SparkTestBase {
     // the layout must now be EXACTLY the from-scratch index over the
     // full corpus: same dl row set (no duplicated doc from the replay)
     // and the probe ranking identical to the inline BM25 plan
-    assert(spark.read.parquet(s"$idx/dl").count() === docs.count())
+    assert(graft.sources.Snapshot.require(idx).read(spark, "dl")
+      .count() === docs.count())
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
     assert(Text.bm25ScoreStored(spark, idx, 10).collect().map(key).toSeq
@@ -590,7 +594,8 @@ class StreamingSpec extends SparkTestBase {
     Similarity.ivfpqAppend(b2, ref)
     val n = emb.count()
     for (b <- Seq(idx, ref); part <- Seq("cells", "codes")) {
-      val ids = spark.read.parquet(s"$b/$part").select("vec_id").as[Long].collect()
+      val ids = graft.sources.Snapshot.require(b).read(spark, part)
+        .select("vec_id").as[Long].collect()
       assert(ids.length === n.toInt, s"$b/$part has ${ids.length} rows, want $n")
       assert(ids.distinct.length === ids.length, s"$b/$part has duplicate vec_ids")
     }
@@ -680,12 +685,12 @@ class StreamingSpec extends SparkTestBase {
       s"verbatim history copies escaped the gate: $rejected")
     // crash-replayed index serves the SAME doc set as the clean one
     def served(b: String): Set[Long] = {
-      val s0 = spark.read.parquet(s"$b/sizes").select("doc_id")
-      val d = new java.io.File(s"$b/sizes_delta")
-      val all = if (d.isDirectory)
-        s0.unionByName(
-          spark.read.parquet(s"$b/sizes_delta").select("doc_id"))
-      else s0
+      val snap = graft.sources.Snapshot.require(b)
+      val s0 = snap.read(spark, "sizes").select("doc_id")
+      val all = snap.readOpt(spark, "sizes_delta") match {
+        case Some(d) => s0.unionByName(d.select("doc_id"))
+        case None    => s0
+      }
       all.as[Long].collect().toSet
     }
     val admittedRef = (r1 ++ r2).filter(_.getBoolean(5)).map(_.getLong(0)).toSet
@@ -694,8 +699,9 @@ class StreamingSpec extends SparkTestBase {
     assert(served(idx) === served(ref),
       "crash-replayed index diverged from the clean run")
     // and no duplicate signature rows anywhere in the served sizes
-    val allSizes = spark.read.parquet(s"$idx/sizes").select("doc_id")
-      .unionByName(spark.read.parquet(s"$idx/sizes_delta").select("doc_id"))
+    val idxSnap = graft.sources.Snapshot.require(idx)
+    val allSizes = idxSnap.read(spark, "sizes").select("doc_id")
+      .unionByName(idxSnap.read(spark, "sizes_delta").select("doc_id"))
       .as[Long].collect()
     assert(allSizes.distinct.length === allSizes.length,
       "replay duplicated a signature row")
