@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
   * ([[decodeStub]]), so the DuckDB-checkable expression twin stays
   * exact. `video/`-prefixed payloads yield REAL container metadata
   * through a pure-JVM ISO BMFF box parser ([[decodeVideoMeta]] —
-  * dimensions and frame count from `moov/trak/tkhd` + `stts`,
-  * spec-gated over a handcrafted MP4); FRAME decode stays a declared
-  * stub, since no video codec ships with the JVM.
+  * dimensions and frame count from `moov/trak/tkhd` + `stts`) and
+  * REAL per-frame byte ranges composed from the stsz/stco/stsc sample
+  * tables ([[videoSampleRanges]] → [[frameSample]]), both spec-gated
+  * over a handcrafted MP4; only the decode of the extracted codec
+  * bitstream to pixels is out of scope (no video codec ships with the
+  * JVM). Image embeddings are CONTENT-BASED: [[pixelEmbedding]]
+  * computes block-mean luminance over the decoded, bilinear-resized
+  * pixels, so the ANN tier ranks images by what they look like, not
+  * by a digest ([[embedMedia]]/[[annRetrieveMedia]]).
   */
 object Multimodal {
 
@@ -186,6 +192,106 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => None }
   }
 
+  /** Byte ranges of a BMFF video's SAMPLES (frames), composed from the
+    * container's real sample tables (ISO/IEC 14496-12 §8.7): `stsz`
+    * (per-sample sizes, or one uniform size), `stco` (chunk byte
+    * offsets), and `stsc` (which run of chunks holds how many samples
+    * each). Sample i's bytes start at its chunk's offset plus the
+    * sizes of the samples before it in that chunk — the standard
+    * composition every demuxer runs. All counts are clamped by their
+    * box capacity and every range by the payload length, so a hostile
+    * table can neither OOM the executor nor read past the buffer.
+    * Returns None when any table is absent/garbled. (The extracted
+    * bytes are the CODEC bitstream — no video codec ships with the
+    * JVM, so decoding them to pixels stays out of scope; what a
+    * curation pipeline shards, samples, and hashes is exactly these
+    * per-frame byte ranges.)
+    */
+  def videoSampleRanges(content: Array[Byte]): Option[Seq[(Long, Long)]] = {
+    def u32(o: Int): Long =
+      if (o < 0 || o + 4 > content.length) -1L
+      else ((content(o) & 0xffL) << 24) | ((content(o + 1) & 0xffL) << 16) |
+        ((content(o + 2) & 0xffL) << 8) | (content(o + 3) & 0xffL)
+    def fourcc(o: Int): String =
+      if (o + 4 > content.length) ""
+      else new String(content, o, 4, "ISO-8859-1")
+    def boxes(start: Int, end: Int): List[(String, Int, Int)] = {
+      var o = start
+      val out = List.newBuilder[(String, Int, Int)]
+      while (o + 8 <= end) {
+        val size = u32(o)
+        val tpe = fourcc(o + 4)
+        val (pStart, boxEnd) =
+          if (size == 0L) (o + 8, end)
+          else if (size == 1L) {
+            val hi = u32(o + 8); val lo = u32(o + 12)
+            (o + 16, o + math.min((hi << 32 | lo), (end - o).toLong).toInt)
+          } else (o + 8, o + math.min(size, (end - o).toLong).toInt)
+        if (boxEnd <= o || pStart > boxEnd) return out.result()
+        out += ((tpe, pStart, boxEnd))
+        o = boxEnd
+      }
+      out.result()
+    }
+    def child(tpe: String, within: (Int, Int)): Option[(Int, Int)] =
+      boxes(within._1, within._2).collectFirst {
+        case (t, s, e) if t == tpe => (s, e) }
+    // a FullBox's u32 list at `start+8`, declared count clamped by the
+    // box capacity (`width` u32s per entry)
+    def u32List(b: (Int, Int), width: Int): Seq[Long] = {
+      val declared = u32(b._1 + 4)
+      val capacity = math.max(0L, ((b._2 - b._1 - 8) / (4L * width)))
+      val n = math.min(math.max(0L, declared), capacity).toInt
+      (0 until n * width).map(i => u32(b._1 + 8 + i * 4))
+    }
+    try {
+      val stbl = for {
+        moov <- child("moov", (0, content.length))
+        trak <- child("trak", moov)
+        mdia <- child("mdia", trak)
+        minf <- child("minf", mdia)
+        stbl <- child("stbl", minf)
+      } yield stbl
+      val tables = stbl.flatMap { s =>
+        for { stsz <- child("stsz", s); stco <- child("stco", s)
+              stsc <- child("stsc", s) } yield (stsz, stco, stsc)
+      }
+      tables.flatMap { case (stsz, stco, stsc) =>
+        // stsz: version/flags, sample_size (0 → per-sample list), count
+        val uniform = u32(stsz._1 + 4)
+        val nSamples0 = u32(stsz._1 + 8)
+        if (nSamples0 <= 0) return None
+        val szCapacity = math.max(0L, (stsz._2 - stsz._1 - 12) / 4)
+        val nSamples = (if (uniform > 0) nSamples0
+          else math.min(nSamples0, szCapacity)).toInt
+        def sizeOf(i: Int): Long =
+          if (uniform > 0) uniform else u32(stsz._1 + 12 + i * 4)
+        val chunkOffsets = u32List(stco, 1)
+        val stscRuns = u32List(stsc, 3).grouped(3)
+          .collect { case Seq(first, per, _) => (first, per) }.toSeq
+        if (chunkOffsets.isEmpty || stscRuns.isEmpty) return None
+        val out = Seq.newBuilder[(Long, Long)]
+        var sample = 0
+        chunkOffsets.zipWithIndex.foreach { case (chunkOff, ci) =>
+          val perChunk = stscRuns.takeWhile(_._1 <= ci + 1)
+            .lastOption.map(_._2).getOrElse(0L)
+          var within = 0L
+          var k = 0L
+          while (k < perChunk && sample < nSamples) {
+            val sz = sizeOf(sample)
+            val start = chunkOff + within
+            if (sz > 0 && start >= 0 && start + sz <= content.length)
+              out += ((start, sz))
+            within += math.max(0L, sz)
+            sample += 1; k += 1
+          }
+        }
+        val ranges = out.result()
+        if (ranges.isEmpty) None else Some(ranges)
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
   /** Batched metadata extraction: mapPartitions processes payloads in
     * fixed-size batches (the shape a real codec wants — reuse one codec
     * instance per batch, bound peak memory by batch size, stay columnar
@@ -280,6 +386,39 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling with REAL container offsets where the payload has
+    * them: a `video/` payload whose BMFF sample tables parse yields
+    * every `everyN`-th actual sample's bytes at its real
+    * [[videoSampleRanges]] offsets (frame_idx = the sample's index in
+    * the container); everything else — opaque payloads, videos without
+    * a parseable table — keeps the deterministic fixed-chunk stub, so
+    * the oracle-checkable arm is unchanged. Same output shape either
+    * way: one row per sampled frame.
+    */
+  def frameSample(media: Dataset[MediaRecord], frameSize: Int,
+                  everyN: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val real: Option[Seq[Frame]] =
+        if (r.mime.startsWith("video/"))
+          videoSampleRanges(r.content).map(_.zipWithIndex.collect {
+            case ((off, sz), i) if i % everyN == 0 =>
+              Frame(r.doc_id, i.toLong, java.util.Arrays.copyOfRange(
+                r.content, off.toInt, (off + sz).toInt))
+          })
+        else None
+      real.getOrElse {
+        val nFrames = math.max(1, r.content.length / frameSize)
+        (0L until nFrames.toLong).filter(_ % everyN == 0).map { i =>
+          val start = (i * frameSize).toInt
+          val end = math.min(start + frameSize, r.content.length)
+          Frame(r.doc_id, i,
+            java.util.Arrays.copyOfRange(r.content, start, end))
+        }
+      }
+    }
+  }
+
   /** Registry wrapper driving the REAL [[resizeMedia]] typed path (not
     * an expression twin): binary payloads through mapPartitions
     * batching, then scalar accounting columns the oracle can recompute
@@ -302,7 +441,7 @@ object Multimodal {
     */
   def frameStats(documents: DataFrame, frameSize: Int, everyN: Int): DataFrame = {
     import documents.sparkSession.implicits._
-    frameSampleStub(asMedia(documents).as[MediaRecord], frameSize, everyN).toDF()
+    frameSample(asMedia(documents).as[MediaRecord], frameSize, everyN).toDF()
       .select(col("doc_id"), col("frame_idx"),
         length(col("frame_bytes")).cast("long").as("frame_len"))
       .orderBy(col("doc_id"), col("frame_idx"))
@@ -352,6 +491,71 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** CONTENT-BASED image embedding — block-mean luminance over a
+    * fixed bilinear-resized grid (the blockhash/pHash family feature
+    * map): decode the pixels ([[decodeImage]]'s codecs), bilinear-
+    * resize to the smallest g×g grid with g² ≥ dims, and take the
+    * first `dims` cells' mean luminance (ITU-R BT.601 weights)
+    * normalized to [0,1]. Deterministic, model-free, and computed
+    * from the DECODED CONTENT: two re-encodes of the same picture map
+    * to nearby vectors, different pictures don't — which is what the
+    * ANN tier downstream needs from an encoder. Swapping in a learned
+    * vision encoder changes only this function. None when the bytes
+    * don't decode.
+    */
+  def pixelEmbedding(content: Array[Byte], dims: Int = 8): Option[Array[Double]] =
+    try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))).map { img =>
+      val g = math.ceil(math.sqrt(dims.toDouble)).toInt
+      val grid = new java.awt.image.BufferedImage(
+        g, g, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = grid.createGraphics()
+      gr.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gr.drawImage(img, 0, 0, g, g, null)
+      gr.dispose()
+      Array.tabulate(dims) { i =>
+        val rgb = grid.getRGB(i % g, i / g)
+        val (r, gn, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        (0.299 * r + 0.587 * gn + 0.114 * b) / 255.0
+      }
+    }
+    catch { case _: java.io.IOException => None }
+
+  /** Typed media→vector ENCODER with codec dispatch — the serving
+    * encoder of the multimodal tier: `image/` payloads embed from
+    * their decoded pixels ([[pixelEmbedding]]); everything else (and
+    * any payload its codec rejects) takes the digest stub with
+    * arithmetic IDENTICAL to [[embedStub]]'s expression twin
+    * (spec-asserted row-for-row on the stub arm), so the
+    * oracle-checkable registry formulation and this batch path can
+    * never drift. Output: (doc_id, embedding) — the same column shape
+    * the `embeddings` fixture table and the whole `sim_*` tier
+    * consume; nothing downstream knows the vector came from bytes.
+    */
+  def embedMedia(media: Dataset[MediaRecord],
+                 dims: Int = 8,
+                 batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.map { r =>
+          val real = if (r.mime.startsWith("image/"))
+            pixelEmbedding(r.content, dims) else None
+          val vec = real.getOrElse {
+            md.reset()
+            val digest = md.digest(r.content).map("%02x".format(_)).mkString
+            Array.tabulate(dims)(i =>
+              java.lang.Long.parseLong(digest.substring(i * 2, i * 2 + 2), 16)
+                .toDouble / 255.0)
+          }
+          (r.doc_id, vec)
+        }
+      }
+    }.toDF("doc_id", "embedding")
+  }
+
   /** Multimodal retrieval END-TO-END: media payload → embedding
     * ([[embedStub]]'s projection, as an array) → cosine top-k — the
     * "find media like this one" pipeline (CLIP-style retrieval), here
@@ -376,10 +580,25 @@ object Multimodal {
       array((0 until dims).map { i =>
         conv(substring(col("dg"), i * 2 + 1, 2), 16, 10).cast("double") / 255.0
       }: _*).as("embedding"))
+    annFromEmbeddings(emb, nQueries, k)
+  }
+
+  /** [[annRetrieve]] over the TYPED encoder path ([[embedMedia]]) —
+    * the serving composition for real media: image payloads rank by
+    * their decoded pixel content (two re-encodes of one picture find
+    * each other), opaque payloads by the digest stub. Identical plan
+    * shape to [[annRetrieve]] downstream of the encoder.
+    */
+  def annRetrieveMedia(media: Dataset[MediaRecord], nQueries: Int = 8,
+                       k: Int = 5, dims: Int = 8): DataFrame =
+    annFromEmbeddings(embedMedia(media, dims), nQueries, k)
+
+  private def annFromEmbeddings(emb: DataFrame, nQueries: Int,
+                                k: Int): DataFrame = {
     val queries = emb.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("embedding").as("qe"))
     val scored = emb
-      .repartition(documents.sparkSession.sparkContext.defaultParallelism,
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
       .select(col("doc_id").as("neighbor_id"), col("embedding").as("ce"))
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))

@@ -1002,6 +1002,129 @@ class OpsSpec extends SparkTestBase {
     }
   }
 
+  test("image embeddings are content-based: re-encodes are near, " +
+      "different pictures far, stub arm matches the expression twin") {
+    import graft.ops.Multimodal
+    // two deterministic "pictures": a horizontal gradient and its
+    // re-encode (PNG vs BMP — different bytes, same pixels), plus a
+    // vertical gradient (different content)
+    def picture(w: Int, h: Int, horizontal: Boolean,
+                fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = if (horizontal) (255 * x) / (w - 1) else (255 * y) / (h - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    val hPng = picture(64, 48, horizontal = true, "png")
+    val hBmp = picture(64, 48, horizontal = true, "bmp")
+    val vPng = picture(64, 48, horizontal = false, "png")
+    assert(!java.util.Arrays.equals(hPng, hBmp)) // truly different bytes
+    val eH = Multimodal.pixelEmbedding(hPng).get
+    val eH2 = Multimodal.pixelEmbedding(hBmp).get
+    val eV = Multimodal.pixelEmbedding(vPng).get
+    assert(eH.forall(v => v >= 0.0 && v <= 1.0))
+    def d(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // content-based: identical pixels under different codecs land on
+    // (near-)identical vectors; different pixels land far away
+    assert(d(eH, eH2) < 0.02, s"re-encode moved the embedding: ${d(eH, eH2)}")
+    assert(d(eH, eV) > 0.2, s"different pictures too close: ${d(eH, eV)}")
+    // end-to-end retrieval over the typed encoder: each gradient's
+    // top-1 neighbor is its own re-encode, not the other picture
+    val media = Seq(
+      Multimodal.MediaRecord(0L, hPng, "image/png"),
+      Multimodal.MediaRecord(1L, vPng, "image/png"),
+      Multimodal.MediaRecord(10L, hBmp, "image/bmp"),
+      Multimodal.MediaRecord(11L, picture(64, 48, false, "bmp"), "image/bmp"),
+      Multimodal.MediaRecord(20L, "opaque payload".getBytes, "application/x")
+    ).toDS()
+    val top1 = Multimodal.annRetrieveMedia(media, nQueries = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 === Map(0L -> 10L, 1L -> 11L),
+      s"pixel retrieval did not pair re-encodes: $top1")
+    // the stub arm is arithmetic-identical to the expression twin the
+    // oracle checks, so the two formulations can never drift
+    val docs = Tables.documents(spark, sf).limit(50)
+    val typed = Multimodal.embedMedia(
+        Multimodal.asMedia(docs).as[Multimodal.MediaRecord])
+      .select(col("doc_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val expr = Multimodal.embedStub(docs).collect()
+      .map(r => r.getLong(0) -> (0 until 8).map(i => r.getDouble(i + 1)))
+      .toMap
+    assert(typed === expr, "typed stub arm diverged from embedStub")
+  }
+
+  test("video frame sampling reads REAL sample offsets from the " +
+      "stsz/stco/stsc tables") {
+    import graft.ops.Multimodal
+    import java.nio.ByteBuffer
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(tpe.getBytes("ISO-8859-1"))
+        .put(payload)
+      b.array()
+    }
+    def fullBox(ints: Int*): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 * (ints.length + 1))
+      b.putInt(0); ints.foreach(b.putInt) // version/flags then payload
+      b.array()
+    }
+    // 5 samples with distinct sizes, split 3 + 2 over two chunks that
+    // live in an mdat; sample bytes are recognizable letters
+    val samples = Seq("AAAA", "BBB", "CC", "DDDDD", "E")
+    val chunk1 = samples.take(3).mkString // AAAABBBCC
+    val chunk2 = samples.drop(3).mkString // DDDDDE
+    // layout: [ftyp][moov][mdat]; compute mdat payload offsets after
+    // building moov with placeholder stco, then rebuild with real ones
+    def build(c1: Int, c2: Int): Array[Byte] = {
+      val stsz = box("stsz", fullBox(
+        Seq(0, samples.length) ++ samples.map(_.length): _*))
+      val stco = box("stco", fullBox(2, c1, c2))
+      val stsc = box("stsc", fullBox(2, /*first,per,desc*/ 1, 3, 1, 2, 2, 1))
+      val stts = box("stts", fullBox(1, samples.length, 100))
+      val tkhd = {
+        val b = ByteBuffer.allocate(84)
+        b.position(76); b.putInt(64 << 16).putInt(48 << 16); b.array()
+      }
+      box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+        box("moov", box("trak", box("tkhd", tkhd) ++
+          box("mdia", box("minf", box("stbl",
+            stts ++ stsz ++ stco ++ stsc))))) ++
+        box("mdat", (chunk1 + chunk2).getBytes("ISO-8859-1"))
+    }
+    val probe = build(0, 0)
+    val mdatPayload = probe.length - (chunk1 + chunk2).length
+    val mp4 = build(mdatPayload, mdatPayload + chunk1.length)
+    val ranges = Multimodal.videoSampleRanges(mp4).get
+    assert(ranges.map(_._2) === samples.map(_.length.toLong))
+    // through the typed dispatch: every sample (everyN=1) comes back
+    // byte-exact from its container offset
+    val media = Seq(
+      Multimodal.MediaRecord(1L, mp4, "video/mp4"),
+      Multimodal.MediaRecord(2L, "junk junk junk junk junk".getBytes,
+        "application/octet-stream")).toDS()
+    val frames = Multimodal.frameSample(media, frameSize = 4, everyN = 1)
+      .collect().groupBy(_.doc_id)
+    assert(frames(1L).sortBy(_.frame_idx)
+      .map(f => new String(f.frame_bytes, "ISO-8859-1")).toSeq === samples)
+    // every 2nd sample honors the sample INDEX, not byte position
+    val every2 = Multimodal.frameSample(media, 4, everyN = 2)
+      .collect().filter(_.doc_id == 1L).sortBy(_.frame_idx)
+      .map(f => new String(f.frame_bytes, "ISO-8859-1")).toSeq
+    assert(every2 === Seq("AAAA", "CC", "E"))
+    // opaque payloads keep the deterministic stub chunking
+    assert(frames(2L).forall(_.frame_bytes.length <= 4))
+    // hostile table: a corrupt stco can't read out of bounds
+    assert(Multimodal.videoSampleRanges(
+      build(mp4.length + 100, mp4.length + 200)) === None)
+  }
+
   test("image payloads decode and resize for REAL through javax.imageio") {
     // the codec swap point made real: image/png payloads take the JVM
     // ImageIO decode/resize arm end to end through the SAME typed
