@@ -94,6 +94,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // runtime bloom-filter injection OFF: byte-measured pure overhead
+      // on the stored-ANN serving path — join-size products on the ADC
+      // subtree trip the rule into scanning the (already cell-pruned)
+      // vector table an extra time per probe to "reduce" a
+      // heap-bounded shortlist of a few hundred rows (see
+      // graft.WeakScale; deployments embedding the library should set
+      // the same for ANN serving sessions)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -137,8 +145,24 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // warmup: full pass, untimed
-    names.foreach(runOnce)
+    // warmup: full pass, untimed. The pass doubles as the ARM CAPTURE
+    // point: folded entries deposit their per-arm frames as they are
+    // constructed (SparkEntry.armCapture), so the record run can time
+    // each union branch of the ≥3-arm folds separately without
+    // re-running any query's construction-time maintenance.
+    val armsEnabled = !sys.env.get("SPARK_GRAFT_ARMS").contains("0")
+    val armFrames = scala.collection.mutable.LinkedHashMap[
+      String, Seq[(String, org.apache.spark.sql.DataFrame)]]()
+    names.foreach { n =>
+      if (armsEnabled) {
+        val buf = scala.collection.mutable.Buffer[
+          (String, org.apache.spark.sql.DataFrame)]()
+        SparkEntry.armCapture.set(buf)
+        try runOnce(n)
+        finally SparkEntry.armCapture.remove()
+        if (buf.size >= 3) armFrames += n -> buf.toSeq
+      } else runOnce(n)
+    }
     // Three measured passes, per-query MIN, each pass in a DIFFERENT
     // deterministic order: a single pass carries run-order noise (GC,
     // lazy JIT tiers, OS page cache), and identically-ordered sweeps put
@@ -173,9 +197,22 @@ object Bench {
     // reference the outlier defense compares against
     // ... and only from a run where every query actually ran: with any
     // failure the record would mix engine time with time-to-exception
-    if (subset.isEmpty && sfDir.endsWith("sf0.1") && failed.isEmpty)
+    if (subset.isEmpty && sfDir.endsWith("sf0.1") && failed.isEmpty) {
+      // arm sub-timings for the ≥3-arm folds: one warm count() per arm
+      // (visibility, not an official number — the official time is the
+      // fold's 3-pass minimum above). Frames captured at warmup; any
+      // arm that fails to re-execute records -1 rather than killing
+      // the record run.
+      val armTimes = armFrames.toSeq.map { case (n, arms) =>
+        n -> arms.map { case (tag, df) =>
+          val t0 = System.nanoTime()
+          val ok = try { df.count(); true } catch { case _: Throwable => false }
+          tag -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+      }
       writeFull(results, sfDir, CodegenWatch.distinctHits,
-        suspects.map(n => (n, measured.toMap.apply(n), reruns(n))))
+        suspects.map(n => (n, measured.toMap.apply(n), reruns(n))), armTimes)
+    }
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries (record not written): " +
         failed.mkString(", "))
@@ -205,8 +242,11 @@ object Bench {
     */
   def writeFull(results: Seq[(String, Double)], sfDir: String,
                 fallbacks: Seq[String] = Nil,
-                reruns: Seq[(String, Double, Double)] = Nil): Unit = {
-    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+                reruns: Seq[(String, Double, Double)] = Nil,
+                arms: Seq[(String, Seq[(String, Double)])] = Nil,
+                pathOverride: Option[String] = None): Unit = {
+    val path = pathOverride.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
     val qs = results.sortBy(_._1)
       .map { case (k, v) => "  \"" + k + "\": " + f"$v%.3f" }
       .mkString("{\n", ",\n", ",\n")
@@ -217,9 +257,14 @@ object Bench {
     val rr = reruns.map { case (n, m, s) =>
       "\"" + n + "\": {\"measured\": " + f"$m%.3f" + ", \"solo\": " + f"$s%.3f" + "}"
     }.mkString("{", ", ", "}")
+    val am = arms.map { case (n, ts) =>
+      "\"" + n + "\": {" + ts.map { case (tag, v) =>
+        "\"" + tag + "\": " + f"$v%.3f" }.mkString(", ") + "}"
+    }.mkString("{", ", ", "}")
     val tail = s"""  "_total": ${f"${results.map(_._2).sum}%.3f"},
                   |  "_codegen_fallbacks": $fb,
                   |  "_reruns": $rr,
+                  |  "_arms": $am,
                   |  "_sf": "$sfDir"
                   |}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), qs + tail)

@@ -14,6 +14,14 @@ object PlanAudit {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // runtime bloom-filter injection OFF: byte-measured pure overhead
+      // on the stored-ANN serving path — join-size products on the ADC
+      // subtree trip the rule into scanning the (already cell-pruned)
+      // vector table an extra time per probe to "reduce" a
+      // heap-bounded shortlist of a few hundred rows (see
+      // graft.WeakScale; deployments embedding the library should set
+      // the same for ANN serving sessions)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.ui.enabled", "false")
       // audit the STATIC plan shape: with AQE on, codegen spans and
       // ReusedExchange only surface in the final adaptive plan
@@ -36,25 +44,6 @@ object PlanAudit {
         if (!ok) println(plan.linesIterator.take(40).mkString("  | ", "\n  | ", ""))
       }
     }
-    // runtime audit: properties that only surface in the FINAL
-    // adaptive plan (AQE-materialized broadcast reuse, runtime DPP) —
-    // the query executes under AQE and the post-execution plan is
-    // what gets asserted (the production runtime runs AQE-on)
-    def auditRuntime(name: String)(checks: (String, String => Boolean)*): Unit = {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
-        df.collect()
-        val plan = df.queryExecution.executedPlan.toString
-        checks.foreach { case (desc, check) =>
-          val ok = check(plan)
-          if (!ok) failures += 1
-          println(f"${if (ok) "PASS" else "FAIL"}  $name%-24s $desc")
-          if (!ok) println(plan.linesIterator.take(40).mkString("  | ", "\n  | ", ""))
-        }
-      } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
-    }
-
     // arm-level audit: some registry entries fold several variants into
     // one multi-assert query; plan properties that are per-arm (absence
     // checks, exchange bounds) are asserted on the arm frame directly
@@ -413,13 +402,15 @@ object PlanAudit {
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
     // stored-index probe: the serving half of IVFADC against the
-    // persisted layout — the ADC join must key the cell-partitioned
-    // codes scan on the broadcast probed-cell frame so DYNAMIC
-    // partition pruning trims the scan to the probed cell directories
-    // (the nprobe/nlist read-bytes contract of the stored index)
+    // persisted layout — the probed-cell set collects driver-side
+    // (<= nlist values) and lands in BOTH index scans as a STATIC
+    // partition IN-filter (the nprobe/nlist read-bytes contract of
+    // the stored index, byte-verified by graft.WeakScale; dynamic
+    // pruning was plan-visible but byte-false when its broadcast
+    // failed reuse matching)
     audit("sim_ivfpq_stored")(
-      ("codes scan partition-pruned by the probed cells (DPP subquery)",
-        p => p.toLowerCase.contains("dynamicpruning")),
+      ("codes + cells scans statically pruned to the probed cells",
+        p => "PartitionFilters: \\[[^\\]]*cell#\\d+ IN".r.findAllIn(p).size >= 2),
       ("probe/LUT and query sides broadcast", p =>
         "BroadcastExchange".r.findAllIn(p).size >= 3),
       ("shortlist + re-rank both use the heap top-k node", p =>
@@ -559,8 +550,8 @@ object PlanAudit {
     audit("sim_ivfpq_filtered")(
       ("label predicate PUSHED into the cells scan",
         p => "PushedFilters: \\[In\\(label".r.findAllIn(p).nonEmpty),
-      ("cells scan partition-pruned by the probed cells (DPP subquery)",
-        p => p.toLowerCase.contains("dynamicpruning")),
+      ("cells scan statically pruned to the probed cells",
+        p => "PartitionFilters: \\[[^\\]]*cell#\\d+ IN".r.findAllIn(p).nonEmpty),
       ("two-phase heap top-k", p =>
         p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal")),
       ("no cartesian", p => !p.contains("CartesianProduct")))
@@ -828,19 +819,13 @@ object PlanAudit {
       ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
 
     // IVFADC append probe: serves the merged cell layout through the
-    // same DPP-pruned path as sim_ivfpq_stored. The DPP check runs on
-    // the EXECUTED adaptive plan: the merged layout's two-owner
-    // snapshot filter defeats the static planner's broadcast-reuse
-    // matching, but the production AQE runtime reuses the
-    // materialized probe broadcast and keeps the pruning subquery —
-    // audit what actually runs.
+    // same statically-pruned path as sim_ivfpq_stored
     audit("sim_ivfpq_append")(
+      ("codes + cells scans statically pruned to the probed cells",
+        p => "PartitionFilters: \\[[^\\]]*cell#\\d+ IN".r.findAllIn(p).size >= 2),
       ("shortlist + re-rank both use the heap top-k node", p =>
         "TopKPerKeyPartial".r.findAllIn(p).size >= 2),
       ("no cartesian", p => !p.contains("CartesianProduct")))
-    auditRuntime("sim_ivfpq_append")(
-      ("codes scan partition-pruned by the probed cells (DPP subquery, " +
-        "adaptive runtime)", p => p.toLowerCase.contains("dynamicpruning")))
 
     // BM25 delete probe: after compaction the serving plan is again
     // the plain index-only read — no tombstone anti-join left, same
@@ -853,12 +838,12 @@ object PlanAudit {
       ("no cartesian over data rows", p => !p.contains("CartesianProduct")))
 
     // IVFADC delete probe: serves AROUND the tombstone sidecar — the
-    // codes scan anti-joins it (broadcast) and stays DPP-pruned
+    // codes scan anti-joins it (broadcast) and stays statically pruned
     audit("sim_ivfpq_delete")(
       ("tombstones excluded by broadcast anti-join",
         p => p.contains("LeftAnti")),
-      ("codes scan partition-pruned by the probed cells (DPP subquery)",
-        p => p.toLowerCase.contains("dynamicpruning")),
+      ("codes + cells scans statically pruned to the probed cells",
+        p => "PartitionFilters: \\[[^\\]]*cell#\\d+ IN".r.findAllIn(p).size >= 2),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
     // hybrid retrieval over the STANDING indexes: neither arm touches
@@ -871,8 +856,9 @@ object PlanAudit {
         p => !p.contains("Generate")),
       ("lexical scans statically bucket-pruned",
         p => "PartitionFilters: \\[[^\\]]*bucket#\\d+ IN".r.findAllIn(p).size >= 2),
-      ("semantic cells scan DPP-pruned to the probed cells",
-        p => p.toLowerCase.contains("dynamicpruning")),
+      ("semantic cells scan statically pruned to the probed cells",
+        p => "PartitionFilters: \\[[^\\]]*cell#\\d+ IN".r
+          .findAllIn(p).nonEmpty),
       ("three heap prunes (lexical arm, semantic arm, fusion)", p =>
         "TopKPerKeyPartial".r.findAllIn(p).size >= 3),
       ("no cartesian over data rows", p => !p.contains("CartesianProduct")))

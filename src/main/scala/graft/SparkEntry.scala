@@ -49,6 +49,16 @@ object SparkEntry {
     */
   private val tsPad = "1900-01-01 00:00:00"
 
+  /** When set (thread-local), [[foldedQuery]] deposits each arm's
+    * tagged frame here as the fold is CONSTRUCTED — the bench's
+    * per-arm visibility hook: a ≥3-arm fold's total time hides an
+    * individual arm regressing, so the record run times each captured
+    * arm separately (bench_full.json `_arms`). Never set on the
+    * verify/serving paths.
+    */
+  private[graft] val armCapture =
+    new ThreadLocal[scala.collection.mutable.Buffer[(String, DataFrame)]]
+
   private def foldedQuery(cols: Seq[(String, String)],
                           arms: (String, DataFrame)*): DataFrame = {
     val frames = arms.map { case (tag, df) =>
@@ -59,6 +69,8 @@ object SparkEntry {
         else lit(null).cast(t).as(c)
       }: _*)
     }
+    Option(armCapture.get()).foreach(buf =>
+      arms.map(_._1).zip(frames).foreach(buf += _))
     frames.reduce(_.unionByName(_))
       .orderBy(col("variant") +: cols.map(p => col(p._1)): _*)
   }

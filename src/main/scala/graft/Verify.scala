@@ -14,6 +14,14 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // runtime bloom-filter injection OFF: byte-measured pure overhead
+      // on the stored-ANN serving path — join-size products on the ADC
+      // subtree trip the rule into scanning the (already cell-pruned)
+      // vector table an extra time per probe to "reduce" a
+      // heap-bounded shortlist of a few hundred rows (see
+      // graft.WeakScale; deployments embedding the library should set
+      // the same for ANN serving sessions)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -327,7 +327,7 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = cands.join(full, Seq("neighbor_id"))
+    val scored = full.join(broadcast(cands), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
@@ -381,7 +381,7 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = cands.join(full, Seq("neighbor_id"))
+    val scored = full.join(broadcast(cands), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
@@ -875,9 +875,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = cands
-      .join(embeddings.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ce")), Seq("neighbor_id"))
+    val scored = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(broadcast(cands), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
@@ -984,9 +984,9 @@ object Similarity {
     // exact re-rank of the shortlist (same tail as pqRerankTopK)
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = cands
-      .join(embeddings.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ce")), Seq("neighbor_id"))
+    val scored = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(broadcast(cands), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
@@ -1059,9 +1059,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val q = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = cands
-      .join(embeddings.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("ce")), Seq("neighbor_id"))
+    val scored = embeddings
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .join(broadcast(cands), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))
@@ -1263,7 +1263,13 @@ object Similarity {
     val probeCells = probes.withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qe"), col("centroid_id").as("cell"))
-    val scored = cells.join(broadcast(probeCells), Seq("cell"))
+      .localCheckpoint() // feeds the cell census AND the scoring join
+    // static probed-cell IN-list (≤ nlist values) — deterministic
+    // partition pruning, same contract as [[ivfpqScoreStored]]
+    val probedCellVals = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val scored = cells.filter(col("cell").isin(probedCellVals: _*))
+      .join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qe"), col("embedding")).as("sim"))
@@ -1466,8 +1472,6 @@ object Similarity {
           Seq("vec_id"), "left_anti")
         case None => df
       }
-    val codesCells = minusTombstones(snap.read(spark, "codes")
-      .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell")))
     // probe ranking: the query's nprobe best stored centroids
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -1479,6 +1483,24 @@ object Similarity {
     val probeCells = probes.withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("centroid_id").as("cell"))
+      .localCheckpoint() // feeds the cell census, the ADC join, and
+                         // would otherwise recompute per consumer
+    // the probed-cell SET, collected driver-side: ≤ nlist values (the
+    // distinct union of every query's nprobe cells), pushed into BOTH
+    // index scans as a STATIC partition IN-filter. Dynamic partition
+    // pruning is not trusted with this contract: its default
+    // reuseBroadcastOnly mode silently drops the pruning filter
+    // whenever the probe broadcast fails canonical reuse matching
+    // (found by the weak-scaling harness — the plan showed
+    // `dynamicpruning` while every cell directory was read), whereas a
+    // literal IN-list prunes deterministically at planning time. The
+    // collect is metadata-size, same bound as the maintenance ops'
+    // affected-cell lists.
+    val probedCellVals = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val codesCells = minusTombstones(snap.read(spark, "codes")
+      .filter(col("cell").isin(probedCellVals: _*))
+      .select(col("vec_id"), col("codes"), col("cell").cast("long").as("cell")))
     // per-query ADC LUT from the stored codebooks (unit-normalized
     // queries: per-row normalization, identical to normalizing the
     // corpus then filtering)
@@ -1505,13 +1527,24 @@ object Similarity {
         adc.withColumn("__tie", -col("neighbor_id")),
         Seq("query_id"), Seq("adc", "__tie"), shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank from the STORED full-vector layout
+    // exact re-rank from the STORED full-vector layout. Every
+    // candidate lives in a probed cell by construction, so the
+    // full-vector scan prunes to the SAME static cell IN-list as the
+    // codes scan — without this the re-rank read the whole cells
+    // artifact per probe (probe bytes grew with the corpus instead of
+    // staying a cell-bounded fraction of the index)
     val storedVecs = snap.read(spark, "cells")
+      .filter(col("cell").isin(probedCellVals: _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = cands
-      .join(storedVecs, Seq("neighbor_id"))
+    // the shortlist BROADCASTS into the re-rank (queries × shortlist
+    // rows vs the corpus-scale vector table): no shuffle join, and no
+    // runtime bloom-filter injection scanning the vector table an
+    // extra time to reduce an already-tiny side (the weak-scaling
+    // harness caught exactly that extra scan)
+    val scored = storedVecs
+      .join(broadcast(cands), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qe"), col("ce")).as("sim"))

@@ -1243,9 +1243,14 @@ object Text {
       .withColumn("rn", row_number().over(pw))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("centroid_id").as("cell"))
-    // the broadcast probed-cell join keys the partitioned scan on
-    // `cell` → dynamic partition pruning trims to nprobe directories
+      .localCheckpoint() // feeds the cell census AND the scoring join
+    // static probed-cell IN-list (≤ nlist values, collected from the
+    // literal queries' ranking) — deterministic partition pruning,
+    // same contract as the IVFADC serving core
+    val probedCellVals = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
     val cells = annSnap.read(spark, "cells")
+      .filter(col("cell").isin(probedCellVals: _*))
       .select(col("vec_id").as("doc_id"), col("embedding"),
         col("cell").cast("long").as("cell"))
     val scored = cells.join(broadcast(probeCells), Seq("cell"))

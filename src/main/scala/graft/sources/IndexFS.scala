@@ -94,20 +94,6 @@ object IndexFS {
     if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
   }
 
-  /** Create `path` with `content` iff it does not exist (atomic
-    * exclusive create — the snapshot-manifest publish primitive).
-    * Returns false when the path already exists.
-    */
-  def createExclusive(path: String, content: String): Boolean = {
-    val (fs, p) = resolve(path)
-    try {
-      val out = fs.create(p, false)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
-  }
-
 
   /** Rename `src` to `dst` (dst must not exist). Atomic on HDFS/local;
     * a server-side copy on S3A.

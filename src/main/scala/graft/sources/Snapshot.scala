@@ -410,10 +410,19 @@ object Snapshot {
       val m = Manifest(base, nextId, comps)
       val path = s"${manifestDir(base)}/${manifestName(nextId)}"
       IndexFS.mkdirs(manifestDir(base))
-      if (!IndexFS.createExclusive(path, render(m)))
+      // write-then-rename: a manifest must become VISIBLE only with
+      // its full content (a bare exclusive create exposes the file
+      // before the bytes land, and a racing reader listing the
+      // directory at that instant would parse a partial manifest).
+      // The tmp name starts with '.' so readers' id listing never
+      // considers it; rename-refuses-to-overwrite keeps the
+      // exclusive-create safety against a broken lease.
+      val tmp = s"${manifestDir(base)}/.m$nextId.$gsn.tmp"
+      IndexFS.writeString(tmp, render(m))
+      if (!IndexFS.rename(tmp, path))
         throw new IllegalStateException(
-          s"snapshot publish of $path lost an exclusive-create race — " +
-            "another writer published under our lease (broken lease?)")
+          s"snapshot publish of $path lost a rename race — another " +
+            "writer published under our lease (broken lease?)")
       onStep(2)
       gc(base)
       onStep(3)
@@ -478,10 +487,16 @@ object Snapshot {
       val p = s"$base/.staging/$n"
       if (IndexFS.mtimeOf(p).exists(_ < cutoff)) IndexFS.deleteRecursive(p)
     }
-    // retire old manifest files past grace
+    // retire old manifest files past grace, and tmp files a crashed
+    // publisher abandoned between write and rename
     ids.dropRight(math.max(1, keepLast)).foreach { id =>
       val p = s"${manifestDir(base)}/${manifestName(id)}"
       if (IndexFS.mtimeOf(p).exists(_ < cutoff)) IndexFS.deleteRecursive(p)
+    }
+    IndexFS.listNames(manifestDir(base)).filter(_.startsWith(".")).foreach {
+      n =>
+        val p = s"${manifestDir(base)}/$n"
+        if (IndexFS.mtimeOf(p).exists(_ < cutoff)) IndexFS.deleteRecursive(p)
     }
   }
 }

@@ -26,4 +26,29 @@ class BenchRecordSpec extends AnyFunSuite {
   test("r01Common is empty for subset runs (not comparable)") {
     assert(Bench.r01Common(Seq("rel_union" -> 0.1)) === "")
   }
+
+  test("writeFull records per-arm sub-timings for folded entries") {
+    val path = java.nio.file.Files
+      .createTempFile("graft-benchfull", ".json").toString
+    Bench.writeFull(
+      results = Seq("qa" -> 1.0, "qb" -> 2.0),
+      sfDir = "/root/testdata/sf0.1",
+      arms = Seq("qb" ->
+        Seq("arm1" -> 0.5, "arm2" -> 0.75, "arm3" -> 0.25)),
+      pathOverride = Some(path))
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(txt.contains(
+      """"_arms": {"qb": {"arm1": 0.500, "arm2": 0.750, "arm3": 0.250}}"""),
+      txt)
+    assert(txt.contains("\"qa\": 1.000") && txt.contains("\"_total\": 3.000"))
+    // the ref parser for the outlier defense still reads the per-query
+    // map and is not confused by the arm block (underscore keys and
+    // nested arm tags never shadow a query's committed minimum)
+    val ref = {
+      val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
+      entry.findAllMatchIn(txt).filterNot(_.group(1).startsWith("_"))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    assert(ref("qa") === 1.0 && ref("qb") === 2.0)
+  }
 }

@@ -459,6 +459,10 @@ class SourcesSpec extends SparkTestBase {
     // shuffle input shrinks before the join even runs. Thresholds are
     // lowered so fixture-sized tables qualify.
     val confs = Map(
+      // the shared session disables the rule (pure overhead on the
+      // stored-ANN serving path); this test exercises the capability
+      // itself, so switch it back on locally
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

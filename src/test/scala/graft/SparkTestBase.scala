@@ -10,6 +10,9 @@ trait SparkTestBase extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // match the runner sessions: runtime bloom-filter injection off
+    // (byte-measured pure overhead on the stored-ANN serving path)
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
