@@ -161,16 +161,22 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"),
           cosine(col("qe"), col("ce")).as("sim")), "sim", k)
       .select(col("query_id"), col("neighbor_id"))
-    gate("pq", bf, pqTopKWith(unit, codebooks, nQueries, k))
-      .unionByName(gate("sq", bf, sqTopK(embeddings, nQueries, k)))
-      .unionByName(gate("ivf", bf,
-        ivfTopKWith(embeddings, centroids, nQueries, k, nprobe)))
-      .unionByName(gate("ivfpq", bf, ivfpqTopKWith(embeddings, unit,
-        centroids, codebooks, nQueries, k, nprobe)))
-      .unionByName(gate("ivfpq_res", bf,
-        ivfpqResidualTopK(embeddings, nQueries, k)))
-      .unionByName(gate("ivf_filtered", fbf, ivfFilteredTopKWith(
+    val arms = Seq(
+      "pq" -> gate("pq", bf, pqTopKWith(unit, codebooks, nQueries, k)),
+      "sq" -> gate("sq", bf, sqTopK(embeddings, nQueries, k)),
+      "ivf" -> gate("ivf", bf,
+        ivfTopKWith(embeddings, centroids, nQueries, k, nprobe)),
+      "ivfpq" -> gate("ivfpq", bf, ivfpqTopKWith(embeddings, unit,
+        centroids, codebooks, nQueries, k, nprobe)),
+      "ivfpq_res" -> gate("ivfpq_res", bf,
+        ivfpqResidualTopK(embeddings, nQueries, k)),
+      "ivf_filtered" -> gate("ivf_filtered", fbf, ivfFilteredTopKWith(
         embeddings, centroids, nQueries, k, nprobe, labelMod)))
+    // bespoke fold (shared ground truth + quantizers): deposit the arm
+    // frames for the bench's per-arm sub-timings, like foldedQuery does
+    Option(graft.SparkEntry.armCapture.get())
+      .foreach(buf => arms.foreach(buf += _))
+    arms.map(_._2).reduce(_.unionByName(_))
       .orderBy(col("variant"), col("query_id"))
   }
 
