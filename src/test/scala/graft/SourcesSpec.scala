@@ -387,6 +387,42 @@ class SourcesSpec extends SparkTestBase {
     assert(bad.get() === null, s"${bad.get()}")
   }
 
+  test("BM25 probes racing append/compact cycles never fail and always " +
+      "serve a complete snapshot") {
+    import graft.ops.Text
+    val docs = Tables.documents(spark, sf)
+    val base = tmp("bm25race")
+    Text.bm25BuildIndex(docs.filter(col("doc_id") % 10 =!= 7), base).count()
+    val batch = docs.filter(col("doc_id") % 10 === 7).localCheckpoint()
+    // one append fixes the logical layout; REPLAYS rewrite the same
+    // segment's ownership (dl/stats/scrub/segment all flip in one
+    // manifest) — exactly the window where in-place maintenance could
+    // crash a concurrent probe or serve base stats with delta postings
+    Text.bm25Append(batch, base)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val expected = Text.bm25ScoreStored(spark, base, 10)
+      .collect().map(key).toSeq
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val prober = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val got = Text.bm25ScoreStored(spark, base, 10)
+            .collect().map(key).toSeq
+          if (got != expected)
+            bad.compareAndSet(null, s"torn probe: $got")
+        }
+      } catch {
+        case e: Throwable => bad.compareAndSet(null, s"probe crashed: $e")
+      }
+    })
+    prober.start()
+    try (1 to 3).foreach(_ => Text.bm25Append(batch, base))
+    finally { stop.set(true); prober.join(60000) }
+    assert(bad.get() === null, s"${bad.get()}")
+  }
+
   test("stored-index probes: fresh-marker check runs no corpus-wide job") {
     // round-5 regression guard: the markers embedded `corpus.count()`,
     // so EVERY probe paid a corpus-wide aggregate just to validate
