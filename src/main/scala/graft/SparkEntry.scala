@@ -758,6 +758,12 @@ object SparkEntry {
         withSplit.filter(col("split") === "train"),
         dedupIndexBase(d))
     }),
+    // the streaming admission gate's deterministic batch analog: three
+    // fixed micro-batches replayed in order against the standing index
+    // (each checked against train + everything admitted before it),
+    // with the per-doc delta-layout census read back from the snapshot
+    "dedup_admit" -> ((s, d) =>
+      Dedup.dedupAdmitProbe(documents(s, d), dedupAdmitIndexBase(d))),
   )
 
   /** Per-SF stored-index location for the build-once/probe-many pair
@@ -766,6 +772,10 @@ object SparkEntry {
     */
   private def ivfpqIndexBase(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index/" +
+      new java.io.File(sfDir).getName
+
+  private def dedupAdmitIndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_dedup_admit/" +
       new java.io.File(sfDir).getName
 
   private def bm25IndexBase(sfDir: String): String =
@@ -1038,6 +1048,64 @@ object SparkEntry {
        |  coalesce(p.n_dups, 0) > 0 AS is_dup
        |FROM bt d LEFT JOIN p ON d.doc_id = p.batch_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** dedup_admit oracle: the admission gate's sequential replay,
+    * unrolled — batch k's documents band-join against history_k
+    * (train ∪ admitted batches < k), exact-Jaccard verdicts, and the
+    * per-doc delta-layout census the engine reads back from its
+    * snapshot (an admitted doc with shingles contributes exactly
+    * numBands band rows and |distinct shingle hashes| shingle rows;
+    * everything else contributes zero).
+    */
+  private def dedupAdmitOracle(nBatches: Int, threshold: Double): String = {
+    val rounds = (0 until nBatches).map { k =>
+      val ht = s"ht$k"; val bt = s"bt$k"
+      val nextHt =
+        s"""ht${k + 1} AS MATERIALIZED (SELECT * FROM $ht UNION ALL
+           |  SELECT d.doc_id, d.text FROM $bt d
+           |  JOIN v$k ON d.doc_id = v$k.doc_id AND v$k.admitted)""".stripMargin
+      s"""$bt AS MATERIALIZED (SELECT doc_id, text FROM rst WHERE batch = $k),
+         |${minhashSideCtes(s"q${k}_", bt)},
+         |${minhashSideCtes(s"g${k}_", ht)},
+         |c$k AS (SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
+         |  FROM q${k}_band b JOIN g${k}_band h
+         |    ON b.band_idx = h.band_idx AND b.band_key = h.band_key),
+         |j$k AS (SELECT batch_id, hist_id,
+         |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+         |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
+         |  FROM c$k JOIN q${k}_hsd a ON a.doc_id = c$k.batch_id
+         |           JOIN g${k}_hsd b ON b.doc_id = c$k.hist_id),
+         |p$k AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_cands,
+         |    CAST(count(CASE WHEN jaccard >= $threshold THEN 1 END) AS BIGINT) AS n_dups,
+         |    min(CASE WHEN jaccard >= $threshold THEN hist_id END) AS dup_of0
+         |  FROM j$k GROUP BY batch_id),
+         |v$k AS MATERIALIZED (SELECT d.doc_id, CAST($k AS BIGINT) AS batch,
+         |    coalesce(p.n_cands, 0) AS n_cands,
+         |    coalesce(p.n_dups, 0) AS n_dups,
+         |    CAST(coalesce(p.dup_of0, -1) AS BIGINT) AS dup_of,
+         |    coalesce(p.n_dups, 0) = 0 AS admitted,
+         |    CAST(coalesce(len(hh.hs), 0) AS BIGINT) AS hs_len
+         |  FROM $bt d LEFT JOIN p$k p ON d.doc_id = p.batch_id
+         |             LEFT JOIN q${k}_hsd hh ON d.doc_id = hh.doc_id)""".stripMargin +
+        (if (k < nBatches - 1) s",\n$nextHt" else "")
+    }.mkString(",\n")
+    s"""WITH sp AS MATERIALIZED (SELECT doc_id, text,
+       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
+       |         THEN 'train' ELSE 'rest' END AS split
+       |  FROM documents),
+       |ht0 AS MATERIALIZED (SELECT doc_id, text FROM sp WHERE split = 'train'),
+       |rst AS MATERIALIZED (SELECT doc_id, text,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $nBatches AS batch
+       |  FROM sp WHERE split <> 'train'),
+       |$rounds
+       |SELECT doc_id, batch, admitted, n_cands, n_dups, dup_of,
+       |  CASE WHEN admitted AND hs_len > 0
+       |       THEN CAST(${Dedup.numBands} AS BIGINT) ELSE 0 END AS idx_bands,
+       |  CASE WHEN admitted THEN hs_len ELSE 0 END AS idx_shingles
+       |FROM (${(0 until nBatches).map(k => s"SELECT * FROM v$k")
+           .mkString(" UNION ALL ")}) allv
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** dedup_index_build oracle: the band census of the train split's
     * minhash bands (oracle band_idx is 1-based generate_subscripts —
@@ -2633,6 +2701,7 @@ object SparkEntry {
     // the stored probe serves the same signatures (parquet round-trips
     // the integer hashes exactly), so its oracle IS the inline one
     "dedup_incr_stored" -> incrNearOracle(0.3),
+    "dedup_admit" -> dedupAdmitOracle(3, 0.3),
     "dedup_simhash" -> simhashOracle,
     "dedup_jaccard" ->
       """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),

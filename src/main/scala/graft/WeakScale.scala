@@ -147,9 +147,10 @@ object WeakScale {
       // index they happen to hold
       val plan = probeDf.queryExecution.executedPlan.toString
       val probedCells = plan.linesIterator
-        .filter(l => l.contains("Scan parquet") && l.contains("/cells]"))
+        .filter(l => l.contains("Scan parquet") && l.contains("/cells/"))
         .flatMap(l => "INSET ([0-9, ]+)".r.findFirstMatchIn(l))
-        .map(_.group(1).split(",").map(_.trim.toLong).toSet)
+        .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toLong).toSet)
         .nextOption().getOrElse(Set.empty[Long])
       require(probedCells.nonEmpty, "no cell IN-list on the cells scan")
       val gen = { // a fresh build has exactly one live generation

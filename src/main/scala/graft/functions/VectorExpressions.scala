@@ -81,6 +81,94 @@ case class VectorDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native projection of a vector onto a bank of DETERMINISTIC
+  * pseudo-random planes (the LCG family of
+  * [[graft.ops.Similarity.planeValue]]): out(p) = Σ_j plane(p+offset)(j)
+  * · v(j), j ascending — bit-identical to a column of
+  * [[VectorDotProduct]]s against literal plane arrays, which is what it
+  * replaces. The literal formulation materializes nOut × dim Literal
+  * nodes (2048 for the JL reranker) that every analyzer/optimizer pass
+  * re-walks and janino compiles as 2048 inline constants; this node
+  * carries the planes as ONE reference object and generates two tight
+  * loops — same arithmetic, same order, a plan tree 3 orders of
+  * magnitude smaller.
+  */
+case class PlaneProject(child: Expression, offset: Int, nOut: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemIsDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def prettyName: String = "plane_project"
+
+  /** The plane bank, regenerated from the LCG — data-independent
+    * constants, identical on every worker without coordination
+    * (Similarity.planeValue's formula).
+    */
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(nOut, dim) { (i, j) =>
+      val x = (((i + offset).toLong * dim + j + 1) * 2654435761L) % 4294967296L
+      x.toDouble / 2147483648.0 - 1.0
+    }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val isD = elemIsDouble
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Double](nOut)
+    var p = 0
+    while (p < nOut) {
+      val pl = planes(p)
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        acc += pl(j) * (if (isD) v.getDouble(j) else v.getFloat(j).toDouble)
+        j += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pls = ctx.addReferenceObj("planes", planes, "double[][]")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      val pl = ctx.freshName("pl")
+      val getter =
+        if (elemIsDouble) s"$a.getDouble($j)" else s"((double) $a.getFloat($j))"
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |double[] $out = new double[$nOut];
+         |for (int $p = 0; $p < $nOut; $p++) {
+         |  double[] $pl = $pls[$p];
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += $pl[$j] * $getter;
+         |  }
+         |  $out[$p] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -90,4 +178,11 @@ object VectorFunctions {
   def float_dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       VectorDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for [[PlaneProject]]: project onto `nOut` LCG planes
+    * starting at plane index `offset`, over the first `dim` elements.
+    */
+  def plane_project(v: Column, offset: Int, nOut: Int, dim: Int): Column =
+    ColumnBridge.column(
+      PlaneProject(ColumnBridge.expression(v), offset, nOut, dim))
 }

@@ -498,6 +498,55 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic BATCH-ANALOG of the streaming admission gate
+    * ([[dedupAdmit]]) — the oracle-checkable registry formulation:
+    * rebuild the standing index from the train split (a FULL rebuild,
+    * not the marker-guarded lazy one: the gate mutates the layout, so
+    * a deterministic replay must start from the clean standing index
+    * every run), replay `nBatches` fixed micro-batches of the
+    * remaining documents through the gate IN ORDER (batch k is checked
+    * against train + everything admitted before it), and emit one row
+    * per replayed document: the gate's verdict columns plus the
+    * delta-layout census — the band postings and shingle rows that
+    * document's admission appended, read back from the published
+    * snapshot (a lost segment, a phantom band row, or a missed
+    * admission all hash-mismatch). Batch assignment uses the same md5
+    * bucket device as [[graft.ops.Text.trainValSplit]] so an external
+    * engine reproduces the batches exactly.
+    */
+  def dedupAdmitProbe(documents: DataFrame, base: String, nBatches: Int = 3,
+                      w: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val spark = documents.sparkSession
+    val split = Text.trainValSplit(documents)
+      .select(col("doc_id"), col("split"))
+    val withSplit = documents.join(split, Seq("doc_id"))
+    val train = withSplit.filter(col("split") === "train")
+    val rest = withSplit.filter(col("split") =!= "train")
+      .withColumn("batch",
+        Text.tokenHash(col("doc_id").cast("string")) % nBatches)
+    dedupBuildIndex(train, base, w).count()
+    val verdicts = (0 until nBatches).map { b =>
+      dedupAdmit(rest.filter(col("batch") === b), base, w, threshold)
+        .withColumn("batch", lit(b.toLong))
+    }.reduce(_.unionByName(_))
+    val snap = Snapshot.require(base)
+    def censusOf(comp: String, idCol: String, as: String): DataFrame =
+      snap.readOpt(spark, comp)
+        .map(_.groupBy(col(idCol).as("doc_id")).agg(count(lit(1)).as(as)))
+        .getOrElse(spark.range(0)
+          .select(col("id").as("doc_id"), lit(0L).as(as)))
+    verdicts
+      .join(censusOf("bands_delta", "hist_id", "idx_bands"),
+        Seq("doc_id"), "left")
+      .join(censusOf("shingles_delta", "doc_id", "idx_shingles"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("batch"), col("admitted"),
+        col("n_cands"), col("n_dups"), col("dup_of"),
+        coalesce(col("idx_bands"), lit(0L)).as("idx_bands"),
+        coalesce(col("idx_shingles"), lit(0L)).as("idx_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup CLUSTERING: connected components over the exact-Jaccard
     * candidate pairs, with canonical-document selection (min doc_id per
     * component) — the "keep one per near-dup cluster" capstone of a

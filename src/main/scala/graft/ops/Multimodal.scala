@@ -520,12 +520,74 @@ object Multimodal {
         (0.299 * r + 0.587 * gn + 0.114 * b) / 255.0
       }
     }
-    catch { case _: java.io.IOException => None }
+    // NonFatal, not just IOException: ImageIO on corrupt/hostile
+    // payloads throws RuntimeExceptions too (IllegalArgumentException,
+    // CMMException, AIOOBE from codec plugins) — an undecodable
+    // payload must always take the stub arm, never kill the task (O17)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** CONTENT-BASED audio embedding — windowed energy over the decoded
+    * PCM stream (the log-mel front end's shape, model-free): decode
+    * through `javax.sound.sampled` ([[decodeAudio]]'s codecs), convert
+    * to 16-bit signed PCM, mix channels to mono, split the stream into
+    * `dims` equal time windows, and take each window's RMS amplitude
+    * normalized to [0,1]. Deterministic and computed from the DECODED
+    * SAMPLES: two containers of the same signal (WAV vs AIFF, or a
+    * byte-order re-encode) map to near-identical vectors, different
+    * signals don't — the property the ANN tier downstream needs from
+    * an encoder. Swapping in a learned audio encoder changes only this
+    * function. None when the bytes don't decode (compressed codecs —
+    * MP3/Opus — have no JVM decoder; they take the stub arm, same
+    * honest boundary as video pixel decode).
+    */
+  def audioEmbedding(content: Array[Byte], dims: Int = 8): Option[Array[Double]] =
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(
+          new java.io.ByteArrayInputStream(content)))
+      try {
+        val f = raw.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels,
+          f.getChannels * 2, f.getSampleRate, false)
+        val in = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(target, raw)
+        try {
+          val bytes = in.readAllBytes()
+          val ch = target.getChannels
+          val nFrames = bytes.length / (2 * ch)
+          if (nFrames == 0) None
+          else {
+            // mono mix per frame, then RMS per fixed time window
+            val sumSq = new Array[Double](dims)
+            val counts = new Array[Long](dims)
+            var fr = 0
+            while (fr < nFrames) {
+              var c = 0; var acc = 0.0
+              while (c < ch) {
+                val o = (fr * ch + c) * 2
+                val s = ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+                acc += s / 32768.0; c += 1
+              }
+              val w = math.min(dims - 1, (fr.toLong * dims / nFrames).toInt)
+              val m = acc / ch
+              sumSq(w) += m * m; counts(w) += 1
+              fr += 1
+            }
+            Some(Array.tabulate(dims)(i =>
+              if (counts(i) == 0) 0.0
+              else math.min(1.0, math.sqrt(sumSq(i) / counts(i)))))
+          }
+        } finally in.close()
+      } finally raw.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Typed media→vector ENCODER with codec dispatch — the serving
     * encoder of the multimodal tier: `image/` payloads embed from
-    * their decoded pixels ([[pixelEmbedding]]); everything else (and
-    * any payload its codec rejects) takes the digest stub with
+    * their decoded pixels ([[pixelEmbedding]]), `audio/` payloads from
+    * their decoded PCM samples ([[audioEmbedding]]); everything else
+    * (and any payload its codec rejects) takes the digest stub with
     * arithmetic IDENTICAL to [[embedStub]]'s expression twin
     * (spec-asserted row-for-row on the stub arm), so the
     * oracle-checkable registry formulation and this batch path can
@@ -541,8 +603,10 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         val md = java.security.MessageDigest.getInstance("MD5")
         batch.map { r =>
-          val real = if (r.mime.startsWith("image/"))
-            pixelEmbedding(r.content, dims) else None
+          val real =
+            if (r.mime.startsWith("image/")) pixelEmbedding(r.content, dims)
+            else if (r.mime.startsWith("audio/")) audioEmbedding(r.content, dims)
+            else None
           val vec = real.getOrElse {
             md.reset()
             val digest = md.digest(r.content).map("%02x".format(_)).mkString

@@ -290,12 +290,15 @@ object Similarity {
   val rpPlanes: Seq[Seq[Double]] =
     (0 until rpDim).map(i => (0 until dim).map(j => planeValue(i + numPlanes, j)))
 
-  /** Project a [[dim]]-dim vector to [[rpDim]] dims: one codegen'd
-    * [[dot]] per output dimension against a literal plane — stays
-    * inside whole-stage codegen, `array<double>` out.
+  /** Project a [[dim]]-dim vector to [[rpDim]] dims through the native
+    * [[graft.functions.PlaneProject]] expression — bit-identical to a
+    * column of per-plane [[dot]]s against literal arrays (same
+    * multiplies and additions, same order), but ONE plan node instead
+    * of rpDim × dim Literal nodes: the 2048-literal tree cost real
+    * analyzer/optimizer/janino time on every run of the JL arm.
     */
   def rpProject(vec: Column): Column =
-    array(rpPlanes.map(p => dot(array(p.map(lit): _*), vec)): _*)
+    graft.functions.VectorFunctions.plane_project(vec, numPlanes, rpDim, dim)
 
   /** Two-stage retrieval through RANDOM-PROJECTION compression
     * (Johnson–Lindenstrauss): shortlist `nCand` per query by cosine in
@@ -317,14 +320,30 @@ object Similarity {
                    nCand: Int = 20): DataFrame = {
     val parallelism =
       embeddings.sparkSession.sparkContext.defaultParallelism
-    val proj = embeddings.repartition(parallelism, col("vec_id"))
-      .select(col("vec_id").as("neighbor_id"), rpProject(col("embedding")).as("rp"))
+    // project BEFORE the balancing shuffle (the exchange then carries
+    // rpDim doubles + a norm per row, not the full-width vector), and
+    // precompute each side's norm ONCE per row below the join — the
+    // per-pair score is then a single rpDim-dot and two divisions,
+    // bit-identical to cosine(qrp, rp) (same dot, same two sequential
+    // divisions in the same query-then-neighbor order)
+    // the norm is computed ABOVE the exchange: below it, CollapseProject
+    // would inline the projection into the norm's self-dot and compute
+    // it three times per row (the materialization-blocking rule the
+    // token pipelines use); the exchange boundary pins `rp` computed
+    // once
+    val proj = embeddings
+      .select(col("vec_id").as("neighbor_id"),
+        rpProject(col("embedding")).as("rp"))
+      .repartition(parallelism, col("neighbor_id"))
+      .withColumn("rpn", sqrt(normSq(col("rp"))))
     val qproj = embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), rpProject(col("embedding")).as("qrp"))
+      .select(col("vec_id").as("query_id"),
+        rpProject(col("embedding")).as("qrp"))
+      .withColumn("qrpn", sqrt(normSq(col("qrp"))))
     val scoredRp = proj
       .join(broadcast(qproj), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qrp"), col("rp")).as("rpsim"))
+        (dot(col("qrp"), col("rp")) / col("qrpn") / col("rpn")).as("rpsim"))
     val cands = org.apache.spark.sql.graftbridge.PlanBridge.topKPerKey(
         scoredRp.withColumn("__tie", -col("neighbor_id")),
         Seq("query_id"), Seq("rpsim", "__tie"), nCand)

@@ -56,10 +56,20 @@ object IndexFS {
     val (fs, p) = resolve(path); fs.mkdirs(p); ()
   }
 
+  /** Control-plane FS-call accounting (test hook): every directory
+    * listing and small-file read through this object bumps the
+    * counter, so the manifest-resolution budget specs can assert a
+    * stored probe resolves its snapshot ONCE (one listing + one
+    * manifest read per base), not once per component.
+    */
+  private[graft] val controlCalls =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Names (not full paths) of the direct children of `dir`; empty if
     * the directory does not exist.
     */
   def listNames(dir: String): Seq[String] = {
+    controlCalls.incrementAndGet()
     val (fs, p) = resolve(dir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
@@ -103,6 +113,31 @@ object IndexFS {
     fs.rename(s, new Path(dst))
   }
 
+  /** Set the modification time of `path` (test/fault-injection use:
+    * aging leaves past the GC grace window).
+    */
+  def setMtime(path: String, mtime: Long): Unit = {
+    val (fs, p) = resolve(path)
+    fs.setTimes(p, mtime, -1)
+  }
+
+  // object stores whose FileSystem.rename is a server-side copy, not
+  // an atomic metadata move — the snapshot publish's
+  // rename-refuses-to-overwrite guard is unreliable there
+  private val copyRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift")
+
+  /** True iff `path`'s filesystem implements rename as an atomic
+    * metadata operation (HDFS, local, viewfs, abfs) rather than a
+    * copy (S3-family object stores). The [[Snapshot]] publish protocol
+    * checks this and fails fast / warns on copy-rename stores.
+    */
+  def renameIsAtomic(path: String): Boolean = {
+    val (fs, _) = resolve(path)
+    !copyRenameSchemes.contains(
+      Option(fs.getScheme).getOrElse("").toLowerCase)
+  }
+
   /** Overwrite `path` with `content` (UTF-8). Small control files
     * only (markers, leases) — data goes through parquet.
     */
@@ -119,6 +154,7 @@ object IndexFS {
     * exactly "stale": the caller rebuilds and rewrites it cleanly).
     */
   def readStringOpt(path: String): Option[String] = {
+    controlCalls.incrementAndGet()
     val (fs, p) = resolve(path)
     if (!fs.exists(p)) None
     else

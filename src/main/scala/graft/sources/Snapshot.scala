@@ -65,6 +65,10 @@ import org.apache.spark.sql.functions._
   */
 object Snapshot {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val warnedNonAtomic =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** The trailing generation-stamp partition column added to every
     * snapshot-managed component. Not a data column: readers drop it.
     */
@@ -76,9 +80,12 @@ object Snapshot {
   /** One writer-generation's claim over a component's partitions.
     * `include = Some(tuples)` owns exactly those partition-value
     * tuples; `include = None` owns every partition present at this
-    * stamp except `exclude` (the full-rebuild form — the writer need
-    * not enumerate what it wrote). Values are the partition-directory
-    * strings.
+    * stamp except `exclude` (the full-rebuild / folded form — the
+    * writer need not enumerate what it wrote). Values are the
+    * partition-directory strings; a tuple SHORTER than the partition
+    * columns is a PREFIX claim (the ownership predicate compares only
+    * the leading columns) — how [[Txn.dropPrefix]] excludes a whole
+    * segment from a folded owner without enumerating its complement.
     */
   final case class Owner(gsn: Long, include: Option[Seq[Seq[String]]],
                          exclude: Seq[Seq[String]])
@@ -101,17 +108,28 @@ object Snapshot {
     def has(comp: String): Boolean =
       comps.get(comp).exists(_.owners.nonEmpty)
 
-    /** Read a live component as of this snapshot: one scan of its
-      * stable directory with the ownership predicate as a static
-      * partition filter (partition pruning evaluates it against
-      * directory values; row-group pushdown and DPP on the real
-      * partition columns are untouched). Fails loudly on a component
-      * this snapshot does not carry.
+    /** The live generation-leaf directories of `comp` in this
+      * snapshot — the only subtrees a read may touch.
+      */
+    private def liveLeaves(comp: String): Seq[String] =
+      comps.get(comp).toSeq.flatMap(_.owners.map(_.gsn)).distinct
+        .map(g => s"$base/$comp/$GSN=$g")
+
+    /** Read a live component as of this snapshot: one scan listing
+      * ONLY the owned generation leaves (`basePath` keeps partition
+      * discovery rooted at the component, so [[GSN]] and the real
+      * partition columns still materialize), with the ownership
+      * predicate as a static partition filter. Dead generations
+      * awaiting GC are never even LISTED — file-listing cost is
+      * bounded by live data, not by maintenance history. Row-group
+      * pushdown and DPP on the real partition columns are untouched.
+      * Fails loudly on a component this snapshot does not carry.
       */
     def read(spark: SparkSession, comp: String): DataFrame = {
       val c = comps.getOrElse(comp, throw new IllegalStateException(
         s"snapshot $id of $base has no component '$comp'"))
-      spark.read.parquet(s"$base/$comp")
+      spark.read.option("basePath", s"$base/$comp")
+        .parquet(liveLeaves(comp): _*)
         .filter(ownershipPred(c))
         .drop(GSN)
     }
@@ -120,9 +138,11 @@ object Snapshot {
       * snapshot or physically empty (a component whose every owned
       * partition was written from an empty frame has directories but
       * no parquet files — unreadable, and semantically "no data").
+      * The emptiness walk covers only the LIVE leaves.
       */
     def readOpt(spark: SparkSession, comp: String): Option[DataFrame] =
-      if (!has(comp) || !IndexFS.hasParquetRecursive(s"$base/$comp")) None
+      if (!has(comp) ||
+          !liveLeaves(comp).exists(IndexFS.hasParquetRecursive)) None
       else Some(read(spark, comp))
   }
 
@@ -259,6 +279,15 @@ object Snapshot {
   // Writer side. All under the layout's writer lease.
   // ------------------------------------------------------------------
 
+  /** A fresh random 63-bit generation stamp (see the object scaladoc:
+    * random, not a counter, so a crashed writer's leaves can never
+    * collide with a later writer's).
+    */
+  private def randomStamp(): Long = {
+    val u = java.util.UUID.randomUUID()
+    (u.getMostSignificantBits ^ u.getLeastSignificantBits) & Long.MaxValue
+  }
+
   /** Start a snapshot transaction against the latest manifest (or an
     * empty one). Caller must hold the layout's writer lease —
     * manifest numbering and ownership arithmetic assume one writer.
@@ -279,10 +308,7 @@ object Snapshot {
     /** This transaction's generation stamp: random, so leaves from a
       * crashed predecessor can never collide with ours.
       */
-    val gsn: Long = {
-      val u = java.util.UUID.randomUUID()
-      (u.getMostSignificantBits ^ u.getLeastSignificantBits) & Long.MaxValue
-    }
+    val gsn: Long = randomStamp()
     private val nextId: Long = prev.map(_.id + 1).getOrElse(1L)
     private var comps: Map[String, Comp] =
       prev.map(_.comps).getOrElse(Map.empty)
@@ -293,15 +319,15 @@ object Snapshot {
       * invisible to every reader until the manifest publish: readers
       * only select stamps their resolved manifest owns.
       */
-    private def stageIn(df: DataFrame, comp: String,
-                        partCols: Seq[String]): Unit = {
-      val stage = s"$base/.staging/$gsn-${URLEncoder.encode(comp,
+    private def stageIn(df: DataFrame, comp: String, partCols: Seq[String],
+                        stamp: Long = gsn): Unit = {
+      val stage = s"$base/.staging/$stamp-${URLEncoder.encode(comp,
         StandardCharsets.UTF_8)}"
       val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
         .parquet(stage)
       IndexFS.mkdirs(s"$base/$comp")
-      val dst = s"$base/$comp/$GSN=$gsn"
+      val dst = s"$base/$comp/$GSN=$stamp"
       if (!IndexFS.rename(stage, dst))
         throw new java.io.IOException(
           s"snapshot stage rename $stage -> $dst failed")
@@ -360,10 +386,11 @@ object Snapshot {
     /** Remove every partition tuple starting with `prefix` from the
       * component's ownership — how a replayed LSM segment supersedes
       * its own previous claim no matter which partitions the old
-      * write covered. Only valid on components whose owners are all
-      * include-form (delta components by construction): an
-      * exclude-form owner's prefix complement has no finite
-      * representation.
+      * write covered. Include-form owners drop matching tuples; an
+      * exclude-form owner (a folded generation — see [[foldOwners]])
+      * EXCLUDES the prefix itself: the ownership predicate evaluates
+      * tuples shorter than the partition columns as prefix matches, so
+      * no complement ever needs enumerating.
       */
     def dropPrefix(comp: String, prefix: Seq[String]): Unit =
       comps.get(comp).foreach { c =>
@@ -372,10 +399,8 @@ object Snapshot {
             case Some(ts) =>
               val kept = ts.filterNot(_.startsWith(prefix))
               if (kept.isEmpty) None else Some(o.copy(include = Some(kept)))
-            case None => throw new IllegalStateException(
-              s"dropPrefix($comp): component has a full-ownership " +
-                "(exclude-form) owner — prefix subtraction is only " +
-                "defined on enumerated claims")
+            case None =>
+              Some(o.copy(exclude = (o.exclude :+ prefix).distinct))
           }
         }
         if (owners.isEmpty) comps -= comp
@@ -396,6 +421,56 @@ object Snapshot {
       }
     }
 
+    /** Total enumeration cost a component's owners impose on every
+      * manifest parse and every probe's ownership predicate: one unit
+      * per include tuple, one per exclude tuple (plus one for the
+      * exclude-form owner itself).
+      */
+    private def ownerCost(c: Comp): Long =
+      c.owners.map(o => o.include.map(_.size.toLong)
+        .getOrElse(1L + o.exclude.size)).sum
+
+    /** Bound manifest growth: every append adds an include-form owner
+      * enumerating its claimed tuples, so after K appends a delta
+      * component's manifest entry — and the IN-list its ownership
+      * predicate plans — grows O(K × claimed tuples) without bound
+      * (merging include-lists would not help: claims are disjoint
+      * across owners by [[subtract]], so a merge preserves the tuple
+      * count). When a component's enumeration cost exceeds
+      * `graft.snapshot.foldOwnerTuples` (default 4096), FOLD it: read
+      * its live rows (one scan under the current ownership predicate)
+      * and restage them under ONE fresh stamp owned in exclude-form —
+      * "every partition present at this stamp", O(1) manifest cost no
+      * matter how many partitions are live. LSM segment replays keep
+      * working: [[dropPrefix]] excludes the prefix from a folded
+      * owner instead of enumerating its complement. The old leaves
+      * become unreferenced and age out through GC's grace period —
+      * in-flight probes on the pre-fold manifest are untouched.
+      * Amortized: one bounded rewrite per ~threshold appended tuples,
+      * the classic LSM leveled-compaction trade; after a fold the
+      * component's cost resets to 1 and grows only with NEW claims,
+      * so manifest size stays ≤ threshold + one append's claim
+      * forever.
+      */
+    private def foldOwners(): Unit = {
+      val threshold = confLong("graft.snapshot.foldOwnerTuples", 4096L)
+      val heavy = comps.filter { case (_, c) =>
+        c.owners.size > 1 && ownerCost(c) > threshold
+      }
+      if (heavy.isEmpty) return
+      val spark = SparkSession.getActiveSession
+        .orElse(SparkSession.getDefaultSession)
+        .getOrElse(throw new IllegalStateException(
+          s"snapshot owner-fold on $base: no SparkSession"))
+      heavy.foreach { case (name, c) =>
+        val fresh = randomStamp()
+        val live = spark.read.parquet(s"$base/$name")
+          .filter(ownershipPred(c)).drop(GSN)
+        stageIn(live, name, c.partCols, fresh)
+        comps += name -> c.copy(owners = Seq(Owner(fresh, None, Nil)))
+      }
+    }
+
     /** Publish the accumulated state as the next manifest (atomic
       * exclusive create — the commit point), then garbage-collect
       * generations unreferenced by the kept manifests and older than
@@ -406,10 +481,31 @@ object Snapshot {
     def commit(onStep: Int => Unit = _ => ()): Manifest = {
       scala.Predef.require(!committed, s"snapshot txn on $base: double commit")
       committed = true
+      foldOwners()
       onStep(1)
       val m = Manifest(base, nextId, comps)
       val path = s"${manifestDir(base)}/${manifestName(nextId)}"
       IndexFS.mkdirs(manifestDir(base))
+      // the publish protocol's two atomicity claims (all-or-nothing
+      // visibility via rename, rename-refuses-to-overwrite against a
+      // broken lease) hold only where FileSystem.rename is an atomic
+      // metadata move — fail fast / warn once on copy-rename stores
+      // (S3A should publish via conditional create,
+      // fs.s3a.create.conditional, before trusting this path)
+      if (!IndexFS.renameIsAtomic(base)) {
+        if (confBool("graft.snapshot.requireAtomicRename", dflt = false))
+          throw new IllegalStateException(
+            s"snapshot publish on $base: the filesystem's rename is a " +
+              "non-atomic copy (object store) — the manifest publish " +
+              "protocol needs atomic rename; disable " +
+              "graft.snapshot.requireAtomicRename to proceed at risk")
+        else if (warnedNonAtomic.add(base))
+          log.warn(s"snapshot publish on $base: rename is a non-atomic " +
+            "copy on this filesystem — a racing reader can list a " +
+            "manifest mid-copy and the double-publish guard is " +
+            "unreliable; prefer a store with atomic rename or a " +
+            "conditional-create publish")
+      }
       // write-then-rename: a manifest must become VISIBLE only with
       // its full content (a bare exclusive create exposes the file
       // before the bytes land, and a racing reader listing the
@@ -439,25 +535,66 @@ object Snapshot {
       .orElse(SparkSession.getDefaultSession)
       .flatMap(_.conf.getOption(key)).map(_.toLong).getOrElse(dflt)
 
-  /** Reclaim generation leaves (and manifests) no kept manifest
-    * references, provided they are older than the grace period — an
-    * in-flight probe that resolved an older manifest finishes against
-    * intact files. Keeps the newest `graft.snapshot.keepLast`
-    * manifests (default 2); grace is `graft.snapshot.graceMs`
-    * (default 10 min). Orphans from crashed writers age out the same
-    * way. Safe to call any time under the writer lease.
+  /** The configured GC grace period (`graft.snapshot.graceMs`) —
+    * shared with the table-adoption path, whose root-file cleanup
+    * follows the same dereference-anchored rule.
+    */
+  private[sources] def graceMs: Long =
+    confLong("graft.snapshot.graceMs", 600000L)
+
+  private def confBool(key: String, dflt: Boolean): Boolean =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption(key)).map(_.toBoolean).getOrElse(dflt)
+
+  /** Reclaim retired manifests and the generation leaves no on-disk
+    * manifest references. The grace period runs from RETIREMENT, not
+    * from any file's creation time: when a manifest first drops out of
+    * the kept window (`graft.snapshot.keepLast`, default 2) it gets a
+    * retirement stamp (a dot-marker whose mtime is the retirement
+    * observation) and is deleted only once that stamp is older than
+    * `graft.snapshot.graceMs` (default 10 min). Leaves stay as long as
+    * ANY manifest still on disk references them. The two rules
+    * compose into the reader-isolation guarantee: a probe can only
+    * have resolved a manifest while it was on disk, retired manifests
+    * survive ≥ grace past retirement, so every file a resolved
+    * manifest references stays intact for ≥ grace after that manifest
+    * stops being servable — however old the file itself is. (Gating
+    * leaf deletion on the leaf's own mtime instead would reap a
+    * day-old leaf the instant it falls out of the kept window — a
+    * probe overlapping an append+compact cycle would FileNotFound
+    * mid-scan.) Unreferenced leaves additionally wait out grace on
+    * their own mtime, which is what ages out crashed writers' orphans.
+    * Safe to call any time under the writer lease.
     */
   def gc(base: String): Unit = {
-    val keepLast = confLong("graft.snapshot.keepLast", 2L).toInt
-    val graceMs = confLong("graft.snapshot.graceMs", 600000L)
+    val keepLast = math.max(1, confLong("graft.snapshot.keepLast", 2L).toInt)
+    val grace = graceMs
     val ids = manifestIds(base)
     if (ids.isEmpty) return
-    val kept = ids.takeRight(math.max(1, keepLast))
-    val cutoff = System.currentTimeMillis() - graceMs
-    val keptManifests = kept.map(load(base, _))
-    // every (comp, gsn) a kept manifest references stays, coarsely:
-    // one referenced partition keeps the stamp's whole component slice
-    val referenced: Map[String, Set[Long]] = keptManifests
+    val mdir = manifestDir(base)
+    val now = System.currentTimeMillis()
+    val cutoff = now - grace
+    def retireMarker(id: Long): String = s"$mdir/.retired-${manifestName(id)}"
+    // stamp retirement the first time a manifest is observed outside
+    // the kept window; delete manifest + stamp once the STAMP (not the
+    // manifest's own mtime) is past grace
+    ids.dropRight(keepLast).foreach { id =>
+      val marker = retireMarker(id)
+      if (!IndexFS.exists(marker)) IndexFS.writeString(marker, now.toString)
+      // fresh clock at check time, so graceMs=0 reclaims a marker
+      // written a moment ago in this same pass
+      if (IndexFS.mtimeOf(marker)
+          .exists(_ <= System.currentTimeMillis() - grace)) {
+        IndexFS.deleteRecursive(s"$mdir/${manifestName(id)}")
+        IndexFS.deleteRecursive(marker)
+      }
+    }
+    // every (comp, gsn) ANY manifest still on disk references stays,
+    // coarsely: one referenced partition keeps the stamp's whole
+    // component slice
+    val referenced: Map[String, Set[Long]] = manifestIds(base)
+      .map(load(base, _))
       .flatMap(_.comps.toSeq.flatMap { case (n, c) =>
         c.owners.map(o => n -> o.gsn)
       })
@@ -487,16 +624,13 @@ object Snapshot {
       val p = s"$base/.staging/$n"
       if (IndexFS.mtimeOf(p).exists(_ < cutoff)) IndexFS.deleteRecursive(p)
     }
-    // retire old manifest files past grace, and tmp files a crashed
-    // publisher abandoned between write and rename
-    ids.dropRight(math.max(1, keepLast)).foreach { id =>
-      val p = s"${manifestDir(base)}/${manifestName(id)}"
-      if (IndexFS.mtimeOf(p).exists(_ < cutoff)) IndexFS.deleteRecursive(p)
-    }
-    IndexFS.listNames(manifestDir(base)).filter(_.startsWith(".")).foreach {
-      n =>
-        val p = s"${manifestDir(base)}/$n"
+    // tmp files a crashed publisher abandoned between write and rename
+    // (retirement markers are managed above and never match .m*.tmp)
+    IndexFS.listNames(mdir)
+      .filter(n => n.startsWith(".") && !n.startsWith(".retired-"))
+      .foreach { n =>
+        val p = s"$mdir/$n"
         if (IndexFS.mtimeOf(p).exists(_ < cutoff)) IndexFS.deleteRecursive(p)
-    }
+      }
   }
 }

@@ -184,9 +184,24 @@ object Sources {
     */
   private val tableComp = "data"
 
+  /** The plain table's own part-files, as explicit paths. Adoption and
+    * the pre-manifest read path use THIS list, never a glob of `base`:
+    * once a staged `data/` generation subtree exists next to the root
+    * part-files (mid-adoption, or after a crash in that window), a
+    * directory-level `spark.read.parquet(base)` fails partition
+    * discovery on the mixed structure — an explicit file list cannot.
+    */
+  private def rootParquetFiles(base: String): Seq[String] =
+    IndexFS.listNames(base).filter(_.endsWith(".parquet"))
+      .sorted.map(n => s"$base/$n")
+
   def readVersioned(spark: SparkSession, base: String): DataFrame =
-    Snapshot.current(base).map(_.read(spark, tableComp))
-      .getOrElse(spark.read.parquet(base))
+    Snapshot.current(base).map(_.read(spark, tableComp)).getOrElse {
+      val roots = rootParquetFiles(base)
+      if (roots.nonEmpty && IndexFS.isDirectory(s"$base/$tableComp"))
+        spark.read.parquet(roots: _*) // crashed adoption: skip the glob
+      else spark.read.parquet(base)
+    }
 
   /** (Re)write a versioned table: one staged generation write + one
     * atomic manifest flip; prior generations serve concurrent readers
@@ -201,22 +216,49 @@ object Sources {
     }
 
   /** Upgrade a plain parquet directory to the versioned layout on its
-    * first rewrite: stage its rows as generation 1, publish, then
-    * clear the now-unreferenced root files. Idempotent; no-op when
-    * the table is already versioned or the directory is empty.
+    * first rewrite: stage its rows as a fresh generation, publish,
+    * then age the root part-files out through the same grace policy
+    * as generation leaves. Idempotent; no-op when the table is
+    * already versioned or the directory is empty.
+    *
+    * Two crash-window rules keep every step readable and retryable:
+    * the adoption read uses the EXPLICIT root-file list (a retry after
+    * a crash that left a staged `data/` subtree must not glob the
+    * mixed directory — see [[rootParquetFiles]]), and the root files
+    * are NOT deleted synchronously at commit — a concurrent reader
+    * that resolved "no manifest" a moment before the publish planned a
+    * scan of exactly those files, so they wait out the snapshot grace
+    * period behind an adoption-time marker (mtime = adoption), the
+    * same dereference-anchored rule [[Snapshot.gc]] applies to leaves.
     */
+  private val adoptedMarker = ".adopted"
+
   private def adoptIfPlain(spark: SparkSession, base: String): Unit =
     IndexFS.withWriterLease(base) {
       if (!Snapshot.enabled(base) && IndexFS.hasParquet(base)) {
         val txn = Snapshot.begin(base)
-        txn.writeFull(spark.read.parquet(base), tableComp)
+        txn.writeFull(spark.read.parquet(rootParquetFiles(base): _*),
+          tableComp)
         txn.commit()
+        IndexFS.writeString(s"$base/$adoptedMarker",
+          System.currentTimeMillis().toString)
       }
-      // root part-files are unreferenced once a manifest exists —
-      // clear them (also finishes an adoption that crashed here)
-      if (Snapshot.enabled(base))
-        IndexFS.listNames(base).filter(_.endsWith(".parquet"))
-          .foreach(n => IndexFS.deleteRecursive(s"$base/$n"))
+      if (Snapshot.enabled(base)) {
+        val roots = rootParquetFiles(base)
+        if (roots.nonEmpty) {
+          val marker = s"$base/$adoptedMarker"
+          // marker missing = a pre-marker adoption or a crash between
+          // publish and stamp: anchor the grace window at first
+          // observation, exactly like a retirement stamp
+          if (!IndexFS.exists(marker))
+            IndexFS.writeString(marker, System.currentTimeMillis().toString)
+          if (IndexFS.mtimeOf(marker).exists(
+              _ <= System.currentTimeMillis() - Snapshot.graceMs)) {
+            roots.foreach(IndexFS.deleteRecursive)
+            IndexFS.deleteRecursive(marker)
+          }
+        }
+      }
     }
 
   /** O18 — bulk writeback: apply a keyed update set to a stored table

@@ -1060,6 +1060,69 @@ class OpsSpec extends SparkTestBase {
     assert(typed === expr, "typed stub arm diverged from embedStub")
   }
 
+  test("audio embeddings are content-based: container re-encodes are " +
+      "near, different signals far, undecodable audio takes the stub") {
+    import graft.ops.Multimodal
+    import javax.sound.sampled._
+    // two deterministic "signals": a quiet-then-loud ramp and its
+    // re-encode (WAV vs AIFF — different bytes and byte order, same
+    // samples), plus a loud-then-quiet ramp (different content)
+    def signal(rising: Boolean, tpe: AudioFileFormat.Type): Array[Byte] = {
+      val n = 2000
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val amp = if (rising) i.toDouble / n else 1.0 - i.toDouble / n
+        val s = (math.sin(i * 0.3) * amp * 30000).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, tpe, baos)
+      baos.toByteArray
+    }
+    val upWav = signal(rising = true, AudioFileFormat.Type.WAVE)
+    val upAiff = signal(rising = true, AudioFileFormat.Type.AIFF)
+    val downWav = signal(rising = false, AudioFileFormat.Type.WAVE)
+    assert(!java.util.Arrays.equals(upWav, upAiff)) // truly different bytes
+    val eU = Multimodal.audioEmbedding(upWav).get
+    val eU2 = Multimodal.audioEmbedding(upAiff).get
+    val eD = Multimodal.audioEmbedding(downWav).get
+    assert(eU.forall(v => v >= 0.0 && v <= 1.0))
+    def d(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(d(eU, eU2) < 0.02, s"re-encode moved the embedding: ${d(eU, eU2)}")
+    assert(d(eU, eD) > 0.2, s"different signals too close: ${d(eU, eD)}")
+    // end-to-end retrieval over the typed encoder: each signal's top-1
+    // neighbor is its own re-encode, not the other signal
+    val media = Seq(
+      Multimodal.MediaRecord(0L, upWav, "audio/wav"),
+      Multimodal.MediaRecord(1L, downWav, "audio/wav"),
+      Multimodal.MediaRecord(10L, upAiff, "audio/aiff"),
+      Multimodal.MediaRecord(11L, signal(rising = false,
+        AudioFileFormat.Type.AIFF), "audio/aiff"),
+      Multimodal.MediaRecord(20L, "opaque payload".getBytes, "application/x")
+    ).toDS()
+    val top1 = Multimodal.annRetrieveMedia(media, nQueries = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 === Map(0L -> 10L, 1L -> 11L),
+      s"audio retrieval did not pair re-encodes: $top1")
+    // undecodable "audio" falls back to the digest stub — identical to
+    // embedStub's arithmetic (O17: bad payloads never kill the task)
+    val junk = "not audio at all".getBytes("UTF-8")
+    assert(Multimodal.audioEmbedding(junk).isEmpty)
+    val stubbed = Multimodal.embedMedia(Seq(
+        Multimodal.MediaRecord(5L, junk, "audio/wav")).toDS())
+      .select(col("embedding")).as[Seq[Double]].head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dg = md.digest(junk).map("%02x".format(_)).mkString
+    val expect = (0 until 8).map(i =>
+      java.lang.Long.parseLong(dg.substring(i * 2, i * 2 + 2), 16) / 255.0)
+    assert(stubbed === expect)
+  }
+
   test("video frame sampling reads REAL sample offsets from the " +
       "stsz/stco/stsc tables") {
     import graft.ops.Multimodal

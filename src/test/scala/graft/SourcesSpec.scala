@@ -697,6 +697,153 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("snapshot GC grace runs from manifest RETIREMENT, not leaf age: " +
+      "a probe resolved before two quick commits survives on day-old leaves") {
+    import graft.sources.{IndexFS, Snapshot}
+    val tgt = tmp("snapretire")
+    // defaults: keepLast=2, grace=10min — the production shape
+    Sources.writeVersioned(Seq.tabulate(50)(i => (i.toLong, 1L))
+      .toDF("k", "gen"), tgt)
+    // age the live generation's leaf a DAY back: a grace window
+    // anchored to leaf mtime would reap it the instant it falls out of
+    // the kept manifests, even though it was dereferenced moments ago
+    val dayAgo = System.currentTimeMillis() - 86400000L
+    new java.io.File(s"$tgt/data").listFiles
+      .filter(_.getName.startsWith("gsn="))
+      .foreach(f => IndexFS.setMtime(f.getPath, dayAgo))
+    val probe = Snapshot.require(tgt) // in-flight probe pins manifest 1
+    // two quick maintenance commits (the append+compact cycle): with
+    // keepLast=2 they push manifest 1 out of the kept window
+    Sources.writeVersioned(Seq.tabulate(50)(i => (i.toLong, 2L))
+      .toDF("k", "gen"), tgt)
+    Sources.writeVersioned(Seq.tabulate(50)(i => (i.toLong, 3L))
+      .toDF("k", "gen"), tgt)
+    // the probe must complete against intact files: manifest 1's
+    // retirement stamp is fresh, so its day-old leaf survives
+    val got = probe.read(spark, "data").groupBy(col("gen"))
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 50L)), s"in-flight probe torn: $got")
+    // the retirement stamp was written for the dereferenced manifest
+    val markers = new java.io.File(s"$tgt/_SNAPSHOTS").listFiles
+      .map(_.getName).filter(_.startsWith(".retired-")).toSeq
+    assert(markers.nonEmpty, "no retirement stamp for the retired manifest")
+  }
+
+  test("owner fold bounds manifest growth: 50 append transactions stay " +
+      "under a fixed manifest size with result-identical reads") {
+    import graft.sources.{IndexFS, Snapshot}
+    val tgt = tmp("snapfold")
+    spark.conf.set("graft.snapshot.foldOwnerTuples", "64")
+    spark.conf.set("graft.snapshot.keepLast", "1")
+    spark.conf.set("graft.snapshot.graceMs", "0")
+    try {
+      // the LSM append shape: every txn claims a NEW (seg, b) tuple
+      // set, so without folding the manifest grows O(txns × buckets)
+      IndexFS.withWriterLease(tgt) {
+        (1 to 50).foreach { s =>
+          val txn = Snapshot.begin(tgt)
+          val seg = f"seg$s%03d"
+          val rows = (0 until 8).map(b => (s.toLong * 10 + b, seg, b.toString))
+          txn.writeParts(rows.toDF("v", "seg", "b"), "d", Seq("seg", "b"),
+            (0 until 8).map(b => Seq(seg, b.toString)))
+          txn.commit()
+        }
+      }
+      val msize = new java.io.File(s"$tgt/_SNAPSHOTS").listFiles
+        .filter(_.getName.matches("m\\d+")).map(_.length()).max
+      // unfolded, 50 txns × 8 tuples × ~12 bytes ≈ 5+ KB of vals lines;
+      // folded the manifest carries ≤ threshold live tuples + 1 owner
+      assert(msize < 2500, s"manifest grew unbounded: $msize bytes")
+      val snap = Snapshot.require(tgt)
+      assert(snap.comps("d").owners.exists(_.include.isEmpty),
+        "expected a folded exclude-form owner")
+      // folds are invisible to readers: all 400 rows, exactly once
+      val got = snap.read(spark, "d").select(col("v")).as[Long]
+        .collect().sorted.toSeq
+      assert(got === (1 to 50).flatMap(s => (0 until 8)
+        .map(b => s.toLong * 10 + b)).sorted)
+      // and a segment replay (dropPrefix) still supersedes its claim
+      // even when the old claim was folded into an exclude-form owner
+      IndexFS.withWriterLease(tgt) {
+        val txn = Snapshot.begin(tgt)
+        txn.dropPrefix("d", Seq("seg007"))
+        val rows = (0 until 8).map(b => (9000L + b, "seg007", b.toString))
+        txn.writeParts(rows.toDF("v", "seg", "b"), "d", Seq("seg", "b"),
+          (0 until 8).map(b => Seq("seg007", b.toString)))
+        txn.commit()
+      }
+      val replayed = Snapshot.require(tgt).read(spark, "d")
+        .filter(col("seg") === "seg007").select(col("v")).as[Long]
+        .collect().sorted.toSeq
+      assert(replayed === (0 until 8).map(b => 9000L + b),
+        s"folded-owner replay left stale rows: $replayed")
+    } finally {
+      spark.conf.unset("graft.snapshot.foldOwnerTuples")
+      spark.conf.unset("graft.snapshot.keepLast")
+      spark.conf.unset("graft.snapshot.graceMs")
+    }
+  }
+
+  test("crashed adoption windows stay readable and retryable; root files " +
+      "age out through the grace period, never a synchronous delete") {
+    import graft.sources.{IndexFS, Snapshot}
+    val base = tmp("adoptcrash")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(base)
+    def rootFiles = IndexFS.listNames(base).filter(_.endsWith(".parquet"))
+    assert(rootFiles.nonEmpty)
+    // simulate a crash mid-adoption: a staged data/ generation exists
+    // next to the root part-files with NO manifest — the exact window
+    // where a directory glob fails partition discovery
+    IndexFS.withWriterLease(base) {
+      val txn = Snapshot.begin(base)
+      txn.writeFull(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "data")
+      // no commit — crash before publish
+    }
+    assert(!Snapshot.enabled(base))
+    // the mixed directory is still readable through the library path
+    assert(Sources.readVersioned(spark, base).count() === 2L)
+    // ...and the adoption retry (any rewrite op) completes cleanly
+    Sources.upsert(spark, base, Seq((3L, "c")).toDF("k", "v"), "k")
+    assert(Sources.readVersioned(spark, base).orderBy(col("k"))
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // root part-files survive the commit (a plain reader that resolved
+    // "no manifest" a moment earlier still has intact files)...
+    assert(rootFiles.nonEmpty,
+      "root part-files were deleted synchronously at adoption")
+    assert(IndexFS.exists(s"$base/.adopted"))
+    // ...and age out once the grace period passes
+    IndexFS.setMtime(s"$base/.adopted",
+      System.currentTimeMillis() - 86400000L)
+    Sources.upsert(spark, base, Seq((4L, "d")).toDF("k", "v"), "k")
+    assert(rootFiles.isEmpty, "aged root part-files were not reclaimed")
+    assert(Sources.readVersioned(spark, base).count() === 4L)
+  }
+
+  test("a stored probe resolves its snapshot ONCE: control-plane FS " +
+      "calls are constant in the component count") {
+    import graft.ops.Similarity
+    import graft.sources.IndexFS
+    val base = tmp("fscount")
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.ivfpqBuildIndex(emb, base, 8).count()
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    Similarity.ivfpqScoreStored(spark, base, queries, 3, 2, 10).count() // warm
+    val before = IndexFS.controlCalls.get()
+    val probe = Similarity.ivfpqScoreStored(spark, base, queries, 3, 2, 10)
+    val constructed = IndexFS.controlCalls.get() - before
+    assert(probe.count() > 0)
+    val total = IndexFS.controlCalls.get() - before
+    // the serving core reads FIVE components (centroids, codebooks,
+    // cells, codes, tombstones) off ONE resolution: one _SNAPSHOTS
+    // listing + one manifest read, nothing per component, and
+    // execution adds no control-plane calls
+    assert(constructed <= 4,
+      s"probe construction made $constructed control-plane FS calls")
+    assert(total <= 6, s"probe end-to-end made $total control-plane FS calls")
+  }
+
   test("compaction rewrites many small files into the target count") {
     val dir = tmp("compact")
     (1 to 8).foreach { i =>
