@@ -47,20 +47,25 @@ object WeakScale {
     // task-level input-bytes accounting: the probe-I/O claims are
     // about BYTES SCANNED, which executor task metrics report exactly
     val bytesRead = new AtomicLong(0L)
+    val bytesWritten = new AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null)
+        if (te.taskMetrics != null) {
           bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+          bytesWritten.addAndGet(te.taskMetrics.outputMetrics.bytesWritten)
+        }
     })
-    def measured[T](body: => T): (T, Double, Long) = {
+    def measured[T](body: => T): (T, Double, Long, Long) = {
       // listener events drain asynchronously; settle before snapshots
       org.apache.spark.graftbridge.ListenerBridge
         .waitUntilListenerBusEmpty(spark.sparkContext)
-      val b0 = bytesRead.get(); val t0 = System.nanoTime()
+      val b0 = bytesRead.get(); val w0 = bytesWritten.get()
+      val t0 = System.nanoTime()
       val r = body
       org.apache.spark.graftbridge.ListenerBridge
         .waitUntilListenerBusEmpty(spark.sparkContext)
-      ((r, (System.nanoTime() - t0) / 1e9, bytesRead.get() - b0))
+      ((r, (System.nanoTime() - t0) / 1e9, bytesRead.get() - b0,
+        bytesWritten.get() - w0))
     }
     def dirBytes(path: String): Long = {
       def walk(f: java.io.File): Long =
@@ -99,7 +104,7 @@ object WeakScale {
       val docs = enlarged("documents", "doc_id", k)
       val bmBase = s"$work/bm25_x$k"
       graft.sources.IndexFS.deleteRecursive(bmBase)
-      val (_, tBuild, _) = measured {
+      val (_, tBuild, _, _) = measured {
         graft.ops.Text.bm25BuildIndex(docs, bmBase).count()
       }
       report(s"bm25_build_sec_x$k", tBuild)
@@ -110,7 +115,7 @@ object WeakScale {
       // bytes-read number a pure statement about the index layout);
       // warm once for codegen, then measure
       graft.ops.Text.bm25ScoreStored(spark, bmBase, 10).count()
-      val (rows, tProbe, pBytes) = measured {
+      val (rows, tProbe, pBytes, _) = measured {
         graft.ops.Text.bm25ScoreStored(spark, bmBase, 10).count()
       }
       require(rows > 0, s"bm25 probe served no rows at x$k")
@@ -125,7 +130,7 @@ object WeakScale {
       // nlist 64 with 4 queries x nprobe 4: the probed-cell UNION of
       // the batch stays well under the cell count (<= 16/64), so the
       // fraction claim measures the layout, not probe saturation
-      val (_, tIvBuild, _) = measured {
+      val (_, tIvBuild, _, _) = measured {
         graft.ops.Similarity.ivfpqBuildIndex(emb, ivBase, 64).count()
       }
       report(s"ivfpq_build_sec_x$k", tIvBuild)
@@ -138,7 +143,7 @@ object WeakScale {
       val probeDf = graft.ops.Similarity.ivfpqScoreStored(spark, ivBase,
         queries, 5, 4, 20)
       probeDf.count() // warm (codegen, broadcast build)
-      val (ivRows, tIvProbe, ivPBytes) = measured { probeDf.count() }
+      val (ivRows, tIvProbe, ivPBytes, _) = measured { probeDf.count() }
       require(ivRows > 0, s"ivfpq probe served no rows at x$k")
       // ground truth for the pruning claim: the cell IN-list the probe
       // actually pushed (read off the executed scan) and the on-disk
@@ -165,6 +170,85 @@ object WeakScale {
       report(s"ivfpq_probed_cells_x$k", probedCells.size.toDouble)
       report(s"ivfpq_probed_part_mb_x$k", probedBytes / 1e6)
       report(s"ivfpq_probe_frac_x$k", ivPBytes.toDouble / ivBytes)
+
+      // ---------- maintenance: LSM append + tombstone compact ----------
+      // the SAME fixed batch at every scale: maintenance I/O must be
+      // bounded by the batch's affected segments/partitions plus the
+      // doc-level artifacts, never by the token-level base tables —
+      // the LSM claim, gated by bytes exactly like the probes
+      val batchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 2000)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .localCheckpoint() // batch derivation out of the measurement
+      // the artifacts an append legitimately reads AND rewrites in
+      // full: doc-count-sized doc lengths + the one-row stats
+      val docLevel = dirBytes(s"$bmBase/dl") + dirBytes(s"$bmBase/stats")
+      report(s"bm25_doclevel_mb_x$k", docLevel / 1e6)
+      val (_, tApp, appRead, appWrite) = measured {
+        graft.ops.Text.bm25Append(batchDocs, bmBase)
+      }
+      report(s"bm25_append_sec_x$k", tApp)
+      report(s"bm25_append_read_mb_x$k", appRead / 1e6)
+      report(s"bm25_append_write_mb_x$k", appWrite / 1e6)
+
+      val batchVecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") < 1000)
+        .withColumn("vec_id", col("vec_id") + lit(900000000L))
+        .localCheckpoint()
+      val quantBytes =
+        dirBytes(s"$ivBase/centroids") + dirBytes(s"$ivBase/codebooks")
+      report(s"ivfpq_quantizer_mb_x$k", quantBytes / 1e6)
+      val (_, tIvApp, ivAppRead, ivAppWrite) = measured {
+        graft.ops.Similarity.ivfpqAppend(batchVecs, ivBase)
+      }
+      // the appended generation's cell list IS the affected-partition
+      // set; its pre-append bytes bound the legitimate merge read
+      val appGen = {
+        val gs = graft.sources.IndexFS.listNames(s"$ivBase/cells")
+          .filterNot(_ == gen)
+        require(gs.size == 1, s"expected one appended generation: $gs")
+        gs.head
+      }
+      val affCells = graft.sources.IndexFS
+        .listNames(s"$ivBase/cells/$appGen").filter(_.startsWith("cell="))
+      val affPre = affCells.map(c => dirBytes(s"$ivBase/cells/$gen/$c") +
+        dirBytes(s"$ivBase/codes/$gen/$c")).sum
+      report(s"ivfpq_append_sec_x$k", tIvApp)
+      report(s"ivfpq_append_read_mb_x$k", ivAppRead / 1e6)
+      report(s"ivfpq_append_write_mb_x$k", ivAppWrite / 1e6)
+      report(s"ivfpq_append_cells_x$k", affCells.size.toDouble)
+      report(s"ivfpq_affected_pre_mb_x$k", affPre / 1e6)
+
+      // tombstone a fixed doc slice, compact: reads decompose into the
+      // column-pruned discovery scan (which vec lives in which cell)
+      // plus the affected partitions' rewrite
+      graft.ops.Similarity.ivfpqDelete(
+        emb.filter(col("vec_id") < 50).select(col("vec_id")), ivBase)
+      val (_, _, discBytes, _) = measured {
+        graft.sources.Snapshot.require(ivBase).read(spark, "cells")
+          .agg(sum(col("vec_id")), sum(col("cell").cast("long"))).head
+      }
+      report(s"ivfpq_discovery_mb_x$k", discBytes / 1e6)
+      val gensPre = graft.sources.IndexFS.listNames(s"$ivBase/cells").toSet
+      val (_, tCmp, cmpRead, cmpWrite) = measured {
+        graft.ops.Similarity.ivfpqCompact(spark, ivBase)
+      }
+      val cmpGen = {
+        val gs = graft.sources.IndexFS.listNames(s"$ivBase/cells")
+          .filterNot(gensPre)
+        require(gs.size == 1, s"expected one compacted generation: $gs")
+        gs.head
+      }
+      val cmpCells = graft.sources.IndexFS
+        .listNames(s"$ivBase/cells/$cmpGen").filter(_.startsWith("cell="))
+      val cmpPre = cmpCells.map(c => gensPre.toSeq.map(g =>
+        dirBytes(s"$ivBase/cells/$g/$c") +
+          dirBytes(s"$ivBase/codes/$g/$c")).sum).sum
+      report(s"ivfpq_compact_sec_x$k", tCmp)
+      report(s"ivfpq_compact_read_mb_x$k", cmpRead / 1e6)
+      report(s"ivfpq_compact_write_mb_x$k", cmpWrite / 1e6)
+      report(s"ivfpq_compact_cells_x$k", cmpCells.size.toDouble)
+      report(s"ivfpq_compact_pre_mb_x$k", cmpPre / 1e6)
     }
 
     // ---------- the claims, as checks ----------
@@ -224,6 +308,64 @@ object WeakScale {
         results(s"ivfpq_probed_part_mb_x$k") <
           results(s"ivfpq_index_mb_x$k"))
     }
+    // maintenance-path claims (same fixed batch at every scale).
+    // BM25 append: the token-level tables append as LSM delta segments
+    // and are NEVER read-modify-rewritten — so append I/O may grow
+    // only with the doc-level artifacts (dl/stats, corpus-doc-count-
+    // sized but tiny rows), never with the token-level index. A
+    // regression that scans/rewrites base tf/pos at ×8 would exceed
+    // this budget by roughly the index size.
+    for (m <- Seq("read", "write")) {
+      check(f"bm25 append $m x$scaleK bounded by doc-level artifacts: " +
+        f"${results(s"bm25_append_${m}_mb_x$scaleK")}%.2f MB <= " +
+        f"${results(s"bm25_append_${m}_mb_x1")}%.2f × 2 + " +
+        f"${results(s"bm25_doclevel_mb_x$scaleK")}%.2f × 3 + 2",
+        results(s"bm25_append_${m}_mb_x$scaleK") <=
+          results(s"bm25_append_${m}_mb_x1") * 2.0 +
+            results(s"bm25_doclevel_mb_x$scaleK") * 3.0 + 2.0)
+    }
+    // IVFADC append/compact: partition-merge layouts — I/O bounded by
+    // the AFFECTED cell partitions (pre-op bytes) at every scale, the
+    // same gate shape as the probes. Compact additionally pays the
+    // column-pruned (vec_id, cell) discovery scan, measured directly.
+    for (k <- Seq(1, scaleK)) {
+      check(f"ivfpq append x$k reads only affected partitions + " +
+        f"quantizer: ${results(s"ivfpq_append_read_mb_x$k")}%.2f MB <= " +
+        f"${results(s"ivfpq_affected_pre_mb_x$k")}%.2f × 2 + 2",
+        results(s"ivfpq_append_read_mb_x$k") <=
+          results(s"ivfpq_affected_pre_mb_x$k") * 2.0 + 2.0)
+      check(f"ivfpq append x$k writes only merged affected partitions: " +
+        f"${results(s"ivfpq_append_write_mb_x$k")}%.2f MB <= " +
+        f"${results(s"ivfpq_affected_pre_mb_x$k")}%.2f × 2 + 2",
+        results(s"ivfpq_append_write_mb_x$k") <=
+          results(s"ivfpq_affected_pre_mb_x$k") * 2.0 + 2.0)
+      check(f"ivfpq compact x$k reads discovery + affected partitions: " +
+        f"${results(s"ivfpq_compact_read_mb_x$k")}%.2f MB <= " +
+        f"${results(s"ivfpq_discovery_mb_x$k")}%.2f × 2 + " +
+        f"${results(s"ivfpq_compact_pre_mb_x$k")}%.2f × 2 + 2",
+        results(s"ivfpq_compact_read_mb_x$k") <=
+          results(s"ivfpq_discovery_mb_x$k") * 2.0 +
+            results(s"ivfpq_compact_pre_mb_x$k") * 2.0 + 2.0)
+      check(f"ivfpq compact x$k writes only affected partitions: " +
+        f"${results(s"ivfpq_compact_write_mb_x$k")}%.2f MB <= " +
+        f"${results(s"ivfpq_compact_pre_mb_x$k")}%.2f × 1.5 + 2",
+        results(s"ivfpq_compact_write_mb_x$k") <=
+          results(s"ivfpq_compact_pre_mb_x$k") * 1.5 + 2.0)
+    }
+    // the column-pruned discovery claim is a SCALE claim: at ×1 the
+    // whole index is a couple of MB and per-file footer/dictionary
+    // reads dominate any scan of it; at ×K the (vec_id)-only scan must
+    // be a sub-half slice of the index and grow far slower than it
+    check(f"ivfpq compact discovery is column-pruned at scale: " +
+      f"${results(s"ivfpq_discovery_mb_x$scaleK")}%.2f MB < " +
+      f"${results(s"ivfpq_index_mb_x$scaleK")}%.2f × 0.5",
+      results(s"ivfpq_discovery_mb_x$scaleK") <
+        results(s"ivfpq_index_mb_x$scaleK") * 0.5)
+    check(f"ivfpq compact discovery grows sub-linearly: " +
+      f"${results(s"ivfpq_discovery_mb_x$scaleK")}%.2f MB <= " +
+      f"${results("ivfpq_discovery_mb_x1")}%.2f × $scaleK",
+      results(s"ivfpq_discovery_mb_x$scaleK") <=
+        results("ivfpq_discovery_mb_x1") * scaleK)
     println(if (failures == 0) "== weak-scaling: ALL PASS =="
       else s"== weak-scaling: $failures FAILURES ==")
     spark.stop()
