@@ -191,6 +191,43 @@ object WeakScale {
       report(s"bm25_append_read_mb_x$k", appRead / 1e6)
       report(s"bm25_append_write_mb_x$k", appWrite / 1e6)
 
+      // bm25 tombstone compact: fix a doc slice, fold it out. Reads
+      // decompose into the (doc_id)-column discovery scan over the
+      // bucketed postings, the affected buckets' rewrite, the delta
+      // scrub, and the doc-level refresh — measured against exactly
+      // those artifacts.
+      graft.ops.Text.bm25Delete(
+        docs.filter(col("doc_id") < 100).select(col("doc_id")), bmBase)
+      val (_, _, bmDisc, _) = measured {
+        graft.sources.Snapshot.require(bmBase).read(spark, "tf")
+          .agg(sum(col("doc_id"))).head
+      }
+      report(s"bm25_discovery_mb_x$k", bmDisc / 1e6)
+      val docLevel2 = dirBytes(s"$bmBase/dl") + dirBytes(s"$bmBase/stats")
+      val deltaPre =
+        dirBytes(s"$bmBase/tf_delta") + dirBytes(s"$bmBase/pos_delta")
+      val tfGensPre = graft.sources.IndexFS.listNames(s"$bmBase/tf").toSet
+      val (_, tBmCmp, bmCmpRead, bmCmpWrite) = measured {
+        graft.ops.Text.bm25Compact(spark, bmBase)
+      }
+      val bmCmpGen = {
+        val gs = graft.sources.IndexFS.listNames(s"$bmBase/tf")
+          .filterNot(tfGensPre)
+        require(gs.size == 1, s"expected one compacted generation: $gs")
+        gs.head
+      }
+      val bmCmpBuckets = graft.sources.IndexFS
+        .listNames(s"$bmBase/tf/$bmCmpGen").filter(_.startsWith("bucket="))
+      val bmCmpPre = bmCmpBuckets.map(b => tfGensPre.toSeq.map(g =>
+        dirBytes(s"$bmBase/tf/$g/$b") + dirBytes(s"$bmBase/pos/$g/$b") +
+          dirBytes(s"$bmBase/df/$g/$b")).sum).sum + deltaPre
+      report(s"bm25_compact_sec_x$k", tBmCmp)
+      report(s"bm25_compact_read_mb_x$k", bmCmpRead / 1e6)
+      report(s"bm25_compact_write_mb_x$k", bmCmpWrite / 1e6)
+      report(s"bm25_compact_buckets_x$k", bmCmpBuckets.size.toDouble)
+      report(s"bm25_compact_pre_mb_x$k", bmCmpPre / 1e6)
+      report(s"bm25_doclevel2_mb_x$k", docLevel2 / 1e6)
+
       val batchVecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .filter(col("vec_id") < 1000)
         .withColumn("vec_id", col("vec_id") + lit(900000000L))
@@ -324,6 +361,32 @@ object WeakScale {
           results(s"bm25_append_${m}_mb_x1") * 2.0 +
             results(s"bm25_doclevel_mb_x$scaleK") * 3.0 + 2.0)
     }
+    // BM25 compact: affected-bucket rewrite + delta scrub + doc-level
+    // refresh, after the column-pruned which-bucket-holds-the-doc
+    // discovery scan — all measured, nothing else in the budget
+    for (k <- Seq(1, scaleK)) {
+      check(f"bm25 compact x$k reads discovery + affected buckets: " +
+        f"${results(s"bm25_compact_read_mb_x$k")}%.2f MB <= " +
+        f"${results(s"bm25_discovery_mb_x$k")}%.2f × 2 + " +
+        f"${results(s"bm25_compact_pre_mb_x$k")}%.2f × 2 + " +
+        f"${results(s"bm25_doclevel2_mb_x$k")}%.2f × 3 + 2",
+        results(s"bm25_compact_read_mb_x$k") <=
+          results(s"bm25_discovery_mb_x$k") * 2.0 +
+            results(s"bm25_compact_pre_mb_x$k") * 2.0 +
+            results(s"bm25_doclevel2_mb_x$k") * 3.0 + 2.0)
+      check(f"bm25 compact x$k writes only affected buckets + doc-level: " +
+        f"${results(s"bm25_compact_write_mb_x$k")}%.2f MB <= " +
+        f"${results(s"bm25_compact_pre_mb_x$k")}%.2f × 1.5 + " +
+        f"${results(s"bm25_doclevel2_mb_x$k")}%.2f × 3 + 2",
+        results(s"bm25_compact_write_mb_x$k") <=
+          results(s"bm25_compact_pre_mb_x$k") * 1.5 +
+            results(s"bm25_doclevel2_mb_x$k") * 3.0 + 2.0)
+    }
+    check(f"bm25 compact discovery is column-pruned at scale: " +
+      f"${results(s"bm25_discovery_mb_x$scaleK")}%.2f MB < " +
+      f"${results(s"bm25_index_mb_x$scaleK")}%.2f × 0.5",
+      results(s"bm25_discovery_mb_x$scaleK") <
+        results(s"bm25_index_mb_x$scaleK") * 0.5)
     // IVFADC append/compact: partition-merge layouts — I/O bounded by
     // the AFFECTED cell partitions (pre-op bytes) at every scale, the
     // same gate shape as the probes. Compact additionally pays the

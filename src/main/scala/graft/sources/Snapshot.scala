@@ -464,7 +464,11 @@ object Snapshot {
           s"snapshot owner-fold on $base: no SparkSession"))
       heavy.foreach { case (name, c) =>
         val fresh = randomStamp()
-        val live = spark.read.parquet(s"$base/$name")
+        // list only the owned leaves (same as Manifest.read): dead
+        // generations awaiting GC are never touched by the fold scan
+        val leaves = c.owners.map(o => s"$base/$name/$GSN=${o.gsn}").distinct
+        val live = spark.read.option("basePath", s"$base/$name")
+          .parquet(leaves: _*)
           .filter(ownershipPred(c)).drop(GSN)
         stageIn(live, name, c.partCols, fresh)
         comps += name -> c.copy(owners = Seq(Owner(fresh, None, Nil)))
