@@ -735,6 +735,11 @@ object SparkEntry {
     "txt_bm25_delete" -> ((s, d) =>
       Text.bm25DeleteProbe(documents(s, d), bm25DeleteIndexBase(d))),
     "txt_gopher_gate" -> ((s, d) => Text.gopherGate(documents(s, d))),
+    // PII scan + redaction over a deterministically PII-planted twin
+    // of the corpus (the fixtures carry no natural PII, so both
+    // engines plant identical synthetic spans from doc_id — the scan
+    // then proves real positives and exact redaction extents)
+    "txt_pii_scan" -> ((s, d) => Text.piiScan(documents(s, d))),
     "rel_triangles" -> ((s, d) =>
       Graph.nationTriangles(lineitem(s, d), orders(s, d), customer(s, d),
         supplier(s, d))),
@@ -3753,6 +3758,29 @@ object SparkEntry {
         |WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
         |ORDER BY s_suppkey""".stripMargin,
     "txt_gopher_gate" -> gopherGateOracle,
+    "txt_pii_scan" ->
+      s"""WITH p AS MATERIALIZED (
+         |  SELECT doc_id, text ||
+         |    ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' from 10.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |      CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-0' ||
+         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END
+         |    AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text,
+         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(text,
+         |    '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS BIGINT) AS red_len
+         |FROM p ORDER BY doc_id""".stripMargin,
     "rel_triangles" ->
       """WITH edges AS MATERIALIZED (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
         |                 CAST(s.s_nationkey AS BIGINT) AS dst

@@ -2740,4 +2740,61 @@ object Text {
         lit("6_pass_all"), col("pass"))).as(Seq("rule", "n_docs")))
       .orderBy(col("rule"))
   }
+
+  // ---- PII detection & redaction -----------------------------------
+
+  /** The pattern set [[piiScan]] detects — deliberately restricted to
+    * constructs with IDENTICAL semantics in java.util.regex and RE2
+    * (character classes, bounded repetition, word boundaries,
+    * non-capturing groups; no lookaround, no backreferences), so the
+    * engine and the DuckDB oracle match span-for-span.
+    */
+  val piiEmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val piiIpv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val piiPhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII SCAN + REDACTION over the documents table — the compliance
+    * pass every training-data pipeline runs before a corpus ships:
+    * per-document counts of email / IPv4 / phone-shaped spans plus the
+    * post-redaction text length (all three patterns replaced by fixed
+    * tags — the length catches any engine drift in match extents or
+    * global-replace semantics, not just match counts).
+    *
+    * The fixture corpus carries no natural PII, so the scan runs over
+    * a deterministically PII-PLANTED twin: every doc gets a synthetic
+    * email, every 3rd an IPv4, every 5th a phone span, all derived
+    * from doc_id by arithmetic both engines reproduce exactly — the
+    * oracle then checks real positives, not a vacuous all-zero board.
+    *
+    * Scale shape: a pure per-row projection inside the scan (codegen'd
+    * regexps, no shuffle, no UDF) — the 100 TB cost is one map pass,
+    * exactly what a redaction sweep should be.
+    */
+  def piiScan(documents: DataFrame): DataFrame = {
+    val planted = documents.select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" from 10."), pmod(col("doc_id"), lit(256)),
+          lit(".0."), pmod(col("doc_id"), lit(100))))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" call 555-0"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0")))
+        .otherwise(lit(""))).as("text"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
+        piiIpv4Re, "<IP>"),
+      piiPhoneRe, "<PHONE>")
+    planted.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(piiEmailRe), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(col("text"), lit(piiIpv4Re), lit(0)))
+        .cast("long").as("n_ipv4"),
+      size(regexp_extract_all(col("text"), lit(piiPhoneRe), lit(0)))
+        .cast("long").as("n_phone"),
+      length(redacted).cast("long").as("red_len"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1835,6 +1835,36 @@ class OpsSpec extends SparkTestBase {
     assert(r2.getAs[Long]("n_wedges") > 0L)
   }
 
+  test("PII scan finds every planted span and redaction removes them all") {
+    import graft.ops.Text
+    val got = Text.piiScan(Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, (ne, ni, np, _)) =>
+      // every doc gets one planted email; ids divisible by 3 an IPv4,
+      // by 5 a phone span; fixture text itself carries none
+      assert(ne === 1L, s"doc $id emails: $ne")
+      assert(ni === (if (id % 3 == 0) 1L else 0L), s"doc $id ips: $ni")
+      assert(np === (if (id % 5 == 0) 1L else 0L), s"doc $id phones: $np")
+    }
+    // redaction is complete: re-scanning the redacted text finds nothing
+    val redactedClean = Tables.documents(spark, sf).select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(
+            concat(col("text"), lit(" u"), col("doc_id"),
+              lit("@x.org 1.2.3.4 call 555-0100")),
+            Text.piiEmailRe, "<EMAIL>"), Text.piiIpv4Re, "<IP>"),
+          Text.piiPhoneRe, "<PHONE>").as("text"))
+    val rescan = redactedClean
+      .select((size(regexp_extract_all(col("text"), lit(Text.piiEmailRe),
+          lit(0))) +
+        size(regexp_extract_all(col("text"), lit(Text.piiIpv4Re), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(Text.piiPhoneRe), lit(0))))
+        .cast("long").as("n"))
+      .agg(sum(col("n"))).as[Long].head
+    assert(rescan === 0L, s"redacted text still matches $rescan spans")
+  }
+
   test("gopher gate: violation counts are independent and pass is conjunctive") {
     val docs = Tables.documents(spark, sf)
     val gate = Text.gopherGate(docs).collect()
