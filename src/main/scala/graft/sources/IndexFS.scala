@@ -121,21 +121,30 @@ object IndexFS {
     fs.setTimes(p, mtime, -1)
   }
 
-  // object stores whose FileSystem.rename is a server-side copy, not
-  // an atomic metadata move — the snapshot publish's
-  // rename-refuses-to-overwrite guard is unreliable there
+  // object stores whose FileSystem.rename is a server-side copy (or a
+  // non-atomic directory move, wasb/wasbs), not an atomic metadata
+  // move — the snapshot publish's rename-refuses-to-overwrite guard is
+  // unreliable there
   private val copyRenameSchemes =
-    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift")
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs")
 
   /** True iff `path`'s filesystem implements rename as an atomic
     * metadata operation (HDFS, local, viewfs, abfs) rather than a
-    * copy (S3-family object stores). The [[Snapshot]] publish protocol
-    * checks this and fails fast / warns on copy-rename stores.
+    * copy (S3-family object stores, wasb). The [[Snapshot]] publish
+    * protocol checks this and fails fast / warns on copy-rename
+    * stores. This is an ADVISORY check: `FileSystem.getScheme` throws
+    * UnsupportedOperationException on base-class implementations, and
+    * the guard must never itself become a commit crash path — an
+    * undeterminable scheme reads as atomic (no new failure mode; the
+    * commit proceeds exactly as it did before the guard existed).
     */
   def renameIsAtomic(path: String): Boolean = {
-    val (fs, _) = resolve(path)
-    !copyRenameSchemes.contains(
-      Option(fs.getScheme).getOrElse("").toLowerCase)
+    val scheme =
+      try {
+        val (fs, _) = resolve(path)
+        Option(fs.getScheme).getOrElse("").toLowerCase
+      } catch { case _: Exception => "" }
+    !copyRenameSchemes.contains(scheme)
   }
 
   /** Overwrite `path` with `content` (UTF-8). Small control files

@@ -467,11 +467,19 @@ object Snapshot {
         // list only the owned leaves (same as Manifest.read): dead
         // generations awaiting GC are never touched by the fold scan
         val leaves = c.owners.map(o => s"$base/$name/$GSN=${o.gsn}").distinct
-        val live = spark.read.option("basePath", s"$base/$name")
-          .parquet(leaves: _*)
-          .filter(ownershipPred(c)).drop(GSN)
-        stageIn(live, name, c.partCols, fresh)
-        comps += name -> c.copy(owners = Seq(Owner(fresh, None, Nil)))
+        // a component whose live leaves hold no parquet (every owned
+        // partition was written from an empty frame — readOpt's
+        // "physically empty" case) cannot be re-read for folding:
+        // schema inference would fail an unrelated transaction's
+        // commit. Its manifest cost is all dead claims; drop them.
+        if (!leaves.exists(IndexFS.hasParquetRecursive)) comps -= name
+        else {
+          val live = spark.read.option("basePath", s"$base/$name")
+            .parquet(leaves: _*)
+            .filter(ownershipPred(c)).drop(GSN)
+          stageIn(live, name, c.partCols, fresh)
+          comps += name -> c.copy(owners = Seq(Owner(fresh, None, Nil)))
+        }
       }
     }
 
@@ -580,6 +588,29 @@ object Snapshot {
     val now = System.currentTimeMillis()
     val cutoff = now - grace
     def retireMarker(id: Long): String = s"$mdir/.retired-${manifestName(id)}"
+    def markerIds: Seq[Long] = IndexFS.listNames(mdir)
+      .filter(_.startsWith(".retired-"))
+      .flatMap(n => parseId(n.stripPrefix(".retired-")))
+    // the retirement timestamp is the marker's CONTENT (written by this
+    // writer's clock), not its filesystem mtime: on an object store
+    // whose clock is skewed against ours, a fresh marker's mtime can
+    // look arbitrarily aged and would void the grace window. Content is
+    // stamped and compared by the same writer-side clock family, so
+    // skew cannot shorten grace; an unparsable/legacy marker falls back
+    // to mtime.
+    def retiredAt(marker: String): Option[Long] =
+      IndexFS.readStringOpt(marker).flatMap(_.trim.toLongOption)
+        .orElse(IndexFS.mtimeOf(marker))
+    val kept = ids.takeRight(keepLast).toSet
+    // un-retire: a marker for an id back inside the kept window (e.g.
+    // keepLast was raised) must not carry a backdated retirement into a
+    // future pass — the next genuine retirement starts a FRESH grace;
+    // markers whose manifest is gone (crash between manifest delete and
+    // marker delete) are orphans, cleaned here too
+    markerIds.foreach { id =>
+      if (kept.contains(id) || !IndexFS.exists(s"$mdir/${manifestName(id)}"))
+        IndexFS.deleteRecursive(retireMarker(id))
+    }
     // stamp retirement the first time a manifest is observed outside
     // the kept window; delete manifest + stamp once the STAMP (not the
     // manifest's own mtime) is past grace
@@ -588,7 +619,7 @@ object Snapshot {
       if (!IndexFS.exists(marker)) IndexFS.writeString(marker, now.toString)
       // fresh clock at check time, so graceMs=0 reclaims a marker
       // written a moment ago in this same pass
-      if (IndexFS.mtimeOf(marker)
+      if (retiredAt(marker)
           .exists(_ <= System.currentTimeMillis() - grace)) {
         IndexFS.deleteRecursive(s"$mdir/${manifestName(id)}")
         IndexFS.deleteRecursive(marker)

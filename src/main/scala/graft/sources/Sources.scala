@@ -244,7 +244,16 @@ object Sources {
           System.currentTimeMillis().toString)
       }
       if (Snapshot.enabled(base)) {
-        val roots = rootParquetFiles(base)
+        // the plain write's root part-files PLUS its Hadoop bookkeeping
+        // (_SUCCESS, _common_metadata, _metadata): all of it ages out
+        // together, so the adopted directory converges to a clean
+        // manifest-only layout instead of keeping a confusing mixed
+        // shape for external plain readers
+        val roots = rootParquetFiles(base) ++
+          IndexFS.listNames(base)
+            .filter(n => n == "_SUCCESS" || n == "_common_metadata" ||
+              n == "_metadata")
+            .map(n => s"$base/$n")
         if (roots.nonEmpty) {
           val marker = s"$base/$adoptedMarker"
           // marker missing = a pre-marker adoption or a crash between

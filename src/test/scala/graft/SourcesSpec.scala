@@ -729,6 +729,97 @@ class SourcesSpec extends SparkTestBase {
     assert(markers.nonEmpty, "no retirement stamp for the retired manifest")
   }
 
+  test("snapshot GC retirement grace survives marker clock skew: a " +
+      "backdated marker MTIME (object-store skew) must not void grace") {
+    import graft.sources.{IndexFS, Snapshot}
+    val tgt = tmp("snapskew")
+    spark.conf.set("graft.snapshot.keepLast", "1")
+    try {
+      // two commits: manifest 1 falls out of the kept window and gets a
+      // retirement stamp whose CONTENT is the writer-clock timestamp
+      Sources.writeVersioned(Seq.tabulate(10)(i => (i.toLong, 1L))
+        .toDF("k", "gen"), tgt)
+      Sources.writeVersioned(Seq.tabulate(10)(i => (i.toLong, 2L))
+        .toDF("k", "gen"), tgt)
+      val mdir = new java.io.File(s"$tgt/_SNAPSHOTS")
+      val marker = mdir.listFiles.map(_.getName)
+        .find(_.startsWith(".retired-")).map(n => s"$tgt/_SNAPSHOTS/$n")
+      assert(marker.nonEmpty, "no retirement stamp written")
+      // skew: the store reports the fresh marker's mtime a day in the
+      // past. An mtime-anchored grace would reap manifest 1 right now.
+      IndexFS.setMtime(marker.get, System.currentTimeMillis() - 86400000L)
+      IndexFS.withWriterLease(tgt) { Snapshot.gc(tgt) }
+      val manifests = mdir.listFiles.map(_.getName)
+        .filter(_.matches("m\\d+")).toSeq.sorted
+      assert(manifests.size === 2,
+        s"skewed marker mtime voided the retirement grace: $manifests")
+      // content-based retirement still reclaims once genuinely aged:
+      // rewrite the marker content to a day-old writer-clock stamp
+      IndexFS.writeString(marker.get,
+        (System.currentTimeMillis() - 86400000L).toString)
+      IndexFS.withWriterLease(tgt) { Snapshot.gc(tgt) }
+      assert(mdir.listFiles.map(_.getName).count(_.matches("m\\d+")) === 1,
+        "aged retirement content was not reclaimed")
+    } finally spark.conf.unset("graft.snapshot.keepLast")
+  }
+
+  test("snapshot GC cleans stale retirement markers: ids re-entering the " +
+      "kept window un-retire, orphaned markers are removed") {
+    import graft.sources.{IndexFS, Snapshot}
+    val tgt = tmp("snapunretire")
+    spark.conf.set("graft.snapshot.keepLast", "1")
+    try {
+      (1 to 3).foreach { g =>
+        Sources.writeVersioned(Seq.tabulate(10)(i => (i.toLong, g.toLong))
+          .toDF("k", "gen"), tgt)
+      }
+      val mdir = new java.io.File(s"$tgt/_SNAPSHOTS")
+      assert(mdir.listFiles.map(_.getName).count(_.startsWith(".retired-")) > 0)
+      // keepLast raised: previously-retired manifests are back in the
+      // kept window; their stale markers must go, or a future genuine
+      // retirement would inherit a backdated stamp and skip grace
+      spark.conf.set("graft.snapshot.keepLast", "5")
+      IndexFS.withWriterLease(tgt) { Snapshot.gc(tgt) }
+      assert(mdir.listFiles.map(_.getName).count(_.startsWith(".retired-")) === 0,
+        "stale markers survived re-entry into the kept window")
+      // orphan: a marker whose manifest is gone (crash between manifest
+      // delete and marker delete) is cleaned on the next pass
+      IndexFS.writeString(s"$tgt/_SNAPSHOTS/.retired-m000000000099",
+        System.currentTimeMillis().toString)
+      IndexFS.withWriterLease(tgt) { Snapshot.gc(tgt) }
+      assert(!IndexFS.exists(s"$tgt/_SNAPSHOTS/.retired-m000000000099"),
+        "orphaned retirement marker not cleaned")
+    } finally spark.conf.unset("graft.snapshot.keepLast")
+  }
+
+  test("owner fold skips physically-empty components instead of failing " +
+      "the commit on schema inference") {
+    import graft.sources.{IndexFS, Snapshot}
+    val tgt = tmp("snapfoldempty")
+    spark.conf.set("graft.snapshot.foldOwnerTuples", "4")
+    try {
+      IndexFS.withWriterLease(tgt) {
+        // many txns claiming tuples for a component written from EMPTY
+        // frames: directories exist, zero parquet files — over the fold
+        // threshold, a fold read would throw schema inference errors
+        (1 to 6).foreach { s =>
+          val txn = Snapshot.begin(tgt)
+          val seg = f"seg$s%03d"
+          val empty = Seq.empty[(Long, String)].toDF("v", "seg")
+            .filter(lit(false))
+          txn.writeParts(empty, "emptycomp", Seq("seg"), Seq(Seq(seg)))
+          // an unrelated healthy component in the same layout — ITS
+          // commit must not be poisoned by the empty one
+          txn.writeFull(Seq((s.toLong, seg)).toDF("v", "seg"), "healthy")
+          txn.commit()
+        }
+      }
+      val snap = Snapshot.require(tgt)
+      assert(snap.readOpt(spark, "emptycomp").isEmpty)
+      assert(snap.read(spark, "healthy").count() === 1L)
+    } finally spark.conf.unset("graft.snapshot.foldOwnerTuples")
+  }
+
   test("owner fold bounds manifest growth: 50 append transactions stay " +
       "under a fixed manifest size with result-identical reads") {
     import graft.sources.{IndexFS, Snapshot}
@@ -817,6 +908,10 @@ class SourcesSpec extends SparkTestBase {
       System.currentTimeMillis() - 86400000L)
     Sources.upsert(spark, base, Seq((4L, "d")).toDF("k", "v"), "k")
     assert(rootFiles.isEmpty, "aged root part-files were not reclaimed")
+    // the plain write's bookkeeping ages out with its part-files — the
+    // adopted directory converges to a clean manifest-only layout
+    assert(!IndexFS.exists(s"$base/_SUCCESS"),
+      "plain write's _SUCCESS lingered past the adoption grace")
     assert(Sources.readVersioned(spark, base).count() === 4L)
   }
 
