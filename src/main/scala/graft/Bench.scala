@@ -145,6 +145,31 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // NOISE INDEX: the box this bench runs on drifts ±30% on an hour
+    // scale (round 9's 167→230 s swing was adjudicated as environment,
+    // not code), so every record carries its own weather report — a
+    // pinned CONTROL set of queries untouched since round 1, run FIRST
+    // (min over 3 passes after a warm pass), expressed as the ratio to
+    // their committed round-1 seconds. A record whose noise index is
+    // ~1.3 explains a 1.3× board without blaming the code; a real
+    // regression moves the board WITHOUT moving the controls.
+    val r01 = readR01()
+    val noiseIndex: Option[(Int, Double, Double)] =
+      if (subset.nonEmpty || !sfDir.endsWith("sf0.1") ||
+          !controlSet.forall(n => names.contains(n) && r01.contains(n))) None
+      else {
+        controlSet.foreach(runOnce) // warm (JIT + codegen + page cache)
+        val passes = (0 until 3).map(_ =>
+          controlSet.map(n => n -> runOnce(n)).toMap)
+        val mins = controlSet.map(n => n -> passes.map(_(n)).min).toMap
+        val r01Sec = controlSet.map(r01).sum
+        val nowSec = controlSet.map(mins).sum
+        System.err.println(
+          f"[bench] noise index: control now=$nowSec%.3f s vs r01=" +
+            f"$r01Sec%.3f s -> ${nowSec / r01Sec}%.2fx")
+        Some((controlSet.size, r01Sec, nowSec))
+      }
+
     // warmup: full pass, untimed. The pass doubles as the ARM CAPTURE
     // point: folded entries deposit their per-arm frames as they are
     // constructed (SparkEntry.armCapture), so the record run can time
@@ -211,14 +236,41 @@ object Bench {
         }
       }
       writeFull(results, sfDir, CodegenWatch.distinctHits,
-        suspects.map(n => (n, measured.toMap.apply(n), reruns(n))), armTimes)
+        suspects.map(n => (n, measured.toMap.apply(n), reruns(n))), armTimes,
+        noiseIndex = noiseIndex,
+        merge = sys.env.get("SPARK_GRAFT_BENCH_MERGE").contains("1"))
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries (record not written): " +
         failed.mkString(", "))
-    println(renderLine(results, sfDir, CodegenWatch.distinctHits.size))
+    println(renderLine(results, sfDir, CodegenWatch.distinctHits.size,
+      noiseIndex))
     spark.stop()
   }
+
+  /** The pinned noise-index control set: queries UNTOUCHED since the
+    * round-1 record (same name, same operator code path), spanning the
+    * engine's main cost classes — hash-groupBy dedup, join+agg,
+    * broadcast top-k, and a text map pass. Their ratio-to-r01 is the record's
+    * environment weather report; do not rename or re-shape these
+    * queries without re-pinning the set.
+    */
+  val controlSet: Seq[String] = Seq("dedup_exact", "rel_pricing_summary",
+    "rel_revenue_by_region", "sim_cosine_topk", "txt_langid")
+
+  /** Per-query seconds of the committed ROUND-1 record (the values ride
+    * inside its escaped "tail" string). Empty map when absent.
+    */
+  def readR01(): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BENCH_r01.json"))
+      val entry = """"([A-Za-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r
+      entry.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filterNot { case (k, _) => Set("n", "rc", "cpus", "sf", "value")(k) }
+        .toMap
+    } catch { case _: Throwable => Map.empty }
 
   /** Prior-round per-query seconds for the outlier defense: the
     * committed bench_full.json (or SPARK_GRAFT_BENCH_REF). Missing or
@@ -239,15 +291,61 @@ object Bench {
   /** All per-query minimums → bench_full.json in the repo root (or
     * SPARK_GRAFT_BENCH_FULL when set), plus any codegen-fallback
     * messages the watcher caught (distinct, truncated).
+    *
+    * `merge = true` (SPARK_GRAFT_BENCH_MERGE=1) makes the COMMITTED
+    * record a min-per-query across runs: the existing same-SF record's
+    * values floor the new ones, `_runs` counts the merged runs, and
+    * `_noise_index` keeps the quietest run's reading. This is the
+    * round-10 noise procedure (BENCH_NOTES.md): one fresh run, then
+    * ≥1 merge run — a single run's ±30% box drift can no longer be
+    * the committed number. Merge is opt-in, never default: the env
+    * flag asserts "same code as the existing record" (min across
+    * DIFFERENT code versions would keep a deleted optimization's
+    * number alive).
     */
   def writeFull(results: Seq[(String, Double)], sfDir: String,
                 fallbacks: Seq[String] = Nil,
                 reruns: Seq[(String, Double, Double)] = Nil,
                 arms: Seq[(String, Seq[(String, Double)])] = Nil,
-                pathOverride: Option[String] = None): Unit = {
+                pathOverride: Option[String] = None,
+                noiseIndex: Option[(Int, Double, Double)] = None,
+                merge: Boolean = false): Unit = {
     val path = pathOverride.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
-    val qs = results.sortBy(_._1)
+    // prior same-SF record for the merge: per-query values keyed by the
+    // NEW result names only (the regex also matches nested arm tags,
+    // which never collide with query names), plus its run count and
+    // noise index
+    val prior: Option[String] =
+      if (!merge) None
+      else try Some(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path))) catch { case _: Throwable => None }
+    val priorOk = prior.exists(_.contains("\"_sf\": \"" + sfDir + "\""))
+    val priorVals: Map[String, Double] =
+      if (!priorOk) Map.empty
+      else {
+        val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
+        val names = results.map(_._1).toSet
+        entry.findAllMatchIn(prior.get)
+          .filter(m => names.contains(m.group(1)))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    val priorRuns: Int =
+      if (!priorOk) 0
+      else """"_runs": (\d+)""".r.findFirstMatchIn(prior.get)
+        .map(_.group(1).toInt).getOrElse(1)
+    val priorNoise: Option[(Int, Double, Double)] =
+      if (!priorOk) None
+      else ("""_noise_index": \{"n": (\d+), "r01_sec": ([0-9.]+), """ +
+          """"now_sec": ([0-9.]+)""").r.findFirstMatchIn(prior.get)
+        .map(m => (m.group(1).toInt, m.group(2).toDouble, m.group(3).toDouble))
+    val merged = results.map { case (k, v) =>
+      k -> math.min(v, priorVals.getOrElse(k, v)) }
+    val mergedNoise = (noiseIndex, priorNoise) match {
+      case (Some(a), Some(b)) => Some(if (a._3 <= b._3) a else b)
+      case (a, b) => a.orElse(b)
+    }
+    val qs = merged.sortBy(_._1)
       .map { case (k, v) => "  \"" + k + "\": " + f"$v%.3f" }
       .mkString("{\n", ",\n", ",\n")
     def esc(s: String): String =
@@ -261,7 +359,11 @@ object Bench {
       "\"" + n + "\": {" + ts.map { case (tag, v) =>
         "\"" + tag + "\": " + f"$v%.3f" }.mkString(", ") + "}"
     }.mkString("{", ", ", "}")
-    val tail = s"""  "_total": ${f"${results.map(_._2).sum}%.3f"},
+    val ni = mergedNoise.map { case (n, r01s, nows) =>
+      f"""  "_noise_index": {"n": $n, "r01_sec": $r01s%.3f, "now_sec": $nows%.3f, "ratio": ${nows / r01s}%.3f},\n"""
+    }.getOrElse("")
+    val tail = s"""  "_total": ${f"${merged.map(_._2).sum}%.3f"},
+                  |$ni  "_runs": ${priorRuns + 1},
                   |  "_codegen_fallbacks": $fb,
                   |  "_reruns": $rr,
                   |  "_arms": $am,
@@ -278,14 +380,17 @@ object Bench {
     * stayed compiled; details in bench_full.json).
     */
   def renderLine(results: Seq[(String, Double)], sfDir: String,
-                 nFallbacks: Int = 0): String = {
+                 nFallbacks: Int = 0,
+                 noiseIndex: Option[(Int, Double, Double)] = None): String = {
     val headline = results.sortBy(-_._2).take(12).sortBy(_._1)
     def r(v: Double): String = f"$v%.3f"
     val qs = headline.map { case (k, v) => "\"" + k + "\":" + r(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val common = r01Common(results)
-    s"""{"metric":"total","value":${r(total)},"unit":"sec","n_queries":${results.size},"codegen_fallbacks":$nFallbacks,$common"queries":$qs,"sf":"$sfDir"}"""
+    val ni = noiseIndex.map { case (_, r01s, nows) =>
+      s""""noise_index":${r(nows / r01s)},""" }.getOrElse("")
+    s"""{"metric":"total","value":${r(total)},"unit":"sec","n_queries":${results.size},"codegen_fallbacks":$nFallbacks,$ni$common"queries":$qs,"sf":"$sfDir"}"""
   }
 
   /** Apples-to-apples drift metric against the ROUND-1 record: the
@@ -298,15 +403,7 @@ object Bench {
     */
   def r01Common(results: Seq[(String, Double)]): String = {
     try {
-      val txt = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("BENCH_r01.json"))
-      // the r01 record keeps its per-query map inside an ESCAPED json
-      // string ("tail"), so quotes appear as \" — accept both forms
-      val entry = """"([A-Za-z0-9_]+)\\?":([0-9]+\.[0-9]+)""".r
-      val r01 = entry.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .filterNot { case (k, _) => Set("n", "rc", "cpus", "sf", "value")(k) }
-        .toMap
+      val r01 = readR01()
       val now = results.toMap
       val common = r01.keySet.intersect(now.keySet)
       // comparable only for FULL-board runs (a bench-subset run misses

@@ -571,14 +571,22 @@ object PlanAudit {
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
     // stored near-dup probe: the history side is the persisted band
-    // index (no re-minhash of the history corpus — the only native
-    // signature computation left is the batch side), candidates stay
-    // an equi-join
+    // index (no re-minhash of the history corpus), candidates stay an
+    // equi-join, and since the v3 bucketed layout the batch's band
+    // keys are signed ONCE into a checkpoint that feeds both the
+    // partition-pruning IN-list collect and the candidate join (the
+    // signature pipeline would otherwise run per consumer), with the
+    // postings/shingle scans pruned to the batch's own buckets
     audit("dedup_incr_stored")(
       ("history bands read from the persisted index",
         p => p.contains("graft_neardup_index")),
-      ("batch signatures via the native minhash_sig expression",
-        _.contains("minhash_sig")),
+      // the bands scan itself executes at CONSTRUCTION time (inside the
+      // candidate checkpoint) so its kb-bucket IN-list never prints in
+      // the final plan — its pruning is byte-gated in graft.WeakScale
+      ("candidates ride their one-pass checkpoint",
+        _.contains("Scan ExistingRDD")),
+      ("shingle sidecar pruned to the candidates' doc buckets",
+        p => p.contains("db#") && p.contains(" IN (")),
       ("no cartesian/BNL pair enumeration", p =>
         !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")))

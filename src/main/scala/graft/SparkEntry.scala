@@ -23,9 +23,6 @@ object SparkEntry {
     */
   val zipText: String =
     "alpha\n\nbeta\ngamma\n   \ndelta\nepsilon\nzeta\n\neta\ntheta"
-  /** The same input as a DuckDB e'' literal (escapes handled by Verify). */
-  val zipTextSql: String =
-    "e'alpha\\n\\nbeta\\ngamma\\n   \\ndelta\\nepsilon\\nzeta\\n\\neta\\ntheta'"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Broadcast-constant bulk update (the reference's main path): scan →
@@ -42,13 +39,6 @@ object SparkEntry {
     * as they were. `cols` is (name, sparkType) over the union; an arm
     * contributes the columns it owns and NULLs for the rest.
     */
-  /** Missing TIMESTAMP columns pad with this sentinel epoch instead of
-    * NULL: a NULL timestamp surfaces as numpy NaT in pandas-based
-    * compares, and NaT != NaT — a hash checker may count the pad
-    * itself as a mismatch. The sentinel is identical on both sides.
-    */
-  private val tsPad = "1900-01-01 00:00:00"
-
   /** When set (thread-local), [[foldedQuery]] deposits each arm's
     * tagged frame here as the fold is CONSTRUCTED — the bench's
     * per-arm visibility hook: a ≥3-arm fold's total time hides an
@@ -65,7 +55,7 @@ object SparkEntry {
       val own = df.columns.toSet
       df.select(lit(tag).as("variant") +: cols.map { case (c, t) =>
         if (own(c)) col(c)
-        else if (t == "timestamp") lit(tsPad).cast("timestamp").as(c)
+        else if (t == "timestamp") lit(oracles.Kit.tsPad).cast("timestamp").as(c)
         else lit(null).cast(t).as(c)
       }: _*)
     }
@@ -74,30 +64,6 @@ object SparkEntry {
     frames.reduce(_.unionByName(_))
       .orderBy(col("variant") +: cols.map(p => col(p._1)): _*)
   }
-
-  private def duckType(sparkType: String): String = sparkType match {
-    case "long"      => "BIGINT"
-    case "double"    => "DOUBLE"
-    case "string"    => "VARCHAR"
-    case "boolean"   => "BOOLEAN"
-    case "timestamp" => "TIMESTAMP"
-    case "int"       => "INTEGER"
-  }
-
-  /** Oracle twin of [[foldedQuery]]: tagged UNION ALL over the arms'
-    * SELECTs, NULL-padded to the same column union. Each arm lists the
-    * columns its SELECT yields.
-    */
-  private def foldedOracle(cols: Seq[(String, String)],
-                           arms: (String, Seq[String], String)*): String =
-    arms.map { case (tag, own, sql) =>
-      val proj = cols.map { case (c, t) =>
-        if (own.contains(c)) s""""$c""""
-        else if (t == "timestamp") s"""TIMESTAMP '$tsPad' AS "$c""""
-        else s"""CAST(NULL AS ${duckType(t)}) AS "$c""""
-      }.mkString(", ")
-      s"SELECT '$tag' AS variant, $proj FROM (\n$sql\n) q_$tag"
-    }.mkString("\nUNION ALL\n")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference core: bulk update (SURVEY §2.1) ----
@@ -557,7 +523,7 @@ object SparkEntry {
     }),
     "txt_repetition" -> ((s, d) => Text.repetitionStats(documents(s, d))),
     "txt_mixture_sample" -> ((s, d) =>
-      Text.mixtureSample(documents(s, d), mixtureRates)),
+      Text.mixtureSample(documents(s, d), oracles.Kit.mixtureRates)),
     "txt_novel_bigrams" -> ((s, d) => Text.novelBigrams(documents(s, d))),
     "txt_quota_sample" -> ((s, d) => Text.quotaSample(documents(s, d))),
     "rel_concomp" -> ((s, d) =>
@@ -663,6 +629,13 @@ object SparkEntry {
     // full-corpus training). Compaction equivalence is spec-proven.
     "sim_ivfpq_delete" -> ((s, d) =>
       Similarity.ivfpqDeleteProbe(embeddings(s, d), ivfpqDeleteIndexBase(d), 8, 5)),
+    // streaming-ingestion analog: three fixed vector batches replay
+    // through the production append (pristine base restored per run),
+    // the production probe serves after each — one tagged result block
+    // per ingest step, the ANN twin of dedup_admit
+    "sim_ivfpq_admit" -> ((s, d) =>
+      Similarity.ivfpqAdmitProbe(embeddings(s, d), ivfpqAdmitIndexBase(d),
+        3, 8, 5)),
     "txt_span_cut" -> ((s, d) => Text.spanCut(documents(s, d))),
     "txt_hybrid_rrf" -> ((s, d) => Text.hybridRrf(documents(s, d))),
     // hybrid retrieval over the STANDING indexes: lexical arm from the
@@ -783,6 +756,10 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_dedup_admit/" +
       new java.io.File(sfDir).getName
 
+  private def ivfpqAdmitIndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_admit/" +
+      new java.io.File(sfDir).getName
+
   private def bm25IndexBase(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_bm25_index/" +
       new java.io.File(sfDir).getName
@@ -831,3948 +808,14 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_merge_sink/" +
       new java.io.File(sfDir).getName
 
-  /** Target mixture for txt_mixture_sample (basis-point keep rates):
-    * boost English, downsample Chinese, default 10% elsewhere. The
-    * oracle CASE is generated from this same map.
-    */
-  private val mixtureRates: Map[String, Int] = Map("en" -> 2500, "zh" -> 500)
-
-  /** xtr_bloom_prune oracle, generated from the same (a,b)/P/m bloom
-    * constants the Spark operator uses — DuckDB rebuilds the identical
-    * 16-lane bit array and reproduces the filter's exact false positives.
-    */
-  private def bloomPruneOracle: String = {
-    val pos = ops.Bloom.bloomAB.map { case (a, b) =>
-      s"(($a * v + $b) % ${ops.Bloom.P}) % ${ops.Bloom.numBits}"
-    }
-    val bpl = ops.Bloom.bitsPerLane
-    val checks = pos.map { p =>
-      s"(bl[CAST(($p) // $bpl AS INT) + 1] & (1::BIGINT << CAST(($p) % $bpl AS INT))) <> 0"
-    }.mkString("\n        |          AND ")
-    s"""WITH keys AS (SELECT DISTINCT c_custkey FROM customer WHERE c_nationkey = 7),
-        |hv AS (SELECT DISTINCT ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS v
-        |       FROM keys),
-        |hs AS (SELECT unnest([${pos.mkString(", ")}]) AS h FROM hv),
-        |lanebits AS (SELECT CAST(h // $bpl AS INT) AS lane,
-        |               bit_or(1::BIGINT << CAST(h % $bpl AS INT)) AS bits
-        |             FROM hs GROUP BY 1),
-        |full_lanes AS (SELECT CAST(i AS INT) AS lane, coalesce(b.bits, 0::BIGINT) AS bits
-        |               FROM range(0, ${ops.Bloom.numLanes}) t(i)
-        |               LEFT JOIN lanebits b ON b.lane = CAST(i AS INT)),
-        |filt AS (SELECT list(bits ORDER BY lane) AS bl FROM full_lanes),
-        |probe AS (SELECT o_custkey,
-        |            ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS v
-        |          FROM orders),
-        |chk AS (SELECT o_custkey,
-        |          ${checks} AS pass_bloom
-        |        FROM probe CROSS JOIN filt),
-        |q AS (SELECT o_custkey, pass_bloom,
-        |        o_custkey IN (SELECT c_custkey FROM keys) AS is_member FROM chk)
-        |SELECT count(*) AS n_rows,
-        |  count(CASE WHEN pass_bloom THEN 1 END) AS n_pass_bloom,
-        |  count(CASE WHEN is_member THEN 1 END) AS n_members,
-        |  count(CASE WHEN pass_bloom AND NOT is_member THEN 1 END) AS n_false_pos
-        |FROM q""".stripMargin
-  }
-
-  /** xtr_cms_topk oracle: the count-min counter matrix and point
-    * estimates rebuilt from the same (a,b)/P/width constants.
-    */
-  private def cmsOracle: String = {
-    import ops.CountMin.{cmAB, P, width}
-    val rows = cmAB.zipWithIndex.map { case ((a, b), j) =>
-      s"SELECT $j AS row, (($a * v + $b) % $P) % $width AS col FROM v"
-    }.mkString("\n        |  UNION ALL ")
-    val ests = cmAB.zipWithIndex.map { case ((a, b), j) =>
-      s"""coalesce((SELECT n FROM counters c
-          |      WHERE c.row = $j AND c.col = (($a * e.v + $b) % $P) % $width), 0::BIGINT)"""
-        .stripMargin
-    }.mkString(",\n        |    ")
-    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-        |v AS (SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT AS v FROM tok),
-        |bkt AS (
-        |  $rows),
-        |counters AS (SELECT row, col, count(*) AS n FROM bkt GROUP BY 1, 2),
-        |exact AS (SELECT token, count(*) AS exact_n FROM tok GROUP BY token
-        |          ORDER BY exact_n DESC, token LIMIT 20),
-        |e AS (SELECT token, exact_n,
-        |        ('0x' || substr(md5(token), 1, 8))::BIGINT AS v FROM exact),
-        |est AS (SELECT token, exact_n, least(
-        |    $ests) AS est_n FROM e)
-        |SELECT token, exact_n, est_n, est_n - exact_n AS overcount
-        |FROM est ORDER BY exact_n DESC, token""".stripMargin
-  }
-
-  /** Shared winnowing CTE chain (positional gram hashes → window min →
-    * distinct selected fingerprints) behind txt_winnow and
-    * txt_winnow_pairs. DuckDB pos is 1-based (generate_series), Spark's
-    * posexplode is 0-based; the full-window bound differs accordingly
-    * (pos <= ng - win + 1 here vs pos <= ng - win there).
-    */
-  private def winnowCte(w: Int = 3, win: Int = 4): String =
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
-        |g0 AS (SELECT doc_id, unnest(generate_series(1, len(ls) - ${w - 1})) AS pos, ls
-        |       FROM tok WHERE len(ls) >= $w),
-        |g AS (SELECT doc_id, pos,
-        |        ('0x' || substr(md5(${(0 until w).map(o => s"ls[pos + $o]").mkString(" || ' ' || ")}), 1, 15))::BIGINT AS h
-        |      FROM g0),
-        |win AS (SELECT doc_id, pos,
-        |          min(h) OVER (PARTITION BY doc_id ORDER BY pos
-        |                       ROWS BETWEEN CURRENT ROW AND ${win - 1} FOLLOWING) AS wmin,
-        |          count(*) OVER (PARTITION BY doc_id) AS ng
-        |        FROM g),
-        |sel AS (SELECT DISTINCT doc_id, wmin AS fp FROM win
-        |        WHERE pos <= ng - ${win - 1})""".stripMargin
-
-  /** xtr_zorder_key oracle: the builtin-twin bit-interleave expanded to
-    * DuckDB SQL (generated from the same bit width as the native
-    * expression).
-    */
-  private def zorderOracle: String = {
-    val z = functions.ZOrderKey.zorderSqlDuckDb("l_partkey", "l_suppkey")
-    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        |  CAST($z AS BIGINT) AS z_key
-        |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
-  }
-
-  /** dedup_minhash oracle, generated from the same (a,b)/P/band
-    * constants the Spark operator uses.
-    */
-  /** Shared near-dup clustering CTE chain (shingles → blocked Jaccard
-    * pairs → recursive connected components → canon) — the oracle body
-    * behind BOTH dedup_cluster and dedup_apply.
-    */
-  private val clusterCte: String =
-    """WITH RECURSIVE
-      |tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),
-      |sh AS MATERIALIZED (SELECT doc_id, lang, len(ls) AS ntok,
-      |         list_distinct(list_transform(
-      |           list_distinct(list_transform(generate_series(1, len(ls) - 2),
-      |             i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])),
-      |           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs FROM tok),
-      |d AS MATERIALIZED (SELECT doc_id,
-      |        lang || '#' || CAST(CAST(floor(ntok / 20) AS BIGINT) AS VARCHAR) AS bucket, hs
-      |      FROM sh WHERE len(hs) > 0),
-      |pairs AS MATERIALIZED (SELECT a.doc_id AS doc1, b.doc_id AS doc2
-      |          FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |          WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
-      |              len(list_distinct(list_concat(a.hs, b.hs))) >= 0.3),
-      |edges AS MATERIALIZED (SELECT doc1 AS src, doc2 AS dst FROM pairs
-      |          UNION SELECT doc2, doc1 FROM pairs),
-      |reach(id, lab) AS (SELECT src, src FROM edges
-      |          UNION SELECT e.src, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
-      |canon AS (SELECT id, min(lab) AS canon_id FROM reach GROUP BY id)""".stripMargin
-
-  private def minhashOracle: String = {
-    val sigExprs = Dedup.minhashAB.zipWithIndex.map { case ((a, b), i) =>
-      s"list_min(list_transform(vs, v -> ($a * v + $b) % ${Dedup.P})) AS sig_$i"
-    }.mkString(",\n  ")
-    val bandKeys = (0 until Dedup.numBands).map { j =>
-      (0 until Dedup.rowsPerBand)
-        .map(r => s"CAST(sig_${j * Dedup.rowsPerBand + r} AS VARCHAR)")
-        .mkString(" || ',' || ")
-    }
-    val bandList = bandKeys.mkString("[", ",\n    ", "]")
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
-       |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ls) - 2),
-       |         i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS ss FROM tok),
-       |sh2 AS (SELECT doc_id, ss FROM sh WHERE len(ss) > 0),
-       |v AS (SELECT doc_id, list_transform(ss, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS vs FROM sh2),
-       |sig AS (SELECT doc_id, $sigExprs FROM v),
-       |band AS (SELECT doc_id, unnest($bandList) AS band_key,
-       |         generate_subscripts($bandList, 1) AS band_idx FROM sig),
-       |cand AS (SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
-       |         FROM band x JOIN band y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       |              AND x.doc_id < y.doc_id),
-       |hsd AS (SELECT doc_id, list_distinct(list_transform(ss,
-       |          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs FROM sh2),
-       |j AS (SELECT doc1, doc2,
-       |        CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
-       |          len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
-       |      FROM cand JOIN hsd a ON a.doc_id = cand.doc1 JOIN hsd b ON b.doc_id = cand.doc2)
-       |SELECT doc1, doc2, jaccard, jaccard >= 0.8 AS is_near_dup FROM j
-       |ORDER BY doc1, doc2""".stripMargin
-  }
-
-  /** Per-side MinHash CTE chain (tokenize → distinct shingles → sig →
-    * bands → 60-bit hash sets), prefixed so the incremental oracle can
-    * instantiate it for batch and history independently.
-    */
-  private def minhashSideCtes(prefix: String, src: String): String = {
-    val sigExprs = Dedup.minhashAB.zipWithIndex.map { case ((a, b), i) =>
-      s"list_min(list_transform(vs, v -> ($a * v + $b) % ${Dedup.P})) AS sig_$i"
-    }.mkString(",\n  ")
-    val bandKeys = (0 until Dedup.numBands).map { j =>
-      (0 until Dedup.rowsPerBand)
-        .map(r => s"CAST(sig_${j * Dedup.rowsPerBand + r} AS VARCHAR)")
-        .mkString(" || ',' || ")
-    }
-    val bandList = bandKeys.mkString("[", ",\n    ", "]")
-    s"""${prefix}tok AS (SELECT doc_id, string_split(text, ' ') AS ls FROM $src),
-       |${prefix}sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ls) - 2),
-       |         i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS ss FROM ${prefix}tok),
-       |${prefix}sh2 AS MATERIALIZED (SELECT doc_id, ss FROM ${prefix}sh WHERE len(ss) > 0),
-       |${prefix}v AS (SELECT doc_id, list_transform(ss, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS vs FROM ${prefix}sh2),
-       |${prefix}sig AS (SELECT doc_id, $sigExprs FROM ${prefix}v),
-       |${prefix}band AS MATERIALIZED (SELECT doc_id, unnest($bandList) AS band_key,
-       |         generate_subscripts($bandList, 1) AS band_idx FROM ${prefix}sig),
-       |${prefix}hsd AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(ss,
-       |          s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs FROM ${prefix}sh2)"""
-      .stripMargin
-  }
-
-  /** dedup_incr_near oracle: train/rest split, per-side MinHash bands,
-    * batch×history candidate join, exact Jaccard ≥ threshold verdict
-    * folded per batch doc.
-    */
-  private def incrNearOracle(threshold: Double): String =
-    s"""WITH sp AS MATERIALIZED (SELECT doc_id, text,
-       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
-       |         THEN 'train' ELSE 'rest' END AS split
-       |  FROM documents),
-       |bt AS MATERIALIZED (SELECT doc_id, text FROM sp WHERE split <> 'train'),
-       |ht AS MATERIALIZED (SELECT doc_id, text FROM sp WHERE split = 'train'),
-       |${minhashSideCtes("b_", "bt")},
-       |${minhashSideCtes("h_", "ht")},
-       |cand AS (SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
-       |  FROM b_band b JOIN h_band h
-       |    ON b.band_idx = h.band_idx AND b.band_key = h.band_key),
-       |j AS (SELECT batch_id, hist_id,
-       |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
-       |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
-       |  FROM cand JOIN b_hsd a ON a.doc_id = cand.batch_id
-       |            JOIN h_hsd b ON b.doc_id = cand.hist_id),
-       |p AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_cands,
-       |    CAST(count(CASE WHEN jaccard >= $threshold THEN 1 END) AS BIGINT) AS n_dups,
-       |    min(CASE WHEN jaccard >= $threshold THEN hist_id END) AS dup_of0
-       |  FROM j GROUP BY batch_id)
-       |SELECT d.doc_id, coalesce(p.n_cands, 0) AS n_cands,
-       |  coalesce(p.n_dups, 0) AS n_dups,
-       |  CAST(coalesce(p.dup_of0, -1) AS BIGINT) AS dup_of,
-       |  coalesce(p.n_dups, 0) > 0 AS is_dup
-       |FROM bt d LEFT JOIN p ON d.doc_id = p.batch_id
-       |ORDER BY d.doc_id""".stripMargin
-
-  /** dedup_admit oracle: the admission gate's sequential replay,
-    * unrolled — batch k's documents band-join against history_k
-    * (train ∪ admitted batches < k), exact-Jaccard verdicts, and the
-    * per-doc delta-layout census the engine reads back from its
-    * snapshot (an admitted doc with shingles contributes exactly
-    * numBands band rows and |distinct shingle hashes| shingle rows;
-    * everything else contributes zero).
-    */
-  private def dedupAdmitOracle(nBatches: Int, threshold: Double): String = {
-    val rounds = (0 until nBatches).map { k =>
-      val ht = s"ht$k"; val bt = s"bt$k"
-      val nextHt =
-        s"""ht${k + 1} AS MATERIALIZED (SELECT * FROM $ht UNION ALL
-           |  SELECT d.doc_id, d.text FROM $bt d
-           |  JOIN v$k ON d.doc_id = v$k.doc_id AND v$k.admitted)""".stripMargin
-      s"""$bt AS MATERIALIZED (SELECT doc_id, text FROM rst WHERE batch = $k),
-         |${minhashSideCtes(s"q${k}_", bt)},
-         |${minhashSideCtes(s"g${k}_", ht)},
-         |c$k AS (SELECT DISTINCT b.doc_id AS batch_id, h.doc_id AS hist_id
-         |  FROM q${k}_band b JOIN g${k}_band h
-         |    ON b.band_idx = h.band_idx AND b.band_key = h.band_key),
-         |j$k AS (SELECT batch_id, hist_id,
-         |    CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
-         |      (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) AS jaccard
-         |  FROM c$k JOIN q${k}_hsd a ON a.doc_id = c$k.batch_id
-         |           JOIN g${k}_hsd b ON b.doc_id = c$k.hist_id),
-         |p$k AS (SELECT batch_id, CAST(count(*) AS BIGINT) AS n_cands,
-         |    CAST(count(CASE WHEN jaccard >= $threshold THEN 1 END) AS BIGINT) AS n_dups,
-         |    min(CASE WHEN jaccard >= $threshold THEN hist_id END) AS dup_of0
-         |  FROM j$k GROUP BY batch_id),
-         |v$k AS MATERIALIZED (SELECT d.doc_id, CAST($k AS BIGINT) AS batch,
-         |    coalesce(p.n_cands, 0) AS n_cands,
-         |    coalesce(p.n_dups, 0) AS n_dups,
-         |    CAST(coalesce(p.dup_of0, -1) AS BIGINT) AS dup_of,
-         |    coalesce(p.n_dups, 0) = 0 AS admitted,
-         |    CAST(coalesce(len(hh.hs), 0) AS BIGINT) AS hs_len
-         |  FROM $bt d LEFT JOIN p$k p ON d.doc_id = p.batch_id
-         |             LEFT JOIN q${k}_hsd hh ON d.doc_id = hh.doc_id)""".stripMargin +
-        (if (k < nBatches - 1) s",\n$nextHt" else "")
-    }.mkString(",\n")
-    s"""WITH sp AS MATERIALIZED (SELECT doc_id, text,
-       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
-       |         THEN 'train' ELSE 'rest' END AS split
-       |  FROM documents),
-       |ht0 AS MATERIALIZED (SELECT doc_id, text FROM sp WHERE split = 'train'),
-       |rst AS MATERIALIZED (SELECT doc_id, text,
-       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $nBatches AS batch
-       |  FROM sp WHERE split <> 'train'),
-       |$rounds
-       |SELECT doc_id, batch, admitted, n_cands, n_dups, dup_of,
-       |  CASE WHEN admitted AND hs_len > 0
-       |       THEN CAST(${Dedup.numBands} AS BIGINT) ELSE 0 END AS idx_bands,
-       |  CASE WHEN admitted THEN hs_len ELSE 0 END AS idx_shingles
-       |FROM (${(0 until nBatches).map(k => s"SELECT * FROM v$k")
-           .mkString(" UNION ALL ")}) allv
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** dedup_index_build oracle: the band census of the train split's
-    * minhash bands (oracle band_idx is 1-based generate_subscripts —
-    * shifted to the engine's 0-based posexplode).
-    */
-  private def dedupIndexBuildOracle: String =
-    s"""WITH sp AS MATERIALIZED (SELECT doc_id, text,
-       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80
-       |         THEN 'train' ELSE 'rest' END AS split
-       |  FROM documents),
-       |ht AS MATERIALIZED (SELECT doc_id, text FROM sp WHERE split = 'train'),
-       |${minhashSideCtes("h_", "ht")}
-       |SELECT CAST(band_idx - 1 AS BIGINT) AS band_idx,
-       |  CAST(count(*) AS BIGINT) AS n_postings,
-       |  CAST(count(DISTINCT band_key) AS BIGINT) AS n_keys
-       |FROM h_band GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** dedup_simhash oracle: 32 conditional bit sums + reassembly. */
-  private def simhashOracle: String = {
-    val bitSums = (0 until 32).map(b =>
-      s"sum(CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS bit_$b").mkString(",\n  ")
-    val assemble = (0 until 32).map(b =>
-      s"CASE WHEN bit_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS v
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) u),
-       |bits AS (SELECT doc_id, $bitSums FROM tok GROUP BY doc_id)
-       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM bits
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** Shared cosine fragment: in-order double fold, two sequential
-    * divisions — mirrors Similarity.cosine exactly (argument order
-    * matters for the final-ulp division sequence).
-    */
-  private def cosSql(a: String, b: String): String =
-    s"""list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-       |        / sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       |        / sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
-
-  private val cosineSql = cosSql("qe", "ce")
-
-  /** Brute-force cosine top-k oracle body (shared by sim_cosine_topk
-    * and as the ground truth inside the recall oracles). `nq`/`k` are
-    * threaded from every caller so the registered parameters can't
-    * silently desynchronize between the approximate side and the
-    * ground-truth side.
-    */
-  private def cosineTopkOracle(nq: Int, k: Int,
-                               candPred: String = "TRUE"): String =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $nq),
-       |c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
-       |      WHERE ($candPred)),
-       |s AS (SELECT query_id, neighbor_id,
-       |        $cosineSql AS sim
-       |      FROM q, c WHERE neighbor_id <> query_id),
-       |r AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** sim_ivf_recall oracle: recall@k of the IVF result against the
-    * brute-force ground truth, both recomputed independently.
-    */
-  private def ivfRecallOracle(nq: Int, k: Int): String =
-    s"""WITH ivf AS (${ivfOracle(nq, k)}),
-       |bf AS (${cosineTopkOracle(nq, k)})
-       |SELECT bf.query_id,
-       |  CAST(count(ivf.neighbor_id) AS DOUBLE) / $k AS recall_at_k
-       |FROM bf LEFT JOIN ivf
-       |  ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
-       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
-
-  /** sim_filtered_recall oracle: filtered IVF vs the filtered brute
-    * force — the same predicate pushed into both derivations.
-    */
-  private def filteredRecallOracle(nq: Int, k: Int): String =
-    s"""WITH ivf AS (${ivfOracle(nq, k, candPred = "a.label % 2 = 0")}),
-       |bf AS (${cosineTopkOracle(nq, k, candPred = "label % 2 = 0")})
-       |SELECT bf.query_id,
-       |  CAST(count(ivf.neighbor_id) AS DOUBLE) / $k AS recall_at_k
-       |FROM bf LEFT JOIN ivf
-       |  ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
-       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
-
-  /** The training-sample predicate twin of `Similarity.trainingSample`
-    * (md5-prefix hash of vec_id, same device as txt_hash_sample).
-    */
-  private val trainSampleSql =
-    s"('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 100" +
-      s" < ${Similarity.trainPct}"
-
-  /** k-means training CTE chain mirroring Similarity.kmeansCentroids:
-    * cent0 = first-nlist init from the FULL corpus (cast to DOUBLE[]),
-    * then per iteration argmax-cosine assignment of the hash-SAMPLE
-    * (ties on centroid_id) and per-dimension means via the same
-    * fixed-boundary two-level fold as `Similarity.twoLevelMean`: block
-    * sums fold in vec_id order within vec_id div trainBlock blocks,
-    * then block sums fold in block order — `list(x ORDER BY k)` +
-    * `list_sum` is the same left fold as Spark's sorted collect_list +
-    * aggregate at BOTH levels, so the trained centroids are
-    * bit-identical.
-    */
-  private def kmeansSql(nlist: Int, iters: Int,
-                        src: String = "embeddings",
-                        dimN: Int = Similarity.dim): String = {
-    val blk = Similarity.trainBlock
-    val init = s"ksamp AS MATERIALIZED (SELECT * FROM $src WHERE $trainSampleSql),\n" +
-      s"cent0 AS MATERIALIZED (SELECT vec_id AS centroid_id, " +
-      s"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce " +
-      s"FROM $src WHERE vec_id < $nlist)"
-    val steps = (1 to iters).map { i =>
-      val p = i - 1
-      s"""ka$p AS (SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-         |    FROM ksamp e, cent$p c) t WHERE rn = 1),
-         |kb$p AS (SELECT cell, j, vec_id // $blk AS blk,
-         |    list_sum(list(CAST(embedding[j] AS DOUBLE) ORDER BY vec_id)) AS bsum,
-         |    count(*) AS bn
-         |  FROM ka$p, unnest(generate_series(1, $dimN)) AS u(j)
-         |  GROUP BY cell, j, blk),
-         |km$p AS (SELECT cell, j,
-         |    list_sum(list(bsum ORDER BY blk)) / sum(bn) AS mv
-         |  FROM kb$p GROUP BY cell, j),
-         |cent$i AS MATERIALIZED (SELECT cell AS centroid_id, list(mv ORDER BY j) AS ce FROM km$p GROUP BY cell)""".stripMargin
-    }
-    (init +: steps).mkString(",\n")
-  }
-
-  /** sim_ivf_topk oracle: same k-means coarse quantizer (3 Lloyd
-    * iterations from the first-nlist seed), assignment, probe, and
-    * scoring order as the engine. `candPred` (over alias `a`) restricts
-    * the scored candidates — the filtered-search (`sim_ivf_filtered`)
-    * pre-filter; the quantizer, assignment, and probe ranking always
-    * see the full corpus, exactly like the engine.
-    */
-  private def ivfOracle(nq: Int, k: Int, nlist: Int = 16,
-                        nprobe: Int = 4,
-                        candPred: String = "TRUE"): String =
-    s"""WITH ${kmeansSql(nlist, Similarity.ivfIters)},
-       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
-       |assigned AS MATERIALIZED (
-       |  SELECT vec_id, embedding, label, cell FROM (
-       |    SELECT e.vec_id, e.embedding, e.label, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM embeddings e, cent c) t WHERE rn = 1),
-       |probes AS MATERIALIZED (
-       |  SELECT query_id, qe, cell FROM (
-       |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM (SELECT * FROM embeddings WHERE vec_id < $nq) q, cent c) t WHERE rn <= $nprobe),
-       |s AS (SELECT query_id, a.vec_id AS neighbor_id,
-       |        ${cosSql("p.qe", "a.embedding")} AS sim
-       |      FROM probes p JOIN assigned a USING (cell)
-       |      WHERE a.vec_id <> p.query_id AND ($candPred)),
-       |r AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** sim_kmeans_cells oracle: the trained quantizer's cell census —
-    * same k-means CTE chain and argmax-cosine assignment as the IVF
-    * oracles, reduced to (cell, size, smallest member).
-    */
-  private def kmeansCellsOracle(nlist: Int): String =
-    s"""WITH ${kmeansSql(nlist, Similarity.ivfIters)},
-       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
-       |assigned AS MATERIALIZED (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM embeddings e, cent c) t WHERE rn = 1)
-       |SELECT cell, count(*) AS n_members, min(vec_id) AS first_vec
-       |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
-
-  /** sim_semdedup oracle: the same trained coarse quantizer (k-means
-    * CTE chain), argmax-cosine assignment of the full corpus, then the
-    * one-pass SemDeDup decision — a vector is pruned iff an earlier
-    * same-cell member sits at ≥ threshold cosine; the smallest such
-    * member is the exemplar. The threshold literal is interpolated from
-    * the same Scala double the engine filters on.
-    */
-  private def semDedupOracle(nlist: Int, threshold: Double): String =
-    s"""WITH ${kmeansSql(nlist, Similarity.ivfIters)},
-       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
-       |assigned AS MATERIALIZED (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM embeddings e, cent c) t WHERE rn = 1),
-       |pruned AS (
-       |  SELECT b.vec_id AS cand_id, min(a.vec_id) AS exemplar
-       |  FROM assigned a JOIN assigned b USING (cell)
-       |  WHERE a.vec_id < b.vec_id
-       |    AND ${cosSql("a.embedding", "b.embedding")} >= $threshold
-       |  GROUP BY b.vec_id)
-       |SELECT s.vec_id, s.cell, p.exemplar IS NULL AS kept,
-       |  coalesce(p.exemplar, s.vec_id) AS exemplar_id
-       |FROM assigned s LEFT JOIN pruned p ON s.vec_id = p.cand_id
-       |ORDER BY s.vec_id""".stripMargin
-
-  /** sim_sq_topk oracle: per-dimension min/max training, floor-encode
-    * to 0..255 (floor not round — identical tie behavior across
-    * engines), dequantize x̂_j = mn_j + code_j·span_j/255 with the same
-    * association order as the engine's zip_with chain, then cosine
-    * top-k against the reconstruction.
-    */
-  private def sqTopkOracle(nq: Int, k: Int): String =
-    s"""WITH dims AS (
-       |  SELECT j, min(CAST(embedding[j] AS DOUBLE)) AS mn,
-       |         max(CAST(embedding[j] AS DOUBLE)) AS mx
-       |  FROM embeddings, unnest(generate_series(1, ${Similarity.dim})) AS u(j)
-       |  GROUP BY j),
-       |codes AS (
-       |  SELECT e.vec_id, d.j, d.mn, d.mx - d.mn AS sp,
-       |    CASE WHEN d.mx - d.mn = 0 THEN 0.0
-       |         ELSE least(floor((CAST(e.embedding[d.j] AS DOUBLE) - d.mn) * 255.0 / (d.mx - d.mn)), 255.0)
-       |    END AS code
-       |  FROM embeddings e, dims d),
-       |recon AS (
-       |  SELECT vec_id, list(mn + (code * sp / 255.0) ORDER BY j) AS ce
-       |  FROM codes GROUP BY vec_id),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $nq),
-       |s AS (SELECT query_id, r.vec_id AS neighbor_id,
-       |        ${cosSql("qe", "ce")} AS sim
-       |      FROM q, recon r WHERE r.vec_id <> q.query_id),
-       |rk AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM rk WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** sim_sq_recall oracle: recall@k of the SQ8 result vs brute force,
-    * both independently re-derived.
-    */
-  private def sqRecallOracle(nq: Int, k: Int): String =
-    s"""WITH sq AS (${sqTopkOracle(nq, k)}),
-       |bf AS (${cosineTopkOracle(nq, k)})
-       |SELECT bf.query_id,
-       |  CAST(count(sq.neighbor_id) AS DOUBLE) / $k AS recall_at_k
-       |FROM bf LEFT JOIN sq
-       |  ON bf.query_id = sq.query_id AND bf.neighbor_id = sq.neighbor_id
-       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
-
-  /** sim_near_dup oracle: 8 bands × 4 sign bits, plane literals
-    * generated from the same `Similarity.planeValue` constants.
-    */
-  private def nearDupOracle: String = {
-    val bandExprs = (0 until Similarity.ndBands).map { b =>
-      (0 until Similarity.ndRows).map { r =>
-        val p = (0 until Similarity.dim).map(j =>
-          Similarity.planeValue(Similarity.numPlanes + b * Similarity.ndRows + r, j))
-        val lits = p.map(_.toString).mkString("[", ", ", "]")
-        s"""CASE WHEN list_sum(list_transform(list_zip(CAST($lits AS DOUBLE[]), embedding),
-           |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0
-           |   THEN '1' ELSE '0' END""".stripMargin
-      }.mkString(" ||\n   ")
-    }
-    val bandList = bandExprs.mkString("[\n    ", ",\n    ", "]")
-    s"""WITH banded AS (
-       |  SELECT vec_id, unnest($bandList) AS band_key,
-       |         generate_subscripts($bandList, 1) AS band_idx
-       |  FROM embeddings),
-       |cand AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-       |         FROM banded x JOIN banded y
-       |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       |              AND x.vec_id < y.vec_id),
-       |s AS (SELECT id1, id2,
-       |        list_sum(list_transform(list_zip(a.embedding, b.embedding),
-       |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-       |        / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-       |        / sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS sim
-       |      FROM cand
-       |      JOIN embeddings a ON a.vec_id = cand.id1
-       |      JOIN embeddings b ON b.vec_id = cand.id2)
-       |SELECT id1, id2, sim FROM s WHERE sim >= 0.5 ORDER BY id1, id2""".stripMargin
-  }
-
-  /** kNN-graph CTE chain (banded candidates → one undirected scoring
-    * pass → both directions → per-node rank), ending in `knnr` —
-    * shared by the graph oracle and the label-propagation oracle.
-    */
-  private def knnGraphCtes: String = {
-    val bandExprs = (0 until Similarity.ndBands).map { b =>
-      (0 until Similarity.ndRows).map { r =>
-        val p = (0 until Similarity.dim).map(j =>
-          Similarity.planeValue(Similarity.numPlanes + b * Similarity.ndRows + r, j))
-        val lits = p.map(_.toString).mkString("[", ", ", "]")
-        s"""CASE WHEN list_sum(list_transform(list_zip(CAST($lits AS DOUBLE[]), embedding),
-           |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0
-           |   THEN '1' ELSE '0' END""".stripMargin
-      }.mkString(" ||\n   ")
-    }
-    val bandList = bandExprs.mkString("[\n    ", ",\n    ", "]")
-    s"""banded AS (
-       |  SELECT vec_id, unnest($bandList) AS band_key,
-       |         generate_subscripts($bandList, 1) AS band_idx
-       |  FROM embeddings),
-       |cand AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-       |         FROM banded x JOIN banded y
-       |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       |              AND x.vec_id < y.vec_id),
-       |s AS MATERIALIZED (SELECT id1, id2,
-       |        ${cosSql("a.embedding", "b.embedding")} AS sim
-       |      FROM cand
-       |      JOIN embeddings a ON a.vec_id = cand.id1
-       |      JOIN embeddings b ON b.vec_id = cand.id2),
-       |sym AS (SELECT id1 AS query_id, id2 AS neighbor_id, sim FROM s
-       |        UNION ALL SELECT id2, id1, sim FROM s),
-       |knnr AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id
-       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM sym)""".stripMargin
-  }
-
-  /** sim_knn_graph oracle: same banded candidates as the near-dup
-    * oracle, each undirected pair scored once and emitted in both
-    * directions, per-node top-k by (sim DESC, neighbor).
-    */
-  private def knnGraphOracle(k: Int): String =
-    s"""WITH $knnGraphCtes
-       |SELECT query_id, neighbor_id, sim, rank FROM knnr WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** sim_knn_refine oracle: the [[knnGraphCtes]] round-0 graph, the
-    * NN-Descent u→v→w expansion, the orphan-wiring candidates from the
-    * trained IVF cells (same k-means CTE chain as the ANN oracles),
-    * all collapsed to one undirected distinct set, scored once, fanned
-    * both ways, per-node top-k.
-    */
-  private def knnRefineOracle(k: Int, nlist: Int = 16): String =
-    s"""WITH $knnGraphCtes,
-       |g AS MATERIALIZED (SELECT query_id, neighbor_id FROM knnr
-       |  WHERE rank <= $k),
-       |nn AS (SELECT a.query_id AS u, b.neighbor_id AS w
-       |  FROM g a JOIN g b ON a.neighbor_id = b.query_id
-       |    AND a.query_id <> b.neighbor_id),
-       |orph AS (SELECT vec_id FROM embeddings
-       |  WHERE vec_id NOT IN (SELECT query_id FROM g)),
-       |${kmeansSql(nlist, Similarity.ivfIters)},
-       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
-       |kassigned AS MATERIALIZED (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM embeddings e, cent c) t WHERE rn = 1),
-       |oc AS (SELECT o.vec_id AS u, a2.vec_id AS w
-       |  FROM orph o JOIN kassigned a1 ON a1.vec_id = o.vec_id
-       |  JOIN kassigned a2 ON a2.cell = a1.cell AND a2.vec_id <> o.vec_id),
-       |uc AS (SELECT DISTINCT least(u, w) AS id1, greatest(u, w) AS id2
-       |  FROM (SELECT query_id AS u, neighbor_id AS w FROM g
-       |        UNION ALL SELECT u, w FROM nn
-       |        UNION ALL SELECT u, w FROM oc)),
-       |s2 AS MATERIALIZED (SELECT id1, id2,
-       |        ${cosSql("a.embedding", "b.embedding")} AS sim
-       |      FROM uc
-       |      JOIN embeddings a ON a.vec_id = uc.id1
-       |      JOIN embeddings b ON b.vec_id = uc.id2),
-       |sym2 AS (SELECT id1 AS query_id, id2 AS neighbor_id, sim FROM s2
-       |         UNION ALL SELECT id2, id1, sim FROM s2),
-       |knnr2 AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id
-       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM sym2)
-       |SELECT query_id, neighbor_id, sim, rank FROM knnr2 WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** sim_label_prop oracle: the kNN graph, then `rounds` synchronous
-    * voting rounds — modal neighbor label per node (votes DESC, label
-    * ASC — the textual twin of the engine's max_by over
-    * (votes, −label)), seeds clamped, no-vote nodes keep state.
-    */
-  private def labelPropOracle(nSeeds: Int, k: Int, rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { i =>
-      val prev = s"l${i - 1}"
-      s"""v$i AS (SELECT dst, lbl, count(*) AS votes
-         |  FROM g JOIN $prev ON $prev.vec_id = g.src
-         |  WHERE lbl IS NOT NULL GROUP BY dst, lbl),
-         |b$i AS (SELECT dst, lbl AS new_lbl FROM (
-         |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst
-         |      ORDER BY votes DESC, lbl ASC) AS rn FROM v$i) t
-         |  WHERE rn = 1),
-         |l$i AS MATERIALIZED (SELECT $prev.vec_id,
-         |    CASE WHEN $prev.vec_id < $nSeeds THEN $prev.lbl
-         |         ELSE coalesce(b$i.new_lbl, $prev.lbl) END AS lbl
-         |  FROM $prev LEFT JOIN b$i ON b$i.dst = $prev.vec_id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $knnGraphCtes,
-       |g AS MATERIALIZED (SELECT query_id AS dst, neighbor_id AS src
-       |  FROM knnr WHERE rank <= $k),
-       |l0 AS MATERIALIZED (SELECT vec_id,
-       |    CASE WHEN vec_id < $nSeeds THEN CAST(label AS BIGINT) END AS lbl
-       |  FROM embeddings),
-       |$roundCtes
-       |SELECT vec_id, vec_id < $nSeeds AS is_seed,
-       |  CAST(coalesce(lbl, -1) AS BIGINT) AS label
-       |FROM l$rounds ORDER BY vec_id""".stripMargin
-  }
-
-  /** sim_lsh_topk oracle: the hyperplane literals are generated from the
-    * same `Similarity.planes` constants the Spark operator uses.
-    */
-  private def lshOracle: String = {
-    val bucketBits = Similarity.planes.map { p =>
-      val lits = p.map(_.toString).mkString("[", ", ", "]")
-      s"""CASE WHEN list_sum(list_transform(list_zip(CAST($lits AS DOUBLE[]), embedding),
-         |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0
-         |   THEN '1' ELSE '0' END""".stripMargin
-    }.mkString(" ||\n   ")
-    s"""WITH b AS (SELECT vec_id, embedding,
-       |   $bucketBits AS bucket
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 8),
-       |s AS (SELECT query_id, c.vec_id AS neighbor_id,
-       |        $cosineSql AS sim
-       |      FROM q JOIN (SELECT vec_id, embedding AS ce, bucket FROM b) c USING (bucket)
-       |      WHERE c.vec_id <> query_id),
-       |r AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
-       |ORDER BY query_id, rank""".stripMargin
-  }
-
-  /** sim_rp_rerank oracle: the 16 projection-plane literals are
-    * generated from the same `Similarity.rpPlanes` constants the Spark
-    * operator uses; each projected dimension is the same in-order
-    * double fold as the engine's codegen'd dot, the shortlist ranks by
-    * reduced-space cosine, and the re-rank is full-width cosine over
-    * the shortlist only.
-    */
-  private def rpRerankOracle(nq: Int, k: Int, nCand: Int): String = {
-    val rpExprs = Similarity.rpPlanes.map { p =>
-      val lits = p.map(_.toString).mkString("[", ", ", "]")
-      s"""list_sum(list_transform(list_zip(CAST($lits AS DOUBLE[]), embedding),
-         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))""".stripMargin
-    }.mkString("[\n   ", ",\n   ", "]")
-    s"""WITH pr AS MATERIALIZED (SELECT vec_id, embedding,
-       |   $rpExprs AS rp
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, rp AS qrp
-       |      FROM pr WHERE vec_id < $nq),
-       |srp AS (SELECT query_id, c.vec_id AS neighbor_id,
-       |        ${cosSql("q.qrp", "c.rp")} AS rpsim
-       |      FROM q, pr c WHERE c.vec_id <> q.query_id),
-       |cand AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id
-       |        ORDER BY rpsim DESC, neighbor_id) AS rn
-       |    FROM srp) t WHERE rn <= $nCand),
-       |s AS (SELECT cand.query_id, cand.neighbor_id,
-       |        ${cosSql("q.qe", "c.embedding")} AS sim
-       |      FROM cand
-       |      JOIN pr c ON c.vec_id = cand.neighbor_id
-       |      JOIN q ON q.query_id = cand.query_id),
-       |r AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id
-       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-  }
-
-  /** sim_mrl_rerank oracle: prefix-slice shortlist → exact re-rank —
-    * [[rpRerankOracle]] with the projection replaced by list_slice.
-    */
-  private def mrlRerankOracle(nq: Int, k: Int, nCand: Int): String =
-    s"""WITH pr AS MATERIALIZED (SELECT vec_id, embedding,
-       |   list_slice(embedding, 1, ${Similarity.mrlDim}) AS mr
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe, mr AS qmr
-       |      FROM pr WHERE vec_id < $nq),
-       |smr AS (SELECT query_id, c.vec_id AS neighbor_id,
-       |        ${cosSql("q.qmr", "c.mr")} AS msim
-       |      FROM q, pr c WHERE c.vec_id <> q.query_id),
-       |cand AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id
-       |        ORDER BY msim DESC, neighbor_id) AS rn
-       |    FROM smr) t WHERE rn <= $nCand),
-       |s AS (SELECT cand.query_id, cand.neighbor_id,
-       |        ${cosSql("q.qe", "c.embedding")} AS sim
-       |      FROM cand
-       |      JOIN pr c ON c.vec_id = cand.neighbor_id
-       |      JOIN q ON q.query_id = cand.query_id),
-       |r AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id
-       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** txt_phrase_search oracle: the same positional-vote formulation —
-    * every token hit on a query term votes for start = pos − off, a
-    * start with exactly plen votes is a phrase match. The query-term
-    * table is generated from the same `Text.phraseQueries` literals.
-    */
-  private def phraseOracle: String = {
-    val vals = Text.phraseQueries.flatMap { case (qid, p) =>
-      val ts = p.split(" ")
-      ts.zipWithIndex.map { case (t, off) =>
-        s"($qid, $off, '$t', ${ts.length})"
-      }
-    }.mkString(",\n    ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tok
-       |  FROM (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
-       |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
-       |              FROM documents) d) x),
-       |q(query_id, off, term, plen) AS (VALUES
-       |    $vals),
-       |cand AS (SELECT q.query_id, t.doc_id, t.pos - q.off AS st, q.plen
-       |         FROM toks t JOIN q ON t.tok = q.term),
-       |m AS (SELECT query_id, doc_id, st FROM cand
-       |      GROUP BY query_id, doc_id, st, plen HAVING count(*) = plen)
-       |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
-       |  count(*) AS n_matches, min(st) AS first_pos
-       |FROM m GROUP BY query_id, doc_id
-       |ORDER BY query_id, doc_id""".stripMargin
-  }
-
-  /** txt_collocations oracle: unigram/bigram counts off one positional
-    * token frame, lift as the identical left-associated IEEE expression
-    * over exact integer counts.
-    */
-  private def collocationsOracle(minCount: Int, k: Int): String =
-    s"""WITH toks AS MATERIALIZED (
-       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tok
-       |  FROM (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
-       |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
-       |              FROM documents) d) x),
-       |uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
-       |ntok AS (SELECT count(*) AS n_tok FROM toks),
-       |big AS (SELECT w1, w2, count(*) AS c12 FROM (
-       |    SELECT lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
-       |      tok AS w2
-       |    FROM toks) t WHERE w1 IS NOT NULL GROUP BY w1, w2),
-       |nbig AS (SELECT CAST(sum(c12) AS BIGINT) AS n_big FROM big)
-       |SELECT w1, w2, c12, u1.c1 AS cx, u2.c1 AS cy,
-       |  CAST(c12 AS DOUBLE) * n_tok / cx * n_tok / cy / n_big AS lift
-       |FROM big JOIN uni u1 ON u1.tok = big.w1 JOIN uni u2 ON u2.tok = big.w2,
-       |  ntok, nbig
-       |WHERE c12 >= $minCount
-       |ORDER BY lift DESC, w1, w2 LIMIT $k""".stripMargin
-
-  /** txt_bpe_train oracle: the merge rounds unrolled as a CTE chain —
-    * per round the overlap-counted pair statistics off the previous
-    * vocabulary, the (count DESC, left, right) argmax, and the same
-    * delimited-string greedy merge (`replace` scans left-to-right and
-    * resumes after each hit on both engines). All integer arithmetic.
-    */
-  private def bpeTrainOracle(nMerges: Int): String = {
-    val rounds = (1 to nMerges).map { r =>
-      s"""p$r AS (SELECT pr.l AS left_sym, pr.r AS right_sym,
-         |    CAST(sum(wc) AS BIGINT) AS pair_count
-         |  FROM (SELECT wc, unnest(list_transform(range(1, len(syms)),
-         |          x -> {'l': syms[x], 'r': syms[x + 1]})) AS pr
-         |        FROM (SELECT wc,
-         |            list_filter(string_split(s, '|'), x -> x <> '') AS syms
-         |          FROM w${r - 1}) t
-         |        WHERE len(syms) >= 2)
-         |  GROUP BY 1, 2),
-         |m$r AS MATERIALIZED (SELECT left_sym, right_sym, pair_count
-         |  FROM p$r ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
-         |w$r AS MATERIALIZED (SELECT wc,
-         |    replace(s, '|' || left_sym || '|' || right_sym,
-         |      '|' || left_sym || right_sym) AS s
-         |  FROM w${r - 1}, m$r)""".stripMargin
-    }.mkString(",\n")
-    val sel = (1 to nMerges).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS merge_round, left_sym, right_sym,
-         |  left_sym || right_sym AS merged, pair_count FROM m$r""".stripMargin
-    }.mkString("\n UNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (SELECT count(*) AS wc,
-       |    '|' || array_to_string(list_transform(
-       |      range(1, length(w) + 1), x -> substr(w, x, 1)), '|') AS s
-       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
-       |        FROM documents) t
-       |  WHERE length(w) > 0 GROUP BY w),
-       |$rounds
-       |$sel
-       |ORDER BY merge_round""".stripMargin
-  }
-
-  /** txt_dsir_weights oracle: the same hashed-ngram likelihood-ratio
-    * chain — md5-hash buckets, Laplace-smoothed ratio as the identical
-    * fixed-shape IEEE expression over exact integer counts, per-doc
-    * weight through the same bucket-ordered float fold
-    * (`list_sum(list(r ORDER BY bucket))` ≡ the engine's
-    * sort_array+aggregate; tied buckets carry identical r, so order
-    * among ties cannot change the sum).
-    */
-  private def dsirOracle(k: Int): String = {
-    val b = Text.dsirBuckets
-    val tgt = Text.dsirTargetSources.map(s => s"'$s'").mkString(", ")
-    s"""WITH toks AS MATERIALIZED (
-       |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tok
-       |  FROM (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS i
-       |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
-       |              FROM documents) d) x),
-       |uni AS (SELECT doc_id, tok AS feat FROM toks),
-       |big AS (SELECT doc_id, prev || ' ' || tok AS feat
-       |  FROM (SELECT doc_id, tok,
-       |          lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-       |        FROM toks) t WHERE prev IS NOT NULL),
-       |feats AS (SELECT doc_id,
-       |    ('0x' || substr(md5(feat), 1, 8))::BIGINT % $b AS bucket
-       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
-       |mem AS (SELECT doc_id, source IN ($tgt) AS is_t FROM documents),
-       |fm AS MATERIALIZED (SELECT f.doc_id, bucket, is_t
-       |  FROM feats f JOIN mem USING (doc_id)),
-       |counts AS (SELECT bucket,
-       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
-       |    sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS cs
-       |  FROM fm GROUP BY bucket),
-       |tot AS (SELECT sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
-       |    sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS ns FROM fm),
-       |ratios AS MATERIALIZED (SELECT bucket,
-       |    (CAST(ct + 1 AS DOUBLE) / CAST(nt + $b AS DOUBLE))
-       |      * (CAST(ns + $b AS DOUBLE) / CAST(cs + 1 AS DOUBLE)) AS r
-       |  FROM counts, tot),
-       |sc AS (SELECT doc_id, list_sum(list(r ORDER BY bucket)) AS weight
-       |  FROM fm JOIN ratios USING (bucket) WHERE NOT is_t
-       |  GROUP BY doc_id),
-       |rr AS (SELECT doc_id, weight,
-       |    CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS BIGINT)
-       |      AS rank FROM sc)
-       |SELECT doc_id, weight, rank FROM rr WHERE rank <= $k
-       |ORDER BY rank""".stripMargin
-  }
-
-  /** mm_ann oracle: the mm_embed projection (md5 hex pairs / 255.0) as
-    * a list column, then brute-force cosine top-k — the embedding and
-    * cosine expressions mirror the engine term-for-term.
-    */
-  private def mmAnnOracle(nq: Int, k: Int, dims: Int): String = {
-    val embList = (0 until dims).map(i =>
-      s"('0x' || substr(dg, ${i * 2 + 1}, 2))::BIGINT / 255.0")
-      .mkString("[", ",\n   ", "]")
-    s"""WITH m AS (SELECT doc_id, md5(text) AS dg FROM documents),
-       |e AS MATERIALIZED (SELECT doc_id, $embList AS embedding FROM m),
-       |q AS (SELECT doc_id AS query_id, embedding AS qe FROM e
-       |      WHERE doc_id < $nq),
-       |s AS (SELECT query_id, c.doc_id AS neighbor_id,
-       |        ${cosSql("q.qe", "c.embedding")} AS sim
-       |      FROM q, e c WHERE c.doc_id <> q.query_id),
-       |r AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id
-       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-  }
-
-  /** txt_langid oracle, generated from the same profile constants the
-    * Spark operator uses (argmax with declaration-order tie-break).
-    */
-  private def langIdOracle: String = {
-    val scores = Text.langProfiles.map { case (name, words) =>
-      val list = words.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($list))) AS score_$name"
-    }.mkString(",\n ")
-    // fold order: profile i wins iff strictly greater than all before it
-    val names = Text.langProfiles.map(_._1)
-    val cases = names.zipWithIndex.reverse.init.map { case (n, i) =>
-      val prev = names.take(i).map("score_" + _).mkString(", ")
-      val cmp = if (i == 1) s"score_$n > $prev" else s"score_$n > greatest($prev)"
-      s"WHEN $cmp THEN '$n'"
-    }.mkString(" ")
-    s"""SELECT doc_id, lang, ${names.map("score_" + _).mkString(", ")},
-       | CASE $cases ELSE '${names.head}' END AS predicted_lang
-       |FROM (SELECT doc_id, lang, text,
-       |  $scores
-       |  FROM documents) t
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** Confusion-matrix oracle: the langid oracle re-aggregated by
-    * (actual, predicted) — same generated scoring core, so the two
-    * stay in lockstep with `Text.langProfiles`.
-    */
-  private def langIdConfusionOracle: String =
-    s"""SELECT lang, predicted_lang, count(*) AS n FROM (
-       |${langIdOracle.replaceAll("ORDER BY doc_id\\s*$", "")}) q
-       |GROUP BY lang, predicted_lang
-       |ORDER BY lang, predicted_lang""".stripMargin
-
-  /** DuckDB-dialect oracle per query (same parquet tables, driver-run). */
-  def oracleSql: Map[String, String] = Map(
-    "bu_broadcast" ->
-      """SELECT l_orderkey, l_linenumber, l_returnflag,
-        | CASE WHEN l_quantity > 25 AND NOT (l_returnflag = 'R') THEN 'U'
-        |      ELSE l_linestatus END AS l_linestatus
-        |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus""".stripMargin,
-    "bu_zip" ->
-      s"""WITH ls AS (
-        |  SELECT list_filter(string_split($zipTextSql, chr(10)),
-        |                     x -> trim(x) <> '') AS l),
-        |vals AS (
-        |  SELECT unnest(l) AS newval, generate_subscripts(l, 1) - 1 AS pos FROM ls),
-        |vis AS (
-        |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
-        |  FROM orders WHERE o_orderstatus = 'O'),
-        |upd AS (
-        |  SELECT v.o_orderkey, newval FROM vis v JOIN vals USING (pos))
-        |SELECT t.o_orderkey, t.o_orderstatus,
-        |  CASE WHEN u.newval IS NOT NULL AND NOT (t.o_orderpriority = '1-URGENT')
-        |       THEN u.newval ELSE t.o_orderpriority END AS o_orderpriority
-        |FROM orders t
-        |LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
-        |ORDER BY t.o_orderkey""".stripMargin,
-    "bu_zip_large" ->
-      """WITH vals AS (
-        |  SELECT i AS pos, 'v' || CAST(i AS VARCHAR) AS newval FROM range(0, 1000) t(i)),
-        |vis AS (
-        |  SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
-        |  FROM orders WHERE o_orderstatus = 'O'),
-        |upd AS (SELECT o_orderkey, newval FROM vis JOIN vals USING (pos))
-        |SELECT t.o_orderkey, t.o_orderstatus,
-        |  CASE WHEN u.newval IS NOT NULL AND NOT (t.o_orderpriority = '1-URGENT')
-        |       THEN u.newval ELSE t.o_orderpriority END AS o_orderpriority
-        |FROM orders t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
-        |ORDER BY t.o_orderkey""".stripMargin,
-    "bu_outcome" ->
-      """SELECT
-        | count(CASE WHEN l_quantity > 25 AND NOT (l_returnflag = 'R') THEN 1 END) AS n_updated,
-        | count(CASE WHEN l_quantity > 25 AND l_returnflag = 'R' THEN 1 END) AS n_skipped_readonly,
-        | count(CASE WHEN NOT (l_quantity > 25) THEN 1 END) AS n_hidden,
-        | count(*) AS n_total
-        |FROM lineitem""".stripMargin,
-    "bu_readonly_guard" ->
-      """SELECT max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_readonly,
-        | count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_readonly
-        |FROM lineitem""".stripMargin,
-    "bu_split_lines" ->
-      s"""WITH ls AS (
-        |  SELECT list_filter(string_split($zipTextSql, chr(10)),
-        |                     x -> trim(x) <> '') AS l)
-        |SELECT generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS line
-        |FROM ls ORDER BY pos""".stripMargin,
-    "bu_bool_coerce" ->
-      """SELECT raw, lower(trim(raw)) = 'true' AS coerced
-        |FROM (VALUES ('true'),('True'),('TRUE'),(' true '),('false'),('FALSE'),
-        |             ('1'),('yes'),(''),('truthy')) t(raw)
-        |ORDER BY raw""".stripMargin,
-    "bu_int_clamp" ->
-      """SELECT raw,
-        | greatest(0, CAST(floor(TRY_CAST(raw AS DOUBLE)) AS BIGINT)) AS clamped
-        |FROM (VALUES ('400'),('0'),('-100'),('7'),('-1'),('250'),('abc'),
-        |             (' 42 '),('3.9')) t(raw)
-        |ORDER BY raw""".stripMargin,
-    "bu_limit" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 500""".stripMargin,
-    "txt_fuzzy_family" -> foldedOracle(
-      Seq("name1" -> "string", "name2" -> "string", "dist" -> "long"),
-      ("names", Seq("name1", "name2", "dist"),
-        """WITH n AS (SELECT n_nationkey AS k, n_name AS nm FROM nation),
-                |g AS (SELECT DISTINCT k, nm, substring(nm, CAST(i AS INT), 3) AS gram
-                |      FROM n, unnest(generate_series(1, greatest(1, length(nm) - 2))) AS u(i)),
-                |c AS (SELECT DISTINCT a.nm AS name1, b.nm AS name2, a.k AS k1, b.k AS k2
-                |      FROM g a JOIN g b ON a.gram = b.gram AND a.k < b.k)
-                |SELECT name1, name2, CAST(levenshtein(name1, name2) AS BIGINT) AS dist
-                |FROM c WHERE levenshtein(name1, name2) <= 4
-                |ORDER BY name1, name2""".stripMargin),
-      ("parts", Seq("name1", "name2", "dist"),
-        """WITH n AS (SELECT DISTINCT p_name AS nm FROM part),
-                |t AS (SELECT nm, split_part(nm, ' ', 1) AS tok FROM n)
-                |SELECT a.nm AS name1, b.nm AS name2,
-                | CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
-                |FROM t a JOIN t b ON a.tok = b.tok AND a.nm < b.nm
-                |WHERE levenshtein(a.nm, b.nm) <= 4
-                |ORDER BY name1, name2""".stripMargin)),
-    "rel_join_strategies" -> foldedOracle(
-      Seq("s_name" -> "string", "n_items" -> "long", "revenue" -> "double"),
-      ("hash", Seq("s_name", "n_items", "revenue"),
-        """SELECT s_name, count(*) AS n_items,
-                | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-                |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-                |GROUP BY s_name ORDER BY s_name""".stripMargin),
-      ("merge", Seq("s_name", "n_items", "revenue"),
-        """SELECT s_name, count(*) AS n_items,
-                | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-                |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-                |GROUP BY s_name ORDER BY s_name""".stripMargin)),
-    "txt_sample_strata" -> foldedOracle(
-      Seq("lang" -> "string", "n_sampled" -> "long", "first_doc" -> "long"),
-      ("uniform", Seq("lang", "n_sampled", "first_doc"),
-        """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
-                |FROM documents
-                |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
-                |GROUP BY lang ORDER BY lang""".stripMargin),
-      ("stratified", Seq("lang", "n_sampled", "first_doc"),
-        """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
-                |FROM documents
-                |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
-                |      < CASE WHEN lang = 'zh' THEN 25 WHEN lang = 'en' THEN 50 ELSE 10 END
-                |GROUP BY lang ORDER BY lang""".stripMargin)),
-    "txt_winnow_family" -> foldedOracle(
-      Seq("doc_id" -> "long", "n_fp" -> "long", "fp_min" -> "long", "fp_max" -> "long", "fp_xor" -> "long", "doc1" -> "long", "doc2" -> "long", "n_shared" -> "long"),
-      ("sketch", Seq("doc_id", "n_fp", "fp_min", "fp_max", "fp_xor"),
-        (winnowCte() + """
-                |SELECT doc_id, count(*) AS n_fp, min(fp) AS fp_min, max(fp) AS fp_max,
-                |  bit_xor(fp) AS fp_xor
-                |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
-      ("pairs", Seq("doc1", "doc2", "n_shared"),
-        (winnowCte() + """,
-                |m AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
-                |      FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
-                |      GROUP BY 1, 2)
-                |SELECT doc1, doc2, n_shared FROM m WHERE n_shared >= 3
-                |ORDER BY doc1, doc2""".stripMargin))),
-    "txt_dup_family" -> foldedOracle(
-      Seq("doc_id" -> "long", "n_positions" -> "long", "n_dup" -> "long", "dup_frac" -> "double", "span_start" -> "long", "span_end" -> "long", "span_tokens" -> "long"),
-      ("ngrams", Seq("doc_id", "n_positions", "n_dup", "dup_frac"),
-        ngramCoverageOracle(5)),
-      ("spans", Seq("doc_id", "span_start", "span_end", "span_tokens"),
-        dupSpansOracle(5))),
-    "mm_phash_family" -> foldedOracle(
-      Seq("id1" -> "long", "id2" -> "long", "hamming" -> "long", "doc_id" -> "long", "canon_id" -> "long", "n_members" -> "long"),
-      ("dups", Seq("id1", "id2", "hamming"),
-        phashDupsOracle(4)),
-      ("clusters", Seq("doc_id", "canon_id", "n_members"),
-        phashClustersOracle(4))),
-    "rel_resample" -> foldedOracle(
-      Seq("user_id" -> "long", "day" -> "timestamp", "n_events" -> "long", "filled_value" -> "double", "interp_value" -> "double", "is_gap" -> "boolean"),
-      ("ffill", Seq("user_id", "day", "n_events", "filled_value", "is_gap"),
-        """WITH daily AS (
-                |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                |    sum(CAST(value AS DECIMAL(12,2))) AS day_value,
-                |    count(*) AS n_events
-                |  FROM events GROUP BY 1, 2),
-                |grid AS (
-                |  SELECT user_id, unnest(generate_series(min(day), max(day),
-                |    INTERVAL 1 DAY)) AS day
-                |  FROM daily GROUP BY user_id)
-                |SELECT g.user_id, g.day,
-                |  CAST(COALESCE(d.n_events, 0) AS BIGINT) AS n_events,
-                |  CAST(last_value(d.day_value IGNORE NULLS) OVER (
-                |    PARTITION BY g.user_id ORDER BY g.day
-                |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                |    AS filled_value,
-                |  d.day_value IS NULL AS is_gap
-                |FROM grid g LEFT JOIN daily d
-                |  ON g.user_id = d.user_id AND g.day = d.day
-                |ORDER BY g.user_id, g.day""".stripMargin),
-      ("interp", Seq("user_id", "day", "interp_value", "is_gap"),
-        """WITH daily AS (
-                |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                |    sum(CAST(value AS DECIMAL(12,2))) AS day_value
-                |  FROM events GROUP BY 1, 2),
-                |grid AS (
-                |  SELECT user_id, unnest(generate_series(min(day), max(day),
-                |    INTERVAL 1 DAY)) AS day
-                |  FROM daily GROUP BY user_id),
-                |br AS (
-                |  SELECT g.user_id, g.day, d.day_value,
-                |    last_value(d.day_value IGNORE NULLS) OVER (
-                |      PARTITION BY g.user_id ORDER BY g.day
-                |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
-                |    last_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
-                |      IGNORE NULLS) OVER (
-                |      PARTITION BY g.user_id ORDER BY g.day
-                |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
-                |    first_value(d.day_value IGNORE NULLS) OVER (
-                |      PARTITION BY g.user_id ORDER BY g.day
-                |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-                |    first_value(CASE WHEN d.day_value IS NOT NULL THEN g.day END
-                |      IGNORE NULLS) OVER (
-                |      PARTITION BY g.user_id ORDER BY g.day
-                |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
-                |  FROM grid g LEFT JOIN daily d
-                |    ON g.user_id = d.user_id AND g.day = d.day)
-                |SELECT user_id, day,
-                |  CASE WHEN day_value IS NOT NULL THEN CAST(day_value AS DOUBLE)
-                |    ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
-                |      * (CAST(date_diff('day', CAST(pd AS DATE), CAST(day AS DATE)) AS DOUBLE)
-                |         / CAST(date_diff('day', CAST(pd AS DATE), CAST(nd AS DATE)) AS DOUBLE))
-                |  END AS interp_value,
-                |  day_value IS NULL AS is_gap
-                |FROM br ORDER BY user_id, day""".stripMargin)),
-    "xtr_kmv" -> foldedOracle(
-      Seq("l_returnflag" -> "string", "exact_parts" -> "long", "kmv_est" -> "double", "lang1" -> "string", "lang2" -> "string", "est_1" -> "double", "est_2" -> "double", "est_union" -> "double", "est_inter" -> "double", "jaccard_est" -> "double"),
-      ("distinct", Seq("l_returnflag", "exact_parts", "kmv_est"),
-        """WITH ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
-                |            FROM lineitem GROUP BY 1),
-                |h AS (SELECT DISTINCT l_returnflag,
-                |        ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS hv
-                |      FROM lineitem),
-                |r AS (SELECT l_returnflag, hv,
-                |        row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
-                |        count(*) OVER (PARTITION BY l_returnflag) AS nd
-                |      FROM h),
-                |est AS (SELECT l_returnflag,
-                |          CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
-                |               ELSE 63.0 * 4294967296.0 /
-                |                    CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE) END AS kmv_est
-                |        FROM r GROUP BY l_returnflag)
-                |SELECT ex.l_returnflag, exact_parts, kmv_est
-                |FROM ex JOIN est USING (l_returnflag)
-                |ORDER BY l_returnflag""".stripMargin),
-      ("overlap", Seq("lang1", "lang2", "est_1", "est_2", "est_union", "est_inter", "jaccard_est"),
-        """WITH tok AS (SELECT lang,
-                |        ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv
-                |      FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS t
-                |            FROM documents) u),
-                |h AS (SELECT DISTINCT lang, hv FROM tok),
-                |r AS (SELECT lang, hv,
-                |        row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
-                |      FROM h),
-                |sk AS (SELECT lang, list(hv ORDER BY hv) AS s
-                |       FROM r WHERE rn <= 64 GROUP BY lang),
-                |p AS (SELECT a.lang AS lang1, b.lang AS lang2, a.s AS sa, b.s AS sb
-                |      FROM sk a JOIN sk b ON a.lang < b.lang),
-                |u2 AS (SELECT lang1, lang2, sa, sb,
-                |        list_slice(list_sort(list_distinct(sa || sb)), 1, 64) AS su
-                |       FROM p),
-                |e AS (SELECT lang1, lang2,
-                |    CASE WHEN len(sa) < 64 THEN CAST(len(sa) AS DOUBLE)
-                |         ELSE 63.0 * 4294967296.0 / CAST(sa[64] AS DOUBLE) END AS est_1,
-                |    CASE WHEN len(sb) < 64 THEN CAST(len(sb) AS DOUBLE)
-                |         ELSE 63.0 * 4294967296.0 / CAST(sb[64] AS DOUBLE) END AS est_2,
-                |    CASE WHEN len(su) < 64 THEN CAST(len(su) AS DOUBLE)
-                |         ELSE 63.0 * 4294967296.0 / CAST(su[64] AS DOUBLE) END AS est_union
-                |  FROM u2)
-                |SELECT lang1, lang2, est_1, est_2, est_union,
-                |  greatest(est_1 + est_2 - est_union, 0.0) AS est_inter,
-                |  greatest(est_1 + est_2 - est_union, 0.0) / est_union AS jaccard_est
-                |FROM e ORDER BY lang1, lang2""".stripMargin)),
-    "xtr_quantiles" -> foldedOracle(
-      Seq("event_type" -> "string", "exact_p50" -> "double", "approx_in_rank_band" -> "boolean", "l_returnflag" -> "string", "qty_p25" -> "double", "qty_p50" -> "double", "qty_p75" -> "double", "n" -> "long"),
-      ("approx_gate", Seq("event_type", "exact_p50", "approx_in_rank_band"),
-        approxQuantileOracle),
-      ("grouped", Seq("l_returnflag", "qty_p25", "qty_p50", "qty_p75", "n"),
-        """SELECT l_returnflag,
-                | quantile_cont(l_quantity, 0.25) AS qty_p25,
-                | quantile_cont(l_quantity, 0.5) AS qty_p50,
-                | quantile_cont(l_quantity, 0.75) AS qty_p75,
-                | count(*) AS n
-                |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
-    "rel_topk_variants" -> foldedOracle(
-      Seq("o_orderkey" -> "long", "o_custkey" -> "long", "o_totalprice" -> "double", "n_nationkey" -> "int", "s_suppkey" -> "long", "s_acctbal" -> "double"),
-      ("native_heap", Seq("o_orderkey", "o_custkey", "o_totalprice"),
-        """WITH r AS (SELECT o_orderkey, o_custkey, o_totalprice,
-                |  row_number() OVER (PARTITION BY o_custkey
-                |    ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT)
-                |             * 10000000 + o_orderkey DESC) AS rn
-                |  FROM orders)
-                |SELECT o_orderkey, o_custkey, o_totalprice FROM r WHERE rn <= 3
-                |ORDER BY o_custkey, o_orderkey""".stripMargin),
-      ("lateral", Seq("n_nationkey", "s_suppkey", "s_acctbal"),
-        """SELECT n_nationkey, s_suppkey, s_acctbal
-                |FROM nation n,
-                |LATERAL (SELECT s_suppkey, s_acctbal FROM supplier s
-                |         WHERE s.s_nationkey = n.n_nationkey
-                |         ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
-                |ORDER BY n_nationkey, s_acctbal DESC, s_suppkey""".stripMargin)),
-    "rel_argminmax" -> foldedOracle(
-      Seq("l_partkey" -> "long", "l_suppkey" -> "long", "o_orderstatus" -> "string", "priciest_order" -> "long", "cheapest_order" -> "long", "max_price" -> "double", "min_price" -> "double"),
-      ("argmin", Seq("l_partkey", "l_suppkey", "min_price"),
-        """SELECT DISTINCT l_partkey, l_suppkey,
-                | CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS min_price
-                |FROM lineitem l
-                |WHERE CAST(l_extendedprice AS DECIMAL(12,2)) = (
-                |  SELECT min(CAST(x.l_extendedprice AS DECIMAL(12,2)))
-                |  FROM lineitem x WHERE x.l_partkey = l.l_partkey)
-                |ORDER BY l_partkey, l_suppkey""".stripMargin),
-      ("minmax_by", Seq("o_orderstatus", "priciest_order", "cheapest_order", "max_price", "min_price"),
-        """SELECT o_orderstatus,
-                | arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT) * 10000000 + o_orderkey) AS priciest_order,
-                | arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 10000 AS BIGINT) * 10000000 + o_orderkey) AS cheapest_order,
-                | CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
-                | CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price
-                |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
-    "mm_grid_family" -> foldedOracle(
-      Seq("doc_id" -> "long", "frame_idx" -> "long", "frame_len" -> "long", "tx" -> "long", "ty" -> "long", "tile_w" -> "long", "tile_h" -> "long"),
-      ("frames", Seq("doc_id", "frame_idx", "frame_len"),
-        """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-                |f AS (SELECT doc_id, n,
-                |        unnest(generate_series(0, greatest(1, n // 256) - 1)) AS i FROM d)
-                |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-                | CAST(least(256, n - i * 256) AS BIGINT) AS frame_len
-                |FROM f WHERE i % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin),
-      ("tiles", Seq("doc_id", "tx", "ty", "tile_w", "tile_h"),
-        """WITH m AS (SELECT doc_id,
-                |   CAST(16 * strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS BIGINT) AS width,
-                |   CAST(16 * strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS BIGINT) AS height
-                | FROM documents),
-                |g AS (SELECT doc_id, width, height,
-                |   unnest(generate_series(0, (width + 63) // 64 - 1)) AS tx FROM m),
-                |t AS (SELECT doc_id, width, height, tx,
-                |   unnest(generate_series(0, (height + 63) // 64 - 1)) AS ty FROM g)
-                |SELECT doc_id, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
-                | CAST(least(64, width - tx * 64) AS BIGINT) AS tile_w,
-                | CAST(least(64, height - ty * 64) AS BIGINT) AS tile_h
-                |FROM t ORDER BY doc_id, tx, ty""".stripMargin)),
-    "sca_genseq" -> foldedOracle(
-      Seq("n_nationkey" -> "int", "pos" -> "long", "part" -> "string", "seq_len" -> "long", "seq_sum" -> "long", "one_two_three" -> "string"),
-      ("generators", Seq("n_nationkey", "pos", "part"),
-        """WITH s AS (SELECT n_nationkey, string_split(n_name, '_') AS parts FROM nation)
-                |SELECT n_nationkey, CAST(i - 1 AS BIGINT) AS pos, parts[i] AS part
-                |FROM s, unnest(generate_series(1, len(parts))) AS u(i)
-                |ORDER BY n_nationkey, pos""".stripMargin),
-      ("sequence", Seq("n_nationkey", "seq_len", "seq_sum", "one_two_three"),
-        """SELECT n_nationkey,
-                | CAST(len(generate_series(0, n_nationkey)) AS BIGINT) AS seq_len,
-                | CAST(list_sum(generate_series(0, n_nationkey)) AS BIGINT) AS seq_sum,
-                | '1-2-3' AS one_two_three
-                |FROM nation ORDER BY n_nationkey""".stripMargin)),
-    "txt_doc_metrics" -> foldedOracle(
-      Seq("doc_id" -> "long", "n_tokens" -> "long", "n_types" -> "long", "ttr" -> "double", "n_words" -> "long", "n_sentences" -> "long", "n_syllables" -> "long", "flesch" -> "double"),
-      ("ttr", Seq("doc_id", "n_tokens", "n_types", "ttr"),
-        """SELECT doc_id,
-                | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
-                | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                |   / len(string_split(text, ' ')) AS ttr
-                |FROM documents ORDER BY doc_id""".stripMargin),
-      ("readability", Seq("doc_id", "n_words", "n_sentences", "n_syllables", "flesch"),
-        """SELECT doc_id,
-                | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-                | CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences,
-                | CAST(greatest(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))) AS BIGINT) AS n_syllables,
-                | 206.835
-                |   - 1.015 * (CAST(len(string_split(text, ' ')) AS DOUBLE)
-                |              / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
-                |   - 84.6 * (CAST(greatest(1, len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))) AS DOUBLE)
-                |             / len(string_split(text, ' '))) AS flesch
-                |FROM documents ORDER BY doc_id""".stripMargin)),
-    "str_watermarks" -> foldedOracle(
-      Seq("event_type" -> "string", "n_events" -> "long", "n_late" -> "long", "n_on_time" -> "long", "late_share" -> "double", "window_start" -> "timestamp", "n_users" -> "long"),
-      ("late_audit", Seq("event_type", "n_events", "n_late", "n_on_time", "late_share"),
-        """WITH b AS (SELECT event_type, epoch_us(ts) AS tsu,
-                |    (epoch_us(ts)
-                |      + (('0x' || substr(md5('lda:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
-                |         % 3600) * 1000000) // 3600000000 AS batch_id
-                |  FROM events),
-                |bm AS (SELECT batch_id, max(tsu) AS bmax FROM b GROUP BY batch_id),
-                |wm AS (SELECT batch_id,
-                |    max(bmax) OVER (ORDER BY batch_id
-                |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                |      - 1800000000 AS wmu
-                |  FROM bm),
-                |t AS (SELECT event_type,
-                |    (wmu IS NOT NULL AND tsu < wmu) AS late
-                |  FROM b JOIN wm USING (batch_id))
-                |SELECT event_type, count(*) AS n_events,
-                |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-                |  CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_on_time,
-                |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
-                |    AS late_share
-                |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin),
-      ("window_users", Seq("window_start", "n_users", "n_events"),
-        """SELECT date_trunc('hour', ts) AS window_start,
-                | count(DISTINCT user_id) AS n_users, count(*) AS n_events
-                |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin)),
-    "rel_scd_family" -> foldedOracle(
-      Seq("o_custkey" -> "long", "o_orderkey" -> "long", "o_orderstatus" -> "string", "effective_from" -> "timestamp", "effective_to" -> "timestamp", "is_current" -> "boolean", "op" -> "string", "n_rows" -> "long"),
-      ("scd2", Seq("o_custkey", "o_orderkey", "o_orderstatus", "effective_from", "effective_to", "is_current"),
-        """SELECT o_custkey, o_orderkey, o_orderstatus,
-                | o_orderdate AS effective_from,
-                | coalesce(lead(o_orderdate) OVER w, TIMESTAMP '2200-01-01') AS effective_to,
-                | (lead(o_orderdate) OVER w IS NULL) AS is_current
-                |FROM orders
-                |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-                |ORDER BY o_custkey, effective_from, o_orderkey""".stripMargin),
-      ("snapshot_diff", Seq("op", "n_rows"),
-        """WITH next AS (
-                |  SELECT o_orderkey,
-                |    o_orderstatus,
-                |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
-                |         ELSE o_totalprice END AS o_totalprice
-                |  FROM orders WHERE o_orderkey % 97 <> 0
-                |  UNION ALL
-                |  SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice
-                |  FROM orders WHERE o_orderkey % 101 = 0),
-                |d AS (SELECT
-                |    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
-                |         WHEN n.o_orderkey IS NULL THEN 'delete'
-                |         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
-                |           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
-                |           THEN 'update'
-                |         ELSE 'same' END AS op
-                |  FROM orders o FULL OUTER JOIN next n
-                |    ON o.o_orderkey = n.o_orderkey)
-                |SELECT op, count(*) AS n_rows FROM d GROUP BY op ORDER BY op""".stripMargin)),
-    "rel_join_predicates" -> foldedOracle(
-      Seq("ckey_s" -> "long", "n_pairs" -> "long", "revenue" -> "double", "n_items" -> "long"),
-      ("null_safe", Seq("ckey_s", "n_pairs"),
-        """SELECT coalesce(ckey, -1) AS ckey_s, count(*) AS n_pairs
-                |FROM (SELECT nullif(CAST(c_nationkey % 5 AS BIGINT), 0) AS ckey FROM customer) c
-                |JOIN (SELECT nullif(CAST(s_nationkey % 5 AS BIGINT), 0) AS skey FROM supplier) s
-                |ON c.ckey IS NOT DISTINCT FROM s.skey
-                |GROUP BY 1 ORDER BY 1""".stripMargin),
-      ("disjunctive", Seq("revenue", "n_items"),
-        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                |   CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-                | count(*) AS n_items
-                |FROM lineitem JOIN part ON l_partkey = p_partkey
-                |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-                |        AND l_quantity BETWEEN 1 AND 20)
-                |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
-                |        AND l_quantity BETWEEN 10 AND 35)
-                |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
-                |        AND l_quantity BETWEEN 20 AND 50)""".stripMargin)),
-    "txt_pack_family" -> foldedOracle(
-      Seq("shard" -> "long", "bin" -> "long", "n_docs" -> "long", "sum_tokens" -> "long", "first_doc" -> "long", "last_doc" -> "long", "doc_id" -> "long", "pos" -> "long"),
-      ("bins", Seq("shard", "bin", "n_docs", "sum_tokens", "first_doc", "last_doc"),
-        """WITH d AS (SELECT doc_id,
-                |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                |    CAST((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 8 AS INT) AS shard
-                |  FROM documents),
-                |c AS (SELECT doc_id, n_tokens, shard,
-                |        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
-                |      FROM d)
-                |SELECT shard, (cum - n_tokens) // 512 AS bin,
-                |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-                |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-                |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin),
-      ("epoch_shuffle", Seq("doc_id", "shard", "pos"),
-        s"""WITH h AS (SELECT doc_id,
-                |    ('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
-                |  FROM documents)
-                |SELECT doc_id, h % 8 AS shard,
-                |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
-                |FROM h ORDER BY doc_id""".stripMargin)),
-    "rel_asof_directed" -> foldedOracle(
-      Seq("o_orderkey" -> "long", "next_event_id" -> "long", "next_ts" -> "timestamp", "event_id" -> "long", "asof_orderkey" -> "long", "asof_orderdate" -> "timestamp"),
-      ("forward", Seq("o_orderkey", "next_event_id", "next_ts"),
-        """SELECT o_orderkey, next_event_id, next_ts FROM (
-                |  SELECT o.o_orderkey, e.event_id AS next_event_id, e.ts AS next_ts,
-                |         row_number() OVER (PARTITION BY o.o_orderkey
-                |                            ORDER BY e.ts ASC, e.event_id ASC) AS rn
-                |  FROM orders o JOIN events e
-                |    ON o.o_custkey = e.user_id AND e.ts >= o.o_orderdate) t
-                |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin),
-      ("merge_scan", Seq("event_id", "asof_orderkey", "asof_orderdate"),
-        """SELECT event_id, asof_orderkey, asof_orderdate FROM (
-                |  SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
-                |         row_number() OVER (PARTITION BY e.event_id
-                |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-                |  FROM events e JOIN orders o
-                |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
-                |WHERE rn = 1 ORDER BY event_id""".stripMargin)),
-    "dedup_incr_family" -> foldedOracle(
-      Seq("doc_id" -> "long", "lang" -> "string", "source" -> "string", "n_cands" -> "long", "n_dups" -> "long", "dup_of" -> "long", "is_dup" -> "boolean"),
-      ("exact", Seq("doc_id", "lang", "source"),
-        """WITH s AS (SELECT doc_id, lang, source, text,
-                |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-                |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-                |         ELSE 'test' END AS split
-                |  FROM documents),
-                |seen AS (SELECT DISTINCT md5(text) AS h FROM s WHERE split = 'train'),
-                |inc AS (SELECT doc_id, lang, source, text FROM s
-                |        WHERE split <> 'train'
-                |          AND md5(text) NOT IN (SELECT h FROM seen)),
-                |r AS (SELECT doc_id, lang, source,
-                |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-                |      FROM inc)
-                |SELECT doc_id, lang, source FROM r WHERE rn = 1
-                |ORDER BY doc_id""".stripMargin),
-      ("near", Seq("doc_id", "n_cands", "n_dups", "dup_of", "is_dup"),
-        incrNearOracle(0.3))),
-    "rel_set_ops" -> foldedOracle(
-      Seq("nk" -> "int", "n" -> "long"),
-      ("union", Seq("nk", "n"),
-        "SELECT nk, CAST(1 AS BIGINT) AS n FROM (" + (
-        """SELECT c_nationkey AS nk FROM customer
-                |UNION SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) + ") q1"),
-      ("intersect", Seq("nk", "n"),
-        "SELECT nk, CAST(1 AS BIGINT) AS n FROM (" + (
-        """SELECT c_nationkey AS nk FROM customer
-                |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) + ") q1"),
-      ("except", Seq("nk", "n"),
-        "SELECT nk, CAST(1 AS BIGINT) AS n FROM (" + (
-        """SELECT c_nationkey AS nk FROM customer
-                |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin) + ") q1"),
-      ("union_all", Seq("nk", "n"),
-        """SELECT nk, count(*) AS n FROM (
-                |  SELECT c_nationkey AS nk FROM customer
-                |  UNION ALL SELECT s_nationkey FROM supplier) t
-                |GROUP BY nk ORDER BY nk""".stripMargin),
-      ("intersect_all", Seq("nk", "n"),
-        """SELECT nk, count(*) AS n FROM (
-                |  SELECT c_nationkey AS nk FROM customer
-                |  INTERSECT ALL SELECT s_nationkey FROM supplier) t
-                |GROUP BY nk ORDER BY nk""".stripMargin),
-      ("except_all", Seq("nk", "n"),
-        """SELECT nk, count(*) AS n FROM (
-                |  SELECT c_nationkey AS nk FROM customer
-                |  EXCEPT ALL SELECT s_nationkey FROM supplier) t
-                |GROUP BY nk ORDER BY nk""".stripMargin)),
-    "rel_grouping_family" -> foldedOracle(
-      Seq("k1" -> "string", "k2" -> "string", "n" -> "long", "agg" -> "double"),
-      ("rollup", Seq("k1", "k2", "n", "agg"),
-        "SELECT o_orderstatus AS k1, o_orderpriority AS k2, n, total AS agg FROM (" + (
-        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-                | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
-                |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-                |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) + ") qg"),
-      ("cube", Seq("k1", "k2", "n", "agg"),
-        "SELECT l_returnflag AS k1, l_linestatus AS k2, n, sum_qty AS agg FROM (" + (
-        """SELECT l_returnflag, l_linestatus, count(*) AS n,
-                | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-                |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-                |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) + ") qg"),
-      ("gsets", Seq("k1", "k2", "n", "agg"),
-        "SELECT o_orderstatus AS k1, o_orderpriority AS k2, n, total AS agg FROM (" + (
-        """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
-                | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
-                |FROM orders
-                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-                |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) + ") qg")),
-    "rel_semi_anti" -> foldedOracle(
-      Seq("c_custkey" -> "long", "c_name" -> "string", "c_mktsegment" -> "string", "acctbal" -> "double"),
-      ("semi", Seq("c_custkey", "c_name", "c_mktsegment"),
-        """SELECT c_custkey, c_name, c_mktsegment FROM customer
-                |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-                |ORDER BY c_custkey""".stripMargin),
-      ("anti", Seq("c_custkey", "c_name", "acctbal"),
-        """SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal
-                |FROM customer
-                |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-                |ORDER BY c_custkey""".stripMargin)),
-    "bu_merge" ->
-      """SELECT l_returnflag,
-        | CASE WHEN l_quantity >= 45 THEN CAST(0.99 AS DOUBLE)
-        |      ELSE l_discount END AS l_discount,
-        | count(*) AS n
-        |FROM lineitem
-        |GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
-    "rel_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
-        | count(*) AS count_order,
-        | count(DISTINCT l_orderkey) AS n_orders
-        |FROM lineitem WHERE l_quantity > 0
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "rel_revenue_by_region" ->
-      """SELECT r_name,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-        | count(*) AS n_items
-        |FROM lineitem
-        |JOIN orders   ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation   ON c_nationkey = n_nationkey
-        |JOIN region   ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin,
-    "rel_full_outer" ->
-      """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
-        | coalesce(n_orders, 0) AS n_orders, total_spend
-        |FROM (SELECT c_custkey, c_name FROM customer) c
-        |FULL OUTER JOIN (
-        |  SELECT o_custkey, count(*) AS n_orders,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
-        |  FROM orders GROUP BY o_custkey) o
-        |ON c_custkey = o_custkey
-        |ORDER BY custkey""".stripMargin,
-    "rel_right_outer" ->
-      """SELECT c_mktsegment, count(*) AS n_orders
-        |FROM (SELECT c_custkey, c_mktsegment FROM customer) c
-        |RIGHT JOIN (SELECT o_orderkey, o_custkey FROM orders) o
-        |  ON c_custkey = o_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
-    "rel_window_topk" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice, rk
-        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-        |        row_number() OVER (PARTITION BY o_custkey
-        |                           ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) DESC, o_orderkey ASC) AS rk
-        |      FROM orders) t
-        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
-    "rel_window_running" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        | CAST(l_quantity AS DOUBLE) AS qty,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (
-        |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
-        | CAST(lag(CAST(l_quantity AS DECIMAL(18,4)), 1) OVER (
-        |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS DOUBLE) AS prev_qty,
-        | CAST(lead(CAST(l_quantity AS DECIMAL(18,4)), 1) OVER (
-        |   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey) AS DOUBLE) AS next_qty,
-        | rank() OVER (PARTITION BY l_orderkey
-        |              ORDER BY CAST(l_quantity AS DECIMAL(18,4)) DESC,
-        |                       l_linenumber, l_partkey, l_suppkey) AS rank_in_order
-        |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
-    "rel_sort_topk" ->
-      """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
-        |FROM lineitem
-        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
-    "rel_count_distinct" ->
-      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
-        | count(DISTINCT l_orderkey) AS n_orders
-        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
-    "rel_range_join" ->
-      """SELECT bucket, count(*) AS n_parts, min(p_size) AS min_size, max(p_size) AS max_size
-        |FROM part
-        |JOIN (VALUES (0, 9, 'small'), (10, 29, 'medium'), (30, 1000, 'large')) b(lo, hi, bucket)
-        |  ON p_size >= lo AND p_size <= hi
-        |GROUP BY bucket ORDER BY bucket""".stripMargin,
-    "rel_asof_join" ->
-      """SELECT event_id, asof_orderkey, asof_orderdate FROM (
-        |  SELECT e.event_id, o.o_orderkey AS asof_orderkey, o.o_orderdate AS asof_orderdate,
-        |         row_number() OVER (PARTITION BY e.event_id
-        |                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-        |  FROM events e JOIN orders o
-        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts) t
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
-    "rel_pivot" ->
-      """SELECT o_orderstatus,
-        | count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_urgent,
-        | count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS n_high,
-        | count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS n_medium,
-        | count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS n_notspec,
-        | count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "rel_window_family" ->
-      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS totalprice,
-        | CAST(ntile(4) OVER w AS BIGINT) AS bucket4,
-        | percent_rank() OVER w AS pct_rank,
-        | cume_dist() OVER w AS cume,
-        | CAST(first_value(CAST(o_totalprice AS DECIMAL(18,4))) OVER
-        |   (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS cheapest,
-        | CAST(last_value(CAST(o_totalprice AS DECIMAL(18,4))) OVER
-        |   (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS priciest,
-        | CAST(nth_value(CAST(o_totalprice AS DECIMAL(18,4)), 2) OVER
-        |   (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4)), o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS second_cheapest,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
-        |   (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DECIMAL(18,4))
-        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_range,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_rows
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey
-        |             ORDER BY CAST(o_totalprice AS DECIMAL(18,4)) ASC, o_orderkey ASC)
-        |ORDER BY o_custkey, totalprice, o_orderkey""".stripMargin,
-    "sca_string2" ->
-      """SELECT p_partkey,
-        | split_part(p_type, ' ', 1) AS type_first_word,
-        | substring(p_brand, 1, 5) AS brand_left5,
-        | substring(p_name, length(p_name) - 3, 4) AS name_right4,
-        | repeat(p_brand, 2) AS brand_twice,
-        | translate(p_name, 'aeiou', 'AEIOU') AS name_vowels_upper,
-        | contains(p_name, 'blue') AS has_blue,
-        | starts_with(p_type, 'small') AS is_small_type,
-        | ends_with(p_type, 'steel') AS is_steel,
-        | CAST(strpos(p_name, ' ') AS BIGINT) AS first_space_at
-        |FROM part ORDER BY p_partkey""".stripMargin,
-    "sca_regex" ->
-      """SELECT p_partkey,
-        | regexp_extract(p_brand, '([0-9]+)', 1) AS brand_digits,
-        | regexp_matches(p_name, '^[a-z]+ ') AS starts_lower_word,
-        | regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devoweled,
-        | CAST(len(string_split_regex(p_name, '[aeiou]')) AS BIGINT) AS vowel_segments
-        |FROM part ORDER BY p_partkey""".stripMargin,
-    "sca_date2" ->
-      """SELECT event_id,
-        | CAST(quarter(ts) AS BIGINT) AS q,
-        | CAST(hour(ts) AS BIGINT) AS h,
-        | CAST(minute(ts) AS BIGINT) AS m,
-        | CAST(second(ts) AS BIGINT) AS s,
-        | last_day(CAST(ts AS DATE)) AS month_end,
-        | CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2_months,
-        | epoch_us(ts) AS epoch_us
-        |FROM events ORDER BY event_id""".stripMargin,
-    "sca_array2" ->
-      """SELECT doc_id,
-        | list_contains(string_split(text, ' '), 'data') AS has_data,
-        | CAST(list_position(string_split(text, ' '), 'data') AS BIGINT) AS data_at,
-        | array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first5_sorted,
-        | list_sort(string_split(text, ' '), 'DESC')[1] AS max_token,
-        | CAST(len(flatten([string_split(text, ' '), string_split(text, ' ')])) AS BIGINT) AS doubled_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "sca_string" ->
-      """SELECT p_partkey, p_name,
-        | upper(p_name) AS name_upper,
-        | lower(p_brand) AS brand_lower,
-        | substring(p_name, 1, 8) AS name_prefix,
-        | concat_ws('|', p_brand, p_type) AS brand_type,
-        | regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
-        | lpad(p_brand, 12, '*') AS brand_padded,
-        | reverse(p_type) AS type_reversed,
-        | length(p_name) AS name_len,
-        | len(string_split(p_name, ' ')) AS name_words
-        |FROM part ORDER BY p_partkey""".stripMargin,
-    "sca_date" ->
-      """SELECT o_orderkey, o_orderdate,
-        | year(o_orderdate) AS o_year,
-        | month(o_orderdate) AS o_month,
-        | day(o_orderdate) AS o_day,
-        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
-        | CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
-        | CAST(o_orderdate AS DATE) + 30 AS due_date,
-        | date_diff('day', DATE '1994-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "sca_math" ->
-      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-        | abs(l_quantity - 25.0) AS qty_dev,
-        | CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
-        | CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
-        | sqrt(l_extendedprice) AS price_sqrt,
-        | l_partkey % 10 AS partkey_mod,
-        | l_quantity * l_quantity AS qty_sq
-        |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
-    "sca_array" ->
-      """SELECT vec_id,
-        | len(embedding) AS dim,
-        | CAST(embedding[1] AS DOUBLE) AS first_val,
-        | CAST(embedding[1] AS DOUBLE) AS head3_1,
-        | CAST(embedding[2] AS DOUBLE) AS head3_2,
-        | CAST(embedding[3] AS DOUBLE) AS head3_3,
-        | list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm_sq
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
-    "sca_json" ->
-      """SELECT event_id,
-        | json_extract_string(props, '$.k') AS k_str,
-        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
-        | CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct
-        |FROM events ORDER BY event_id""".stripMargin,
-    "sca_conditional" ->
-      """SELECT c_custkey,
-        | CASE WHEN c_mktsegment = 'BUILDING' THEN 'B'
-        |      WHEN c_mktsegment = 'AUTOMOBILE' THEN 'A'
-        |      ELSE 'other' END AS segment_code,
-        | coalesce(nullif(c_mktsegment, 'BUILDING'), 'suppressed') AS segment_or_suppressed,
-        | CAST(least(CAST(c_acctbal AS DECIMAL(12,2)), CAST(5000 AS DECIMAL(12,2))) AS DOUBLE) AS capped_bal,
-        | CAST(greatest(c_nationkey, 10) AS BIGINT) AS floored_nation
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-    "xtr_approx_distinct" ->
-      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
-        | true AS approx_within_10pct
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "xtr_map_funcs" ->
-      """WITH tc AS (SELECT doc_id, t.term, count(*) AS n
-        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
-        |  GROUP BY doc_id, t.term)
-        |SELECT doc_id,
-        | min(term) AS a_key,
-        | CAST(count(*) AS BIGINT) AS n_distinct,
-        | CAST(coalesce(sum(CASE WHEN term = 'the' THEN n END), 0) AS BIGINT) AS the_count,
-        | CAST(count(CASE WHEN n >= 2 THEN 1 END) AS BIGINT) AS n_repeated,
-        | CAST(sum(n * 2) AS BIGINT) AS double_total
-        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "txt_stats" ->
-      """SELECT doc_id, lang, length(text) AS n_chars_calc,
-        | len(string_split(text, ' ')) AS n_tokens,
-        | CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
-        | len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "txt_lang_dist" ->
-      """SELECT lang, count(*) AS n,
-        | CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS share
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    "txt_quality" ->
-      """SELECT doc_id, n_tokens, n_stopwords,
-        | CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
-        | (n_chars >= 100 AND CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.05
-        |   AND CAST(n_stopwords AS DOUBLE) / n_tokens <= 0.6) AS is_quality
-        |FROM (SELECT doc_id, length(text) AS n_chars,
-        |        len(string_split(text, ' ')) AS n_tokens,
-        |        len(list_filter(string_split(text, ' '),
-        |          t -> t IN ('the','a','and','of','to','in','is','data','row','value'))) AS n_stopwords
-        |      FROM documents) t
-        |ORDER BY doc_id""".stripMargin,
-    // hashed-linear classifier: the weight of a feature IS a function
-    // of its md5, so the oracle re-derives the identical integer sum
-    "txt_quality_clf" ->
-      s"""WITH $clfCtes
-        |SELECT doc_id, CAST(n_features AS BIGINT) AS n_features,
-        |       clf_score, clf_score >= 0 AS keep
-        |FROM f ORDER BY doc_id""".stripMargin,
-    // per-stratum report over the same classifier chain
-    "txt_source_report" ->
-      s"""WITH $clfCtes
-        |SELECT d.lang, d.source,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN clf_score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-        |  CAST(sum(CASE WHEN clf_score >= 0 THEN 1 ELSE 0 END) * 10000
-        |    // count(*) AS BIGINT) AS keep_bp,
-        |  CAST(sum(clf_score) AS BIGINT) AS sum_score
-        |FROM f JOIN documents d USING (doc_id)
-        |GROUP BY d.lang, d.source
-        |ORDER BY d.lang, d.source""".stripMargin,
-    // quality-weighted hash sampling over the same chain
-    "txt_quality_sample" ->
-      s"""WITH $clfCtes,
-        |r AS (SELECT doc_id, clf_score,
-        |        CASE WHEN clf_score >= 20 THEN 10000
-        |             WHEN clf_score >= 0 THEN 5000
-        |             ELSE 1000 END AS rate_bp
-        |      FROM f)
-        |SELECT doc_id, clf_score, CAST(rate_bp AS BIGINT) AS rate_bp
-        |FROM r
-        |WHERE ('0x' || substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-        |        % 10000 < rate_bp
-        |ORDER BY doc_id""".stripMargin,
-    "txt_token_freq" ->
-      """SELECT token, count(*) AS n
-        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
-        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
-    "txt_bigrams" ->
-      """SELECT bigram, count(*) AS n
-        |FROM (SELECT unnest(list_transform(generate_series(1, len(ls) - 1),
-        |               i -> ls[i] || ' ' || ls[i + 1])) AS bigram
-        |      FROM (SELECT string_split(lower(text), ' ') AS ls FROM documents) s) t
-        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin,
-    "txt_langid" -> langIdOracle,
-    "txt_langid_confusion" -> langIdConfusionOracle,
-    "txt_fingerprint" ->
-      """SELECT doc_id,
-        | list_reduce(
-        |   list_prepend(CAST(0 AS BIGINT),
-        |     list_transform(string_split(text, ' '),
-        |       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
-        |   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "str_tumbling" ->
-      """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-    "str_sliding" ->
-      """SELECT window_start, event_type, count(*) AS n
-        |FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
-        |                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
-        |             AS window_start, event_type
-        |      FROM events) t
-        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
-    // the stream-stream inner band join's batch-equivalent form (the
-    // watermark only bounds state, so the pair set is identical)
-    "str_click_attr" ->
-      """WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
-        |           FROM events WHERE event_type = 'click'),
-        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts,
-        |             value AS purchase_value
-        |      FROM events WHERE event_type = 'purchase')
-        |SELECT c.user_id, click_id, purchase_id,
-        |  (epoch_us(p_ts) - epoch_us(c_ts)) // 60000000 AS mins_to_purchase,
-        |  purchase_value
-        |FROM c JOIN p ON c.user_id = p.user_id
-        | AND p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 10 MINUTE
-        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
-    "str_session" ->
-      """WITH x AS (
-        |  SELECT user_id, event_id, ts, value,
-        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |y AS (
-        |  SELECT user_id, event_id, ts, value,
-        |         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-        |              THEN 1 ELSE 0 END AS is_break
-        |  FROM x),
-        |z AS (
-        |  SELECT user_id, ts, value,
-        |         CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM y)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |  min(ts) AS session_start, max(ts) AS session_end,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM z GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
-    "dedup_exact" ->
-      """SELECT doc_id, lang, source, n_chars FROM (
-        |  SELECT doc_id, lang, source, n_chars,
-        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-        |  FROM documents) t
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    "dedup_dup_stats" ->
-      """SELECT md5(text) AS text_hash, count(*) AS n_copies,
-        | min(doc_id) AS keep_doc_id, max(doc_id) AS max_doc_id
-        |FROM documents GROUP BY md5(text) HAVING count(*) > 1
-        |ORDER BY text_hash""".stripMargin,
-    "dedup_minhash" -> minhashOracle,
-    "dedup_index_build" -> dedupIndexBuildOracle,
-    // the stored probe serves the same signatures (parquet round-trips
-    // the integer hashes exactly), so its oracle IS the inline one
-    "dedup_incr_stored" -> incrNearOracle(0.3),
-    "dedup_admit" -> dedupAdmitOracle(3, 0.3),
-    "dedup_simhash" -> simhashOracle,
-    "dedup_jaccard" ->
-      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS ls FROM documents),
-        |sh AS MATERIALIZED (SELECT doc_id, lang, len(ls) AS ntok,
-        |         list_distinct(list_transform(
-        |           list_distinct(list_transform(generate_series(1, len(ls) - 2),
-        |             i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])),
-        |           s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs FROM tok),
-        |d AS MATERIALIZED (SELECT doc_id,
-        |        lang || '#' || CAST(CAST(floor(ntok / 20) AS BIGINT) AS VARCHAR) AS bucket, hs
-        |      FROM sh WHERE len(hs) > 0)
-        |SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-        |  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
-        |FROM d a JOIN d b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.hs, b.hs))) >= 0.3
-        |ORDER BY doc1, doc2""".stripMargin,
-    "sim_cosine_topk" -> cosineTopkOracle(8, 5),
-    "sim_lsh_topk" -> lshOracle,
-    "sim_near_dup" -> nearDupOracle,
-    "sim_ivf_topk" -> ivfOracle(8, 5),
-    "sim_ivf_filtered" -> ivfOracle(8, 5, candPred = "a.label % 2 = 0"),
-    // the stored filtered probe serves the same trained geometry, so
-    // its oracle IS the inline filtered-IVF derivation
-    "sim_ivfpq_filtered" -> ivfOracle(8, 5, candPred = "a.label % 2 = 0"),
-    "mm_ann" -> mmAnnOracle(8, 5, 8),
-    "txt_phrase_search" -> phraseOracle,
-    // the stored probe serves the same positional token frame, so its
-    // oracle IS the inline phrase derivation
-    "txt_phrase_stored" -> phraseOracle,
-    "txt_collocations" -> collocationsOracle(5, 20),
-    "txt_dsir_weights" -> dsirOracle(50),
-    "txt_bpe_train" -> bpeTrainOracle(4),
-    "txt_bpe_tokens" ->
-      """SELECT lang, count(*) AS n_docs,
-        | CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_tokens,
-        | CAST(sum(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')))) AS BIGINT) AS total_distinct,
-        | CAST(max(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS max_doc_tokens
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    "txt_train_val_split" ->
-      """SELECT doc_id, lang,
-        | CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-        |      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-        |      ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "txt_split_stats" ->
-      """SELECT split, count(*) AS n FROM (
-        |  SELECT CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-        |              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-        |              ELSE 'test' END AS split
-        |  FROM documents) t
-        |GROUP BY split ORDER BY split""".stripMargin,
-    "rel_salted_agg" ->
-      """SELECT event_type, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "rel_monthly_trend" ->
-      """SELECT month, revenue, n_items,
-        | lag(revenue, 1) OVER (ORDER BY month) AS prev_revenue
-        |FROM (
-        |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-        |    count(*) AS n_items
-        |  FROM lineitem GROUP BY 1) t
-        |ORDER BY month""".stripMargin,
-    "mm_meta" ->
-      """SELECT doc_id, 'application/octet-stream' AS mime,
-        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        | md5(text) AS digest,
-        | CAST(16 * strpos('0123456789abcdef', substr(md5(text), 1, 1)) AS BIGINT) AS width,
-        | CAST(16 * strpos('0123456789abcdef', substr(md5(text), 2, 1)) AS BIGINT) AS height,
-        | CAST(strpos('0123456789abcdef', substr(md5(text), 3, 1)) AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "mm_resize" ->
-      """SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
-        | CAST(least(64, octet_length(encode(text))) AS BIGINT) AS n_bytes_out,
-        | md5(substr(text, 1, 64)) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "rel_string_agg" ->
-      """SELECT s_nationkey, count(*) AS n_suppliers,
-        | string_agg(s_name, ',' ORDER BY s_name) AS names
-        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
-    "rel_window_range_time" ->
-      """SELECT event_id, user_id,
-        | CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
-        | CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_trailing_1h
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-    "rel_cross_join" ->
-      """SELECT r_name, n_name FROM region CROSS JOIN nation
-        |ORDER BY r_name, n_name""".stripMargin,
-    "rel_scalar_subquery" ->
-      """SELECT o_orderstatus, count(1) AS n_above_avg
-        |FROM orders
-        |WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
-        |        (SELECT count(1) FROM orders)
-        |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,4))) FROM orders)
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin,
-    // same relation as rel_shuffle_hash_join — the oracle proves the
-    // merge-hinted plan is result-identical to the hash-strategy one
-    "sca_cast" ->
-      """SELECT raw,
-        | TRY_CAST(raw AS DOUBLE) AS as_double,
-        | coalesce(TRY_CAST(raw AS DATE), DATE '1900-01-01') AS as_date,
-        | coalesce(TRY_CAST(raw AS DOUBLE), CAST(-1.0 AS DOUBLE)) AS dbl_or_neg1,
-        | TRY_CAST(raw AS DOUBLE) IS NOT NULL AS is_numeric,
-        | nullif(raw, '') IS NULL AS is_empty
-        |FROM (VALUES ('42'),(' 7 '),('3.14'),('abc'),('2020-01-02'),('')) t(raw)
-        |ORDER BY raw""".stripMargin,
-    "sca_hof" ->
-      """SELECT doc_id,
-        | CAST(len(list_filter(tk, t -> len(t) > 6)) AS BIGINT) AS n_long_tokens,
-        | len(list_filter(tk, t -> starts_with(t, 'a'))) > 0 AS any_a_token,
-        | len(list_filter(tk, t -> len(t) = 0)) = 0 AS all_nonempty,
-        | CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT) AS total_token_chars,
-        | array_to_string(list_transform(list_zip(tk,
-        |     list_transform(tk, t -> CAST(len(t) AS VARCHAR))),
-        |   p -> p[1] || ':' || p[2])[1:3], ',') AS first3_tagged
-        |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents) s
-        |ORDER BY doc_id""".stripMargin,
-    "xtr_custom_agg" ->
-      """SELECT event_type, count(*) AS n,
-        | min(value) AS min_value, max(value) AS max_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "dedup_cluster" -> (clusterCte +
-      """
-        |SELECT id AS doc_id, canon_id,
-        |  CAST(count(*) OVER (PARTITION BY canon_id) AS BIGINT) AS cluster_size
-        |FROM canon ORDER BY doc_id""".stripMargin),
-    "dedup_apply" -> (clusterCte +
-      """
-        |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id NOT IN (SELECT id FROM canon WHERE id <> canon_id)
-        |ORDER BY doc_id""".stripMargin),
-    "txt_clean_funnel" -> (clusterCte +
-      """,
-        |q AS (SELECT doc_id, text, length(text) AS n_chars,
-        |        len(string_split(text, ' ')) AS n_tokens,
-        |        len(list_filter(string_split(text, ' '),
-        |          t -> t IN ('the','a','and','of','to','in','is','data','row','value'))) AS n_stop
-        |      FROM documents),
-        |len_ok AS (SELECT * FROM q WHERE n_chars >= 100),
-        |qual AS (SELECT * FROM len_ok
-        |         WHERE CAST(n_stop AS DOUBLE) / n_tokens >= 0.05
-        |           AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.6),
-        |ex AS (SELECT doc_id FROM (
-        |         SELECT doc_id, row_number() OVER (PARTITION BY md5(text)
-        |           ORDER BY doc_id) AS rn FROM qual) t WHERE rn = 1),
-        |nr AS (SELECT doc_id FROM ex
-        |       WHERE doc_id NOT IN (SELECT id FROM canon WHERE id <> canon_id))
-        |SELECT '0_raw' AS stage, count(*) AS n_docs FROM documents
-        |UNION ALL SELECT '1_min_length', count(*) FROM len_ok
-        |UNION ALL SELECT '2_quality', count(*) FROM qual
-        |UNION ALL SELECT '3_exact_dedup', count(*) FROM ex
-        |UNION ALL SELECT '4_near_dedup', count(*) FROM nr
-        |ORDER BY stage""".stripMargin),
-    "rel_market_basket" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |p AS (SELECT a.l_partkey AS part1, b.l_partkey AS part2, count(*) AS n_orders
-        |      FROM items a JOIN items b
-        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |      GROUP BY 1, 2)
-        |SELECT part1, part2, n_orders FROM p
-        |ORDER BY n_orders DESC, part1, part2 LIMIT 20""".stripMargin,
-    "txt_top_terms" ->
-      """WITH tf AS (SELECT doc_id, t.term, count(*) AS tf
-        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
-        |  GROUP BY doc_id, t.term),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |r AS (SELECT doc_id, term, tf.tf, df.df,
-        |   CAST(row_number() OVER (PARTITION BY doc_id
-        |     ORDER BY tf.tf DESC, df.df ASC, term ASC) AS BIGINT) AS rank
-        |  FROM tf JOIN df USING (term))
-        |SELECT doc_id, rank, term, tf, df FROM r WHERE rank <= 3
-        |ORDER BY doc_id, rank""".stripMargin,
-    "rel_histogram" ->
-      """SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
-        |         // 1000000 * 10000 AS bin_floor,
-        |       count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-    "txt_pii_mask" ->
-      """SELECT doc_id,
-        | md5(regexp_replace(
-        |       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
-        |       '[0-9]+', '<NUM>', 'g')) AS masked_digest,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
-        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "txt_sentence_dedup" ->
-      """WITH s AS (SELECT doc_id, trim(x) AS sent
-        |  FROM documents, unnest(string_split(text, '.')) AS t(x)
-        |  WHERE trim(x) <> ''),
-        |g AS (SELECT sent, count(*) AS n, count(DISTINCT doc_id) AS nd
-        |  FROM s GROUP BY sent)
-        |SELECT CAST(count(*) AS BIGINT) AS n_distinct,
-        | CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_repeated,
-        | CAST(count(CASE WHEN nd > 1 THEN 1 END) AS BIGINT) AS n_cross_doc,
-        | CAST(sum(n) AS BIGINT) AS n_total
-        |FROM g""".stripMargin,
-    "txt_contamination" ->
-      """WITH sp AS (SELECT doc_id, text,
-        |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-        |        WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-        |        ELSE 'test' END AS split
-        |   FROM documents),
-        |sh AS (SELECT doc_id, split, unnest(list_distinct(
-        |         list_transform(generate_series(1, len(ls) - 2),
-        |           i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2]))) AS s
-        |       FROM (SELECT doc_id, split, string_split(text, ' ') AS ls FROM sp) q
-        |       WHERE len(ls) >= 3),
-        |tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
-        |te AS (SELECT doc_id, s FROM sh WHERE split = 'test')
-        |SELECT te.doc_id,
-        |  count(*) AS n_shingles,
-        |  count(tr.s) AS n_contaminated,
-        |  CAST(count(tr.s) AS DOUBLE) / count(*) AS contamination
-        |FROM te LEFT JOIN tr ON te.s = tr.s
-        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
-    "txt_bigram_lm" ->
-      """WITH tok AS (SELECT string_split(lower(text), ' ') AS ls FROM documents),
-        |bi AS (SELECT ls[i] AS w1, ls[i + 1] AS w2
-        |       FROM tok, unnest(generate_series(1, len(ls) - 1)) AS u(i)),
-        |bc AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2),
-        |u2 AS (SELECT w1, count(*) AS n_w1
-        |       FROM (SELECT unnest(ls) AS w1 FROM tok) q GROUP BY 1)
-        |SELECT w1, w2, n_pair, n_w1, CAST(n_pair AS DOUBLE) / n_w1 AS cond_p
-        |FROM bc JOIN u2 USING (w1)
-        |ORDER BY n_pair DESC, w1, w2 LIMIT 20""".stripMargin,
-    "rel_latest_per_key" ->
-      """SELECT user_id, last_event_id, last_type, last_ts FROM (
-        |  SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-        |         ts AS last_ts,
-        |         row_number() OVER (PARTITION BY user_id
-        |           ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) t
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "sca_date3" ->
-      """SELECT o_orderkey,
-        | strftime(o_orderdate, '%Y-%m') AS period,
-        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS stamp,
-        | CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0,
-        | CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
-        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
-        | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
-        | CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "sca_url" ->
-      """WITH u AS (SELECT doc_id,
-        |  'https://corpus.example.com/' || lang || '/doc/' || CAST(doc_id AS VARCHAR)
-        |    || '?src=' || source || '&v=2' AS url FROM documents)
-        |SELECT doc_id,
-        | 'corpus.example.com' AS host,
-        | regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
-        | regexp_extract(url, '\?(.*)$', 1) AS query,
-        | regexp_extract(url, 'src=([^&]*)', 1) AS src_param
-        |FROM u ORDER BY doc_id""".stripMargin,
-    "rel_cohorts" ->
-      """WITH a AS (SELECT user_id,
-        |    CAST(date_trunc('day', ts) AS TIMESTAMP) AS act_day FROM events),
-        |f AS (SELECT user_id, min(act_day) AS cohort_day FROM a GROUP BY user_id)
-        |SELECT cohort_day, act_day,
-        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
-        |FROM a JOIN f USING (user_id)
-        |GROUP BY cohort_day, act_day
-        |ORDER BY cohort_day, act_day""".stripMargin,
-    "rel_left_outer" ->
-      """SELECT c_custkey, c_name, coalesce(n_orders, 0) AS n_orders
-        |FROM customer
-        |LEFT OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
-        |                 FROM orders GROUP BY o_custkey) o
-        |  ON c_custkey = o_custkey
-        |ORDER BY c_custkey""".stripMargin,
-    "rel_transitions" ->
-      """WITH s AS (SELECT user_id, event_type,
-        |  lead(event_type, 1) OVER (PARTITION BY user_id
-        |    ORDER BY ts ASC, event_id ASC) AS next_type
-        | FROM events)
-        |SELECT event_type, next_type, count(*) AS n
-        |FROM s WHERE next_type IS NOT NULL
-        |GROUP BY event_type, next_type
-        |ORDER BY event_type, next_type""".stripMargin,
-    "rel_salted_join" ->
-      """SELECT s_name, count(*) AS n_items,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_name ORDER BY s_name""".stripMargin,
-    "xtr_corr_exact" ->
-      """WITH m AS (SELECT count(*) AS n,
-        |  sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
-        |  sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
-        |  sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
-        |  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy
-        | FROM lineitem)
-        |SELECT n,
-        | CAST(n * sxy - sx * sy AS DOUBLE) /
-        |  (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |   sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
-        |FROM m""".stripMargin,
-    // Hash-oracle for the moments query: the two double-arithmetic stages
-    // are the SAME strings Spark evaluates (Scalar.momentCastExprs/
-    // momentOutExprs), over exact integer sums — only the percentile
-    // function name differs (quantile_cont ≡ percentile on
-    // integer-valued doubles).
-    "xtr_stats_moments" ->
-      s"""WITH b AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
-         |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
-         | FROM lineitem),
-         |s AS (SELECT l_returnflag, count(*) AS n,
-         |  sum(q) AS s1, sum(q * q) AS s2, sum(q * q * q) AS s3,
-         |  sum(q * q * q * q) AS s4, sum(pc) AS sy, sum(q * pc) AS sxy,
-         |  quantile_cont(CAST(q AS DOUBLE), 0.5) AS qty_median,
-         |  quantile_cont(CAST(pc AS DOUBLE), 0.25) AS p25c,
-         |  quantile_cont(CAST(pc AS DOUBLE), 0.5) AS p50c,
-         |  quantile_cont(CAST(pc AS DOUBLE), 0.75) AS p75c
-         | FROM b GROUP BY l_returnflag),
-         |d AS (SELECT ${graft.ops.Scalar.momentCastExprs.mkString(", ")} FROM s)
-         |SELECT ${graft.ops.Scalar.momentOutExprs.mkString(", ")}
-         |FROM d ORDER BY l_returnflag""".stripMargin,
-    "rel_funnel" ->
-      """WITH f AS (SELECT user_id,
-        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
-        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
-        |  FROM events GROUP BY user_id)
-        |SELECT (fv IS NOT NULL AND fp IS NOT NULL AND fv < fp) AS converted,
-        |  count(*) AS n_users
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
-    "sca_bits" ->
-      """SELECT n_nationkey,
-        | CAST(n_nationkey & 5 AS BIGINT) AS band,
-        | CAST(n_nationkey | 8 AS BIGINT) AS bor,
-        | CAST(xor(CAST(n_nationkey AS BIGINT), 3) AS BIGINT) AS bxor,
-        | CAST(n_nationkey << 2 AS BIGINT) AS shl,
-        | CAST(n_nationkey >> 1 AS BIGINT) AS shr,
-        | CAST(bit_count(CAST(n_nationkey AS BIGINT)) AS BIGINT) AS popcount
-        |FROM nation ORDER BY n_nationkey""".stripMargin,
-    "rel_exists_subquery" ->
-      """SELECT c_custkey, c_name FROM customer c
-        |WHERE EXISTS (SELECT 1 FROM orders o
-        |              WHERE o.o_custkey = c.c_custkey
-        |                AND o.o_totalprice > 300000.0)
-        |ORDER BY c_custkey""".stripMargin,
-    "sim_knn_classify" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label FROM embeddings),
-        |s AS (SELECT query_id, neighbor_id, label,
-        |        $cosineSql AS sim
-        |      FROM q, c WHERE neighbor_id <> query_id),
-        |r AS (SELECT query_id, neighbor_id, label, sim,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
-        |      FROM s),
-        |v AS (SELECT query_id, label, count(*) AS votes FROM r WHERE rank <= 5
-        |      GROUP BY query_id, label),
-        |p AS (SELECT query_id, label, votes,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
-        |      FROM v)
-        |SELECT query_id, CAST(label AS BIGINT) AS predicted_label, votes
-        |FROM p WHERE rn = 1 ORDER BY query_id""".stripMargin,
-    "rel_unpivot" ->
-      """SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
-        |UNION ALL
-        |SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value FROM part
-        |ORDER BY p_partkey, measure""".stripMargin,
-    "rel_shipping_priority" ->
-      """SELECT l_orderkey,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |          CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-        | o_orderdate, o_orderpriority
-        |FROM lineitem
-        |JOIN orders   ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-06-01'
-        |  AND l_shipdate > TIMESTAMP '1998-06-01'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |             CAST(1 - l_discount AS DECIMAL(4,2))) DESC, l_orderkey
-        |LIMIT 10""".stripMargin,
-    "rel_returned_items" ->
-      """SELECT c_custkey, c_name,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |          CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-        | n_name
-        |FROM lineitem
-        |JOIN orders   ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation   ON c_nationkey = n_nationkey
-        |WHERE l_returnflag = 'R'
-        |GROUP BY c_custkey, c_name, n_name
-        |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |             CAST(1 - l_discount AS DECIMAL(4,2))) DESC, c_custkey
-        |LIMIT 20""".stripMargin,
-    // blocked semantics on both sides: candidates share a 3-gram
-    // (txt_fuzzy_match) or their first token (txt_fuzzy_parts), then the
-    // exact levenshtein verify runs per candidate
-    "rel_nation_trade" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        | CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
-        |          CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-        | count(*) AS n_items
-        |FROM lineitem
-        |JOIN supplier  ON l_suppkey = s_suppkey
-        |JOIN orders    ON l_orderkey = o_orderkey
-        |JOIN customer  ON o_custkey = c_custkey
-        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
-        |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
-        |GROUP BY supp_nation, cust_nation, ship_year
-        |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
-    "rel_big_orders" ->
-      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
-        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
-        | sum_qty
-        |FROM orders
-        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem
-        |      GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0) h
-        |  ON o_orderkey = h.l_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
-        |LIMIT 20""".stripMargin,
-    "rel_cust_distribution" ->
-      """SELECT c_count, count(*) AS custdist FROM (
-        |  SELECT c_custkey, count(o_orderkey) AS c_count
-        |  FROM customer LEFT JOIN orders
-        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-        |  GROUP BY c_custkey) t
-        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
-    "str_session_native" ->
-      """WITH x AS (
-        |  SELECT user_id, event_id, ts, value,
-        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |y AS (
-        |  SELECT user_id, event_id, ts, value,
-        |         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
-        |              THEN 1 ELSE 0 END AS is_break
-        |  FROM x),
-        |z AS (
-        |  SELECT user_id, event_id, ts, value,
-        |         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM y)
-        |SELECT user_id, min(ts) AS session_start,
-        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  count(*) AS n_events, min(event_id) AS first_event_id,
-        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM z GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
-    "rel_supplier_dist" ->
-      """SELECT p_brand, p_type,
-        | count(DISTINCT l_suppkey) AS supplier_cnt,
-        | count(DISTINCT l_partkey) AS part_cnt
-        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
-        |JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand, p_type
-        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
-    "mm_embed" ->
-      """SELECT doc_id,
-        | ('0x' || substr(md5(text), 1, 2))::BIGINT / 255.0 AS e0,
-        | ('0x' || substr(md5(text), 3, 2))::BIGINT / 255.0 AS e1,
-        | ('0x' || substr(md5(text), 5, 2))::BIGINT / 255.0 AS e2,
-        | ('0x' || substr(md5(text), 7, 2))::BIGINT / 255.0 AS e3,
-        | ('0x' || substr(md5(text), 9, 2))::BIGINT / 255.0 AS e4,
-        | ('0x' || substr(md5(text), 11, 2))::BIGINT / 255.0 AS e5,
-        | ('0x' || substr(md5(text), 13, 2))::BIGINT / 255.0 AS e6,
-        | ('0x' || substr(md5(text), 15, 2))::BIGINT / 255.0 AS e7
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    "rel_dq_audit" ->
-      """SELECT 'orders_fk_customer' AS "check",
-        |  (SELECT count(*) FROM orders o LEFT JOIN customer c
-        |     ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL) AS n_violations
-        |UNION ALL SELECT 'lineitem_fk_orders',
-        |  (SELECT count(*) FROM lineitem l LEFT JOIN orders o
-        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
-        |UNION ALL SELECT 'orders_pk_unique',
-        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
-        |UNION ALL SELECT 'customer_name_not_null',
-        |  (SELECT count(*) FILTER (WHERE c_name IS NULL) FROM customer)
-        |UNION ALL SELECT 'discount_in_unit_interval',
-        |  (SELECT count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) FROM lineitem)
-        |UNION ALL SELECT 'totalprice_positive',
-        |  (SELECT count(*) FILTER (WHERE o_totalprice <= 0) FROM orders)
-        |ORDER BY "check"""".stripMargin,
-    "sca_struct" ->
-      """SELECT c_custkey, c_name AS name_rt,
-        | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_rt,
-        | CAST(c_nationkey AS BIGINT) AS nation_rt,
-        | c_mktsegment AS segment_rt,
-        | true AS struct_eq
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-    "xtr_bloom_prune" -> bloomPruneOracle,
-    "xtr_zorder_key" -> zorderOracle,
-    "xtr_cms_topk" -> cmsOracle,
-    "rel_waiting_supp" ->
-      """WITH f AS (
-        |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate FROM lineitem l
-        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  WHERE o.o_orderstatus = 'F'),
-        |ps AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS my_max
-        |       FROM f GROUP BY 1, 2),
-        |w AS (SELECT s.l_orderkey, s.l_suppkey FROM ps s
-        |      WHERE EXISTS (SELECT 1 FROM ps x
-        |                    WHERE x.l_orderkey = s.l_orderkey
-        |                      AND x.l_suppkey <> s.l_suppkey)
-        |        AND NOT EXISTS (SELECT 1 FROM ps y
-        |                        WHERE y.l_orderkey = s.l_orderkey
-        |                          AND y.l_suppkey <> s.l_suppkey
-        |                          AND y.my_max >= s.my_max))
-        |SELECT sp.s_suppkey, sp.s_name, count(*) AS numwait
-        |FROM w JOIN supplier sp ON w.l_suppkey = sp.s_suppkey
-        |GROUP BY 1, 2
-        |ORDER BY numwait DESC, sp.s_suppkey
-        |LIMIT 10""".stripMargin,
-    "xtr_outliers" ->
-      """WITH ranked AS (
-        |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events),
-        |quart AS (
-        |  SELECT event_type,
-        |    min(CASE WHEN rn = (n + 3) // 4 THEN v END) AS q1,
-        |    min(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3
-        |  FROM ranked WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
-        |  GROUP BY event_type),
-        |j AS (SELECT e.event_type, CAST(e.value AS DECIMAL(12,2)) AS v,
-        |        q.q1, q.q3, q.q3 - q.q1 AS iqr
-        |      FROM events e JOIN quart q USING (event_type))
-        |SELECT event_type, count(*) AS n_events,
-        |  CAST(min(q1) AS DOUBLE) AS q1, CAST(min(q3) AS DOUBLE) AS q3,
-        |  count(CASE WHEN v < q1 - iqr * 1.5 OR v > q3 + iqr * 1.5 THEN 1 END) AS n_outliers
-        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "rel_event_paths" ->
-      """WITH s AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
-        |           FROM events GROUP BY user_id),
-        |g AS (SELECT unnest(list_transform(generate_series(1, len(seq) - 2),
-        |        i -> seq[i] || '>' || seq[i+1] || '>' || seq[i+2])) AS path
-        |      FROM s WHERE len(seq) >= 3)
-        |SELECT path, count(*) AS n FROM g
-        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
-    "rel_idle_rich" ->
-      """WITH t AS (
-        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS s_bal,
-        |         count(*) AS n_bal
-        |  FROM customer WHERE c_acctbal > 0)
-        |SELECT c_nationkey, count(*) AS numcust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
-        |FROM customer, t
-        |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_bal > s_bal
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY c_nationkey
-        |ORDER BY c_nationkey""".stripMargin,
-    "txt_repetition" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-        |           FROM documents),
-        |b AS (SELECT doc_id,
-        |        CAST(len(tk) AS BIGINT) AS n_tokens,
-        |        CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_bigrams,
-        |        CAST(len(list_distinct(tk)) AS BIGINT) AS n_types
-        |      FROM d),
-        |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
-        |        i -> tk[i] || ' ' || tk[i+1])) AS bg
-        |      FROM d WHERE len(tk) > 1),
-        |t AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
-        |      FROM (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY doc_id, bg)
-        |      GROUP BY doc_id)
-        |SELECT b.doc_id, b.n_tokens, b.n_bigrams, b.n_types,
-        |  COALESCE(t.top_bigram_n, 0) AS top_bigram_n,
-        |  CASE WHEN b.n_bigrams > 0
-        |       THEN CAST(COALESCE(t.top_bigram_n, 0) AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
-        |       ELSE 0.0 END AS top_bigram_frac,
-        |  CASE WHEN b.n_tokens > 0
-        |       THEN CAST(b.n_tokens - b.n_types AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
-        |       ELSE 0.0 END AS dup_token_frac,
-        |  (CASE WHEN b.n_bigrams > 0
-        |        THEN CAST(COALESCE(t.top_bigram_n, 0) AS DOUBLE) / CAST(b.n_bigrams AS DOUBLE)
-        |        ELSE 0.0 END > 0.18
-        |   OR CASE WHEN b.n_tokens > 0
-        |           THEN CAST(b.n_tokens - b.n_types AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
-        |           ELSE 0.0 END > 0.60) AS is_repetitive
-        |FROM b LEFT JOIN t USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-    "txt_mixture_sample" -> mixtureSampleOracle,
-    "rel_pagerank" -> pageRankOracle(3),
-    "sim_pq_topk" -> pqTopkOracle(8, 5),
-    "sim_ivfpq_topk" -> ivfpqOracle(8, 5),
-    "sim_ivfpq_res" -> ivfpqResidualOracle(8, 5),
-    "sim_mmr" -> mmrOracle(8, 5, 20, 0.7),
-    // salting is a physical-plan device: the oracle is the UNSALTED
-    // plan, so the hash check proves result-identity under salting
-    "sim_ivf_salted" -> ivfOracle(8, 5),
-    "sim_kmeans_cells" -> kmeansCellsOracle(16),
-    "sim_semdedup" -> semDedupOracle(16, 0.2),
-    "sim_sq_topk" -> sqTopkOracle(8, 5),
-    "sim_recall_gates" -> foldedOracle(
-      Seq("query_id" -> "long", "recall_at_k" -> "double"),
-      ("pq", Seq("query_id", "recall_at_k"), pqRecallOracle(8, 5)),
-      ("sq", Seq("query_id", "recall_at_k"), sqRecallOracle(8, 5)),
-      ("ivf", Seq("query_id", "recall_at_k"), ivfRecallOracle(8, 5)),
-      ("ivfpq", Seq("query_id", "recall_at_k"), ivfpqRecallOracle(8, 5)),
-      ("ivfpq_res", Seq("query_id", "recall_at_k"),
-        ivfpqResidualRecallOracle(8, 5)),
-      ("ivf_filtered", Seq("query_id", "recall_at_k"),
-        filteredRecallOracle(8, 5))),
-    "sim_rerank_family" -> foldedOracle(
-      Seq("query_id" -> "long", "neighbor_id" -> "long",
-        "sim" -> "double", "rank" -> "long"),
-      ("pq", Seq("query_id", "neighbor_id", "sim", "rank"),
-        pqRerankOracle(8, 5, 20)),
-      ("rp", Seq("query_id", "neighbor_id", "sim", "rank"),
-        rpRerankOracle(8, 5, 20)),
-      ("mrl", Seq("query_id", "neighbor_id", "sim", "rank"),
-        mrlRerankOracle(8, 5, 20))),
-    "sim_knn_family" -> foldedOracle(
-      Seq("query_id" -> "long", "neighbor_id" -> "long",
-        "sim" -> "double", "rank" -> "long"),
-      ("graph", Seq("query_id", "neighbor_id", "sim", "rank"),
-        knnGraphOracle(5)),
-      ("refine", Seq("query_id", "neighbor_id", "sim", "rank"),
-        knnRefineOracle(5))),
-    "sim_label_prop" -> labelPropOracle(100, 5, 3),
-    "txt_bm25_topk" -> bm25Oracle(10),
-    // the stored-index pair: the build's census is the k-means census
-    // (the layout IS the trained assignment), and probing the stored
-    // artifacts must be result-identical to the inline IVFADC plan —
-    // parquet round-trips the trained doubles bit-exactly
-    "sim_ivfpq_build" -> kmeansCellsOracle(16),
-    "sim_ivfpq_stored" -> ivfpqOracle(8, 5),
-    // health: occupancy over the same re-derived k-means assignment;
-    // exact integer share (floor division to basis points)
-    "sim_ivfpq_health" ->
-      s"""WITH ${kmeansSql(16, Similarity.ivfIters)},
-         |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
-         |assigned AS MATERIALIZED (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.centroid_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-         |    FROM embeddings e, cent c) t WHERE rn = 1),
-         |pc AS (SELECT cell, count(*) AS n_vecs FROM assigned GROUP BY cell),
-         |tot AS (SELECT count(*) AS n_total FROM assigned)
-         |SELECT CAST(cell AS INTEGER) AS cell,
-         |  CAST(n_vecs AS BIGINT) AS n_vecs,
-         |  CAST(n_vecs * 10000 // n_total AS BIGINT) AS share_bp,
-         |  n_vecs * 16 > n_total * 2 AS is_hot
-         |FROM pc, tot ORDER BY cell""".stripMargin,
-    // resplit: same assignment chain; hot cells (>1.1x mean) split by
-    // cosine-nearer-of(pivot, centroid), pivot = min-vec_id member
-    "sim_ivfpq_resplit" ->
-      s"""WITH $resplitCtes
-         |SELECT CAST(new_cell AS BIGINT) AS new_cell,
-         |  CAST(min(cell) AS BIGINT) AS parent_cell,
-         |  CAST(count(*) AS BIGINT) AS n_members,
-         |  new_cell >= 16 AS is_split_half
-         |FROM n GROUP BY new_cell ORDER BY new_cell""".stripMargin,
-    // probe over the resplit generation: queries rank the augmented
-    // centroid table (original centroids + pivots at cell+16), probe
-    // nprobe of them, score only those partitions' members
-    "sim_ivfpq_resprobe" ->
-      s"""WITH $resplitCtes,
-         |aug AS MATERIALIZED (
-         |  SELECT centroid_id AS cell, ce FROM cent
-         |  UNION ALL SELECT pe.cell + 16 AS cell, pe.pe AS ce FROM pe),
-         |probes AS MATERIALIZED (
-         |  SELECT query_id, qe, cell FROM (
-         |    SELECT q.vec_id AS query_id, q.embedding AS qe, a.cell,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${cosSql("q.embedding", "a.ce")} DESC, a.cell) AS rn
-         |    FROM (SELECT * FROM embeddings WHERE vec_id < 8) q, aug a) t
-         |  WHERE rn <= 4),
-         |s AS (SELECT query_id, n.vec_id AS neighbor_id,
-         |        ${cosSql("p.qe", "n.embedding")} AS sim
-         |      FROM probes p JOIN n ON n.new_cell = p.cell
-         |      WHERE n.vec_id <> p.query_id),
-         |r AS (SELECT query_id, neighbor_id, sim,
-         |        CAST(row_number() OVER (PARTITION BY query_id
-         |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-         |      FROM s)
-         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
-    "sim_ivfpq_append" -> ivfpqAppendOracle(8, 5),
-    // deletion: quantizers trained on the FULL corpus (the standing
-    // index's training), candidates restricted to the survivors
-    "sim_ivfpq_delete" -> ivfpqOracle(8, 5, corpusPred = "e.vec_id % 7 <> 3"),
-    "txt_span_cut" -> spanCutOracle(5),
-    "txt_hybrid_rrf" -> hybridRrfOracle(10, 20, 60),
-    "txt_hybrid_stored" -> hybridStoredOracle(10, 20, 60),
-    // probing the stored inverted index is result-identical to the
-    // inline BM25 plan (parquet round-trips the integer statistics);
-    // the build's census re-derives the same md5 term bucketing
-    "txt_bm25_build" ->
-      s"""WITH tf AS MATERIALIZED (SELECT doc_id, t.term, count(*) AS tf
-        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
-        |  GROUP BY doc_id, t.term)
-        |SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT % ${Text.bm25Buckets}
-        |    AS bucket,
-        |  CAST(count(*) AS BIGINT) AS n_postings,
-        |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms
-        |FROM tf GROUP BY bucket ORDER BY bucket""".stripMargin,
-    "txt_bm25_stored" -> bm25Oracle(10),
-    // health: per-bucket postings mass over the re-derived inverted
-    // index; bucket = md5-hash of the term mod 64, like the layout
-    "txt_bm25_health" ->
-      """WITH tf AS MATERIALIZED (SELECT doc_id, t.term, count(*) AS tf
-        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
-        |  GROUP BY doc_id, t.term),
-        |b AS MATERIALIZED (SELECT
-        |    ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS bucket, term
-        |  FROM tf),
-        |pc AS (SELECT bucket, count(*) AS n_postings FROM b GROUP BY bucket),
-        |tm AS (SELECT bucket, count(DISTINCT term) AS n_terms FROM b GROUP BY bucket),
-        |tot AS (SELECT count(*) AS n_total FROM b)
-        |SELECT bucket, CAST(n_postings AS BIGINT) AS n_postings,
-        |  CAST(n_terms AS BIGINT) AS n_terms,
-        |  CAST(n_postings * 10000 // n_total AS BIGINT) AS share_bp,
-        |  n_postings * 64 > n_total * 2 AS is_hot
-        |FROM pc JOIN tm USING (bucket), tot
-        |ORDER BY bucket""".stripMargin,
-    // resplit: hot buckets (>1.1x mean postings) split by the next
-    // md5 bit of the term hash; report = per-new-bucket mass after
-    "txt_bm25_resplit" ->
-      """WITH tf AS MATERIALIZED (SELECT doc_id, t.term, count(*) AS tf
-        |  FROM documents, unnest(string_split(text, ' ')) AS t(term)
-        |  GROUP BY doc_id, t.term),
-        |h AS MATERIALIZED (SELECT doc_id, term,
-        |    ('0x' || substr(md5(term), 1, 8))::BIGINT AS hv FROM tf),
-        |b AS MATERIALIZED (SELECT doc_id, term, hv % 64 AS bucket,
-        |    (hv // 64) % 2 AS sub FROM h),
-        |cnt AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
-        |tot AS (SELECT count(*) AS n_total FROM b),
-        |hot AS (SELECT bucket FROM cnt, tot
-        |        WHERE n * 64 * 100 > n_total * 110),
-        |n AS (SELECT doc_id, term, b.bucket,
-        |        CASE WHEN hot.bucket IS NULL THEN b.bucket
-        |             ELSE b.bucket + 64 * sub END AS new_bucket
-        |      FROM b LEFT JOIN hot ON b.bucket = hot.bucket)
-        |SELECT CAST(new_bucket AS BIGINT) AS new_bucket,
-        |  CAST(min(bucket) AS BIGINT) AS parent_bucket,
-        |  CAST(count(*) AS BIGINT) AS n_postings,
-        |  CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
-        |  new_bucket >= 64 AS is_split_half
-        |FROM n GROUP BY new_bucket ORDER BY new_bucket""".stripMargin,
-    // append merges into the bucket layout until it IS the from-scratch
-    // index over the union (BM25 has no trained artifacts), so the
-    // probe-after-append oracle is the inline-index oracle verbatim
-    "txt_bm25_append" -> bm25Oracle(10),
-    // delete + compact restores from-scratch exactness over survivors
-    "txt_bm25_delete" -> bm25DeleteOracle(10),
-    "txt_lm_quality" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-        |           FROM documents),
-        |pr AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    tk[i] AS w1, tk[i+1] AS w2
-        |  FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
-        |  WHERE len(tk) > 1),
-        |bi AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY w1, w2),
-        |uni AS (SELECT w1, count(*) AS n_w1 FROM pr GROUP BY w1),
-        |sp AS (SELECT doc_id, pos,
-        |    CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE) AS p
-        |  FROM pr JOIN bi USING (w1, w2) JOIN uni USING (w1)),
-        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
-        |    list_sum(list(p ORDER BY pos)) / count(*) AS mean_p
-        |  FROM sp GROUP BY doc_id)
-        |SELECT d2.doc_id, CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
-        |  coalesce(m.mean_p, 0.0) AS mean_p
-        |FROM documents d2 LEFT JOIN m USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-    // stored-LM build census: bucket = md5-prefix hash of w1 mod 64,
-    // like the layout; the model trains on the even-doc_id half
-    "txt_lm_build" ->
-      s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |pr AS MATERIALIZED (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-        |  FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
-        |  WHERE len(tk) > 1),
-        |bi AS (SELECT w1, w2, count(*) AS n_pair FROM pr GROUP BY w1, w2),
-        |uni AS (SELECT w1, count(*) AS n_w1 FROM pr GROUP BY w1),
-        |bb AS (SELECT
-        |    ('0x' || substr(md5(w1), 1, 8))::BIGINT % ${Text.bm25Buckets}
-        |      AS bucket,
-        |    CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    CAST(sum(n_pair) AS BIGINT) AS n_pairs
-        |  FROM bi GROUP BY bucket),
-        |ub AS (SELECT
-        |    ('0x' || substr(md5(w1), 1, 8))::BIGINT % ${Text.bm25Buckets}
-        |      AS bucket,
-        |    CAST(count(*) AS BIGINT) AS n_unigrams
-        |  FROM uni GROUP BY bucket)
-        |SELECT bucket, n_bigrams, n_pairs, n_unigrams
-        |FROM bb JOIN ub USING (bucket) ORDER BY bucket""".stripMargin,
-    // scoring under the STORED reference LM: the model CTEs filter to
-    // the even-doc_id training half; unseen pairs score exactly 0
-    "txt_lm_stored" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-        |  FROM documents),
-        |pr AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    tk[i] AS w1, tk[i+1] AS w2
-        |  FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
-        |  WHERE len(tk) > 1),
-        |bi AS MATERIALIZED (SELECT w1, w2, count(*) AS n_pair FROM pr
-        |  WHERE doc_id % 2 = 0 GROUP BY w1, w2),
-        |uni AS MATERIALIZED (SELECT w1, count(*) AS n_w1 FROM pr
-        |  WHERE doc_id % 2 = 0 GROUP BY w1),
-        |sp AS (SELECT pr.doc_id, pr.pos,
-        |    coalesce(CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE), 0.0) AS p
-        |  FROM pr LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)),
-        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
-        |    list_sum(list(p ORDER BY pos)) / count(*) AS mean_p
-        |  FROM sp GROUP BY doc_id)
-        |SELECT d2.doc_id, CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
-        |  coalesce(m.mean_p, 0.0) AS mean_p
-        |FROM documents d2 LEFT JOIN m USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-    // append merges additive count segments until the served model IS
-    // the from-scratch model over the unioned reference (even half ∪
-    // the %4==1 batch), so the oracle just widens the training filter
-    "txt_lm_append" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-        |  FROM documents),
-        |pr AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    tk[i] AS w1, tk[i+1] AS w2
-        |  FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
-        |  WHERE len(tk) > 1),
-        |bi AS MATERIALIZED (SELECT w1, w2, count(*) AS n_pair FROM pr
-        |  WHERE doc_id % 2 = 0 OR doc_id % 4 = 1 GROUP BY w1, w2),
-        |uni AS MATERIALIZED (SELECT w1, count(*) AS n_w1 FROM pr
-        |  WHERE doc_id % 2 = 0 OR doc_id % 4 = 1 GROUP BY w1),
-        |sp AS (SELECT pr.doc_id, pr.pos,
-        |    coalesce(CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE), 0.0) AS p
-        |  FROM pr LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)),
-        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
-        |    list_sum(list(p ORDER BY pos)) / count(*) AS mean_p
-        |  FROM sp GROUP BY doc_id)
-        |SELECT d2.doc_id, CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
-        |  coalesce(m.mean_p, 0.0) AS mean_p
-        |FROM documents d2 LEFT JOIN m USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-    // delete subtracts the victims' counts until the served model IS
-    // the from-scratch model over the surviving reference, so the
-    // oracle just narrows the training filter
-    "txt_lm_delete" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-        |  FROM documents),
-        |pr AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    tk[i] AS w1, tk[i+1] AS w2
-        |  FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
-        |  WHERE len(tk) > 1),
-        |bi AS MATERIALIZED (SELECT w1, w2, count(*) AS n_pair FROM pr
-        |  WHERE doc_id % 2 = 0 AND doc_id % 8 <> 2 GROUP BY w1, w2),
-        |uni AS MATERIALIZED (SELECT w1, count(*) AS n_w1 FROM pr
-        |  WHERE doc_id % 2 = 0 AND doc_id % 8 <> 2 GROUP BY w1),
-        |sp AS (SELECT pr.doc_id, pr.pos,
-        |    coalesce(CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE), 0.0) AS p
-        |  FROM pr LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)),
-        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
-        |    list_sum(list(p ORDER BY pos)) / count(*) AS mean_p
-        |  FROM sp GROUP BY doc_id)
-        |SELECT d2.doc_id, CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
-        |  coalesce(m.mean_p, 0.0) AS mean_p
-        |FROM documents d2 LEFT JOIN m USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-    // compact folds the generations; the served model is the
-    // append+delete composition, so the oracle widens then narrows
-    "txt_lm_compact" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-        |  FROM documents),
-        |pr AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    tk[i] AS w1, tk[i+1] AS w2
-        |  FROM d, unnest(generate_series(1, len(tk) - 1)) AS u(i)
-        |  WHERE len(tk) > 1),
-        |bi AS MATERIALIZED (SELECT w1, w2, count(*) AS n_pair FROM pr
-        |  WHERE (doc_id % 2 = 0 OR doc_id % 4 = 1) AND doc_id % 8 <> 2
-        |  GROUP BY w1, w2),
-        |uni AS MATERIALIZED (SELECT w1, count(*) AS n_w1 FROM pr
-        |  WHERE (doc_id % 2 = 0 OR doc_id % 4 = 1) AND doc_id % 8 <> 2
-        |  GROUP BY w1),
-        |sp AS (SELECT pr.doc_id, pr.pos,
-        |    coalesce(CAST(n_pair AS DOUBLE) / CAST(n_w1 AS DOUBLE), 0.0) AS p
-        |  FROM pr LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)),
-        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
-        |    list_sum(list(p ORDER BY pos)) / count(*) AS mean_p
-        |  FROM sp GROUP BY doc_id)
-        |SELECT d2.doc_id, CAST(coalesce(m.n_pairs, 0) AS BIGINT) AS n_pairs,
-        |  coalesce(m.mean_p, 0.0) AS mean_p
-        |FROM documents d2 LEFT JOIN m USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-    "txt_quota_sample" -> quotaSampleOracle(50),
-    "rel_concomp" -> concompOracle,
-    "sim_label_centroids" ->
-      s"""WITH d AS (SELECT CAST(label AS BIGINT) AS label, vec_id, j,
-        |    CAST(embedding[j] AS DOUBLE) AS v
-        |  FROM embeddings, unnest(generate_series(1, ${Similarity.dim})) AS u(j)),
-        |b AS (SELECT label, j, vec_id // ${Similarity.trainBlock} AS blk,
-        |    list_sum(list(v ORDER BY vec_id)) AS bsum, count(*) AS bn
-        |  FROM d GROUP BY label, j, blk)
-        |SELECT label, CAST(j AS BIGINT) AS dim_idx,
-        |  list_sum(list(bsum ORDER BY blk)) / sum(bn) AS mean_v
-        |FROM b GROUP BY label, j ORDER BY label, dim_idx""".stripMargin,
-    "rel_forecast_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |         * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-        |  AND l_shipdate < TIMESTAMP '1996-01-01'
-        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
-    "rel_promo_revenue" ->
-      """WITH a AS (
-        |  SELECT sum(CASE WHEN p_type = 'PROMO'
-        |           THEN CAST(l_extendedprice AS DECIMAL(12,2))
-        |                * CAST(1 - l_discount AS DECIMAL(4,2)) END) AS promo_dec,
-        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |        * CAST(1 - l_discount AS DECIMAL(4,2))) AS total_dec
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-        |    AND l_shipdate < TIMESTAMP '1996-01-01')
-        |SELECT 100.0 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS promo_pct,
-        |  CAST(promo_dec AS DOUBLE) AS promo_revenue,
-        |  CAST(total_dec AS DOUBLE) AS total_revenue
-        |FROM a""".stripMargin,
-    "rel_top_supplier" ->
-      """WITH rev AS (
-        |  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |      * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev_dec
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-        |    AND l_shipdate < TIMESTAMP '1995-04-01'
-        |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
-        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
-        |ORDER BY s_suppkey""".stripMargin,
-    "rel_small_qty" ->
-      """WITH li AS (
-        |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,4)) AS qty,
-        |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
-        |    sum(CAST(l_quantity AS DECIMAL(18,4)))
-        |      OVER (PARTITION BY l_partkey) AS sum_qty,
-        |    count(*) OVER (PARTITION BY l_partkey) AS n_items
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  WHERE p_brand = 'Brand#1')
-        |SELECT CAST(sum(price) AS DOUBLE) / 7.0 AS avg_yearly,
-        |  count(*) AS n_small
-        |FROM li WHERE qty * 5 * n_items < sum_qty""".stripMargin,
-    "rel_market_share" ->
-      """WITH vol AS (
-        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |    CAST(l_extendedprice AS DECIMAL(12,2))
-        |      * CAST(1 - l_discount AS DECIMAL(4,2)) AS vol,
-        |    (SELECT n_name FROM nation WHERE n_nationkey = s_nationkey) AS supp_nation
-        |  FROM lineitem
-        |  JOIN part ON l_partkey = p_partkey
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  WHERE p_type = 'PROMO'
-        |    AND o_orderdate >= TIMESTAMP '1995-01-01'
-        |    AND o_orderdate < TIMESTAMP '1997-01-01'
-        |    AND o_custkey IN (
-        |      SELECT c_custkey FROM customer
-        |      JOIN nation ON c_nationkey = n_nationkey
-        |      JOIN region ON n_regionkey = r_regionkey
-        |      WHERE r_name = 'ASIA'))
-        |SELECT o_year,
-        |  CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol END), 0) AS DOUBLE)
-        |    / CAST(sum(vol) AS DOUBLE) AS mkt_share,
-        |  CAST(sum(vol) AS DOUBLE) AS total_volume
-        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
-    "rel_min_cost_supp" ->
-      """WITH pp AS (SELECT p_partkey FROM part
-        |  WHERE p_size <= 15 AND p_type = 'ECONOMY'),
-        |costs AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
-        |  FROM lineitem JOIN pp ON l_partkey = p_partkey
-        |  GROUP BY l_partkey, l_suppkey)
-        |SELECT c.l_partkey AS p_partkey, s_suppkey, s_name, n_name,
-        |  s_acctbal, CAST(cost AS DOUBLE) AS supply_cost
-        |FROM costs c
-        |JOIN supplier ON c.l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE cost = (SELECT min(cost) FROM costs c2
-        |              WHERE c2.l_partkey = c.l_partkey)
-        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey""".stripMargin,
-    "rel_priority_count" ->
-      """SELECT o_orderpriority, count(*) AS order_count
-        |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-        |  AND o_orderdate < TIMESTAMP '1995-04-01'
-        |  AND EXISTS (SELECT 1 FROM lineitem
-        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
-    "rel_nation_profit" ->
-      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-        |      * CAST(1 - l_discount AS DECIMAL(4,2))
-        |    - CAST(p_retailprice AS DECIMAL(12,2))
-        |      * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN orders ON l_orderkey = o_orderkey
-        |WHERE p_name LIKE '%ring%'
-        |GROUP BY 1, 2
-        |ORDER BY nation, o_year DESC""".stripMargin,
-    "rel_top_value_parts" ->
-      """WITH suppin AS (
-        |  SELECT s_suppkey FROM supplier
-        |  JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_3'),
-        |vals AS (
-        |  SELECT l_partkey,
-        |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS val_dec
-        |  FROM lineitem JOIN suppin ON l_suppkey = s_suppkey
-        |  GROUP BY l_partkey)
-        |SELECT l_partkey AS p_partkey, CAST(val_dec AS DOUBLE) AS part_value
-        |FROM vals
-        |WHERE val_dec * (SELECT count(*) FROM vals)
-        |      > (SELECT sum(val_dec) FROM vals) * 2
-        |ORDER BY part_value DESC, p_partkey""".stripMargin,
-    "rel_priority_mix" ->
-      """SELECT l_returnflag,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-        |  AND l_shipdate < TIMESTAMP '1996-01-01'
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-    "rel_bulk_suppliers" ->
-      """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
-        |qual AS (
-        |  SELECT l_suppkey FROM lineitem JOIN pp ON l_partkey = p_partkey
-        |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
-        |    AND l_shipdate < TIMESTAMP '1996-01-01'
-        |  GROUP BY l_suppkey, l_partkey
-        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 50)
-        |SELECT s_suppkey, s_name FROM supplier
-        |WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
-        |ORDER BY s_suppkey""".stripMargin,
-    "txt_gopher_gate" -> gopherGateOracle,
-    "txt_pii_scan" ->
-      s"""WITH p AS MATERIALIZED (
-         |  SELECT doc_id, text ||
-         |    ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
-         |    CASE WHEN doc_id % 3 = 0 THEN ' from 10.' ||
-         |      CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
-         |      CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
-         |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-0' ||
-         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ELSE '' END
-         |    AS text
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text,
-         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
-         |  CAST(len(regexp_extract_all(text,
-         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
-         |  CAST(len(regexp_extract_all(text,
-         |    '\\b\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
-         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
-         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
-         |    '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS BIGINT) AS red_len
-         |FROM p ORDER BY doc_id""".stripMargin,
-    "rel_triangles" ->
-      """WITH edges AS MATERIALIZED (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
-        |                 CAST(s.s_nationkey AS BIGINT) AS dst
-        |          FROM lineitem l
-        |          JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |          JOIN customer c ON o.o_custkey = c.c_custkey
-        |          JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |          WHERE c.c_nationkey <> s.s_nationkey),
-        |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |        FROM edges WHERE src <> dst),
-        |deg AS (SELECT id, count(*) AS deg FROM (
-        |          SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und) u
-        |        GROUP BY id),
-        |k AS MATERIALIZED (SELECT id, deg * 4294967296 + id AS k FROM deg),
-        |o AS MATERIALIZED (SELECT CASE WHEN ka.k < kb.k THEN ka.k ELSE kb.k END AS u,
-        |             CASE WHEN ka.k < kb.k THEN kb.k ELSE ka.k END AS v
-        |      FROM und JOIN k ka ON und.a = ka.id JOIN k kb ON und.b = kb.id),
-        |w AS (SELECT x.v AS p, y.v AS q FROM o x JOIN o y
-        |      ON x.u = y.u AND x.v < y.v),
-        |t AS (SELECT count(*) AS n_triangles
-        |      FROM w JOIN o z ON w.p = z.u AND w.q = z.v)
-        |SELECT (SELECT count(*) FROM und) AS n_edges,
-        |       (SELECT count(*) FROM w) AS n_wedges,
-        |       n_triangles
-        |FROM t""".stripMargin,
-    "str_dedup" ->
-      """WITH k AS (
-        |  SELECT user_id, event_type, date_trunc('minute', ts) AS minute,
-        |    event_id, ts,
-        |    row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
-        |                       ORDER BY ts, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)) AS n
-        |  FROM events)
-        |SELECT user_id, event_type, minute,
-        |  event_id AS first_event_id, ts AS first_ts,
-        |  CAST(n AS BIGINT) AS n_dups
-        |FROM k WHERE rn = 1
-        |ORDER BY user_id, event_type, minute""".stripMargin,
-    // watermark semantics modeled in batch: arrival = event time plus
-    // an md5-keyed 0-60 min transport jitter, micro-batch = arrival
-    // hour, and the watermark advances at batch boundaries
-    // (strictly-previous frame: the first batch never drops); mirrors
-    // StreamingOps.lateDataAudit constant-for-constant
-    "txt_novel_bigrams" ->
-      """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-        |           FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
-        |        ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h
-        |      FROM (SELECT doc_id,
-        |              unnest(list_transform(generate_series(1, len(tk) - 1),
-        |                i -> tk[i] || ' ' || tk[i+1])) AS bg
-        |            FROM d WHERE len(tk) > 1) u),
-        |p AS (SELECT doc_id, count(*) AS n_bigrams FROM g GROUP BY doc_id),
-        |n AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY h HAVING count(*) = 1),
-        |nn AS (SELECT doc_id, count(*) AS n_novel FROM n GROUP BY doc_id)
-        |SELECT p.doc_id, p.n_bigrams,
-        |  CAST(COALESCE(nn.n_novel, 0) AS BIGINT) AS n_novel,
-        |  CAST(COALESCE(nn.n_novel, 0) AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS novelty
-        |FROM p LEFT JOIN nn USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-  )
-
-  /** txt_mixture_sample oracle: the keep-rate CASE is generated from
-    * the same `mixtureRates` map the Spark operator uses.
-    */
-  private def mixtureSampleOracle: String = {
-    val cases = mixtureRates.toSeq.sortBy(_._1)
-      .map { case (l, bp) => s"WHEN '$l' THEN $bp" }.mkString(" ")
-    val rate = s"CASE lang $cases ELSE 1000 END"
-    s"""WITH k AS (
-       |  SELECT lang, $rate AS target_bp,
-       |    CASE WHEN (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
-       |           < ($rate) THEN 1 ELSE 0 END AS keep
-       |  FROM documents),
-       |p AS (SELECT lang, max(target_bp) AS target_bp, count(*) AS n_total,
-       |        CAST(sum(keep) AS BIGINT) AS n_kept
-       |      FROM k GROUP BY lang),
-       |t AS (SELECT CAST(sum(keep) AS BIGINT) AS n_kept_all FROM k)
-       |SELECT lang, target_bp, n_total, n_kept,
-       |  CAST(n_kept AS DOUBLE) / CAST(n_total AS DOUBLE) AS keep_rate,
-       |  CAST(n_kept AS DOUBLE) / CAST(n_kept_all AS DOUBLE) AS mix_share
-       |FROM p, t ORDER BY lang""".stripMargin
-  }
-
-  /** txt_bm25_topk oracle: the same BM25 chain — tf/df/dl/avgdl off one
-    * tokenize, the rational (log-free) RSJ idf, the per-(query, doc)
-    * term sum as an ordered `list_sum(list(s ORDER BY term))` fold —
-    * generated from the SAME `Text.bm25K1/bm25B/bm25Queries` constants
-    * as the engine, so the float scores hash-match.
-    */
-  /** The BM25 CTE chain up to the ranked table `lexr` — shared between
-    * the plain retrieval oracle and the hybrid-fusion oracle. tf is
-    * MATERIALIZED (referenced by dl/df/m — DuckDB would otherwise
-    * re-tokenize the corpus per reference).
-    */
-  private def bm25Ctes(src: String = "documents"): String = {
-    val k1 = Text.bm25K1
-    val k1p1 = Text.bm25K1 + 1.0
-    val b = Text.bm25B
-    val oneMinusB = 1.0 - Text.bm25B
-    val qvals = Text.bm25Queries
-      .flatMap { case (id, q) => q.split(" ").distinct.map(t => (id, t)) }
-      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
-      .mkString(", ")
-    s"""q(query_id, term) AS (VALUES $qvals),
-       |tf AS MATERIALIZED (SELECT doc_id, t.term, count(*) AS tf
-       |  FROM $src, unnest(string_split(lower(text), ' ')) AS t(term)
-       |  GROUP BY doc_id, t.term),
-       |dl AS MATERIALIZED (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
-       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-       |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
-       |m AS (SELECT q.query_id, tf.doc_id, tf.term,
-       |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-       |       / (CAST(df AS DOUBLE) + 0.5))
-       |    * ((CAST(tf AS DOUBLE) * $k1p1)
-       |       / (CAST(tf AS DOUBLE) + $k1 * ($oneMinusB + $b
-       |            * (CAST(dl AS DOUBLE)
-       |               / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS s
-       |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
-       |       JOIN df USING (term), st),
-       |sc AS (SELECT query_id, doc_id,
-       |    list_sum(list(s ORDER BY term)) AS score
-       |  FROM m GROUP BY query_id, doc_id),
-       |lexr AS (SELECT query_id, doc_id, score,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-       |  FROM sc)""".stripMargin
-  }
-
-  /** Shared CTE chain re-deriving the hot-cell resplit: `n` carries
-    * (vec_id, embedding, cell, new_cell) — the full post-split
-    * assignment at the registry's 1.1×-mean threshold; `cent` and
-    * `pe` stay visible for the probe oracle's augmented centroids.
-    */
-  private def resplitCtes: String =
-    s"""${kmeansSql(16, Similarity.ivfIters)},
-       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
-       |assigned AS MATERIALIZED (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM embeddings e, cent c) t WHERE rn = 1),
-       |cnt AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell),
-       |tot AS (SELECT count(*) AS n_total FROM assigned),
-       |hot AS (SELECT cell FROM cnt, tot WHERE n * 16 * 100 > n_total * 110),
-       |piv AS (SELECT a.cell, min(a.vec_id) AS pivot_id
-       |        FROM assigned a JOIN hot USING (cell) GROUP BY a.cell),
-       |pe AS MATERIALIZED (SELECT piv.cell, e.embedding AS pe
-       |       FROM piv JOIN embeddings e ON e.vec_id = piv.pivot_id),
-       |n AS MATERIALIZED (SELECT a.vec_id, a.embedding, a.cell,
-       |        CASE WHEN pe.pe IS NULL THEN a.cell
-       |             WHEN ${cosSql("a.embedding", "pe.pe")}
-       |               >= ${cosSql("a.embedding", "c.ce")} THEN a.cell + 16
-       |             ELSE a.cell END AS new_cell
-       |      FROM assigned a LEFT JOIN pe USING (cell)
-       |        JOIN cent c ON c.centroid_id = a.cell)""".stripMargin
-
-  /** Shared CTE chain re-deriving the hashed-linear classifier: `f`
-    * carries (doc_id, n_features, clf_score) — the exact integer sum
-    * the native expression computes per row. MATERIALIZED because the
-    * report/sampling oracles reference it through further grouping.
-    */
-  private def clfCtes: String =
-    """d AS (SELECT doc_id, string_split(lower(text), ' ') AS ls
-      |           FROM documents),
-      |f AS MATERIALIZED (SELECT doc_id,
-      |        len(ls) + greatest(len(ls) - 1, 0) AS n_features,
-      |        CAST(coalesce(list_aggregate(list_transform(ls,
-      |            t -> ('0x' || substr(md5('u:' || t), 1, 8))::BIGINT % 17 - 8),
-      |          'sum'), 0) AS BIGINT)
-      |        + CASE WHEN len(ls) > 1 THEN
-      |            CAST(coalesce(list_aggregate(
-      |              list_transform(generate_series(1, len(ls) - 1),
-      |                i -> ('0x' || substr(md5('b:' || ls[i] || '_' || ls[i + 1]), 1, 8))::BIGINT % 17 - 8),
-      |              'sum'), 0) AS BIGINT)
-      |          ELSE 0 END AS clf_score
-      |      FROM d)""".stripMargin
-
-  private def bm25Oracle(k: Int): String =
-    s"""WITH ${bm25Ctes()}
-       |SELECT query_id, doc_id, score, rank FROM lexr WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** txt_bm25_delete oracle: the same BM25 chain computed over ONLY
-    * the surviving corpus — delete+compact must equal from-scratch.
-    */
-  private def bm25DeleteOracle(k: Int): String =
-    s"""WITH surv AS MATERIALIZED (SELECT * FROM documents
-       |  WHERE doc_id % 7 <> 3),
-       |${bm25Ctes("surv")}
-       |SELECT query_id, doc_id, score, rank FROM lexr WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** txt_hybrid_rrf oracle: the [[bm25Ctes]] lexical ranking fused by
-    * reciprocal rank with a semantic ranking over the same md5-stub
-    * embeddings as `mm_embed` — both arms capped at nCand, fusion on a
-    * FULL join, scores exact IEEE divisions of integer ranks.
-    */
-  private def hybridRrfOracle(k: Int, nCand: Int, kRrf: Int): String = {
-    def vecSql(src: String): String = (0 until 8)
-      .map(i => s"('0x' || substr(md5($src), ${i * 2 + 1}, 2))::BIGINT / 255.0")
-      .mkString("[", ",\n       |   ", "]")
-    val qtVals = Text.bm25Queries
-      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
-    s"""WITH ${bm25Ctes()},
-       |lex AS (SELECT query_id, doc_id, rank AS r_lex FROM lexr
-       |        WHERE rank <= $nCand),
-       |qt(query_id, qtext) AS (VALUES $qtVals),
-       |qv AS (SELECT query_id, ${vecSql("qtext")} AS qv FROM qt),
-       |dv AS MATERIALIZED (SELECT doc_id, ${vecSql("text")} AS v
-       |  FROM documents),
-       |s AS (SELECT query_id, doc_id, ${cosSql("qv", "v")} AS cs
-       |      FROM qv, dv),
-       |semr AS (SELECT query_id, doc_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cs DESC, doc_id) AS BIGINT) AS r_sem
-       |  FROM s),
-       |sem AS (SELECT query_id, doc_id, r_sem FROM semr
-       |        WHERE r_sem <= $nCand),
-       |f AS (SELECT query_id, doc_id,
-       |    coalesce(CAST(1.0 AS DOUBLE) / ($kRrf + r_lex), 0.0)
-       |      + coalesce(CAST(1.0 AS DOUBLE) / ($kRrf + r_sem), 0.0) AS rrf
-       |  FROM lex FULL JOIN sem USING (query_id, doc_id)),
-       |r AS (SELECT query_id, doc_id, rrf,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
-       |  FROM f)
-       |SELECT query_id, doc_id, rrf, rank FROM r WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-  }
-
-  /** txt_hybrid_stored oracle: the [[bm25Ctes]] lexical ranking fused
-    * with the IVF-PROBED semantic ranking (not brute force — the
-    * engine's stored arm reads only its nprobe cell directories, so
-    * the oracle re-derives the same 8-dim stub-vector k-means, the
-    * argmax-cosine assignment, the per-query nprobe probed cells, and
-    * ranks candidates WITHIN the probed cells only).
-    */
-  private def hybridStoredOracle(k: Int, nCand: Int, kRrf: Int,
-                                 nlist: Int = 16, nprobe: Int = 4): String = {
-    val iters = Similarity.ivfIters
-    def vecSql(src: String): String = (0 until 8)
-      .map(i => s"('0x' || substr(md5($src), ${i * 2 + 1}, 2))::BIGINT / 255.0")
-      .mkString("[", ",\n       |   ", "]")
-    val qtVals = Text.bm25Queries
-      .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }.mkString(", ")
-    s"""WITH ${bm25Ctes()},
-       |lex AS (SELECT query_id, doc_id, rank AS r_lex FROM lexr
-       |        WHERE rank <= $nCand),
-       |qt(query_id, qtext) AS (VALUES $qtVals),
-       |qv AS (SELECT query_id, ${vecSql("qtext")} AS qv FROM qt),
-       |dve AS MATERIALIZED (SELECT doc_id AS vec_id,
-       |    ${vecSql("text")} AS embedding
-       |  FROM documents),
-       |${kmeansSql(nlist, iters, "dve", 8)},
-       |cent AS MATERIALIZED (SELECT * FROM cent$iters),
-       |assigned AS MATERIALIZED (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM dve e, cent c) t WHERE rn = 1),
-       |probes AS (SELECT query_id, qv, cell FROM (
-       |    SELECT q.query_id, q.qv, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY q.query_id
-       |        ORDER BY ${cosSql("q.qv", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM qv q, cent c) t WHERE rn <= $nprobe),
-       |s AS (SELECT p.query_id, a.vec_id AS doc_id,
-       |        ${cosSql("p.qv", "a.embedding")} AS cs
-       |      FROM probes p JOIN assigned a USING (cell)),
-       |semr AS (SELECT query_id, doc_id,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cs DESC, doc_id) AS BIGINT) AS r_sem
-       |  FROM s),
-       |sem AS (SELECT query_id, doc_id, r_sem FROM semr
-       |        WHERE r_sem <= $nCand),
-       |f AS (SELECT query_id, doc_id,
-       |    coalesce(CAST(1.0 AS DOUBLE) / ($kRrf + r_lex), 0.0)
-       |      + coalesce(CAST(1.0 AS DOUBLE) / ($kRrf + r_sem), 0.0) AS rrf
-       |  FROM lex FULL JOIN sem USING (query_id, doc_id)),
-       |r AS (SELECT query_id, doc_id, rrf,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
-       |  FROM f)
-       |SELECT query_id, doc_id, rrf, rank FROM r WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-  }
-
-  /** mm_phash_dups oracle: band sums, banding, candidate join, and
-    * Hamming verification generated from the same
-    * `Multimodal.phashChunkLen/phashBandBits/phashNBands` constants as
-    * the engine (integer arithmetic throughout — order-free).
-    */
-  private def phashDupsOracle(maxHamming: Int): String = {
-    import Multimodal.{phashChunks, phashBandBits, phashNBands}
-    def bandSql(b: Int) = (0 until phashBandBits).map { r =>
-      val i = b * phashBandBits + r
-      s"(('0x' || substr(md5(substr(text, 1 + $i * clen, clen)), 1, 1))::BIGINT % 2) * ${1L << r}"
-    }.mkString("(", " + ", ")")
-    val fpCols = (0 until phashNBands).map(b => s"${bandSql(b)} AS b$b").mkString(",\n    ")
-    val bandArr = (0 until phashNBands).map(b => s"b$b").mkString("[", ", ", "]")
-    val hamSql = (0 until phashNBands)
-      .map(b => s"bit_count(xor(a.b$b, b.b$b))").mkString(" + ")
-    s"""WITH sized AS (SELECT doc_id, text,
-       |    greatest(1, length(text) // $phashChunks) AS clen FROM documents),
-       |fp AS (SELECT doc_id,
-       |    $fpCols
-       |  FROM sized),
-       |banded AS (SELECT doc_id, unnest($bandArr) AS band_val,
-       |    generate_subscripts($bandArr, 1) AS band_idx FROM fp),
-       |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-       |  FROM banded x JOIN banded y
-       |    ON x.band_idx = y.band_idx AND x.band_val = y.band_val
-       |       AND x.doc_id < y.doc_id),
-       |h AS (SELECT id1, id2, CAST($hamSql AS BIGINT) AS hamming
-       |  FROM cand JOIN fp a ON a.doc_id = cand.id1
-       |            JOIN fp b ON b.doc_id = cand.id2)
-       |SELECT id1, id2, hamming FROM h WHERE hamming <= $maxHamming
-       |ORDER BY id1, id2""".stripMargin
-  }
-
-  /** mm_phash_clusters oracle: the pair chain of [[phashDupsOracle]]
-    * closed into components by recursive min-reachability — the same
-    * algorithm-independent fixpoint contract as rel_concomp's oracle,
-    * so the engine's star-contraction rounds are checked against the
-    * RESULT, not the round structure.
-    */
-  private def phashClustersOracle(maxHamming: Int): String =
-    s"""WITH RECURSIVE pairs AS MATERIALIZED (${phashDupsOracle(maxHamming)}),
-       |sym AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM pairs
-       |        UNION SELECT id2, id1 FROM pairs),
-       |reach AS (
-       |  SELECT src AS id, src AS anc FROM sym
-       |  UNION
-       |  SELECT r.id, s.dst AS anc FROM reach r JOIN sym s ON r.anc = s.src),
-       |m AS (SELECT id, min(anc) AS canon_id FROM reach GROUP BY id),
-       |sz AS (SELECT canon_id, count(*) AS n_members FROM m GROUP BY canon_id)
-       |SELECT m.id AS doc_id, m.canon_id, sz.n_members
-       |FROM m JOIN sz USING (canon_id)
-       |ORDER BY doc_id""".stripMargin
-
-  /** In-order double dot product over two DuckDB lists — the SQL twin
-    * of the engine's codegen'd `vector_dot` fold.
-    */
-  private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-
-  /** Squared L2 as three in-order dot folds — textual twin of
-    * `Similarity.l2sq` (same association: (d_aa - 2·d_ac) + d_cc).
-    */
-  private def l2Sql(a: String, c: String): String =
-    s"(${dotSql(a, a)} - 2.0 * ${dotSql(a, c)} + ${dotSql(c, c)})"
-
-  /** Shared PQ CTE chain (un → codebooks → codes → query LUTs):
-    * unit-normalize, train M per-subspace L2 k-means codebooks
-    * (first-ksub seed from the full corpus, hash-sampled training
-    * input, two-level block-fold means), encode, per-query LUT —
-    * generated from the same
-    * `Similarity.pqM/pqDsub/pqKsub/pqIters/trainPct/trainBlock`
-    * constants as the engine. Consumed by the flat-PQ oracles (ADC
-    * over every code) and the IVFADC oracle (ADC over probed cells).
-    */
-  /** Unit-normalized corpus CTE (the `un` table every PQ oracle uses). */
-  private def unCte: String =
-    s"""un AS MATERIALIZED (SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)
-       |      / sqrt(${dotSql("embedding", "embedding")})) AS embedding
-       |  FROM embeddings)""".stripMargin
-
-  /** PQ training + encoding CTE chain: per-subspace sampled k-means
-    * over `src` → `cb` codebooks → `enc` codes over `encSrc`
-    * (defaults to `src`; the append oracle trains on the base split
-    * and encodes the union — the stored-quantizer maintenance
-    * contract).
-    */
-  private def pqTrainEncCtes(src: String, encSrc: String = null): String = {
-    import Similarity.{pqM, pqDsub, pqKsub, pqIters}
-    val encode = Option(encSrc).getOrElse(src)
-    val blk = Similarity.trainBlock
-    val subspaces = (0 until pqM).map { m =>
-      val lo = m * pqDsub + 1
-      val hi = (m + 1) * pqDsub
-      val rounds = (1 to pqIters).map { i =>
-        val p = i - 1
-        s"""pq${m}a$p AS (SELECT vec_id, sv, cell FROM (
-           |    SELECT s.vec_id, s.sv, c.centroid_id AS cell,
-           |      row_number() OVER (PARTITION BY s.vec_id
-           |        ORDER BY ${l2Sql("s.sv", "c.ce")} ASC, c.centroid_id) AS rn
-           |    FROM pq${m}t s, pq${m}c$p c) t WHERE rn = 1),
-           |pq${m}b$p AS (SELECT cell, j, vec_id // $blk AS blk,
-           |    list_sum(list(CAST(sv[j] AS DOUBLE) ORDER BY vec_id)) AS bsum,
-           |    count(*) AS bn
-           |  FROM pq${m}a$p, unnest(generate_series(1, $pqDsub)) AS u(j)
-           |  GROUP BY cell, j, blk),
-           |pq${m}k$p AS (SELECT cell, j,
-           |    list_sum(list(bsum ORDER BY blk)) / sum(bn) AS mv
-           |  FROM pq${m}b$p GROUP BY cell, j),
-           |pq${m}c$i AS MATERIALIZED (SELECT cell AS centroid_id, list(mv ORDER BY j) AS ce
-           |  FROM pq${m}k$p GROUP BY cell)""".stripMargin
-      }.mkString(",\n")
-      s"""pq${m}s AS MATERIALIZED (SELECT vec_id, list_slice(embedding, $lo, $hi) AS sv FROM $src),
-         |pq${m}t AS MATERIALIZED (SELECT * FROM pq${m}s WHERE $trainSampleSql),
-         |pq${m}c0 AS (SELECT vec_id AS centroid_id, sv AS ce
-         |  FROM pq${m}s WHERE vec_id < $pqKsub),
-         |$rounds""".stripMargin
-    }.mkString(",\n")
-    val cbUnion = (0 until pqM).map(m =>
-      s"SELECT $m AS m, CAST(centroid_id AS BIGINT) AS code, ce FROM pq${m}c$pqIters")
-      .mkString("\n  UNION ALL ")
-    s"""$subspaces,
-       |cb AS MATERIALIZED ($cbUnion),
-       |subs AS (SELECT vec_id, u.m,
-       |    list_slice(embedding, u.m * $pqDsub + 1, u.m * $pqDsub + $pqDsub) AS sv
-       |  FROM $encode, unnest(generate_series(0, ${pqM - 1})) AS u(m)),
-       |enc AS MATERIALIZED (SELECT vec_id, m, code FROM (
-       |    SELECT s.vec_id, s.m, c.code,
-       |      row_number() OVER (PARTITION BY s.vec_id, s.m
-       |        ORDER BY ${l2Sql("s.sv", "c.ce")} ASC, c.code) AS rn
-       |    FROM subs s JOIN cb c ON s.m = c.m) t WHERE rn = 1)""".stripMargin
-  }
-
-  /** Flat-PQ query-side LUT CTEs (one LUT per query over `src`). */
-  private def pqQueryLutCtes(nq: Int, src: String = "un"): String = {
-    import Similarity.{pqM, pqDsub}
-    s"""qs AS (SELECT vec_id AS query_id, u.m,
-       |    list_slice(embedding, u.m * $pqDsub + 1, u.m * $pqDsub + $pqDsub) AS qsv
-       |  FROM $src, unnest(generate_series(0, ${pqM - 1})) AS u(m)
-       |  WHERE vec_id < $nq),
-       |lut AS (SELECT query_id, q.m, c.code, ${dotSql("q.qsv", "c.ce")} AS pd
-       |  FROM qs q JOIN cb c ON q.m = c.m)""".stripMargin
-  }
-
-  private def pqCtes(nq: Int): String =
-    s"$unCte,\n${pqTrainEncCtes("un")},\n${pqQueryLutCtes(nq)}"
-
-  /** sim_pq_topk oracle tail over [[pqCtes]]: full-corpus ADC fold +
-    * per-query rank.
-    */
-  private def pqTopkOracle(nq: Int, k: Int): String =
-    s"""WITH ${pqCtes(nq)},
-       |adc AS (SELECT l.query_id, e.vec_id AS neighbor_id,
-       |    list_sum(list(l.pd ORDER BY l.m)) AS adc
-       |  FROM enc e JOIN lut l ON e.m = l.m AND e.code = l.code
-       |  WHERE e.vec_id <> l.query_id
-       |  GROUP BY 1, 2),
-       |r AS (SELECT query_id, neighbor_id, adc,
-       |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY adc DESC, neighbor_id) AS BIGINT) AS rank
-       |  FROM adc)
-       |SELECT query_id, neighbor_id, adc, rank FROM r WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** sim_ivfpq_topk oracle: the IVFADC composition — the PQ CTE chain
-    * ([[pqCtes]]) for codebooks/codes/LUTs, the k-means CTE chain
-    * ([[kmeansSql]]) for the coarse quantizer, candidates restricted to
-    * the query's nprobe probed cells, ADC fold in subspace order, then
-    * exact-cosine re-rank of the ADC shortlist.
-    */
-  private def ivfpqOracle(nq: Int, k: Int, nlist: Int = 16,
-                          nprobe: Int = 4, shortlist: Int = 20,
-                          corpusPred: String = "TRUE"): String =
-    s"""WITH ${pqCtes(nq)},
-       |${kmeansSql(nlist, Similarity.ivfIters)},
-       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
-       |assigned AS MATERIALIZED (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM embeddings e, cent c WHERE $corpusPred) t WHERE rn = 1),
-       |probes AS MATERIALIZED (
-       |  SELECT query_id, cell FROM (
-       |    SELECT q.vec_id AS query_id, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM (SELECT * FROM embeddings WHERE vec_id < $nq) q, cent c) t WHERE rn <= $nprobe),
-       |cand AS (SELECT p.query_id, a.vec_id
-       |  FROM probes p JOIN assigned a USING (cell)
-       |  WHERE a.vec_id <> p.query_id),
-       |adcs AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
-       |    list_sum(list(l.pd ORDER BY l.m)) AS adc
-       |  FROM cand cd JOIN enc e ON e.vec_id = cd.vec_id
-       |  JOIN lut l ON l.query_id = cd.query_id
-       |    AND l.m = e.m AND l.code = e.code
-       |  GROUP BY 1, 2),
-       |short AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id
-       |        ORDER BY adc DESC, neighbor_id) AS rn
-       |    FROM adcs) t WHERE rn <= $shortlist),
-       |qq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-       |  WHERE vec_id < $nq),
-       |s AS (SELECT sh.query_id, sh.neighbor_id,
-       |        ${cosSql("qq.qe", "c.embedding")} AS sim
-       |      FROM short sh
-       |      JOIN embeddings c ON c.vec_id = sh.neighbor_id
-       |      JOIN qq ON qq.query_id = sh.query_id),
-       |r AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id
-       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** sim_ivfpq_append oracle: the maintenance contract — quantizers
-    * (coarse k-means AND the PQ codebooks) train on the BASE
-    * four-fifths split only (`vec_id % 5 <> 4` — seeds, training
-    * sample, and Lloyd iterations all see base rows exclusively,
-    * exactly what the engine's build-on-base stored), while
-    * assignment, encoding, probing, and re-rank run over the FULL
-    * corpus — the layout the engine serves after appending the batch
-    * fifth with the stored quantizers. Everything else is
-    * [[ivfpqOracle]] verbatim.
-    */
-  private def ivfpqAppendOracle(nq: Int, k: Int, nlist: Int = 16,
-                                nprobe: Int = 4, shortlist: Int = 20): String =
-    s"""WITH eb AS MATERIALIZED (SELECT * FROM embeddings WHERE vec_id % 5 <> 4),
-       |$unCte,
-       |unb AS MATERIALIZED (SELECT * FROM un WHERE vec_id % 5 <> 4),
-       |${pqTrainEncCtes("unb", "un")},
-       |${pqQueryLutCtes(nq)},
-       |${kmeansSql(nlist, Similarity.ivfIters, "eb")},
-       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
-       |assigned AS MATERIALIZED (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM embeddings e, cent c) t WHERE rn = 1),
-       |probes AS MATERIALIZED (
-       |  SELECT query_id, cell FROM (
-       |    SELECT q.vec_id AS query_id, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM (SELECT * FROM embeddings WHERE vec_id < $nq) q, cent c) t WHERE rn <= $nprobe),
-       |cand AS (SELECT p.query_id, a.vec_id
-       |  FROM probes p JOIN assigned a USING (cell)
-       |  WHERE a.vec_id <> p.query_id),
-       |adcs AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
-       |    list_sum(list(l.pd ORDER BY l.m)) AS adc
-       |  FROM cand cd JOIN enc e ON e.vec_id = cd.vec_id
-       |  JOIN lut l ON l.query_id = cd.query_id
-       |    AND l.m = e.m AND l.code = e.code
-       |  GROUP BY 1, 2),
-       |short AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id
-       |        ORDER BY adc DESC, neighbor_id) AS rn
-       |    FROM adcs) t WHERE rn <= $shortlist),
-       |qq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-       |  WHERE vec_id < $nq),
-       |s AS (SELECT sh.query_id, sh.neighbor_id,
-       |        ${cosSql("qq.qe", "c.embedding")} AS sim
-       |      FROM short sh
-       |      JOIN embeddings c ON c.vec_id = sh.neighbor_id
-       |      JOIN qq ON qq.query_id = sh.query_id),
-       |r AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id
-       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** sim_ivfpq_res oracle: TRUE residual IVFADC — coarse k-means over
-    * the unit corpus, PQ codebooks trained on residuals r = x − c(x),
-    * per-(query, probed-cell) LUTs with the dot(q, c) offset, ADC fold
-    * in subspace order, exact-cosine re-rank of the shortlist. Every
-    * stage is generated from the same Similarity constants the engine
-    * uses.
-    */
-  private def ivfpqResidualOracle(nq: Int, k: Int, nlist: Int = 16,
-                                  nprobe: Int = 4,
-                                  shortlist: Int = 20): String = {
-    import Similarity.{pqM, pqDsub}
-    s"""WITH $unCte,
-       |${kmeansSql(nlist, Similarity.ivfIters, "un")},
-       |cent AS MATERIALIZED (SELECT * FROM cent${Similarity.ivfIters}),
-       |assigned AS MATERIALIZED (
-       |  SELECT vec_id, embedding, cell FROM (
-       |    SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM un e, cent c) t WHERE rn = 1),
-       |res AS MATERIALIZED (SELECT a.vec_id,
-       |    list_transform(list_zip(a.embedding, c.ce), p -> p[1] - p[2]) AS embedding,
-       |    a.cell
-       |  FROM assigned a JOIN cent c ON a.cell = c.centroid_id),
-       |${pqTrainEncCtes("res")},
-       |probes AS MATERIALIZED (
-       |  SELECT query_id, qe, cell FROM (
-       |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.centroid_id AS cell,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.centroid_id) AS rn
-       |    FROM (SELECT * FROM un WHERE vec_id < $nq) q, cent c) t WHERE rn <= $nprobe),
-       |qres AS (SELECT p.query_id, p.cell,
-       |    list_transform(list_zip(p.qe, c.ce), z -> z[1] - z[2]) AS qr,
-       |    ${dotSql("p.qe", "c.ce")} AS qc
-       |  FROM probes p JOIN cent c ON p.cell = c.centroid_id),
-       |rqs AS (SELECT query_id, cell, qc, u.m,
-       |    list_slice(qr, u.m * $pqDsub + 1, u.m * $pqDsub + $pqDsub) AS qsv
-       |  FROM qres, unnest(generate_series(0, ${pqM - 1})) AS u(m)),
-       |rlut AS (SELECT query_id, cell, qc, q.m, c.code,
-       |    ${dotSql("q.qsv", "c.ce")} AS pd
-       |  FROM rqs q JOIN cb c ON q.m = c.m),
-       |cand AS (SELECT p.query_id, a.vec_id, a.cell
-       |  FROM probes p JOIN assigned a USING (cell)
-       |  WHERE a.vec_id <> p.query_id),
-       |adcs AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
-       |    l.qc + list_sum(list(l.pd ORDER BY l.m)) AS adc
-       |  FROM cand cd JOIN enc e ON e.vec_id = cd.vec_id
-       |  JOIN rlut l ON l.query_id = cd.query_id AND l.cell = cd.cell
-       |    AND l.m = e.m AND l.code = e.code
-       |  GROUP BY cd.query_id, cd.vec_id, l.qc),
-       |short AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |      row_number() OVER (PARTITION BY query_id
-       |        ORDER BY adc DESC, neighbor_id) AS rn
-       |    FROM adcs) t WHERE rn <= $shortlist),
-       |qq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-       |  WHERE vec_id < $nq),
-       |s AS (SELECT sh.query_id, sh.neighbor_id,
-       |        ${cosSql("qq.qe", "c.embedding")} AS sim
-       |      FROM short sh
-       |      JOIN embeddings c ON c.vec_id = sh.neighbor_id
-       |      JOIN qq ON qq.query_id = sh.query_id),
-       |r AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id
-       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-  }
-
-  /** sim_mmr oracle: the SAME unrolled greedy recursion as
-    * [[graft.ops.Similarity.mmrTopK]] — shortlist by cosine, then k
-    * argmax steps each keeping a running max-sim-to-picked column. λ
-    * and (1−λ) are interpolated from the identical Scala doubles
-    * (including 1−0.7's last-ulp representation), so the float scores
-    * and therefore the selection hash-match exactly.
-    */
-  private def mmrOracle(nq: Int, k: Int, nCand: Int,
-                        lambda: Double): String = {
-    val om = 1.0 - lambda
-    val steps = (2 to k).map { i =>
-      val p = i - 1
-      val sel =
-        s"""s$i AS (SELECT query_id, cand_id, cemb, simq FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY query_id
-           |      ORDER BY simq * $lambda - ms * $om DESC, cand_id) AS rn
-           |    FROM r$p) t WHERE rn = 1)""".stripMargin
-      val rec = if (i < k)
-        s""",
-           |r$i AS (SELECT r.query_id, r.cand_id, r.cemb, r.simq,
-           |    greatest(r.ms, ${cosSql("r.cemb", "s.cemb")}) AS ms
-           |  FROM r$p r JOIN s$i s ON r.query_id = s.query_id
-           |    AND r.cand_id <> s.cand_id)""".stripMargin
-      else ""
-      sel + rec
-    }.mkString(",\n")
-    val unioned = (1 to k).map(i =>
-      s"""SELECT query_id, cand_id AS neighbor_id, simq AS sim,
-         |    CAST($i AS BIGINT) AS mmr_rank FROM s$i""".stripMargin)
-      .mkString("\n  UNION ALL ")
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-       |  FROM embeddings WHERE vec_id < $nq),
-       |sc AS (SELECT q.query_id, e.vec_id AS cand_id, e.embedding AS cemb,
-       |    ${cosSql("q.qe", "e.embedding")} AS simq
-       |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
-       |cands AS (SELECT query_id, cand_id, cemb, simq FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY simq DESC, cand_id) AS rn FROM sc) t
-       |  WHERE rn <= $nCand),
-       |s1 AS (SELECT query_id, cand_id, cemb, simq FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY simq DESC, cand_id) AS rn FROM cands) t WHERE rn = 1),
-       |r1 AS (SELECT c.query_id, c.cand_id, c.cemb, c.simq,
-       |    ${cosSql("c.cemb", "s.cemb")} AS ms
-       |  FROM cands c JOIN s1 s ON c.query_id = s.query_id
-       |    AND c.cand_id <> s.cand_id),
-       |$steps
-       |SELECT query_id, neighbor_id, sim, mmr_rank FROM ($unioned)
-       |ORDER BY query_id, mmr_rank""".stripMargin
-  }
-
-  private def ivfpqResidualRecallOracle(nq: Int, k: Int): String =
-    s"""WITH iv AS (${ivfpqResidualOracle(nq, k)}),
-       |bf AS (${cosineTopkOracle(nq, k)})
-       |SELECT bf.query_id,
-       |  CAST(count(iv.neighbor_id) AS DOUBLE) / $k AS recall_at_k
-       |FROM bf LEFT JOIN iv
-       |  ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
-       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
-
-  /** sim_ivfpq_recall oracle: recall@k of IVFADC vs brute-force cosine
-    * (same join shape as the other recall gates).
-    */
-  private def ivfpqRecallOracle(nq: Int, k: Int): String =
-    s"""WITH iv AS (${ivfpqOracle(nq, k)}),
-       |bf AS (${cosineTopkOracle(nq, k)})
-       |SELECT bf.query_id,
-       |  CAST(count(iv.neighbor_id) AS DOUBLE) / $k AS recall_at_k
-       |FROM bf LEFT JOIN iv
-       |  ON bf.query_id = iv.query_id AND bf.neighbor_id = iv.neighbor_id
-       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
-
-  /** sim_pq_rerank oracle: exact-cosine re-rank of the PQ shortlist. */
-  private def pqRerankOracle(nq: Int, k: Int, shortlist: Int): String =
-    s"""WITH pq AS (${pqTopkOracle(nq, shortlist)}),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-       |      WHERE vec_id < $nq),
-       |s AS (SELECT pq.query_id, pq.neighbor_id,
-       |        ${cosSql("q.qe", "c.embedding")} AS sim
-       |      FROM pq
-       |      JOIN embeddings c ON c.vec_id = pq.neighbor_id
-       |      JOIN q ON q.query_id = pq.query_id),
-       |r AS (SELECT query_id, neighbor_id, sim,
-       |        CAST(row_number() OVER (PARTITION BY query_id
-       |          ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
-       |      FROM s)
-       |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
-
-  /** sim_pq_recall oracle: recall@k of PQ/ADC vs the brute-force
-    * cosine ground truth (same join shape as sim_ivf_recall).
-    */
-  private def pqRecallOracle(nq: Int, k: Int): String =
-    s"""WITH pq AS (${pqTopkOracle(nq, k)}),
-       |bf AS (${cosineTopkOracle(nq, k)})
-       |SELECT bf.query_id,
-       |  CAST(count(pq.neighbor_id) AS DOUBLE) / $k AS recall_at_k
-       |FROM bf LEFT JOIN pq
-       |  ON bf.query_id = pq.query_id AND bf.neighbor_id = pq.neighbor_id
-       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
-
-  /** xtr_approx_quantile oracle: exact rank-based median; the rank-band
-    * pass flag is the engine-computed accuracy gate (same design as
-    * xtr_approx_distinct — the oracle states the EXPECTED verdict, so a
-    * sketch regression fails the hash check).
-    */
-  private val approxQuantileOracle: String =
-    """WITH ranked AS (
-      |  SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
-      |    row_number() OVER (PARTITION BY event_type
-      |      ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS rn,
-      |    count(*) OVER (PARTITION BY event_type) AS n
-      |  FROM events)
-      |SELECT event_type,
-      |  CAST(min(CASE WHEN rn = (n + 1) // 2 THEN v END) AS DOUBLE) AS exact_p50,
-      |  true AS approx_in_rank_band
-      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
-
-  /** txt_gopher_gate oracle: per-rule violation counts, generated with
-    * the same stopword list and thresholds as the engine's gate.
-    */
-  private def gopherGateOracle: String = {
-    val stops = ops.Text.stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tk
-       |           FROM documents),
-       |g AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
-       |        i -> tk[i] || ' ' || tk[i+1])) AS bg
-       |      FROM d WHERE len(tk) > 1),
-       |t AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_n
-       |      FROM (SELECT doc_id, bg, count(*) AS c FROM g GROUP BY doc_id, bg)
-       |      GROUP BY doc_id),
-       |f AS (SELECT
-       |    CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END AS len_ok,
-       |    CASE WHEN len(tk) >= 10 AND len(tk) <= 10000 THEN 1 ELSE 0 END AS tok_ok,
-       |    CASE WHEN CAST(len(list_filter(tk, x -> x IN ($stops))) AS DOUBLE)
-       |             / CAST(len(tk) AS DOUBLE) >= 0.05
-       |          AND CAST(len(list_filter(tk, x -> x IN ($stops))) AS DOUBLE)
-       |             / CAST(len(tk) AS DOUBLE) <= 0.6
-       |         THEN 1 ELSE 0 END AS stop_ok,
-       |    CASE WHEN (CASE WHEN greatest(len(tk) - 1, 0) > 0
-       |                    THEN CAST(COALESCE(t.top_n, 0) AS DOUBLE)
-       |                         / CAST(greatest(len(tk) - 1, 0) AS DOUBLE)
-       |                    ELSE 0.0 END) <= 0.18 THEN 1 ELSE 0 END AS rep_ok,
-       |    CASE WHEN CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE)
-       |             / CAST(len(tk) AS DOUBLE) <= 0.60 THEN 1 ELSE 0 END AS dup_ok
-       |  FROM d LEFT JOIN t USING (doc_id)),
-       |a AS (SELECT count(*) AS total,
-       |    CAST(sum(1 - len_ok) AS BIGINT) AS v_len,
-       |    CAST(sum(1 - tok_ok) AS BIGINT) AS v_tok,
-       |    CAST(sum(1 - stop_ok) AS BIGINT) AS v_stop,
-       |    CAST(sum(1 - rep_ok) AS BIGINT) AS v_rep,
-       |    CAST(sum(1 - dup_ok) AS BIGINT) AS v_dup,
-       |    CAST(sum(len_ok * tok_ok * stop_ok * rep_ok * dup_ok) AS BIGINT) AS pass
-       |  FROM f)
-       |SELECT rule, n_docs FROM (
-       |  SELECT '0_total' AS rule, total AS n_docs FROM a
-       |  UNION ALL SELECT '1_min_chars', v_len FROM a
-       |  UNION ALL SELECT '2_token_range', v_tok FROM a
-       |  UNION ALL SELECT '3_stopword_band', v_stop FROM a
-       |  UNION ALL SELECT '4_repetition', v_rep FROM a
-       |  UNION ALL SELECT '5_dup_tokens', v_dup FROM a
-       |  UNION ALL SELECT '6_pass_all', pass FROM a) u
-       |ORDER BY rule""".stripMargin
-  }
-
-  /** rel_pagerank oracle: the same fixed-point integer recurrence as
-    * `Graph.pageRank`, unrolled to `iters` CTE rounds (the Scala loop
-    * and this generator share `Graph.scale` and the 15/85/100
-    * constants, so they cannot drift apart).
-    */
-  private def pageRankOracle(iters: Int): String = {
-    val sc = ops.Graph.scale
-    val rounds = (1 to iters).map { i =>
-      val p = i - 1
-      s"""r$i AS (
-         |  SELECT n.id,
-         |    CAST((15 * $sc) // (100 * cnt.n_nodes)
-         |      + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
-         |  FROM nodes n CROSS JOIN cnt
-         |  LEFT JOIN (
-         |    SELECT e.dst AS id, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS contrib
-         |    FROM edges e JOIN r$p r ON e.src = r.id
-         |    JOIN deg d ON e.src = d.src
-         |    GROUP BY e.dst) c ON n.id = c.id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
-       |cnt AS (SELECT count(*) AS n_nodes FROM nodes),
-       |edges AS MATERIALIZED (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
-       |                 CAST(s.s_nationkey AS BIGINT) AS dst
-       |          FROM lineitem l
-       |          JOIN orders o ON l.l_orderkey = o.o_orderkey
-       |          JOIN customer c ON o.o_custkey = c.c_custkey
-       |          JOIN supplier s ON l.l_suppkey = s.s_suppkey
-       |          WHERE c.c_nationkey <> s.s_nationkey),
-       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-       |r0 AS (SELECT id, CAST($sc // cnt.n_nodes AS BIGINT) AS rank
-       |       FROM nodes CROSS JOIN cnt),
-       |$rounds
-       |SELECT n.n_nationkey, n.n_name, r.rank AS rank_scaled
-       |FROM r$iters r JOIN nation n ON r.id = CAST(n.n_nationkey AS BIGINT)
-       |ORDER BY rank_scaled DESC, n.n_nationkey""".stripMargin
-  }
-
-  /** txt_dup_ngrams oracle: same 60-bit hashed w-grams with position
-    * multiplicity, duplicated = corpus-wide occurrence count ≥ 2.
-    */
-  private def ngramCoverageOracle(w: Int): String = {
-    val gram = (0 until w)
-      .map(o => if (o == 0) "tk[i]" else s"tk[i+$o]")
-      .mkString(" || ' ' || ")
-    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-       |           FROM documents),
-       |pg0 AS (SELECT doc_id, ('0x' || substr(md5(gm), 1, 15))::BIGINT AS h
-       |      FROM (SELECT doc_id,
-       |              unnest(list_transform(generate_series(1, len(tk) - ${w - 1}),
-       |                i -> $gram)) AS gm
-       |            FROM d WHERE len(tk) >= $w) x),
-       |pg AS (SELECT h, doc_id, count(*) AS c FROM pg0 GROUP BY h, doc_id),
-       |u AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_uniq
-       |      FROM (SELECT min(doc_id) AS doc_id FROM pg
-       |            GROUP BY h HAVING sum(c) = 1) s
-       |      GROUP BY doc_id),
-       |p AS (SELECT doc_id,
-       |        CAST(greatest(len(string_split(lower(text), ' ')) - ${w - 1}, 0) AS BIGINT)
-       |          AS n_positions
-       |      FROM documents)
-       |SELECT p.doc_id, p.n_positions,
-       |  CAST(p.n_positions - coalesce(u.n_uniq, 0) AS BIGINT) AS n_dup,
-       |  CASE WHEN p.n_positions > 0
-       |       THEN CAST(p.n_positions - coalesce(u.n_uniq, 0) AS DOUBLE) / CAST(p.n_positions AS DOUBLE)
-       |       ELSE 0.0 END AS dup_frac
-       |FROM p LEFT JOIN u USING (doc_id)
-       |ORDER BY p.doc_id""".stripMargin
-  }
-
-  /** txt_dup_spans oracle: same positional 60-bit hashed w-grams,
-    * duplicated = corpus count ≥ 2, runs merged by the gaps-and-islands
-    * pos − row_number grouping.
-    */
-  private def dupSpansOracle(w: Int): String = {
-    val gram = (0 until w)
-      .map(o => if (o == 0) "tk[i]" else s"tk[i+$o]")
-      .mkString(" || ' ' || ")
-    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-       |           FROM documents),
-       |pg0 AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-       |          ('0x' || substr(md5(gm), 1, 15))::BIGINT AS h
-       |  FROM (SELECT doc_id, unnest(gms) AS gm,
-       |          generate_subscripts(gms, 1) AS i
-       |        FROM (SELECT doc_id,
-       |                list_transform(generate_series(1, len(tk) - ${w - 1}),
-       |                  i -> $gram) AS gms
-       |              FROM d WHERE len(tk) >= $w) y) x),
-       |dup AS (SELECT h FROM pg0 GROUP BY h HAVING count(*) >= 2),
-       |dp AS (SELECT doc_id, pos FROM pg0 JOIN dup USING (h)),
-       |r AS (SELECT doc_id, pos,
-       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-       |          AS grp
-       |      FROM dp)
-       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       |  CAST(max(pos) AS BIGINT) AS span_end,
-       |  CAST(max(pos) - min(pos) + $w AS BIGINT) AS span_tokens
-       |FROM r GROUP BY doc_id, grp
-       |ORDER BY doc_id, span_start""".stripMargin
-  }
-
-  /** txt_span_cut oracle: re-derives [[dupSpansOracle]]'s merged
-    * spans, expands each to its covered token positions
-    * [span_start, span_end + w − 1], and rebuilds every document from
-    * its kept tokens (string_agg skips the cut rows, ordered by
-    * position — the exact mirror of the engine's null-skipping
-    * collect_list + array_sort reassembly).
-    */
-  private def spanCutOracle(w: Int): String = {
-    val gram = (0 until w)
-      .map(o => if (o == 0) "tk[i]" else s"tk[i+$o]")
-      .mkString(" || ' ' || ")
-    s"""WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
-       |           FROM documents),
-       |pg0 AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-       |          ('0x' || substr(md5(gm), 1, 15))::BIGINT AS h
-       |  FROM (SELECT doc_id, unnest(gms) AS gm,
-       |          generate_subscripts(gms, 1) AS i
-       |        FROM (SELECT doc_id,
-       |                list_transform(generate_series(1, len(tk) - ${w - 1}),
-       |                  i -> $gram) AS gms
-       |              FROM d WHERE len(tk) >= $w) y) x),
-       |dup AS (SELECT h FROM pg0 GROUP BY h HAVING count(*) >= 2),
-       |dp AS (SELECT doc_id, pos FROM pg0 JOIN dup USING (h)),
-       |r AS (SELECT doc_id, pos,
-       |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-       |          AS grp
-       |      FROM dp),
-       |sp AS (SELECT doc_id, min(pos) AS s, max(pos) AS e
-       |       FROM r GROUP BY doc_id, grp),
-       |cut AS MATERIALIZED (SELECT DISTINCT doc_id, CAST(i AS BIGINT) AS cutpos
-       |       FROM sp, unnest(generate_series(s, e + ${w - 1})) AS u(i)),
-       |tok AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[i] AS tok
-       |       FROM d, unnest(generate_series(1, len(tk))) AS u(i)),
-       |m AS (SELECT t.doc_id,
-       |        CAST(count(*) AS BIGINT) AS n_tokens,
-       |        CAST(count(c.cutpos) AS BIGINT) AS n_cut,
-       |        md5(coalesce(string_agg(
-       |          CASE WHEN c.cutpos IS NULL THEN t.tok END,
-       |          ' ' ORDER BY t.pos), '')) AS clean_hash
-       |      FROM tok t LEFT JOIN cut c
-       |        ON t.doc_id = c.doc_id AND t.pos = c.cutpos
-       |      GROUP BY t.doc_id)
-       |SELECT doc_id, n_tokens, n_cut, n_tokens - n_cut AS n_kept, clean_hash
-       |FROM m ORDER BY doc_id""".stripMargin
-  }
-
-  /** txt_quota_sample oracle: exact largest-remainder apportionment
-    * over strata, per-stratum fill by smallest md5 key.
-    */
-  private def quotaSampleOracle(k: Int): String =
-    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-       |t AS (SELECT count(*) AS n_total FROM documents),
-       |q0 AS (SELECT lang, n, ($k * n) // n_total AS base,
-       |              ($k * n) % n_total AS rem
-       |       FROM c CROSS JOIN t),
-       |s AS (SELECT sum(base) AS base_sum FROM q0),
-       |q AS (SELECT lang,
-       |        CAST(base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
-       |                            <= $k - base_sum THEN 1 ELSE 0 END) AS BIGINT) AS quota
-       |      FROM q0 CROSS JOIN s),
-       |h AS (SELECT doc_id, lang,
-       |        ('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
-       |      FROM documents),
-       |r AS (SELECT lang, doc_id,
-       |        CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT)
-       |          AS pick_rank
-       |      FROM h)
-       |SELECT r.lang, q.quota, r.doc_id, r.pick_rank
-       |FROM r JOIN q USING (lang) WHERE r.pick_rank <= q.quota
-       |ORDER BY r.lang, r.pick_rank""".stripMargin
-
-  /** rel_concomp oracle: the algorithm-independent FIXPOINT —
-    * component(id) = min node reachable over the symmetrized edge set,
-    * re-derived by a recursive min-reachability closure. The engine's
-    * large-star/small-star rounds must land on exactly this labeling,
-    * so the oracle checks the RESULT contract, not the round structure.
-    */
-  private def concompOracle: String =
-    s"""WITH RECURSIVE li AS MATERIALIZED (
-       |  SELECT l_orderkey AS ok, l_partkey AS pk
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |  WHERE o_orderpriority = '1-URGENT' AND l_quantity >= 45),
-       |e AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
-       |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
-       |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-       |reach AS (
-       |  SELECT src AS id, src AS anc FROM sym
-       |  UNION
-       |  SELECT r.id, s.dst AS anc FROM reach r JOIN sym s ON r.anc = s.src),
-       |m AS (SELECT id, min(anc) AS component FROM reach GROUP BY id),
-       |sz AS (SELECT component, count(*) AS n_members FROM m GROUP BY component)
-       |SELECT m.id AS part_id, m.component, sz.n_members
-       |FROM m JOIN sz USING (component)
-       |ORDER BY part_id""".stripMargin
+  /** DuckDB-dialect oracle per query (same parquet tables,
+    * driver-run). The SQL lives in per-family files under
+    * `graft.oracles`; this concatenation is the single
+    * driver-facing surface and every registry key appears in
+    * exactly one family map.
+    */
+  def oracleSql: Map[String, String] =
+    oracles.BaseOracles.sql ++ oracles.DedupOracles.sql ++
+      oracles.SimOracles.sql ++ oracles.TextOracles.sql ++
+      oracles.MmOracles.sql
 }

@@ -286,6 +286,56 @@ object WeakScale {
       report(s"ivfpq_compact_write_mb_x$k", cmpWrite / 1e6)
       report(s"ivfpq_compact_cells_x$k", cmpCells.size.toDouble)
       report(s"ivfpq_compact_pre_mb_x$k", cmpPre / 1e6)
+
+      // ---------- dedup admission gate ----------
+      // the newest stored-layout mutator: a FIXED batch (50 novel docs
+      // — text reversed, so signatures share nothing with history —
+      // plus 50 exact copies that must be rejected) admits against the
+      // ×k standing band index. The claims: reads bounded by the
+      // batch's own COLLIDING buckets (band-key buckets of the batch,
+      // doc buckets of the candidates — partition-pruned, measured
+      // against exactly those directories' bytes) plus the doc-level
+      // sizes artifact; writes bounded by the three delta segments.
+      val dedupBase = s"$work/dedup_x$k"
+      graft.sources.IndexFS.deleteRecursive(dedupBase)
+      val (_, tDBuild, _, _) = measured {
+        graft.ops.Dedup.dedupBuildIndex(docs, dedupBase).count()
+      }
+      report(s"dedup_build_sec_x$k", tDBuild)
+      def dedupGen(comp: String): String = {
+        val gs = graft.sources.IndexFS.listNames(s"$dedupBase/$comp")
+        require(gs.size == 1, s"expected one generation: $gs"); gs.head
+      }
+      val bandsGen = dedupGen("bands"); val shGen = dedupGen("shingles")
+      val dedupBandsBytes = dirBytes(s"$dedupBase/bands")
+      val dedupShBytes = dirBytes(s"$dedupBase/shingles")
+      val dedupSizesBytes = dirBytes(s"$dedupBase/sizes")
+      report(s"dedup_bands_mb_x$k", dedupBandsBytes / 1e6)
+      report(s"dedup_shingles_mb_x$k", dedupShBytes / 1e6)
+      report(s"dedup_sizes_mb_x$k", dedupSizesBytes / 1e6)
+      val admitBatch = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") < 100)
+        .withColumn("text", when(col("doc_id") % 2 === 0,
+            reverse(col("text"))).otherwise(col("text")))
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .localCheckpoint() // batch derivation out of the measurement
+      val (_, tAdmit, admRead, admWrite) = measured {
+        graft.ops.Dedup.dedupAdmit(admitBatch, dedupBase).count()
+      }
+      val pp = graft.ops.Dedup.lastProbeParts.get
+      val probedBandBytes = pp.bandParts.map { case (b, kb) =>
+        dirBytes(s"$dedupBase/bands/$bandsGen/band_idx=$b/kb=$kb") }.sum
+      val probedShingleBytes = pp.shingleBuckets.map(db =>
+        dirBytes(s"$dedupBase/shingles/$shGen/db=$db")).sum
+      val admitDeltaBytes = dirBytes(s"$dedupBase/bands_delta") +
+        dirBytes(s"$dedupBase/shingles_delta") +
+        dirBytes(s"$dedupBase/sizes_delta")
+      report(s"dedup_admit_sec_x$k", tAdmit)
+      report(s"dedup_admit_read_mb_x$k", admRead / 1e6)
+      report(s"dedup_admit_write_mb_x$k", admWrite / 1e6)
+      report(s"dedup_probed_bands_mb_x$k", probedBandBytes / 1e6)
+      report(s"dedup_probed_shingles_mb_x$k", probedShingleBytes / 1e6)
+      report(s"dedup_admit_delta_mb_x$k", admitDeltaBytes / 1e6)
     }
 
     // ---------- the claims, as checks ----------
@@ -429,6 +479,48 @@ object WeakScale {
       f"${results("ivfpq_discovery_mb_x1")}%.2f × $scaleK",
       results(s"ivfpq_discovery_mb_x$scaleK") <=
         results("ivfpq_discovery_mb_x1") * scaleK)
+    // dedup admission claims: reads bounded by the probed (colliding)
+    // buckets' on-disk bytes plus the doc-level sizes artifact — never
+    // the whole postings/shingle stores; writes bounded by the three
+    // delta segments. A regression that scans the token-level shingle
+    // store wholesale at ×8 (~8× the ×1 bytes) blows the read budget
+    // by the store's size; one that rewrites base components blows the
+    // write budget.
+    for (k <- Seq(1, scaleK)) {
+      check(f"dedup admit x$k reads only colliding buckets + doc-level: " +
+        f"${results(s"dedup_admit_read_mb_x$k")}%.2f MB <= " +
+        f"probed bands ${results(s"dedup_probed_bands_mb_x$k")}%.2f × 2 + " +
+        f"probed shingles ${results(s"dedup_probed_shingles_mb_x$k")}%.2f × 2 + " +
+        f"sizes ${results(s"dedup_sizes_mb_x$k")}%.2f × 3 + 2",
+        results(s"dedup_admit_read_mb_x$k") <=
+          results(s"dedup_probed_bands_mb_x$k") * 2.0 +
+            results(s"dedup_probed_shingles_mb_x$k") * 2.0 +
+            results(s"dedup_sizes_mb_x$k") * 3.0 + 2.0)
+      check(f"dedup admit x$k writes only its delta segments: " +
+        f"${results(s"dedup_admit_write_mb_x$k")}%.2f MB <= " +
+        f"${results(s"dedup_admit_delta_mb_x$k")}%.2f × 1.5 + 2",
+        results(s"dedup_admit_write_mb_x$k") <=
+          results(s"dedup_admit_delta_mb_x$k") * 1.5 + 2.0)
+    }
+    // pruning is REAL at scale: the fixed batch's probed buckets are a
+    // strict minority of the ×K stores (at ×1 a small index has few
+    // buckets and a batch legitimately touches most of them)
+    check(f"dedup probed band buckets are a minority slice at ×$scaleK: " +
+      f"${results(s"dedup_probed_bands_mb_x$scaleK")}%.2f MB < " +
+      f"${results(s"dedup_bands_mb_x$scaleK")}%.2f × 0.6",
+      results(s"dedup_probed_bands_mb_x$scaleK") <
+        results(s"dedup_bands_mb_x$scaleK") * 0.6)
+    check(f"dedup probed shingle buckets are a strict subset at ×$scaleK: " +
+      f"${results(s"dedup_probed_shingles_mb_x$scaleK")}%.2f MB < " +
+      f"${results(s"dedup_shingles_mb_x$scaleK")}%.2f × 0.8",
+      results(s"dedup_probed_shingles_mb_x$scaleK") <
+        results(s"dedup_shingles_mb_x$scaleK") * 0.8)
+    // the fixed batch's delta segments are corpus-size-INDEPENDENT
+    check(f"dedup admit writes are flat across scale: " +
+      f"${results(s"dedup_admit_write_mb_x$scaleK")}%.2f MB <= " +
+      f"${results("dedup_admit_write_mb_x1")}%.2f × 2 + 1",
+      results(s"dedup_admit_write_mb_x$scaleK") <=
+        results("dedup_admit_write_mb_x1") * 2.0 + 1.0)
     println(if (failures == 0) "== weak-scaling: ALL PASS =="
       else s"== weak-scaling: $failures FAILURES ==")
     spark.stop()

@@ -324,11 +324,62 @@ object Dedup {
   /** Freshness = geometry + metadata-only corpus identity, the same
     * contract as the IVFADC and BM25 markers ([[graft.ops.Similarity
     * .inputListingFp]]); the build-time row count is a record, never
-    * recomputed at probe time.
+    * recomputed at probe time. The v2 marker additionally records the
+    * layout's BUCKET GEOMETRY (`kb=`/`db=`) after the prefix — probes
+    * parse it from marker content instead of recomputing it (the
+    * bucket counts derive from the build-time corpus size, which the
+    * serving path must never re-aggregate).
     */
   private def dedupIndexMarkerPrefix(history: DataFrame, w: Int): String =
-    s"graft-neardup v1 bands=$numBands rpb=$rowsPerBand w=$w " +
+    s"graft-neardup v2 bands=$numBands rpb=$rowsPerBand w=$w " +
       s"src=${graft.ops.Similarity.inputListingFp(history)} split=trainval"
+
+  /** Bucket count for the v3 layout's prunable partitions: ~64 docs
+    * per bucket, rounded up to a power of two, floored at 16 and
+    * capped at 64k — buckets stay a constant SIZE as the corpus grows
+    * (the COUNT grows), which is what keeps a fixed admission batch's
+    * pruned read a shrinking fraction at scale: candidates are
+    * batch-bounded, so the buckets they hash into stop growing while
+    * the bucket population keeps pace with the corpus. ~128 docs/bucket
+    * keeps bucket count above the candidate fan of a realistic
+    * micro-batch without drowning a SMALL corpus in footer-dominated
+    * parquet files; at 100 TB the constant is a config knob — what
+    * matters is that it tracks docs, not bytes.
+    */
+  private[ops] def dedupBuckets(nDocs: Long): Int = {
+    val raw = math.max(1L, nDocs / 128L)
+    var b = 16
+    while (b < raw && b < 65536) b <<= 1
+    b
+  }
+
+  /** (kb, db) bucket geometry recorded in the layout's marker. */
+  private def bucketGeometry(base: String): (Int, Int) = {
+    val txt = IndexFS.readStringOpt(s"$base/MARKER").getOrElse(
+      throw new IllegalStateException(s"no marker at $base"))
+    def field(k: String): Int =
+      s"$k=(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"marker at $base carries no $k= geometry"))
+    (field("kb"), field("db"))
+  }
+
+  /** Band-key bucket column (kb): which of the layout's key-hash
+    * partitions a posting lives in. A probe's colliding postings live
+    * in exactly the batch's own key buckets, so the postings scan
+    * prunes to those partition directories by a STATIC IN-list.
+    */
+  private def kbCol(kB: Int): Column =
+    pmod(Text.tokenHash(col("band_key")), lit(kB.toLong))
+
+  /** Doc-id bucket column (db) for the shingle sidecar: the exact-
+    * Jaccard verification touches only CANDIDATE history docs, so the
+    * token-level shingle scan prunes to the candidates' doc buckets —
+    * the artifact that grows with corpus TOKENS is never read
+    * wholesale on the admission path.
+    */
+  private def dbCol(id: Column, dB: Int): Column =
+    pmod(Text.tokenHash(id.cast("string")), lit(dB.toLong))
 
   /** BUILD: persist the historical corpus's near-dup index — the LSH
     * band postings (hist_id, band_key) partitioned by band_idx, the
@@ -347,16 +398,30 @@ object Dedup {
     // an older same-kind layout cannot be served or extended — wipe it
     // and rebuild under the current shape (self-upgrade)
     if (Snapshot.layoutStale(base, "dedup")) IndexFS.wipeLayout(base)
+    // bucket geometry scales with the corpus so bucket SIZE stays
+    // constant: the count is fixed at build time and recorded in the
+    // marker (probes parse it, never re-derive it from the corpus)
+    val histCount = history.count()
+    val kB = dedupBuckets(histCount)
+    val dB = dedupBuckets(histCount)
     // one shingle explosion feeds the set sidecar AND the sizes
-    val sh = explodedShingleHashes(history, w).maintCheckpoint()
+    val sh = explodedShingleHashes(history, w)
+      .withColumn("db", dbCol(col("doc_id"), dB)).maintCheckpoint()
     // one snapshot transaction: the three artifacts AND the clearing
     // of delta segments left by appends against a previous corpus
     // (served alongside a fresh base they would resurrect stale
     // documents) flip atomically
     IndexFS.mkdirs(base)
     val txn = Snapshot.begin(base)
-    txn.writeFull(minhashBands(history, "hist_id", w), "bands", "band_idx")
-    txn.writeFull(sh, "shingles")
+    // repartition on the partition columns before the bucketed writes:
+    // otherwise every write task emits a file into every directory
+    // (tasks × buckets tiny files — measured 3-10x build-time blowup);
+    // clustered, each directory gets O(1) files
+    txn.writeFull(
+      minhashBands(history, "hist_id", w).withColumn("kb", kbCol(kB))
+        .repartition(col("band_idx"), col("kb")),
+      "bands", "band_idx", "kb")
+    txn.writeFull(sh.repartition(col("db")), "shingles", "db")
     txn.writeFull(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh")),
       "sizes")
     Seq("bands_delta", "shingles_delta", "sizes_delta")
@@ -364,7 +429,7 @@ object Dedup {
     val snap = txn.commit()
     IndexFS.stampVersion(base, "dedup")
     IndexFS.writeString(s"$base/MARKER",
-      s"${dedupIndexMarkerPrefix(history, w)} n=${history.count()}")
+      s"${dedupIndexMarkerPrefix(history, w)} kb=$kB db=$dB n=$histCount")
     snap.read(spark, "bands")
       .groupBy(col("band_idx").cast("long").as("band_idx"))
       .agg(count(lit(1)).as("n_postings"),
@@ -390,15 +455,82 @@ object Dedup {
           dedupIndexMarkerPrefix(history, w)))
       dedupBuildIndex(history, base, w).count()
     val snap = Snapshot.require(base)
-    val bandsH = snap.read(spark, "bands")
-      .select(col("hist_id"), col("band_idx").cast("int").as("band_idx"),
-        col("band_key"))
-    val cand = minhashBands(batch, "batch_id", w)
+    val (kB, dB) = bucketGeometry(base)
+    // the batch's band keys live in a bounded set of key buckets
+    // (≤ numBands × kB, collected driver-side like the IVF cell lists):
+    // the postings scan prunes to exactly those partition directories —
+    // colliding postings, not the whole postings table
+    val batchBands = minhashBands(batch, "batch_id", w)
+      .withColumn("kb", kbCol(kB)).localCheckpoint()
+    val bandsH = prunedBands(spark, snap, "bands", batchBands, kB)
+    val cand = batchBands
       .join(bandsH, Seq("band_idx", "band_key"))
       .select(col("batch_id"), col("hist_id")).distinct()
+      .localCheckpoint()
     nearDupVerdicts(batch, cand,
-      snap.read(spark, "shingles"),
+      prunedShingles(spark, snap, "shingles", cand, dB),
       snap.read(spark, "sizes"), w, threshold)
+  }
+
+  /** The stored band postings pruned to the probe's own key buckets:
+    * one static (band_idx, kb) IN-list over the partitioned layout.
+    * The collect is bounded by geometry (≤ numBands × kB tuples).
+    */
+  private def prunedBands(spark: org.apache.spark.sql.SparkSession,
+                          snap: Snapshot.Manifest, comp: String,
+                          batchBands: DataFrame, kB: Int): DataFrame = {
+    val pairs = batchBands.select(col("band_idx"), col("kb"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    lastProbeParts.set(lastProbeParts.get.copy(bandParts = pairs))
+    // compare against INT literals: the partition columns discover as
+    // IntegerType, and a cast on the partition attribute would defeat
+    // static partition pruning
+    def shape(df: DataFrame): DataFrame = df
+      .select(col("hist_id"), col("band_idx").cast("int").as("band_idx"),
+        col("band_key"))
+    val b0 = shape(snap.read(spark, comp)
+      .filter(pairs.map { case (b, kb) =>
+        col("band_idx") === b && col("kb") === kb.toInt
+      }.reduceOption(_ || _).getOrElse(lit(false))))
+    // delta segments are batch-sized and unbucketed — served whole,
+    // like BM25's LSM deltas, until a compaction folds them
+    snap.readOpt(spark, s"${comp}_delta") match {
+      case Some(d) => b0.unionByName(shape(d))
+      case None    => b0
+    }
+  }
+
+  /** The stored shingle sidecar pruned to the CANDIDATE docs' buckets:
+    * verification touches only colliding history documents, so the
+    * token-level artifact — the one that grows with corpus tokens —
+    * reads a candidate-bounded partition subset, never wholesale. The
+    * collect is bounded by dB (≤ the bucket count).
+    */
+  private def prunedShingles(spark: org.apache.spark.sql.SparkSession,
+                             snap: Snapshot.Manifest, comp: String,
+                             cand: DataFrame, dB: Int): DataFrame = {
+    val buckets = cand.select(dbCol(col("hist_id"), dB).as("db"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    lastProbeParts.set(lastProbeParts.get.copy(shingleBuckets = buckets))
+    val b0 = snap.read(spark, comp)
+      .filter(col("db").isin(buckets.map(_.toInt): _*))
+      .select(col("doc_id"), col("s"))
+    snap.readOpt(spark, s"${comp}_delta") match {
+      case Some(d) => b0.unionByName(d.select(col("doc_id"), col("s")))
+      case None    => b0
+    }
+  }
+
+  /** Measurement hook (weak-scaling harness): the partition IN-lists
+    * the latest stored probe pushed — the ground truth for "admission
+    * reads only colliding buckets", byte-checked against exactly those
+    * directories' on-disk sizes.
+    */
+  private[graft] case class ProbeParts(bandParts: Seq[(Int, Long)],
+                                       shingleBuckets: Seq[Long])
+  private[graft] val lastProbeParts = new ThreadLocal[ProbeParts] {
+    override def initialValue(): ProbeParts = ProbeParts(Nil, Nil)
   }
 
   /** Streaming ADMISSION GATE over the stored near-dup index: verdict
@@ -433,53 +565,76 @@ object Dedup {
     // ONE manifest resolution pins the whole admission pass; serve
     // base ∪ delta segments for every artifact
     val snap = Snapshot.require(base)
-    def withDelta(part: String, cols: Seq[String]): DataFrame = {
-      val b0 = snap.read(spark, part).select(cols.map(col): _*)
-      snap.readOpt(spark, s"${part}_delta") match {
-        case Some(d) => b0.unionByName(d.select(cols.map(col): _*))
-        case None    => b0
+    val (kB, dB) = bucketGeometry(base)
+    val b = batch.maintCheckpoint()
+    val sizesH = {
+      val s0 = snap.read(spark, "sizes").select(col("doc_id"), col("szh"))
+      snap.readOpt(spark, "sizes_delta") match {
+        case Some(d) => s0.unionByName(d.select(col("doc_id"), col("szh")))
+        case None    => s0
       }
     }
-    val b = batch.maintCheckpoint()
-    val sizesH = withDelta("sizes", Seq("doc_id", "szh"))
     // a replayed document (already in the index) re-admits by id —
     // checking it again would flag it as a dup of itself
     val freshB = b.join(sizesH.select(col("doc_id")), Seq("doc_id"),
         "left_anti")
       .maintCheckpoint()
-    val bandsH = withDelta("bands", Seq("hist_id", "band_idx", "band_key"))
-      .select(col("hist_id"), col("band_idx").cast("int").as("band_idx"),
-        col("band_key"))
-    val cand = minhashBands(freshB, "batch_id", w)
+    // pruned serving reads (base ∪ delta, both partition-pruned): the
+    // postings scan touches only the batch's key buckets, the shingle
+    // scan only the candidates' doc buckets — admission I/O is bounded
+    // by colliding buckets + doc-level artifacts, never the corpus
+    // (byte-gated in graft.WeakScale at ×1 vs ×8)
+    val batchBands = minhashBands(freshB, "batch_id", w)
+      .withColumn("kb", kbCol(kB)).localCheckpoint()
+    val bandsH = prunedBands(spark, snap, "bands", batchBands, kB)
+    val cand = batchBands
       .join(bandsH, Seq("band_idx", "band_key"))
       // a PARTIALLY-appended replay (bands landed, sizes didn't) must
       // not match itself either
       .filter(col("batch_id") =!= col("hist_id"))
       .select(col("batch_id"), col("hist_id")).distinct()
+      .localCheckpoint()
     val verdicts = nearDupVerdicts(freshB, cand,
-      withDelta("shingles", Seq("doc_id", "s"))
-        .select(col("doc_id"), col("s")),
+      prunedShingles(spark, snap, "shingles", cand, dB),
       sizesH, w, threshold)
       .maintCheckpoint()
     val admitted = freshB.join(
         verdicts.filter(!col("is_dup")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       .maintCheckpoint()
-    if (!admitted.isEmpty) {
-      val segId = java.lang.Long.toHexString(
-        Option(admitted.select(col("doc_id")).distinct()
-          .agg(sum(Text.tokenHash(col("doc_id").cast("string"))))
-          .head.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    // segment id and the emptiness test come out of ONE aggregate: an
+    // order-insensitive doc-id hash sum, null iff nothing was admitted
+    // (each driver-synchronous job on this path is real latency — the
+    // admission gate runs per micro-batch)
+    val segAgg = Option(admitted
+      .agg(sum(Text.tokenHash(col("doc_id").cast("string")))).head.get(0))
+      .map(_.asInstanceOf[Long])
+    segAgg.foreach { segSum =>
+      val segId = java.lang.Long.toHexString(segSum)
       val sh = explodedShingleHashes(admitted, w).maintCheckpoint()
+      // the admitted docs' band rows are a semi-join of the ALREADY
+      // SIGNED batch checkpoint — signatures are never recomputed.
+      // Delta segments keep the SIMPLE (seg, band_idx)/(seg) layout:
+      // a segment is batch-sized by construction, so serving reads it
+      // whole (the BM25 LSM shape — segments are cheap until a
+      // compaction folds them); bucket-partitioning the 4-directory
+      // write cost more in dynamic-partition commit overhead than the
+      // pruning it enabled was worth
+      val admBands = batchBands
+        .join(admitted.select(col("doc_id").as("batch_id")),
+          Seq("batch_id"), "left_semi")
+        .select(col("batch_id").as("hist_id"), col("band_idx"),
+          col("band_key"))
+        .withColumn("seg", lit(segId))
+
       // the three delta segments flip in ONE manifest publish — a
       // crash can no longer leave bands landed with sizes missing
       // (the partially-appended-replay window shrinks to zero)
       val txn = Snapshot.begin(base)
-      txn.writeParts(
-        minhashBands(admitted, "hist_id", w).withColumn("seg", lit(segId)),
+      txn.writeParts(admBands.repartition(col("band_idx")),
         "bands_delta", Seq("seg", "band_idx"),
         (0 until numBands).map(i => Seq(segId, i.toString)))
-      txn.writeParts(sh.withColumn("seg", lit(segId)),
+      txn.writeParts(sh.withColumn("seg", lit(segId)).coalesce(1),
         "shingles_delta", Seq("seg"), Seq(Seq(segId)))
       txn.writeParts(
         sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))
@@ -513,6 +668,16 @@ object Dedup {
     * admission all hash-mismatch). Batch assignment uses the same md5
     * bucket device as [[graft.ops.Text.trainValSplit]] so an external
     * engine reproduces the batches exactly.
+    *
+    * The clean-start rebuild is served from a PRISTINE-LAYOUT CACHE:
+    * the gate mutates the layout, so every replay must begin from the
+    * untouched train-split index — but re-RUNNING `dedupBuildIndex`
+    * per replay re-pays the full build (~1/3 of the bench slot). The
+    * first run per (corpus, geometry) builds and snapshots the layout
+    * to `<base>_pristine`; later runs restore it by filesystem copy —
+    * byte-identical, so verdicts, segment ids, and the census hash
+    * exactly as a fresh build would. Cache freshness uses the same
+    * marker-prefix contract as the lazy-probe paths.
     */
   def dedupAdmitProbe(documents: DataFrame, base: String, nBatches: Int = 3,
                       w: Int = 3, threshold: Double = 0.3): DataFrame = {
@@ -521,10 +686,16 @@ object Dedup {
       .select(col("doc_id"), col("split"))
     val withSplit = documents.join(split, Seq("doc_id"))
     val train = withSplit.filter(col("split") === "train")
+    // the batch slices share one materialization of the split join —
+    // each admission's own checkpoint then reads blocks instead of
+    // re-running the md5-bucket join per batch
     val rest = withSplit.filter(col("split") =!= "train")
       .withColumn("batch",
         Text.tokenHash(col("doc_id").cast("string")) % nBatches)
-    dedupBuildIndex(train, base, w).count()
+      .maintCheckpoint()
+    IndexFS.restorePristine(base, dedupIndexMarkerPrefix(train, w)) {
+      dedupBuildIndex(train, base, w).count(); ()
+    }
     val verdicts = (0 until nBatches).map { b =>
       dedupAdmit(rest.filter(col("batch") === b), base, w, threshold)
         .withColumn("batch", lit(b.toLong))

@@ -583,17 +583,46 @@ object Multimodal {
       } finally raw.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** CONTENT-BASED video embedding — decoded-frame pooling over the
+    * container's real sample table: resolve the per-frame byte ranges
+    * from the BMFF stsz/stco/stsc tables ([[videoSampleRanges]] — the
+    * same demuxer composition [[frameSample]] serves), decode every
+    * `everyN`-th sample's bytes as a still image, block-mean-embed the
+    * decoded pixels ([[pixelEmbedding]] — the image tier's encoder),
+    * and MEAN-POOL across the sampled frames (the standard
+    * frame-pooling video baseline: two cuts of the same footage map
+    * close, different footage doesn't). None when the container
+    * doesn't parse or NO sampled frame decodes to pixels — a payload
+    * whose samples are a codec bitstream the JVM can't decode (H.264
+    * etc.) falls to the digest stub, the same honest boundary as
+    * compressed audio; containers carrying image-coded frames (MJPEG-
+    * style, the fixtures' shape) embed from real pixel content.
+    */
+  def videoEmbedding(content: Array[Byte], dims: Int = 8,
+                     everyN: Int = 1): Option[Array[Double]] =
+    videoSampleRanges(content).flatMap { ranges =>
+      val embs = ranges.zipWithIndex.collect {
+        case ((off, sz), i) if i % everyN == 0 =>
+          pixelEmbedding(java.util.Arrays.copyOfRange(
+            content, off.toInt, (off + sz).toInt), dims)
+      }.flatten
+      if (embs.isEmpty) None
+      else Some(Array.tabulate(dims)(d => embs.map(_(d)).sum / embs.length))
+    }
+
   /** Typed media→vector ENCODER with codec dispatch — the serving
     * encoder of the multimodal tier: `image/` payloads embed from
     * their decoded pixels ([[pixelEmbedding]]), `audio/` payloads from
-    * their decoded PCM samples ([[audioEmbedding]]); everything else
-    * (and any payload its codec rejects) takes the digest stub with
-    * arithmetic IDENTICAL to [[embedStub]]'s expression twin
-    * (spec-asserted row-for-row on the stub arm), so the
-    * oracle-checkable registry formulation and this batch path can
-    * never drift. Output: (doc_id, embedding) — the same column shape
-    * the `embeddings` fixture table and the whole `sim_*` tier
-    * consume; nothing downstream knows the vector came from bytes.
+    * their decoded PCM samples ([[audioEmbedding]]), `video/` payloads
+    * from their decoded sampled frames pooled over time
+    * ([[videoEmbedding]]); everything else (and any payload its codec
+    * rejects) takes the digest stub with arithmetic IDENTICAL to
+    * [[embedStub]]'s expression twin (spec-asserted row-for-row on the
+    * stub arm), so the oracle-checkable registry formulation and this
+    * batch path can never drift. Output: (doc_id, embedding) — the
+    * same column shape the `embeddings` fixture table and the whole
+    * `sim_*` tier consume; nothing downstream knows the vector came
+    * from bytes.
     */
   def embedMedia(media: Dataset[MediaRecord],
                  dims: Int = 8,
@@ -606,6 +635,7 @@ object Multimodal {
           val real =
             if (r.mime.startsWith("image/")) pixelEmbedding(r.content, dims)
             else if (r.mime.startsWith("audio/")) audioEmbedding(r.content, dims)
+            else if (r.mime.startsWith("video/")) videoEmbedding(r.content, dims)
             else None
           val vec = real.getOrElse {
             md.reset()

@@ -1658,6 +1658,62 @@ object Similarity {
     ivfpqScoreStored(spark, base, queries, k, nprobe, shortlist)
   }
 
+  /** Streaming-ingestion ADMISSION analog for the stored IVFADC layout
+    * — the deterministic batch replay of "vectors stream through
+    * [[ivfpqAppend]], probes serve between batches" (the vector twin
+    * of [[graft.ops.Dedup.dedupAdmitProbe]], closing the last
+    * spec-only streaming-ingestion path): the corpus splits into the
+    * standing base (four fifths, `vec_id % 5 ≠ 4`) and `nBatches`
+    * fixed ingest batches of the remaining fifth
+    * (`(vec_id div 5) % nBatches` — both engines reproduce the batches
+    * by arithmetic), the PRISTINE base index restores per run (the
+    * appends mutate the layout, so a deterministic replay starts
+    * clean — [[graft.sources.IndexFS.restorePristine]], byte-identical
+    * restore), then each batch replays through the PRODUCTION append
+    * (idempotent cell-partition merge under the stored quantizers) and
+    * the production probe serves from the layout AS OF that batch —
+    * one result block per ingest step, tagged `batch`.
+    *
+    * Because appends never retrain quantizers, the layout after batch
+    * k is exactly a one-shot encode of base ∪ batches ≤ k under the
+    * base-trained quantizers — which is what the sequential oracle
+    * re-derives per step (train-on-base CTEs shared, per-step
+    * candidate corpus widened). A lost append, a stale manifest
+    * served after an append, or a probe reading a half-merged cell
+    * all hash-mismatch some step's block.
+    */
+  def ivfpqAdmitProbe(embeddings: DataFrame, base: String,
+                      nBatches: Int, nQueries: Int, k: Int,
+                      nlist: Int = 16, nprobe: Int = 4,
+                      shortlist: Int = 20): DataFrame = {
+    val spark = embeddings.sparkSession
+    val baseCorpus = embeddings.filter(col("vec_id") % 5 =!= 4)
+    IndexFS.restorePristine(base,
+        indexMarkerPrefix(embeddings, nlist) + " split=mod5") {
+      ivfpqBuildIndex(baseCorpus, base, nlist).count()
+      // the pristine marker must reflect the SPLIT build, not the full
+      // corpus (ivfpqBuildIndex stamps its own source fingerprint over
+      // the base slice only — same device as ivfpqAppendProbe's
+      // MARKER_BASE)
+      IndexFS.writeString(s"$base/MARKER",
+        indexMarkerPrefix(embeddings, nlist) + " split=mod5")
+    }
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    (0 until nBatches).map { b =>
+      ivfpqAppend(embeddings.filter(col("vec_id") % 5 === 4 &&
+        pmod(expr("vec_id div 5"), lit(nBatches)) === b), base)
+      // the probe pins THIS step's manifest at construction; earlier
+      // steps' files stay live through the GC grace window, so the
+      // final union executes every step against its own snapshot
+      ivfpqScoreStored(spark, base, queries, k, nprobe, shortlist)
+        .withColumn("batch", lit(b.toLong))
+    }.reduce(_.unionByName(_))
+      .select(col("batch"), col("query_id"), col("neighbor_id"),
+        col("sim"), col("rank"))
+      .orderBy(col("batch"), col("query_id"), col("rank"))
+  }
+
   /** DELETE vectors from the stored IVFADC layout — tombstoned, same
     * sidecar as [[graft.ops.Text.bm25Delete]]: serving excludes them
     * immediately ([[ivfpqScoreStored]] anti-joins the sidecar) and the

@@ -2747,44 +2747,133 @@ object Text {
     * constructs with IDENTICAL semantics in java.util.regex and RE2
     * (character classes, bounded repetition, word boundaries,
     * non-capturing groups; no lookaround, no backreferences), so the
-    * engine and the DuckDB oracle match span-for-span.
+    * engine and the DuckDB oracle match span-for-span. The production
+    * pack: email, IPv4, international + local phone formats, IBAN,
+    * and payment cards — card candidates are pattern-matched, then
+    * validated by the LUHN CHECKSUM as a pure integer HOF expression
+    * (no UDF; `aggregate` over the digit positions has the same
+    * semantics as DuckDB's `list_sum(list_transform(...))`, so
+    * validity verdicts match bit-for-bit).
     */
   val piiEmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val piiIpv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   val piiPhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val piiIntlPhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{3}-\\d{4}"
+  val piiIbanRe = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{12,30}\\b"
+  val piiCardRe = "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b"
+
+  /** Luhn digit-sum SQL term over positions 0..len-1 of the digit
+    * string in column/expression `s` (leftmost digit is position 0;
+    * for a 16-digit card — and for computing a 15-digit payload's
+    * check digit — the doubled positions are the EVEN indexes). The
+    * identical text parses as a Spark lambda body and as a DuckDB
+    * lambda body: CASE/ascii/substring/% behave the same, which is
+    * what keeps the validity verdicts engine-exact.
+    */
+  private def luhnTermSql(s: String): String =
+    s"CASE WHEN i % 2 = 0 THEN " +
+      s"CASE WHEN (ascii(substring($s, i + 1, 1)) - 48) * 2 > 9 " +
+      s"THEN (ascii(substring($s, i + 1, 1)) - 48) * 2 - 9 " +
+      s"ELSE (ascii(substring($s, i + 1, 1)) - 48) * 2 END " +
+      s"ELSE ascii(substring($s, i + 1, 1)) - 48 END"
+
+  /** Spark-side Luhn digit sum of the first `len` digits of column
+    * `c` (a pure codegen'd HOF — no UDF).
+    */
+  private[graft] def luhnSum(c: String, len: Int): Column =
+    expr(s"aggregate(sequence(0, ${len - 1}), 0, " +
+      s"(acc, i) -> acc + ${luhnTermSql(c)})")
+
+  /** The oracle twin of [[luhnSum]] (DuckDB list fold). */
+  def luhnSumOracle(c: String, len: Int): String =
+    s"list_sum(list_transform(generate_series(0, ${len - 1}), " +
+      s"i -> ${luhnTermSql(c)}))"
 
   /** PII SCAN + REDACTION over the documents table — the compliance
     * pass every training-data pipeline runs before a corpus ships:
-    * per-document counts of email / IPv4 / phone-shaped spans plus the
-    * post-redaction text length (all three patterns replaced by fixed
-    * tags — the length catches any engine drift in match extents or
-    * global-replace semantics, not just match counts).
+    * per-document counts of email / IPv4 / international-phone /
+    * local-phone / IBAN / payment-card spans (cards additionally
+    * Luhn-validated — pattern-shaped vs checksum-valid counted
+    * separately), plus the post-redaction text length (every pattern
+    * replaced by a fixed tag — the length catches any engine drift in
+    * match extents or global-replace semantics, not just match
+    * counts). Redaction removes ALL card-SHAPED spans (conservative,
+    * the compliance default); the Luhn verdict is reported, not used
+    * to narrow redaction — regexp_replace cannot branch per match and
+    * a checksum-invalid span is still card-shaped noise worth
+    * scrubbing. Local phones are counted and redacted AFTER the
+    * international format (whose tail would otherwise double-count as
+    * a local match); both engines apply the same order.
     *
     * The fixture corpus carries no natural PII, so the scan runs over
     * a deterministically PII-PLANTED twin: every doc gets a synthetic
-    * email, every 3rd an IPv4, every 5th a phone span, all derived
-    * from doc_id by arithmetic both engines reproduce exactly — the
-    * oracle then checks real positives, not a vacuous all-zero board.
+    * email; every 3rd an IPv4, 4th an intl phone, 5th a local phone,
+    * 6th an IBAN, 7th a Luhn-VALID card (payload digits from doc_id,
+    * check digit computed by the same Luhn fold), every 11th a
+    * Luhn-INVALID card (valid check digit + 1 mod 10) — all derived
+    * from doc_id by arithmetic both engines reproduce exactly, so the
+    * board proves true positives, checksum discrimination, and exact
+    * redaction extents.
     *
     * Scale shape: a pure per-row projection inside the scan (codegen'd
-    * regexps, no shuffle, no UDF) — the 100 TB cost is one map pass,
-    * exactly what a redaction sweep should be.
+    * regexps + integer HOF folds, no shuffle, no UDF) — the 100 TB
+    * cost is one map pass, exactly what a redaction sweep should be.
     */
   def piiScan(documents: DataFrame): DataFrame = {
-    val planted = documents.select(col("doc_id"), concat(
+    val withCard = documents
+      .withColumn("cardp", concat(lit("4"),
+        lpad(pmod(col("doc_id") * 7919, lit(1000000000)).cast("string"), 9, "0"),
+        lpad(pmod(col("doc_id") * 3, lit(100000)).cast("string"), 5, "0")))
+      .withColumn("chk",
+        pmod(lit(10) - pmod(luhnSum("cardp", 15), lit(10)), lit(10)))
+    def dash16(c: Column): Column = concat_ws("-",
+      substring(c, 1, 4), substring(c, 5, 4),
+      substring(c, 9, 4), substring(c, 13, 4))
+    val planted = withCard.select(col("doc_id"), concat(
       col("text"),
       lit(" contact user"), col("doc_id"), lit("@example.com"),
       when(pmod(col("doc_id"), lit(3)) === 0,
         concat(lit(" from 10."), pmod(col("doc_id"), lit(256)),
           lit(".0."), pmod(col("doc_id"), lit(100))))
         .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit(" tel +90-5"),
+          lpad(pmod(col("doc_id"), lit(90)).cast("string"), 2, "0"),
+          lit("-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(col("doc_id") * 3, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
       when(pmod(col("doc_id"), lit(5)) === 0,
         concat(lit(" call 555-0"),
           lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(6)) === 0,
+        concat(lit(" iban DE"),
+          lpad((pmod(col("doc_id"), lit(89)) + 11).cast("string"), 2, "0"),
+          lpad(pmod(col("doc_id") * 13, lit(1000000000)).cast("string"), 9, "0"),
+          lpad(pmod(col("doc_id") * 17, lit(1000000000)).cast("string"), 9, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit(" card "),
+          dash16(concat(col("cardp"), col("chk")))))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit(" card "),
+          dash16(concat(col("cardp"),
+            pmod(col("chk") + 1, lit(10))))))
         .otherwise(lit(""))).as("text"))
+    // intl phones redact before local-phone counting/redaction (order
+    // is part of the contract — see scaladoc); everything else is
+    // disjoint by construction of the patterns
+    val afterIntl = regexp_replace(col("text"), piiIntlPhoneRe, "<INTL>")
     val redacted = regexp_replace(
       regexp_replace(
-        regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
+              piiIbanRe, "<IBAN>"),
+            piiCardRe, "<CARD>"),
+          piiIntlPhoneRe, "<INTL>"),
         piiIpv4Re, "<IP>"),
       piiPhoneRe, "<PHONE>")
     planted.select(col("doc_id"),
@@ -2792,8 +2881,22 @@ object Text {
         .cast("long").as("n_email"),
       size(regexp_extract_all(col("text"), lit(piiIpv4Re), lit(0)))
         .cast("long").as("n_ipv4"),
-      size(regexp_extract_all(col("text"), lit(piiPhoneRe), lit(0)))
+      size(regexp_extract_all(col("text"), lit(piiIntlPhoneRe), lit(0)))
+        .cast("long").as("n_intl"),
+      size(regexp_extract_all(afterIntl, lit(piiPhoneRe), lit(0)))
         .cast("long").as("n_phone"),
+      size(regexp_extract_all(col("text"), lit(piiIbanRe), lit(0)))
+        .cast("long").as("n_iban"),
+      size(regexp_extract_all(col("text"), lit(piiCardRe), lit(0)))
+        .cast("long").as("n_card"),
+      // Spark SQL string literals are C-escaped, so the regex's
+      // backslashes double inside the expr text
+      expr("size(filter(transform(regexp_extract_all(text, " +
+          s"'${piiCardRe.replace("\\", "\\\\")}', 0), " +
+          "c -> replace(c, '-', '')), " +
+          "cc -> aggregate(sequence(0, 15), 0, " +
+          s"(acc, i) -> acc + ${luhnTermSql("cc")}) % 10 = 0))")
+        .cast("long").as("n_card_valid"),
       length(redacted).cast("long").as("red_len"))
       .orderBy(col("doc_id"))
   }

@@ -92,10 +92,42 @@ object IndexFS {
     }
   }
 
-  def deleteRecursive(path: String): Unit = {
-    val (fs, p) = resolve(path)
-    if (fs.exists(p)) fs.delete(p, true)
-    ()
+  /** The java.nio path of `path` when it lives on the LOCAL filesystem
+    * (no scheme or `file:`), None otherwise — the fast-path guard for
+    * bulk small-file operations: Hadoop's ChecksumFileSystem costs
+    * tens of milliseconds per tiny file (sidecar bookkeeping), which
+    * turns a 700-file layout copy into >10 s; plain NIO does the same
+    * work in well under a second. Remote filesystems keep the Hadoop
+    * path.
+    */
+  private def localPath(path: String): Option[java.nio.file.Path] = {
+    val uri = new Path(path).toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      Some(java.nio.file.Paths.get(uri.getPath))
+    else None
+  }
+
+  def deleteRecursive(path: String): Unit = localPath(path) match {
+    case Some(lp) =>
+      if (java.nio.file.Files.exists(lp)) {
+        import java.nio.file._
+        import java.nio.file.attribute.BasicFileAttributes
+        Files.walkFileTree(lp, new SimpleFileVisitor[java.nio.file.Path] {
+          override def visitFile(f: java.nio.file.Path,
+                                 a: BasicFileAttributes): FileVisitResult = {
+            Files.deleteIfExists(f); FileVisitResult.CONTINUE
+          }
+          override def postVisitDirectory(d: java.nio.file.Path,
+                                          e: java.io.IOException): FileVisitResult = {
+            Files.deleteIfExists(d); FileVisitResult.CONTINUE
+          }
+        })
+        ()
+      }
+    case None =>
+      val (fs, p) = resolve(path)
+      if (fs.exists(p)) fs.delete(p, true)
+      ()
   }
 
   /** Modification time of `path`, if it exists. */
@@ -120,6 +152,65 @@ object IndexFS {
     val (fs, p) = resolve(path)
     fs.setTimes(p, mtime, -1)
   }
+
+  /** Copy a stored layout's contents into `dst` (recursively, byte-
+    * identical), skipping the writer lease and staging residue — the
+    * PRISTINE-LAYOUT CACHE primitive: deterministic-replay probes
+    * (dedup_admit, sim_ivfpq_admit) must start from a clean standing
+    * index every run, and restoring a byte-identical copy is much
+    * cheaper than re-running the build. The skip matters: a copied
+    * lease file would make the restored layout look writer-held and
+    * fail the next maintenance op's acquisition.
+    */
+  def copyLayout(src: String, dst: String): Unit =
+    (localPath(src), localPath(dst)) match {
+      case (Some(ls), Some(ld)) =>
+        // NIO fast path (see [[localPath]]): copies the checksum
+        // sidecars verbatim too, so ChecksumFileSystem reads of the
+        // restored layout still validate
+        import java.nio.file._
+        import java.nio.file.attribute.BasicFileAttributes
+        Files.createDirectories(ld)
+        Files.walkFileTree(ls, new SimpleFileVisitor[java.nio.file.Path] {
+          private def skip(p: java.nio.file.Path): Boolean = {
+            val rel = ls.relativize(p)
+            rel.getNameCount > 0 && {
+              val head = rel.getName(0).toString
+              // `contains`, not startsWith: unlike the Hadoop listing
+              // (which hides them), NIO sees ChecksumFileSystem's
+              // `._WRITER_LEASE.crc` sidecar — restoring a stale lease
+              // checksum would fail the next writer's read-back and
+              // brick the layout's lease acquisition
+              head.contains("_WRITER_LEASE") || head == ".staging"
+            }
+          }
+          override def preVisitDirectory(d: java.nio.file.Path,
+                                         a: BasicFileAttributes): FileVisitResult =
+            if (skip(d)) FileVisitResult.SKIP_SUBTREE
+            else {
+              Files.createDirectories(ld.resolve(ls.relativize(d)))
+              FileVisitResult.CONTINUE
+            }
+          override def visitFile(f: java.nio.file.Path,
+                                 a: BasicFileAttributes): FileVisitResult = {
+            if (!skip(f))
+              Files.copy(f, ld.resolve(ls.relativize(f)),
+                StandardCopyOption.REPLACE_EXISTING)
+            FileVisitResult.CONTINUE
+          }
+        })
+        ()
+      case _ =>
+        val (fs, s) = resolve(src)
+        val conf0 = conf()
+        mkdirs(dst)
+        listNames(src)
+          .filterNot(n => n.startsWith("_WRITER_LEASE") || n == ".staging")
+          .foreach { n =>
+            org.apache.hadoop.fs.FileUtil.copy(
+              fs, new Path(s, n), fs, new Path(dst), false, conf0)
+          }
+    }
 
   // object stores whose FileSystem.rename is a server-side copy (or a
   // non-atomic directory move, wasb/wasbs), not an atomic metadata
@@ -190,6 +281,32 @@ object IndexFS {
   def markerEquals(markerPath: String, expected: String): Boolean =
     readStringOpt(markerPath).contains(expected)
 
+  /** Deterministic-replay layouts via the pristine cache: ensure `base`
+    * holds the UNTOUCHED standing index a replay probe must start
+    * from. When `<base>_pristine` carries a fresh `MARKER` (prefix
+    * contract, same as the lazy-rebuild gates) the layout restores by
+    * filesystem copy — byte-identical to the build, so everything
+    * downstream (segment ids, manifests, hashes) replays exactly;
+    * otherwise `build` runs against `base` and its result is
+    * snapshotted into the cache for the next replay. All under the
+    * writer lease; the lease file itself is never copied
+    * ([[copyLayout]]), so the restored layout is immediately
+    * writable.
+    */
+  def restorePristine(base: String, markerPrefix: String)
+                     (build: => Unit): Unit =
+    withWriterLease(base) {
+      val cache = s"${base}_pristine"
+      if (markerFresh(s"$cache/MARKER", markerPrefix)) {
+        wipeLayout(base)
+        copyLayout(cache, base)
+      } else {
+        build
+        deleteRecursive(cache)
+        copyLayout(base, cache)
+      }
+    }
+
   // ------------------------------------------------------------------
   // Layout-version contract. Freshness markers guard CONTENT drift
   // (corpus changed → rebuild); _VERSION guards SHAPE drift (the
@@ -205,7 +322,7 @@ object IndexFS {
     * misread or clobbered.
     */
   val layoutVersions: Map[String, Int] =
-    Map("bm25" -> 2, "lm" -> 2, "ivfpq" -> 2, "dedup" -> 2, "table" -> 1,
+    Map("bm25" -> 2, "lm" -> 2, "ivfpq" -> 2, "dedup" -> 3, "table" -> 1,
       "ann" -> 1)
 
   private def versionPath(base: String): String = s"$base/_VERSION"

@@ -27,6 +27,47 @@ class BenchRecordSpec extends AnyFunSuite {
     assert(Bench.r01Common(Seq("rel_union" -> 0.1)) === "")
   }
 
+  test("merge mode floors per-query values against the existing same-SF " +
+      "record, counts runs, and keeps the quietest noise index") {
+    val path = java.nio.file.Files
+      .createTempFile("graft-benchmerge", ".json").toString
+    // run 1: fresh record (no merge)
+    Bench.writeFull(Seq("qa" -> 2.0, "qb" -> 1.0), "/x/sf0.1",
+      pathOverride = Some(path), noiseIndex = Some((5, 2.0, 3.0)))
+    // run 2: merge — qa improves, qb degrades (degradation must NOT
+    // replace the committed minimum), quieter noise index wins
+    Bench.writeFull(Seq("qa" -> 1.5, "qb" -> 4.0), "/x/sf0.1",
+      pathOverride = Some(path), noiseIndex = Some((5, 2.0, 2.4)),
+      merge = true)
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(txt.contains("\"qa\": 1.500") && txt.contains("\"qb\": 1.000"), txt)
+    assert(txt.contains("\"_runs\": 2"), txt)
+    assert(txt.contains("\"now_sec\": 2.400") &&
+      txt.contains("\"ratio\": 1.200"), txt)
+    assert(txt.contains("\"_total\": 2.500"), txt)
+    // a DIFFERENT-SF record never merges (the sf0.01 smoke must not
+    // floor the official sf0.1 board)
+    Bench.writeFull(Seq("qa" -> 0.1, "qb" -> 0.1), "/x/sf0.01",
+      pathOverride = Some(path), merge = true)
+    val txt2 = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(txt2.contains("\"qa\": 0.100") && txt2.contains("\"_runs\": 1"),
+      txt2)
+  }
+
+  test("the control set is pinned to r01-era names present in both the " +
+      "registry and the committed round-1 record") {
+    val r01 = Bench.readR01()
+    assert(r01.nonEmpty, "BENCH_r01.json did not parse")
+    Bench.controlSet.foreach { n =>
+      assert(SparkEntry.queries.contains(n), s"control $n not in registry")
+      assert(r01.contains(n), s"control $n not in the r01 record")
+    }
+    // the noise index lands in the emitted line
+    val line = Bench.renderLine(Seq("qa" -> 1.0), "/x/sf0.1",
+      noiseIndex = Some((5, 2.0, 3.0)))
+    assert(line.contains("\"noise_index\":1.500"), line)
+  }
+
   test("writeFull records per-arm sub-timings for folded entries") {
     val path = java.nio.file.Files
       .createTempFile("graft-benchfull", ".json").toString

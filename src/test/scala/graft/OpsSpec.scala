@@ -1188,6 +1188,100 @@ class OpsSpec extends SparkTestBase {
       build(mp4.length + 100, mp4.length + 200)) === None)
   }
 
+  test("video payloads embed from DECODED FRAME CONTENT pooled over " +
+      "time, not a digest") {
+    import graft.ops.Multimodal
+    import java.nio.ByteBuffer
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(tpe.getBytes("ISO-8859-1"))
+        .put(payload)
+      b.array()
+    }
+    def fullBox(ints: Int*): Array[Byte] = {
+      val b = ByteBuffer.allocate(4 * (ints.length + 1))
+      b.putInt(0); ints.foreach(b.putInt)
+      b.array()
+    }
+    def frameImg(w: Int, h: Int, base: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (base + x * 3 + y * 5) & 0xffffff)
+      img
+    }
+    def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    // an MP4 whose samples are image-coded frames (MJPEG-style), one
+    // chunk, real stsz/stco/stsc tables — the fixtures' video shape
+    def mp4Of(frames: Seq[Array[Byte]]): Array[Byte] = {
+      def build(c1: Int): Array[Byte] = {
+        val stsz = box("stsz", fullBox(
+          Seq(0, frames.length) ++ frames.map(_.length): _*))
+        val stco = box("stco", fullBox(1, c1))
+        val stsc = box("stsc", fullBox(1, 1, frames.length, 1))
+        val stts = box("stts", fullBox(1, frames.length, 100))
+        val tkhd = {
+          val b = ByteBuffer.allocate(84)
+          b.position(76); b.putInt(16 << 16).putInt(16 << 16); b.array()
+        }
+        box("ftyp", "isom0000".getBytes("ISO-8859-1")) ++
+          box("moov", box("trak", box("tkhd", tkhd) ++
+            box("mdia", box("minf", box("stbl",
+              stts ++ stsz ++ stco ++ stsc))))) ++
+          box("mdat", frames.flatten.toArray)
+      }
+      val probe = build(0)
+      build(probe.length - frames.map(_.length).sum)
+    }
+    // bright footage vs dark footage; the bright one ALSO as a BMP
+    // re-encode (same pixels, different bytes — a digest would scatter)
+    val brightImgs = Seq(frameImg(16, 16, 0xc0c0c0), frameImg(16, 16, 0xb0c0d0))
+    val darkImgs = Seq(frameImg(16, 16, 0x000000), frameImg(16, 16, 0x101418))
+    val brightMp4 = mp4Of(brightImgs.map(encode(_, "png")))
+    val brightBmp = mp4Of(brightImgs.map(encode(_, "bmp")))
+    val darkMp4 = mp4Of(darkImgs.map(encode(_, "png")))
+    val eB = Multimodal.videoEmbedding(brightMp4).get
+    val eB2 = Multimodal.videoEmbedding(brightBmp).get
+    val eD = Multimodal.videoEmbedding(darkMp4).get
+    assert(eB.forall(v => v >= 0.0 && v <= 1.0))
+    def d(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(d(eB, eB2) < 0.02, s"re-encode moved the embedding: ${d(eB, eB2)}")
+    assert(d(eB, eD) > 0.2, s"different footage too close: ${d(eB, eD)}")
+    // end-to-end retrieval through the typed encoder: each video's
+    // top-1 neighbor is its re-encode, not the other footage
+    val darkBmp = mp4Of(darkImgs.map(encode(_, "bmp")))
+    val media = Seq(
+      Multimodal.MediaRecord(0L, brightMp4, "video/mp4"),
+      Multimodal.MediaRecord(1L, darkMp4, "video/mp4"),
+      Multimodal.MediaRecord(10L, brightBmp, "video/mp4"),
+      Multimodal.MediaRecord(11L, darkBmp, "video/mp4"),
+      Multimodal.MediaRecord(20L, "opaque payload".getBytes, "application/x")
+    ).toDS()
+    val top1 = Multimodal.annRetrieveMedia(media, nQueries = 2, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1 === Map(0L -> 10L, 1L -> 11L),
+      s"video retrieval did not pair re-encodes: $top1")
+    // a video whose samples are an undecodable codec bitstream (or a
+    // payload that isn't BMFF at all) falls back to the digest stub —
+    // identical to embedStub's arithmetic (O17)
+    val bitstream = mp4Of(Seq(Array.tabulate[Byte](64)(i => (i * 7).toByte)))
+    assert(Multimodal.videoEmbedding(bitstream).isEmpty)
+    val junk = "not a video".getBytes("UTF-8")
+    val stubbed = Multimodal.embedMedia(Seq(
+        Multimodal.MediaRecord(5L, junk, "video/mp4")).toDS())
+      .select(col("embedding")).as[Seq[Double]].head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dg = md.digest(junk).map("%02x".format(_)).mkString
+    val expect = (0 until 8).map(i =>
+      java.lang.Long.parseLong(dg.substring(i * 2, i * 2 + 2), 16) / 255.0)
+    assert(stubbed === expect)
+  }
+
   test("image payloads decode and resize for REAL through javax.imageio") {
     // the codec swap point made real: image/png payloads take the JVM
     // ImageIO decode/resize arm end to end through the SAME typed
@@ -1835,34 +1929,55 @@ class OpsSpec extends SparkTestBase {
     assert(r2.getAs[Long]("n_wedges") > 0L)
   }
 
-  test("PII scan finds every planted span and redaction removes them all") {
+  test("PII scan finds every planted span, Luhn separates valid from " +
+      "card-shaped, and redaction removes them all") {
     import graft.ops.Text
     val got = Text.piiScan(Tables.documents(spark, sf))
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
     assert(got.nonEmpty)
-    got.foreach { case (id, (ne, ni, np, _)) =>
-      // every doc gets one planted email; ids divisible by 3 an IPv4,
-      // by 5 a phone span; fixture text itself carries none
+    got.foreach { case (id, (ne, nip, nintl, np, niban, ncard, nvalid)) =>
+      // plant schedule: every doc an email; every 3rd an IPv4, 4th an
+      // intl phone, 5th a local phone, 6th an IBAN, 7th a Luhn-valid
+      // card, 11th a Luhn-INVALID card; fixture text carries none
       assert(ne === 1L, s"doc $id emails: $ne")
-      assert(ni === (if (id % 3 == 0) 1L else 0L), s"doc $id ips: $ni")
+      assert(nip === (if (id % 3 == 0) 1L else 0L), s"doc $id ips: $nip")
+      assert(nintl === (if (id % 4 == 0) 1L else 0L), s"doc $id intl: $nintl")
       assert(np === (if (id % 5 == 0) 1L else 0L), s"doc $id phones: $np")
+      assert(niban === (if (id % 6 == 0) 1L else 0L), s"doc $id ibans: $niban")
+      val cards = (if (id % 7 == 0) 1L else 0L) + (if (id % 11 == 0) 1L else 0L)
+      assert(ncard === cards, s"doc $id cards: $ncard != $cards")
+      // the checksum discriminates: ONLY the mod-7 plant validates
+      assert(nvalid === (if (id % 7 == 0) 1L else 0L),
+        s"doc $id luhn-valid: $nvalid")
     }
     // redaction is complete: re-scanning the redacted text finds nothing
+    // (includes a Luhn-valid test card — redaction is pattern-shaped)
     val redactedClean = Tables.documents(spark, sf).select(col("doc_id"),
-        regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(
             concat(col("text"), lit(" u"), col("doc_id"),
-              lit("@x.org 1.2.3.4 call 555-0100")),
-            Text.piiEmailRe, "<EMAIL>"), Text.piiIpv4Re, "<IP>"),
-          Text.piiPhoneRe, "<PHONE>").as("text"))
+              lit("@x.org 1.2.3.4 call 555-0100 tel +1-212-555-0148" +
+                " iban DE02120300000000202051 card 4111-1111-1111-1111")),
+            Text.piiEmailRe, "<EMAIL>"), Text.piiIbanRe, "<IBAN>"),
+          Text.piiCardRe, "<CARD>"), Text.piiIntlPhoneRe, "<INTL>"),
+          Text.piiIpv4Re, "<IP>"), Text.piiPhoneRe, "<PHONE>").as("text"))
     val rescan = redactedClean
-      .select((size(regexp_extract_all(col("text"), lit(Text.piiEmailRe),
-          lit(0))) +
-        size(regexp_extract_all(col("text"), lit(Text.piiIpv4Re), lit(0))) +
-        size(regexp_extract_all(col("text"), lit(Text.piiPhoneRe), lit(0))))
-        .cast("long").as("n"))
+      .select(Seq(Text.piiEmailRe, Text.piiIpv4Re, Text.piiIntlPhoneRe,
+          Text.piiPhoneRe, Text.piiIbanRe, Text.piiCardRe)
+        .map(re => size(regexp_extract_all(col("text"), lit(re), lit(0))))
+        .reduce(_ + _).cast("long").as("n"))
       .agg(sum(col("n"))).as[Long].head
     assert(rescan === 0L, s"redacted text still matches $rescan spans")
+    // Luhn ground truth on known numbers: 4111111111111111 is valid,
+    // one digit off is not
+    val luhn = spark.range(1).select(
+        lit("4111111111111111").as("a"), lit("4111111111111112").as("b"))
+      .select(Text.luhnSum("a", 16).as("la"), Text.luhnSum("b", 16).as("lb"))
+      .head()
+    assert(luhn.getInt(0) % 10 === 0)
+    assert(luhn.getInt(1) % 10 !== 0)
   }
 
   test("gopher gate: violation counts are independent and pass is conjunctive") {
