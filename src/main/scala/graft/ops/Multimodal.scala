@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   * dimensions and frame count from `moov/trak/tkhd` + `stts`) and
   * REAL per-frame byte ranges composed from the stsz/stco/stsc sample
   * tables ([[videoSampleRanges]] → [[frameSample]]), both spec-gated
-  * over a handcrafted MP4; only the decode of the extracted codec
-  * bitstream to pixels is out of scope (no video codec ships with the
-  * JVM). Image embeddings are CONTENT-BASED: [[pixelEmbedding]]
+  * over a handcrafted MP4. Video EMBEDDINGS are content-based too:
+  * [[videoEmbedding]] decodes the sampled frames' bytes to pixels
+  * (image-decodable stills, as in the fixtures) and mean-pools their
+  * [[pixelEmbedding]]s over time; only when the extracted sample is a
+  * true codec bitstream `javax.imageio` cannot read does the arm fall
+  * back to the digest stub (no video codec ships with the JVM —
+  * documented at [[videoEmbedding]]). Image embeddings are
+  * CONTENT-BASED: [[pixelEmbedding]]
   * computes block-mean luminance over the decoded, bilinear-resized
   * pixels, so the ANN tier ranks images by what they look like, not
   * by a digest ([[embedMedia]]/[[annRetrieveMedia]]).
