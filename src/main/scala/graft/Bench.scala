@@ -175,7 +175,15 @@ object Bench {
     // constructed (SparkEntry.armCapture), so the record run can time
     // each union branch of the ≥3-arm folds separately without
     // re-running any query's construction-time maintenance.
-    val armsEnabled = !sys.env.get("SPARK_GRAFT_ARMS").contains("0")
+    //
+    // OPT-IN (SPARK_GRAFT_ARMS=1): arm capture + the per-arm re-count
+    // pass add most of a board-equivalent of wall-clock, and the
+    // driver's bench budget is fixed — round 10's default-on arms
+    // were part of why the official run timed out (rc 124). The
+    // committed bench_full.json carries `_arms` only when a local
+    // arms-enabled run wrote it; the official driver run measures the
+    // folds' 2-3-pass minimums only.
+    val armsEnabled = sys.env.get("SPARK_GRAFT_ARMS").contains("1")
     val armFrames = scala.collection.mutable.LinkedHashMap[
       String, Seq[(String, org.apache.spark.sql.DataFrame)]]()
     names.foreach { n =>
@@ -188,7 +196,7 @@ object Bench {
         if (buf.size >= 3) armFrames += n -> buf.toSeq
       } else runOnce(n)
     }
-    // Three measured passes, per-query MIN, each pass in a DIFFERENT
+    // Measured passes, per-query MIN, each pass in a DIFFERENT
     // deterministic order: a single pass carries run-order noise (GC,
     // lazy JIT tiers, OS page cache), and identically-ordered sweeps put
     // every query at the same wall-clock offset each pass, so a machine
@@ -196,7 +204,21 @@ object Bench {
     // passes (round 5: dedup_minhash recorded 19.2 s in both driver
     // passes while a quiet re-run of the same binary gave 0.76 s).
     // Permuting per pass decorrelates query identity from spike timing.
-    val passes = (0 until 3).map { i =>
+    //
+    // PASS COUNT is adaptive to the just-measured noise index: on a
+    // QUIET box (controls ≤ 1.1× their round-1 seconds) two permuted
+    // passes already bound run-order noise and the third pass is a
+    // board-equivalent of wall-clock the driver budget can't spare;
+    // on a noisy box (ratio > 1.1, or no control reading at all) the
+    // third pass stays — that is exactly when permutation earns its
+    // cost. SPARK_GRAFT_PASSES overrides for experiments.
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse {
+      val quiet = noiseIndex.exists { case (_, r01s, nows) =>
+        nows / r01s <= 1.1 }
+      if (quiet) 2 else 3
+    }
+    System.err.println(s"[bench] timed passes: $nPasses")
+    val passes = (0 until nPasses).map { i =>
       val order = new scala.util.Random(7919 * (i + 1)).shuffle(names)
       order.map(n => n -> runOnce(n)).toMap
     }
@@ -260,6 +282,14 @@ object Bench {
 
   /** Per-query seconds of the committed ROUND-1 record (the values ride
     * inside its escaped "tail" string). Empty map when absent.
+    *
+    * Stays a REGEX scan deliberately: the driver's tail capture
+    * truncates the record's inner JSON line at the FRONT (the
+    * committed file starts mid-key), so no JSON parser can read it —
+    * the regex harvests whatever well-formed `"name":seconds` pairs
+    * survive. BenchRecordSpec pins the harvest (≥50 names, nonzero
+    * seconds) so a format drift fails the suite, not silently the
+    * noise index.
     */
   def readR01(): Map[String, Double] =
     try {
@@ -272,20 +302,64 @@ object Bench {
         .toMap
     } catch { case _: Throwable => Map.empty }
 
+  /** A parsed bench_full.json record: the TOP-LEVEL per-query seconds
+    * (nested `_arms`/`_reruns` sub-timings excluded by construction),
+    * the merged-run count, the noise index, and the record's SF tag.
+    */
+  final case class BenchRecord(queries: Map[String, Double], runs: Int,
+                               noise: Option[(Int, Double, Double)],
+                               sf: Option[String],
+                               armsJson: Option[String])
+
+  /** Real-JSON parse of a bench_full.json record (jackson, shipped in
+    * Spark's classpath). Only top-level numeric fields whose name does
+    * not start with `_` count as query values, so an arm tag that
+    * happened to collide with a query name could never floor that
+    * query's committed minimum (the old regex scan had exactly that
+    * hazard); a malformed record parses to None — loudly nothing,
+    * never a silently partial map.
+    */
+  private[graft] def parseRecord(txt: String): Option[BenchRecord] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      if (root == null || !root.isObject) None
+      else {
+        val qs = root.fieldNames().asScala.filterNot(_.startsWith("_"))
+          .flatMap { k =>
+            val v = root.get(k)
+            if (v.isNumber) Some(k -> v.asDouble()) else None
+          }.toMap
+        val runs = Option(root.get("_runs")).filter(_.isInt)
+          .map(_.asInt()).getOrElse(1)
+        val noise = Option(root.get("_noise_index")).filter(_.isObject)
+          .flatMap { n =>
+            (Option(n.get("n")), Option(n.get("r01_sec")),
+              Option(n.get("now_sec"))) match {
+              case (Some(a), Some(b), Some(c))
+                  if a.isNumber && b.isNumber && c.isNumber =>
+                Some((a.asInt(), b.asDouble(), c.asDouble()))
+              case _ => None
+            }
+          }
+        val sf = Option(root.get("_sf")).filter(_.isTextual).map(_.asText())
+        val arms = Option(root.get("_arms")).filter(_.isObject)
+          .map(_.toString).filter(_ != "{}")
+        Some(BenchRecord(qs, runs, noise, sf, arms))
+      }
+    } catch { case _: Throwable => None }
+
   /** Prior-round per-query seconds for the outlier defense: the
     * committed bench_full.json (or SPARK_GRAFT_BENCH_REF). Missing or
-    * unparseable file → empty map → no re-runs, plain 3-pass minimums.
+    * unparseable file → empty map → no re-runs, plain pass minimums.
     */
   def readRef(): Map[String, Double] = {
     val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF",
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
-    try {
-      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-      val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
-      entry.findAllMatchIn(txt)
-        .filterNot(_.group(1).startsWith("_"))
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+    try parseRecord(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path)))
+      .map(_.queries).getOrElse(Map.empty)
+    catch { case _: Throwable => Map.empty }
   }
 
   /** All per-query minimums → bench_full.json in the repo root (or
@@ -312,33 +386,21 @@ object Bench {
                 merge: Boolean = false): Unit = {
     val path = pathOverride.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
-    // prior same-SF record for the merge: per-query values keyed by the
-    // NEW result names only (the regex also matches nested arm tags,
-    // which never collide with query names), plus its run count and
-    // noise index
-    val prior: Option[String] =
+    // prior same-SF record for the merge: TOP-LEVEL per-query values
+    // only (real JSON parse — nested arm tags and rerun sub-timings
+    // can never floor a query's committed minimum), keyed by the NEW
+    // result names, plus the record's run count and noise index
+    val names = results.map(_._1).toSet
+    val prior: Option[BenchRecord] =
       if (!merge) None
-      else try Some(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(path))) catch { case _: Throwable => None }
-    val priorOk = prior.exists(_.contains("\"_sf\": \"" + sfDir + "\""))
+      else (try Some(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(path))) catch { case _: Throwable => None })
+        .flatMap(parseRecord)
+        .filter(_.sf.contains(sfDir))
     val priorVals: Map[String, Double] =
-      if (!priorOk) Map.empty
-      else {
-        val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
-        val names = results.map(_._1).toSet
-        entry.findAllMatchIn(prior.get)
-          .filter(m => names.contains(m.group(1)))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
-    val priorRuns: Int =
-      if (!priorOk) 0
-      else """"_runs": (\d+)""".r.findFirstMatchIn(prior.get)
-        .map(_.group(1).toInt).getOrElse(1)
-    val priorNoise: Option[(Int, Double, Double)] =
-      if (!priorOk) None
-      else ("""_noise_index": \{"n": (\d+), "r01_sec": ([0-9.]+), """ +
-          """"now_sec": ([0-9.]+)""").r.findFirstMatchIn(prior.get)
-        .map(m => (m.group(1).toInt, m.group(2).toDouble, m.group(3).toDouble))
+      prior.map(_.queries.filter(kv => names(kv._1))).getOrElse(Map.empty)
+    val priorRuns: Int = prior.map(_.runs).getOrElse(0)
+    val priorNoise: Option[(Int, Double, Double)] = prior.flatMap(_.noise)
     val merged = results.map { case (k, v) =>
       k -> math.min(v, priorVals.getOrElse(k, v)) }
     val mergedNoise = (noiseIndex, priorNoise) match {
@@ -355,10 +417,15 @@ object Bench {
     val rr = reruns.map { case (n, m, s) =>
       "\"" + n + "\": {\"measured\": " + f"$m%.3f" + ", \"solo\": " + f"$s%.3f" + "}"
     }.mkString("{", ", ", "}")
-    val am = arms.map { case (n, ts) =>
-      "\"" + n + "\": {" + ts.map { case (tag, v) =>
-        "\"" + tag + "\": " + f"$v%.3f" }.mkString(", ") + "}"
-    }.mkString("{", ", ", "}")
+    // arm sub-timings are OPT-IN (SPARK_GRAFT_ARMS=1): a merge run
+    // without them keeps the prior record's _arms block instead of
+    // clobbering it with {}
+    val am =
+      if (arms.isEmpty) prior.flatMap(_.armsJson).getOrElse("{}")
+      else arms.map { case (n, ts) =>
+        "\"" + n + "\": {" + ts.map { case (tag, v) =>
+          "\"" + tag + "\": " + f"$v%.3f" }.mkString(", ") + "}"
+      }.mkString("{", ", ", "}")
     val ni = mergedNoise.map { case (n, r01s, nows) =>
       f"""  "_noise_index": {"n": $n, "r01_sec": $r01s%.3f, "now_sec": $nows%.3f, "ratio": ${nows / r01s}%.3f},\n"""
     }.getOrElse("")

@@ -585,8 +585,14 @@ object PlanAudit {
       // the final plan — its pruning is byte-gated in graft.WeakScale
       ("candidates ride their one-pass checkpoint",
         _.contains("Scan ExistingRDD")),
+      // the prune can print three ways depending on candidate bucket
+      // count: IN (…) below the OptimizeIn threshold (10), INSET
+      // above it, and a plain equality when it folds to one bucket —
+      // all three are the pushed db-bucket prune
       ("shingle sidecar pruned to the candidates' doc buckets",
-        p => p.contains("db#") && p.contains(" IN (")),
+        p => p.contains("db#") && (p.contains(" IN (") ||
+          p.contains("INSET") || """db#\d+L? = \d+""".r
+            .findFirstIn(p).nonEmpty)),
       ("no cartesian/BNL pair enumeration", p =>
         !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")))

@@ -622,7 +622,7 @@ object SparkEntry {
     // append into the cell partitions (dynamic partition overwrite),
     // then probes the merged layout over the full corpus
     "sim_ivfpq_append" -> ((s, d) =>
-      Similarity.ivfpqAppendProbe(embeddings(s, d), ivfpqAppendIndexBase(d), 8, 5)),
+      Similarity.ivfpqAppendProbe(embeddings(s, d), ivfpqMod5IndexBase(d), 8, 5)),
     // index deletion: every seventh vector tombstones out of the
     // standing index; the probe serves around the sidecar with NO
     // layout rewrite and is already exact (quantizers keep their
@@ -634,7 +634,7 @@ object SparkEntry {
     // the production probe serves after each — one tagged result block
     // per ingest step, the ANN twin of dedup_admit
     "sim_ivfpq_admit" -> ((s, d) =>
-      Similarity.ivfpqAdmitProbe(embeddings(s, d), ivfpqAdmitIndexBase(d),
+      Similarity.ivfpqAdmitProbe(embeddings(s, d), ivfpqMod5IndexBase(d),
         3, 8, 5)),
     "txt_span_cut" -> ((s, d) => Text.spanCut(documents(s, d))),
     "txt_hybrid_rrf" -> ((s, d) => Text.hybridRrf(documents(s, d))),
@@ -756,8 +756,14 @@ object SparkEntry {
     s"${System.getProperty("java.io.tmpdir")}/graft_dedup_admit/" +
       new java.io.File(sfDir).getName
 
-  private def ivfpqAdmitIndexBase(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_admit/" +
+  /** ONE standing mod-5 layout serves BOTH IVFADC maintenance slots
+    * (`sim_ivfpq_append`, `sim_ivfpq_admit`): same base split, same
+    * base-trained quantizers, same marker contract — one base build
+    * and one pristine cache instead of two
+    * ([[graft.ops.Similarity.ensureMod5Base]]).
+    */
+  private def ivfpqMod5IndexBase(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_mod5/" +
       new java.io.File(sfDir).getName
 
   private def bm25IndexBase(sfDir: String): String =
@@ -782,10 +788,6 @@ object SparkEntry {
 
   private def lmCompactIndexBase(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_lm_compact/" +
-      new java.io.File(sfDir).getName
-
-  private def ivfpqAppendIndexBase(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_append/" +
       new java.io.File(sfDir).getName
 
   private def hybridAnnIndexBase(sfDir: String): String =

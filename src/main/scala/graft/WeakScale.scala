@@ -336,6 +336,41 @@ object WeakScale {
       report(s"dedup_probed_bands_mb_x$k", probedBandBytes / 1e6)
       report(s"dedup_probed_shingles_mb_x$k", probedShingleBytes / 1e6)
       report(s"dedup_admit_delta_mb_x$k", admitDeltaBytes / 1e6)
+
+      // segment write fan-out tracks the batch: a second admission
+      // (fresh novel docs, tiny docsPerSegFile so the small fixture
+      // exercises the fan) must split its shingle segment into
+      // ~ceil(admitted / docsPerSegFile) files — the production
+      // streaming path must never funnel a large replay batch's
+      // segment through one write task
+      if (k == 1) {
+        def shingleSegDirs(): Set[String] = {
+          val root = s"$dedupBase/shingles_delta"
+          if (!graft.sources.IndexFS.exists(root)) Set.empty
+          else graft.sources.IndexFS.listNames(root)
+            .filterNot(_.startsWith("_")).flatMap(g =>
+              graft.sources.IndexFS.listNames(s"$root/$g")
+                .filter(_.startsWith("seg="))
+                .map(s => s"$root/$g/$s")).toSet
+        }
+        val before = shingleSegDirs()
+        val batch2 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+          .withColumn("text", reverse(col("text")))
+          .withColumn("doc_id", col("doc_id") + lit(910000000L))
+          .localCheckpoint()
+        val v2 = graft.ops.Dedup.dedupAdmit(batch2, dedupBase,
+          docsPerSegFile = 8L)
+        val nAdm2 = v2.filter(col("admitted") && !col("already_indexed"))
+          .count()
+        val newSegs = (shingleSegDirs() -- before).toSeq
+        val segFiles = newSegs.map(d => graft.sources.IndexFS.listNames(d)
+          .count(_.startsWith("part-"))).sum
+        val expected = math.max(1L, (nAdm2 + 7L) / 8L)
+        report("dedup_seg_fanout_admitted", nAdm2.toDouble)
+        report("dedup_seg_fanout_files", segFiles.toDouble)
+        report("dedup_seg_fanout_expected", expected.toDouble)
+      }
     }
 
     // ---------- the claims, as checks ----------
@@ -521,6 +556,16 @@ object WeakScale {
       f"${results("dedup_admit_write_mb_x1")}%.2f × 2 + 1",
       results(s"dedup_admit_write_mb_x$scaleK") <=
         results("dedup_admit_write_mb_x1") * 2.0 + 1.0)
+    // segment write parallelism tracks the batch (Dedup.dedupAdmit's
+    // docsPerSegFile sizing): fanned out past one file, and never past
+    // ceil(admitted / docsPerSegFile)
+    check(f"dedup admit shingle segment fans out with the batch: " +
+      f"2 <= ${results("dedup_seg_fanout_files")}%.0f files <= " +
+      f"ceil(${results("dedup_seg_fanout_admitted")}%.0f/8) = " +
+      f"${results("dedup_seg_fanout_expected")}%.0f",
+      results("dedup_seg_fanout_files") >= 2 &&
+        results("dedup_seg_fanout_files") <=
+          results("dedup_seg_fanout_expected"))
     println(if (failures == 0) "== weak-scaling: ALL PASS =="
       else s"== weak-scaling: $failures FAILURES ==")
     spark.stop()

@@ -334,7 +334,7 @@ object Dedup {
     s"graft-neardup v2 bands=$numBands rpb=$rowsPerBand w=$w " +
       s"src=${graft.ops.Similarity.inputListingFp(history)} split=trainval"
 
-  /** Bucket count for the v3 layout's prunable partitions: ~64 docs
+  /** Bucket count for the v3 layout's prunable partitions: ~128 docs
     * per bucket, rounded up to a power of two, floored at 16 and
     * capped at 64k — buckets stay a constant SIZE as the corpus grows
     * (the COUNT grows), which is what keeps a fixed admission batch's
@@ -353,6 +353,13 @@ object Dedup {
     b
   }
 
+  /** Admission delta-segment sizing: admitted docs per shingle file.
+    * At a realistic shingle fan (a few hundred 16-byte rows per doc)
+    * this lands each segment file in the ~64-128 MB parquet sweet
+    * spot; a deployment tunes it like any target-file-size knob.
+    */
+  private[graft] val defaultDocsPerSegFile = 32768L
+
   /** (kb, db) bucket geometry recorded in the layout's marker. */
   private def bucketGeometry(base: String): (Int, Int) = {
     val txt = IndexFS.readStringOpt(s"$base/MARKER").getOrElse(
@@ -360,7 +367,8 @@ object Dedup {
     def field(k: String): Int =
       s"$k=(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
         .getOrElse(throw new IllegalStateException(
-          s"marker at $base carries no $k= geometry"))
+          s"marker at $base carries no $k= geometry — pre-v3 layout; " +
+            "run dedupBuildIndex(history, base) to upgrade it"))
     (field("kb"), field("db"))
   }
 
@@ -554,9 +562,21 @@ object Dedup {
     *
     * Returns one verdict row per batch document:
     * (doc_id, already_indexed, n_cands, n_dups, dup_of, admitted).
+    *
+    * LAYOUT CONTRACT — the gate never rebuilds: unlike
+    * [[dedupProbe]]/[[dedupBuildIndex]] (which self-upgrade a stale
+    * layout, because they hold the full history corpus), the
+    * admission gate sees only the BATCH — it could not rebuild the
+    * standing index even if it wanted to. A pre-v3 layout fails
+    * loudly up front ([[graft.sources.IndexFS.requireVersion]]:
+    * "rebuild it before probing"), and a missing/geometry-less
+    * marker fails the same way below; the operator that owns the
+    * history runs `dedupBuildIndex` to upgrade, then admission
+    * resumes.
     */
   def dedupAdmit(batch: DataFrame, base: String, w: Int = 3,
-                 threshold: Double = 0.3): DataFrame =
+                 threshold: Double = 0.3,
+                 docsPerSegFile: Long = defaultDocsPerSegFile): DataFrame =
       IndexFS.withWriterLease(base) {
     val spark = batch.sparkSession
     IndexFS.requireVersion(base, "dedup")
@@ -602,15 +622,26 @@ object Dedup {
         verdicts.filter(!col("is_dup")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       .maintCheckpoint()
-    // segment id and the emptiness test come out of ONE aggregate: an
-    // order-insensitive doc-id hash sum, null iff nothing was admitted
-    // (each driver-synchronous job on this path is real latency — the
-    // admission gate runs per micro-batch)
-    val segAgg = Option(admitted
-      .agg(sum(Text.tokenHash(col("doc_id").cast("string")))).head.get(0))
-      .map(_.asInstanceOf[Long])
+    // segment id, the emptiness test, AND the admitted-doc count come
+    // out of ONE aggregate: an order-insensitive doc-id hash sum, null
+    // iff nothing was admitted (each driver-synchronous job on this
+    // path is real latency — the admission gate runs per micro-batch)
+    val segRow = admitted
+      .agg(sum(Text.tokenHash(col("doc_id").cast("string"))),
+        count(lit(1))).head
+    val segAgg = Option(segRow.get(0)).map(_.asInstanceOf[Long])
     segAgg.foreach { segSum =>
       val segId = java.lang.Long.toHexString(segSum)
+      val nAdmitted = segRow.getLong(1)
+      // segment write parallelism tracks the BATCH, not a constant:
+      // ~docsPerSegFile admitted docs per shingle file (~64-128 MB of
+      // exploded shingle rows at realistic shingle fans), so a
+      // micro-batch still writes one file while a 10^6-doc replay
+      // batch fans out to ~30 write tasks instead of funneling the
+      // whole segment through one (file-count-tracks-batch is
+      // asserted in graft.WeakScale)
+      val segFiles = math.max(1L,
+        (nAdmitted + docsPerSegFile - 1) / docsPerSegFile).toInt
       val sh = explodedShingleHashes(admitted, w).maintCheckpoint()
       // the admitted docs' band rows are a semi-join of the ALREADY
       // SIGNED batch checkpoint — signatures are never recomputed.
@@ -634,7 +665,7 @@ object Dedup {
       txn.writeParts(admBands.repartition(col("band_idx")),
         "bands_delta", Seq("seg", "band_idx"),
         (0 until numBands).map(i => Seq(segId, i.toString)))
-      txn.writeParts(sh.withColumn("seg", lit(segId)).coalesce(1),
+      txn.writeParts(sh.withColumn("seg", lit(segId)).coalesce(segFiles),
         "shingles_delta", Seq("seg"), Seq(Seq(segId)))
       txn.writeParts(
         sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))

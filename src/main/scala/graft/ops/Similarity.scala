@@ -1630,6 +1630,33 @@ object Similarity {
     ()
   }
 
+  /** Ensure `base` holds the SHARED mod-5 standing IVFADC layout both
+    * maintenance slots ([[ivfpqAppendProbe]], [[ivfpqAdmitProbe]])
+    * build on: quantizers trained on the base four-fifths
+    * (`vec_id % 5 ≠ 4`) — the realistic maintenance contract
+    * (quantizers age; appends reuse them). Cold: build + snapshot to
+    * the pristine cache. Warm with `forceRestore`: byte-identical
+    * restore from the cache (the admit replay mutates the layout and
+    * probes after each batch, so it must start clean); warm without:
+    * leave the standing layout as-is — the caller's mutation must be
+    * idempotent against any prior mutated state of it.
+    */
+  private def ensureMod5Base(embeddings: DataFrame, base: String,
+                             nlist: Int,
+                             forceRestore: Boolean = false): Unit = {
+    val expected = indexMarkerPrefix(embeddings, nlist) + " split=mod5"
+    if (forceRestore || Snapshot.layoutStale(base, "ivfpq") ||
+        !IndexFS.markerEquals(s"$base/MARKER", expected))
+      IndexFS.restorePristine(base, expected) {
+        ivfpqBuildIndex(embeddings.filter(col("vec_id") % 5 =!= 4),
+          base, nlist).count()
+        // the marker must reflect the SPLIT build keyed by the FULL
+        // corpus fingerprint (ivfpqBuildIndex stamps its own marker
+        // over the base slice only)
+        IndexFS.writeString(s"$base/MARKER", expected)
+      }
+  }
+
   /** Build-on-base → append-batch → probe, end to end: the corpus
     * splits deterministically (vec_id mod 5: four fifths are the
     * standing corpus, one fifth the incoming batch), the base index
@@ -1643,15 +1670,16 @@ object Similarity {
                        k: Int, nlist: Int = 16, nprobe: Int = 4,
                        shortlist: Int = 20): DataFrame = {
     val spark = embeddings.sparkSession
-    val baseCorpus = embeddings.filter(col("vec_id") % 5 =!= 4)
     val batch = embeddings.filter(col("vec_id") % 5 === 4)
-    val marker = s"$base/MARKER_BASE"
-    val expected = indexMarkerPrefix(embeddings, nlist) + " split=mod5"
-    if (Snapshot.layoutStale(base, "ivfpq") ||
-        !IndexFS.markerEquals(marker, expected)) {
-      ivfpqBuildIndex(baseCorpus, base, nlist).count()
-      IndexFS.writeString(marker, expected)
-    }
+    // SHARED base-layout contract with [[ivfpqAdmitProbe]] (same mod-5
+    // split, same base-trained quantizers, same marker string), so one
+    // standing layout serves BOTH maintenance slots — one base build
+    // instead of two. No pristine restore needed here: the append is
+    // idempotent against ANY admitted subset of the fifth (re-appended
+    // vec_ids anti-join away), so whatever state the admit replay left
+    // the shared layout in, appending the full fifth lands the exact
+    // one-shot-encode state this probe's oracle re-derives.
+    ensureMod5Base(embeddings, base, nlist)
     ivfpqAppend(batch, base)
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
@@ -1687,17 +1715,10 @@ object Similarity {
                       nlist: Int = 16, nprobe: Int = 4,
                       shortlist: Int = 20): DataFrame = {
     val spark = embeddings.sparkSession
-    val baseCorpus = embeddings.filter(col("vec_id") % 5 =!= 4)
-    IndexFS.restorePristine(base,
-        indexMarkerPrefix(embeddings, nlist) + " split=mod5") {
-      ivfpqBuildIndex(baseCorpus, base, nlist).count()
-      // the pristine marker must reflect the SPLIT build, not the full
-      // corpus (ivfpqBuildIndex stamps its own source fingerprint over
-      // the base slice only — same device as ivfpqAppendProbe's
-      // MARKER_BASE)
-      IndexFS.writeString(s"$base/MARKER",
-        indexMarkerPrefix(embeddings, nlist) + " split=mod5")
-    }
+    // the replay probes after EACH batch, so unlike the append slot it
+    // must start from the untouched base layout every run — force the
+    // pristine restore on the shared base
+    ensureMod5Base(embeddings, base, nlist, forceRestore = true)
     val queries = embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("embedding")).localCheckpoint()
     (0 until nBatches).map { b =>

@@ -112,6 +112,15 @@ object IndexFS {
       if (java.nio.file.Files.exists(lp)) {
         import java.nio.file._
         import java.nio.file.attribute.BasicFileAttributes
+        // single-FILE delete: Hadoop's fs.delete would also remove the
+        // ChecksumFileSystem '.name.crc' sidecar next to it — mirror
+        // that here, or a later raw-NIO recreation of the file would
+        // fail its checksum against the orphaned stale sidecar (a
+        // directory walk needs no such step: sidecars are inside)
+        if (Files.isRegularFile(lp)) {
+          val crc = lp.resolveSibling("." + lp.getFileName + ".crc")
+          Files.deleteIfExists(crc)
+        }
         Files.walkFileTree(lp, new SimpleFileVisitor[java.nio.file.Path] {
           override def visitFile(f: java.nio.file.Path,
                                  a: BasicFileAttributes): FileVisitResult = {

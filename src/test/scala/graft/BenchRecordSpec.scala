@@ -92,4 +92,67 @@ class BenchRecordSpec extends AnyFunSuite {
     }
     assert(ref("qa") === 1.0 && ref("qb") === 2.0)
   }
+
+  test("a merge run without arm timings keeps the prior _arms block") {
+    val path = java.nio.file.Files
+      .createTempFile("graft-bencharms", ".json").toString
+    Bench.writeFull(Seq("qa" -> 1.0), "/x/sf0.1",
+      arms = Seq("qa" -> Seq("a1" -> 0.5, "a2" -> 0.25)),
+      pathOverride = Some(path))
+    Bench.writeFull(Seq("qa" -> 0.9), "/x/sf0.1",
+      pathOverride = Some(path), merge = true)
+    val rec = Bench.parseRecord(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path))).get
+    assert(rec.queries === Map("qa" -> 0.9) && rec.runs === 2, rec)
+    assert(rec.armsJson.exists(_.contains("a1")), rec)
+  }
+
+  test("parseRecord round-trips every field the merge reads") {
+    val path = java.nio.file.Files
+      .createTempFile("graft-benchparse", ".json").toString
+    Bench.writeFull(
+      results = Seq("qa" -> 1.0, "qb" -> 2.0),
+      sfDir = "/x/sf0.1",
+      reruns = Seq(("qb", 9.0, 2.0)),
+      arms = Seq("qb" -> Seq("arm1" -> 0.5, "arm2" -> 0.75)),
+      pathOverride = Some(path),
+      noiseIndex = Some((5, 2.0, 3.0)))
+    val rec = Bench.parseRecord(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path))).get
+    assert(rec.queries === Map("qa" -> 1.0, "qb" -> 2.0), rec)
+    assert(rec.runs === 1 && rec.sf === Some("/x/sf0.1"), rec)
+    assert(rec.noise === Some((5, 2.0, 3.0)), rec)
+  }
+
+  test("parseRecord never lets a nested arm tag shadow a query value") {
+    // an _arms sub-timing whose tag COLLIDES with a query name (the
+    // old regex scan's hazard: it would have floored qa at 0.010)
+    val txt = """{
+      |  "qa": 5.000,
+      |  "_total": 5.000,
+      |  "_runs": 3,
+      |  "_arms": {"qfold": {"qa": 0.010, "other": 0.020}},
+      |  "_reruns": {"qa": {"measured": 0.001, "solo": 0.002}},
+      |  "_sf": "/x/sf0.1"
+      |}""".stripMargin
+    val rec = Bench.parseRecord(txt).get
+    assert(rec.queries === Map("qa" -> 5.0), rec)
+    assert(rec.runs === 3, rec)
+  }
+
+  test("parseRecord fails loudly (None / defaults) on corruption") {
+    // truncated record → None (no silently partial map)
+    assert(Bench.parseRecord("""{"qa": 1.0, "_runs": 2""") === None)
+    // non-object root → None
+    assert(Bench.parseRecord("""[1, 2]""") === None)
+    // corrupt _noise_index (missing now_sec) → record parses, noise
+    // drops to None instead of a garbage tuple
+    val rec = Bench.parseRecord(
+      """{"qa": 1.0, "_noise_index": {"n": 5, "r01_sec": 2.0},
+        | "_sf": "/x/sf0.1"}""".stripMargin).get
+    assert(rec.noise === None && rec.queries === Map("qa" -> 1.0), rec)
+    // corrupt _runs (string) → defaults to 1, queries intact
+    val rec2 = Bench.parseRecord("""{"qa": 1.0, "_runs": "x"}""").get
+    assert(rec2.runs === 1, rec2)
+  }
 }
