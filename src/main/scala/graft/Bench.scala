@@ -148,26 +148,41 @@ object Bench {
     // NOISE INDEX: the box this bench runs on drifts ±30% on an hour
     // scale (round 9's 167→230 s swing was adjudicated as environment,
     // not code), so every record carries its own weather report — a
-    // pinned CONTROL set of queries untouched since round 1, run FIRST
-    // (min over 3 passes after a warm pass), expressed as the ratio to
-    // their committed round-1 seconds. A record whose noise index is
-    // ~1.3 explains a 1.3× board without blaming the code; a real
-    // regression moves the board WITHOUT moving the controls.
+    // pinned CONTROL set of queries untouched since round 1, expressed
+    // as the ratio to their committed round-1 seconds. A record whose
+    // noise index is ~1.3 explains a 1.3× board without blaming the
+    // code; a real regression moves the board WITHOUT moving the
+    // controls.
+    //
+    // TWO readings, two jobs (round 12 — round 11 proved a single
+    // upfront probe under-reads: it stamped 0.78 while the board ran a
+    // uniform +10% vs the prior record, because 2.4 s of back-to-back
+    // control runs at t≈0 read INSTANTANEOUS state, not the sustained
+    // throughput the 20-30 min board actually experienced):
+    //  - the PROBE below (warm + min over 3 back-to-back passes) is
+    //    instantaneous by construction — it only decides the timed
+    //    pass count, and is never recorded;
+    //  - the RECORDED index is computed AFTER the measured passes from
+    //    the board's own control-query minimums: the controls ride the
+    //    permuted passes like every other query, so their samples are
+    //    spread across the full board window and their min-over-passes
+    //    is exactly as sustained a reading as the board numbers it is
+    //    meant to explain.
     val r01 = readR01()
-    val noiseIndex: Option[(Int, Double, Double)] =
-      if (subset.nonEmpty || !sfDir.endsWith("sf0.1") ||
-          !controlSet.forall(n => names.contains(n) && r01.contains(n))) None
+    val controlsComparable = subset.isEmpty && sfDir.endsWith("sf0.1") &&
+      controlSet.forall(n => names.contains(n) && r01.contains(n))
+    val probeIndex: Option[Double] =
+      if (!controlsComparable) None
       else {
         controlSet.foreach(runOnce) // warm (JIT + codegen + page cache)
-        val passes = (0 until 3).map(_ =>
+        val probePasses = (0 until 3).map(_ =>
           controlSet.map(n => n -> runOnce(n)).toMap)
-        val mins = controlSet.map(n => n -> passes.map(_(n)).min).toMap
-        val r01Sec = controlSet.map(r01).sum
-        val nowSec = controlSet.map(mins).sum
+        val mins = controlSet.map(n => probePasses.map(_(n)).min)
+        val ratio = mins.sum / controlSet.map(r01).sum
         System.err.println(
-          f"[bench] noise index: control now=$nowSec%.3f s vs r01=" +
-            f"$r01Sec%.3f s -> ${nowSec / r01Sec}%.2fx")
-        Some((controlSet.size, r01Sec, nowSec))
+          f"[bench] instantaneous probe (pass-count decision only): " +
+            f"$ratio%.2fx r01")
+        Some(ratio)
       }
 
     // warmup: full pass, untimed. The pass doubles as the ARM CAPTURE
@@ -205,24 +220,51 @@ object Bench {
     // passes while a quiet re-run of the same binary gave 0.76 s).
     // Permuting per pass decorrelates query identity from spike timing.
     //
-    // PASS COUNT is adaptive to the just-measured noise index: on a
-    // QUIET box (controls ≤ 1.1× their round-1 seconds) two permuted
-    // passes already bound run-order noise and the third pass is a
-    // board-equivalent of wall-clock the driver budget can't spare;
-    // on a noisy box (ratio > 1.1, or no control reading at all) the
-    // third pass stays — that is exactly when permutation earns its
-    // cost. SPARK_GRAFT_PASSES overrides for experiments.
-    val nPasses = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse {
-      val quiet = noiseIndex.exists { case (_, r01s, nows) =>
-        nows / r01s <= 1.1 }
-      if (quiet) 2 else 3
-    }
+    // PASS COUNT is adaptive to the just-measured instantaneous probe:
+    // on a QUIET box (controls ≤ 1.1× their round-1 seconds) two
+    // permuted passes already bound run-order noise and the third pass
+    // is a board-equivalent of wall-clock the driver budget can't
+    // spare; on a noisy box (ratio > 1.1, or no control reading at
+    // all) the third pass stays — that is exactly when permutation
+    // earns its cost. MERGE runs (SPARK_GRAFT_BENCH_MERGE=1) always
+    // take 3 passes: the probe is instantaneous and a merge run's
+    // minimums become the committed record, so the stronger defense is
+    // worth its cost there (and merge runs are builder-side, off the
+    // driver's budget). SPARK_GRAFT_PASSES overrides for experiments —
+    // parsed defensively (non-numeric or <1 falls back to the
+    // adaptive default rather than throwing after the warmup pass was
+    // already paid).
+    val mergeRun = sys.env.get("SPARK_GRAFT_BENCH_MERGE").contains("1")
+    val nPasses = sys.env.get("SPARK_GRAFT_PASSES")
+      .flatMap(_.toIntOption).filter(_ >= 1)
+      .getOrElse {
+        if (mergeRun) 3
+        else if (probeIndex.exists(_ <= 1.1)) 2
+        else 3
+      }
     System.err.println(s"[bench] timed passes: $nPasses")
     val passes = (0 until nPasses).map { i =>
       val order = new scala.util.Random(7919 * (i + 1)).shuffle(names)
       order.map(n => n -> runOnce(n)).toMap
     }
     val measured = names.map(n => n -> passes.map(_(n)).min)
+    // the RECORDED noise index (see the probe comment above): the
+    // controls' board-pass minimums vs their round-1 seconds — a
+    // sustained reading over the same window as the board numbers.
+    // The instantaneous probe values are deliberately excluded: a
+    // momentarily-quiet start must not stamp a noisy board quiet.
+    val noiseIndex: Option[(Int, Double, Double)] =
+      if (!controlsComparable) None
+      else {
+        val m = measured.toMap
+        val r01Sec = controlSet.map(r01).sum
+        val nowSec = controlSet.map(m).sum
+        System.err.println(
+          f"[bench] noise index (sustained, board-pass mins): " +
+            f"now=$nowSec%.3f s vs r01=$r01Sec%.3f s -> " +
+            f"${nowSec / r01Sec}%.2fx")
+        Some((controlSet.size, r01Sec, nowSec))
+      }
     // Outlier defense: any query whose min is still >3x its committed
     // prior-round value (bench_full.json, written by the builder on a
     // verified-quiet run) gets two solo re-runs; the official number is
@@ -260,15 +302,25 @@ object Bench {
       writeFull(results, sfDir, CodegenWatch.distinctHits,
         suspects.map(n => (n, measured.toMap.apply(n), reruns(n))), armTimes,
         noiseIndex = noiseIndex,
-        merge = sys.env.get("SPARK_GRAFT_BENCH_MERGE").contains("1"))
+        merge = mergeRun, wallS = Some(jvmElapsedS))
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED queries (record not written): " +
         failed.mkString(", "))
     println(renderLine(results, sfDir, CodegenWatch.distinctHits.size,
-      noiseIndex))
+      noiseIndex, wallS = Some(jvmElapsedS)))
     spark.stop()
   }
+
+  /** Seconds since this JVM started — the bench's own wall-clock,
+    * emitted as `wall_s` so each record self-documents its margin
+    * against the driver's fixed budget (round 11's notes claimed
+    * 21.5-26 min default runs while the driver's actual run took
+    * 40:06; nobody could see the real headroom from the artifacts).
+    */
+  def jvmElapsedS: Double =
+    (System.currentTimeMillis() -
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime) / 1e3
 
   /** The pinned noise-index control set: queries UNTOUCHED since the
     * round-1 record (same name, same operator code path), spanning the
@@ -383,24 +435,29 @@ object Bench {
                 arms: Seq[(String, Seq[(String, Double)])] = Nil,
                 pathOverride: Option[String] = None,
                 noiseIndex: Option[(Int, Double, Double)] = None,
-                merge: Boolean = false): Unit = {
+                merge: Boolean = false,
+                wallS: Option[Double] = None): Unit = {
     val path = pathOverride.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json"))
-    // prior same-SF record for the merge: TOP-LEVEL per-query values
-    // only (real JSON parse — nested arm tags and rerun sub-timings
-    // can never floor a query's committed minimum), keyed by the NEW
-    // result names, plus the record's run count and noise index
+    // prior same-SF record, read on EVERY run: a merge run floors its
+    // per-query values with it (TOP-LEVEL values only — real JSON
+    // parse, so nested arm tags and rerun sub-timings can never floor
+    // a query's committed minimum); a fresh run uses it ONLY to carry
+    // the `_arms` block forward when this run captured none (arms are
+    // opt-in visibility — without this a round's first record reset
+    // them to {} until the next arms-enabled run, ADVICE r11)
     val names = results.map(_._1).toSet
     val prior: Option[BenchRecord] =
-      if (!merge) None
-      else (try Some(java.nio.file.Files.readString(
+      (try Some(java.nio.file.Files.readString(
           java.nio.file.Paths.get(path))) catch { case _: Throwable => None })
         .flatMap(parseRecord)
         .filter(_.sf.contains(sfDir))
     val priorVals: Map[String, Double] =
-      prior.map(_.queries.filter(kv => names(kv._1))).getOrElse(Map.empty)
-    val priorRuns: Int = prior.map(_.runs).getOrElse(0)
-    val priorNoise: Option[(Int, Double, Double)] = prior.flatMap(_.noise)
+      if (!merge) Map.empty
+      else prior.map(_.queries.filter(kv => names(kv._1))).getOrElse(Map.empty)
+    val priorRuns: Int = if (merge) prior.map(_.runs).getOrElse(0) else 0
+    val priorNoise: Option[(Int, Double, Double)] =
+      if (merge) prior.flatMap(_.noise) else None
     val merged = results.map { case (k, v) =>
       k -> math.min(v, priorVals.getOrElse(k, v)) }
     val mergedNoise = (noiseIndex, priorNoise) match {
@@ -429,8 +486,9 @@ object Bench {
     val ni = mergedNoise.map { case (n, r01s, nows) =>
       f"""  "_noise_index": {"n": $n, "r01_sec": $r01s%.3f, "now_sec": $nows%.3f, "ratio": ${nows / r01s}%.3f},\n"""
     }.getOrElse("")
+    val ws = wallS.map(w => f"""  "_wall_s": $w%.1f,\n""").getOrElse("")
     val tail = s"""  "_total": ${f"${merged.map(_._2).sum}%.3f"},
-                  |$ni  "_runs": ${priorRuns + 1},
+                  |$ni$ws  "_runs": ${priorRuns + 1},
                   |  "_codegen_fallbacks": $fb,
                   |  "_reruns": $rr,
                   |  "_arms": $am,
@@ -448,7 +506,8 @@ object Bench {
     */
   def renderLine(results: Seq[(String, Double)], sfDir: String,
                  nFallbacks: Int = 0,
-                 noiseIndex: Option[(Int, Double, Double)] = None): String = {
+                 noiseIndex: Option[(Int, Double, Double)] = None,
+                 wallS: Option[Double] = None): String = {
     val headline = results.sortBy(-_._2).take(12).sortBy(_._1)
     def r(v: Double): String = f"$v%.3f"
     val qs = headline.map { case (k, v) => "\"" + k + "\":" + r(v) }
@@ -457,7 +516,8 @@ object Bench {
     val common = r01Common(results)
     val ni = noiseIndex.map { case (_, r01s, nows) =>
       s""""noise_index":${r(nows / r01s)},""" }.getOrElse("")
-    s"""{"metric":"total","value":${r(total)},"unit":"sec","n_queries":${results.size},"codegen_fallbacks":$nFallbacks,$ni$common"queries":$qs,"sf":"$sfDir"}"""
+    val ws = wallS.map(w => f""""wall_s":$w%.1f,""").getOrElse("")
+    s"""{"metric":"total","value":${r(total)},"unit":"sec","n_queries":${results.size},"codegen_fallbacks":$nFallbacks,$ni$ws$common"queries":$qs,"sf":"$sfDir"}"""
   }
 
   /** Apples-to-apples drift metric against the ROUND-1 record: the

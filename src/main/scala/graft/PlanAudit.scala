@@ -588,23 +588,28 @@ object PlanAudit {
       // the prune can print three ways depending on candidate bucket
       // count: IN (…) below the OptimizeIn threshold (10), INSET
       // above it, and a plain equality when it folds to one bucket —
-      // all three are the pushed db-bucket prune
+      // each alternative ANCHORED to the db attribute itself (a db#
+      // somewhere plus an unrelated IN/INSET on another column must
+      // not pass the audit, ADVICE r11)
       ("shingle sidecar pruned to the candidates' doc buckets",
-        p => p.contains("db#") && (p.contains(" IN (") ||
-          p.contains("INSET") || """db#\d+L? = \d+""".r
-            .findFirstIn(p).nonEmpty)),
+        p => """db#\d+L?\s+(IN \(|INSET\s|= \d+)""".r
+          .findFirstIn(p).nonEmpty),
       ("no cartesian/BNL pair enumeration", p =>
         !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")))
 
-    // BPE training: every round's vocabulary and winner materialize
-    // behind checkpoints, so the final plan is the 1-row winner scans
-    // unioned — no corpus re-scan, no pair re-enumeration downstream
+    // BPE training + encode fold: every round's vocabulary and winner
+    // materialize behind checkpoints, so the merges arm is the 1-row
+    // winner scans unioned; the encode arm adds exactly ONE corpus
+    // scan (tokenize → vocabulary-lookup join → per-doc aggregate) —
+    // the apply phase never replays the merge replaces over the corpus
     audit("txt_bpe_train")(
       ("merge table rides the per-round winner checkpoints",
         p => p.contains("Scan ExistingRDD")),
-      ("no corpus scan in the final plan (rounds materialized)",
-        p => !p.contains("Scan parquet")),
+      ("encode is ONE corpus scan (training rounds stay materialized)",
+        p => "Scan parquet".r.findAllIn(p).size == 1),
+      ("per-doc symbol counts are a hash aggregation",
+        p => p.contains("HashAggregate")),
       ("no cartesian", p => !p.contains("CartesianProduct")))
 
     // DSIR weights: the (doc, bucket, membership) feature frame is

@@ -423,9 +423,20 @@ object SparkEntry {
     // DSIR importance weights: hashed-ngram likelihood ratios against
     // a curated target set, log-free so the float weights hash-match
     "txt_dsir_weights" -> ((s, d) => Text.dsirWeights(documents(s, d))),
-    // BPE merge LEARNING on the word-frequency table: one corpus scan,
-    // then vocabulary-sized rounds — all integer counts
-    "txt_bpe_train" -> ((s, d) => Text.bpeTrain(documents(s, d))),
+    // BPE merge LEARNING on the word-frequency table (one corpus scan,
+    // then vocabulary-sized rounds — all integer counts) FOLDED with
+    // the corpus-wide ENCODE under the learned merges (round 12): the
+    // apply phase is a vocabulary lookup + one corpus join, reported
+    // as per-doc encoded token counts
+    "txt_bpe_train" -> ((s, d) => {
+      val (merges, encoded) = Text.bpeTrainEncode(documents(s, d))
+      foldedQuery(Seq("merge_round" -> "long", "left_sym" -> "string",
+          "right_sym" -> "string", "merged" -> "string",
+          "pair_count" -> "long", "doc_id" -> "long",
+          "n_words" -> "long", "n_syms" -> "long"),
+        "merges" -> merges,
+        "encode" -> encoded)
+    }),
     "txt_bpe_tokens" -> ((s, d) => Text.bpeTokenCounts(documents(s, d))),
     "txt_train_val_split" -> ((s, d) => Text.trainValSplit(documents(s, d))),
     "txt_split_stats" -> ((s, d) => Text.splitStats(documents(s, d))),
@@ -739,9 +750,14 @@ object SparkEntry {
     // the streaming admission gate's deterministic batch analog: three
     // fixed micro-batches replayed in order against the standing index
     // (each checked against train + everything admitted before it),
-    // with the per-doc delta-layout census read back from the snapshot
+    // with the per-doc delta-layout census read back from the snapshot.
+    // SHARED base with dedup_index_build/dedup_incr_stored (round 12,
+    // the dedup twin of the IVFADC pair): same train-split index, one
+    // build, one pristine cache — the replay force-restores pristine,
+    // and the stored probe restores before serving iff deltas are
+    // present ([[graft.ops.Dedup.incrementalNearDupStored]]).
     "dedup_admit" -> ((s, d) =>
-      Dedup.dedupAdmitProbe(documents(s, d), dedupAdmitIndexBase(d))),
+      Dedup.dedupAdmitProbe(documents(s, d), dedupIndexBase(d))),
   )
 
   /** Per-SF stored-index location for the build-once/probe-many pair
@@ -750,10 +766,6 @@ object SparkEntry {
     */
   private def ivfpqIndexBase(sfDir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index/" +
-      new java.io.File(sfDir).getName
-
-  private def dedupAdmitIndexBase(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_dedup_admit/" +
       new java.io.File(sfDir).getName
 
   /** ONE standing mod-5 layout serves BOTH IVFADC maintenance slots

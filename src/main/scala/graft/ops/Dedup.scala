@@ -438,6 +438,12 @@ object Dedup {
     IndexFS.stampVersion(base, "dedup")
     IndexFS.writeString(s"$base/MARKER",
       s"${dedupIndexMarkerPrefix(history, w)} kb=$kB db=$dB n=$histCount")
+    // prime the pristine-replay cache: the admission gate's replay
+    // ([[dedupAdmitProbe]]) shares this layout and must start each run
+    // from the untouched standing index — snapshotting here means a
+    // plain rebuild doubles as the cache build, so the replay never
+    // pays a second cold build of the same train index
+    IndexFS.snapshotPristine(base)
     snap.read(spark, "bands")
       .groupBy(col("band_idx").cast("long").as("band_idx"))
       .agg(count(lit(1)).as("n_postings"),
@@ -453,6 +459,17 @@ object Dedup {
     * [[incrementalNearDup]]: parquet round-trips the integer hashes
     * exactly, so the registry oracle IS the inline one). Rebuilds
     * lazily iff the marker is stale.
+    *
+    * SHARED-LAYOUT CONTRACT with [[dedupAdmitProbe]] (the dedup twin
+    * of the IVFADC pair's `ensureMod5Base`): both slots serve the same
+    * standing train-split index at one base — one build, one pristine
+    * cache, half the standing disk. The admission replay MUTATES the
+    * layout (delta segments of admitted non-history docs, which this
+    * probe must not see: a batch doc finding its own admitted bands
+    * would flag itself a dup), so a fresh-markered layout that carries
+    * deltas restores from the pristine cache first — a filesystem
+    * copy, not a rebuild; the cache is primed by any
+    * [[dedupBuildIndex]] run on this base.
     */
   def incrementalNearDupStored(batch: DataFrame, history: DataFrame,
                                base: String, w: Int = 3,
@@ -462,6 +479,11 @@ object Dedup {
         !IndexFS.markerFresh(s"$base/MARKER",
           dedupIndexMarkerPrefix(history, w)))
       dedupBuildIndex(history, base, w).count()
+    else if (Seq("bands_delta", "shingles_delta", "sizes_delta")
+        .exists(Snapshot.require(base).has))
+      IndexFS.restorePristine(base, dedupIndexMarkerPrefix(history, w)) {
+        dedupBuildIndex(history, base, w).count(); ()
+      }
     val snap = Snapshot.require(base)
     val (kB, dB) = bucketGeometry(base)
     // the batch's band keys live in a bounded set of key buckets
@@ -665,7 +687,12 @@ object Dedup {
       txn.writeParts(admBands.repartition(col("band_idx")),
         "bands_delta", Seq("seg", "band_idx"),
         (0 until numBands).map(i => Seq(segId, i.toString)))
-      txn.writeParts(sh.withColumn("seg", lit(segId)).coalesce(segFiles),
+      // repartition, not coalesce: coalesce can only REDUCE partition
+      // count, so the promised fan-out silently degraded to however
+      // many partitions the checkpointed shingle frame happened to
+      // have (ADVICE r11) — repartition guarantees exactly segFiles
+      // write tasks whether the upstream had 1 partition or 200
+      txn.writeParts(sh.withColumn("seg", lit(segId)).repartition(segFiles),
         "shingles_delta", Seq("seg"), Seq(Seq(segId)))
       txn.writeParts(
         sh.groupBy(col("doc_id")).agg(count(lit(1)).as("szh"))

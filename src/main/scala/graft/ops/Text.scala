@@ -285,14 +285,22 @@ object Text {
     * round's vocabulary localCheckpoints so round r+1 starts from a
     * materialized table instead of an r-deep expression tree.
     */
-  def bpeTrain(documents: DataFrame, nMerges: Int = 4): DataFrame = {
-    val spark = documents.sparkSession
-    import spark.implicits._
+  def bpeTrain(documents: DataFrame, nMerges: Int = 4): DataFrame =
+    bpeRounds(documents, nMerges)._1
+
+  /** The training loop shared by [[bpeTrain]] and [[bpeTrainEncode]]:
+    * the merge table plus the FINAL symbolized vocabulary (word →
+    * delimited symbol string after all `nMerges` merges) — the encode
+    * phase applies the learned merges by vocabulary lookup, never by
+    * re-running the per-word replaces over the corpus.
+    */
+  private def bpeRounds(documents: DataFrame,
+                        nMerges: Int): (DataFrame, DataFrame) = {
     var cur = documents
       .select(explode(tokens(lower(col("text")))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .select(col("wc"), concat(lit("|"),
+      .select(col("w"), col("wc"), concat(lit("|"),
         concat_ws("|", expr(
           "transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
         .as("s"))
@@ -314,7 +322,7 @@ object Text {
         .limit(1)
         .localCheckpoint() // 1 row: feeds the merge apply AND the report
       cur = cur.join(broadcast(winner))
-        .select(col("wc"),
+        .select(col("w"), col("wc"),
           expr("replace(s, '|' || left_sym || '|' || right_sym, " +
             "'|' || left_sym || right_sym)").as("s"))
         .localCheckpoint()
@@ -323,7 +331,37 @@ object Text {
         concat(col("left_sym"), col("right_sym")).as("merged"),
         col("pair_count"))
     }
-    merges.reduce(_.unionByName(_)).orderBy(col("merge_round"))
+    (merges.reduce(_.unionByName(_)).orderBy(col("merge_round")), cur)
+  }
+
+  /** BPE induction AND the corpus-wide ENCODE it exists for (Sennrich
+    * et al. 2016 §2's apply phase — the tokenize-for-training step a
+    * pre-training pipeline runs after learning the merges): returns
+    * the merge table plus a per-document token-count report under the
+    * learned vocabulary, `(doc_id, n_words, n_syms)` — n_syms is the
+    * document's encoded token count, all-integer so it hash-matches.
+    *
+    * Scale shape: the merges were already applied per WORD during
+    * training, so encoding is a vocabulary LOOKUP — per-word symbol
+    * counts come off the final vocabulary table (vocabulary-sized, not
+    * corpus-sized), and the corpus pass is one explode + one hash join
+    * on the word + a per-doc aggregate. No per-document replay of the
+    * merge replaces anywhere.
+    */
+  def bpeTrainEncode(documents: DataFrame,
+                     nMerges: Int = 4): (DataFrame, DataFrame) = {
+    val (merges, vocab) = bpeRounds(documents, nMerges)
+    // symbol count = boundary count: one leading '|' per symbol
+    val perWord = vocab.select(col("w"),
+      (length(col("s")) - length(translate(col("s"), "|", "")))
+        .cast("long").as("ns"))
+    val encoded = documents
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(perWord, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ns")).as("n_syms"))
+    (merges, encoded)
   }
 
   /** Deterministic train/val/test assignment by content-independent key

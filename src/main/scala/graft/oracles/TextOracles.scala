@@ -154,13 +154,18 @@ private[graft] object TextOracles {
        |WHERE c12 >= $minCount
        |ORDER BY lift DESC, w1, w2 LIMIT $k""".stripMargin
 
-  /** txt_bpe_train oracle: the merge rounds unrolled as a CTE chain —
-    * per round the overlap-counted pair statistics off the previous
-    * vocabulary, the (count DESC, left, right) argmax, and the same
-    * delimited-string greedy merge (`replace` scans left-to-right and
-    * resumes after each hit on both engines). All integer arithmetic.
+  /** txt_bpe_train oracle (merges + encode fold): the merge rounds
+    * unrolled as a CTE chain — per round the overlap-counted pair
+    * statistics off the previous vocabulary, the
+    * (count DESC, left, right) argmax, and the same delimited-string
+    * greedy merge (`replace` scans left-to-right and resumes after
+    * each hit on both engines); the encode arm applies the FINAL
+    * vocabulary by word lookup (symbol count = '|' boundary count)
+    * and reports per-doc encoded token counts. All integer
+    * arithmetic. The CTE chain keeps `w` so the last round IS the
+    * lookup table.
     */
-  def bpeTrainOracle(nMerges: Int): String = {
+  private def bpeCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       s"""p$r AS (SELECT pr.l AS left_sym, pr.r AS right_sym,
          |    CAST(sum(wc) AS BIGINT) AS pair_count
@@ -173,24 +178,50 @@ private[graft] object TextOracles {
          |  GROUP BY 1, 2),
          |m$r AS MATERIALIZED (SELECT left_sym, right_sym, pair_count
          |  FROM p$r ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1),
-         |w$r AS MATERIALIZED (SELECT wc,
+         |w$r AS MATERIALIZED (SELECT w, wc,
          |    replace(s, '|' || left_sym || '|' || right_sym,
          |      '|' || left_sym || right_sym) AS s
          |  FROM w${r - 1}, m$r)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to nMerges).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS merge_round, left_sym, right_sym,
-         |  left_sym || right_sym AS merged, pair_count FROM m$r""".stripMargin
-    }.mkString("\n UNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (SELECT count(*) AS wc,
+    s"""WITH w0 AS MATERIALIZED (SELECT w, count(*) AS wc,
        |    '|' || array_to_string(list_transform(
        |      range(1, length(w) + 1), x -> substr(w, x, 1)), '|') AS s
        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
        |        FROM documents) t
        |  WHERE length(w) > 0 GROUP BY w),
-       |$rounds
-       |$sel
-       |ORDER BY merge_round""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  def bpeTrainOracle(nMerges: Int): String = {
+    val sel = (1 to nMerges).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, left_sym, right_sym,
+         |  left_sym || right_sym AS merged, pair_count FROM m$r""".stripMargin
+    }.mkString("\n UNION ALL\n")
+    val mergesSql =
+      s"""${bpeCtes(nMerges)}
+         |$sel
+         |ORDER BY merge_round""".stripMargin
+    val encodeSql =
+      s"""${bpeCtes(nMerges)},
+         |ev AS (SELECT w,
+         |    CAST(length(s) - length(replace(s, '|', '')) AS BIGINT) AS ns
+         |  FROM w$nMerges),
+         |enc AS (SELECT doc_id, w
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |        FROM documents) t
+         |  WHERE length(w) > 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(ns) AS BIGINT) AS n_syms
+         |FROM enc JOIN ev USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    Kit.foldedOracle(
+      Seq("merge_round" -> "long", "left_sym" -> "string",
+        "right_sym" -> "string", "merged" -> "string",
+        "pair_count" -> "long", "doc_id" -> "long",
+        "n_words" -> "long", "n_syms" -> "long"),
+      ("merges", Seq("merge_round", "left_sym", "right_sym", "merged",
+        "pair_count"), mergesSql),
+      ("encode", Seq("doc_id", "n_words", "n_syms"), encodeSql))
   }
 
   /** txt_dsir_weights oracle: the same hashed-ngram likelihood-ratio

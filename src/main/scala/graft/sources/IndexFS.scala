@@ -311,10 +311,26 @@ object IndexFS {
         copyLayout(cache, base)
       } else {
         build
-        deleteRecursive(cache)
-        copyLayout(base, cache)
+        // the build itself may snapshot the cache (dedupBuildIndex
+        // does, so a plain rebuild primes the shared layout's replay
+        // cache) — skip the redundant second copy when it did
+        if (!markerFresh(s"$cache/MARKER", markerPrefix)) {
+          deleteRecursive(cache)
+          copyLayout(base, cache)
+        }
       }
     }
+
+  /** Snapshot `base` into its pristine cache (`<base>_pristine`) —
+    * called by a build that wants later [[restorePristine]] calls on
+    * the same layout to restore by filesystem copy instead of
+    * re-paying the build.
+    */
+  def snapshotPristine(base: String): Unit = {
+    val cache = s"${base}_pristine"
+    deleteRecursive(cache)
+    copyLayout(base, cache)
+  }
 
   // ------------------------------------------------------------------
   // Layout-version contract. Freshness markers guard CONTENT drift

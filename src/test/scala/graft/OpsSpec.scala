@@ -2211,6 +2211,28 @@ class OpsSpec extends SparkTestBase {
       (3L, "aa", "ab", "aaab", 2L)))
   }
 
+  test("BPE encode: applies the learned merges corpus-wide by vocabulary lookup") {
+    import spark.implicits._
+    // wc: aaab ×3, ab ×2. R1 (a,a)=6 beats (a,b)=5; R2 (a,b)=5 beats
+    // (aa,a)=3; R3 (aa,ab)=3 closes aaab. Encode under all 3 merges:
+    // both words collapse to ONE symbol, so n_syms == n_words per doc.
+    val docs = Seq((1L, "aaab aaab ab", "en", "s", 0L),
+                   (2L, "ab aaab", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (merges, enc) = Text.bpeTrainEncode(docs, nMerges = 3)
+    assert(merges.collect().map(r => (r.getAs[Long]("merge_round"),
+        r.getAs[String]("merged"), r.getAs[Long]("pair_count"))).toSeq
+      === Seq((1L, "aa", 6L), (2L, "ab", 5L), (3L, "aaab", 3L)))
+    assert(enc.orderBy("doc_id").collect().map(r => (r.getLong(0),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_syms"))).toSeq
+      === Seq((1L, 3L, 3L), (2L, 2L, 2L)))
+    // partial vocabulary (2 merges): aaab stays |aa|ab = 2 symbols
+    val (_, enc2) = Text.bpeTrainEncode(docs, nMerges = 2)
+    assert(enc2.orderBy("doc_id").collect().map(r => (r.getLong(0),
+        r.getAs[Long]("n_words"), r.getAs[Long]("n_syms"))).toSeq
+      === Seq((1L, 3L, 5L), (2L, 2L, 3L)))
+  }
+
   test("mm ann retrieval: embeddings match embedStub and sims are valid cosines") {
     val docs = Tables.documents(spark, sf)
     val got = Multimodal.annRetrieve(docs, 4, 3).collect()

@@ -1420,6 +1420,48 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("shared dedup base: admit replay and stored probe are order-independent") {
+    import graft.ops.{Dedup, Text}
+    // the dedup twin of the shared IVFADC mod-5 base: dedup_index_build,
+    // dedup_incr_stored, and dedup_admit all serve ONE train-split
+    // layout. The admission replay MUTATES it (delta segments), so the
+    // stored probe must restore pristine before serving — in either
+    // order, every slot's result must equal its solo run.
+    val docs = Tables.documents(spark, sf).limit(300).localCheckpoint()
+    val split = Text.trainValSplit(docs).select(col("doc_id"), col("split"))
+    val withSplit = docs.join(split, Seq("doc_id")).localCheckpoint()
+    val train = withSplit.filter(col("split") === "train")
+    val batch = withSplit.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("text"))
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0) -> r.toSeq.tail
+
+    // order A: build → probe → admit replay → probe again
+    val baseA = tmp("dedupshareA")
+    val censusA = Dedup.dedupBuildIndex(train, baseA).collect().map(key)
+    val probeA1 = Dedup.incrementalNearDupStored(batch, train, baseA)
+      .collect().map(key)
+    val admitA = Dedup.dedupAdmitProbe(docs, baseA).collect().map(key)
+    // the replay left delta segments; the stored probe must not see them
+    val probeA2 = Dedup.incrementalNearDupStored(batch, train, baseA)
+      .collect().map(key)
+    assert(probeA2 === probeA1,
+      "stored probe changed after the admission replay mutated the shared base")
+
+    // order B: admit replay FIRST (cold — its restorePristine builds the
+    // train index and primes the cache), then the stored probe
+    val baseB = tmp("dedupshareB")
+    val admitB = Dedup.dedupAdmitProbe(docs, baseB).collect().map(key)
+    val probeB = Dedup.incrementalNearDupStored(batch, train, baseB)
+      .collect().map(key)
+    assert(admitB === admitA, "admit replay depends on slot order")
+    assert(probeB === probeA1, "stored probe depends on slot order")
+
+    // and a rebuild on the mutated base serves the same census (the
+    // build drops delta segments atomically)
+    val censusB = Dedup.dedupBuildIndex(train, baseB).collect().map(key)
+    assert(censusB === censusA, "rebuild census depends on slot order")
+  }
+
   test("iterative ops checkpoint reliably when a checkpoint dir is configured") {
     import graft.ops.Graph
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 6L), (5L, 7L),
