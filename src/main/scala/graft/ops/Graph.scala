@@ -26,20 +26,17 @@ object Graph {
     */
   val scale: Long = 1000000000000L
 
-  /** Lineage truncation for iterative driver loops. With a checkpoint
-    * directory configured (`sparkContext.setCheckpointDir` — the
-    * cluster-deployment default), rounds checkpoint RELIABLY: the
-    * round's blocks land on the checkpoint filesystem, so losing an
-    * executor mid-loop replays at most one round. Without one (bare
-    * local sessions) it falls back to executor-local blocks
-    * (`localCheckpoint`) — fast, but a recompute storm under executor
-    * loss, acceptable only where there are no executors to lose.
-    * Result-identical either way: both truncate the plan to a leaf.
+  /** Lineage truncation for iterative driver loops — delegates to
+    * [[graft.sources.Sources.truncatingCheckpoint]]: reliable
+    * checkpoints on a cluster (losing an executor mid-loop replays at
+    * most one round), one-pass DISK_ONLY local checkpoints on a local
+    * master where reliability to the same local disk buys nothing and
+    * the reliable path's second subtree execution per round is pure
+    * waste. Result-identical either way: both truncate the plan to a
+    * leaf.
     */
   private[graft] def iterCheckpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    graft.sources.Sources.truncatingCheckpoint(df)
 
   /** Nation→nation trade edges: customer's nation → supplier's nation
     * for every trade relationship in the fact table, self-loops

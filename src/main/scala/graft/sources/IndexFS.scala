@@ -202,9 +202,28 @@ object IndexFS {
             }
           override def visitFile(f: java.nio.file.Path,
                                  a: BasicFileAttributes): FileVisitResult = {
-            if (!skip(f))
-              Files.copy(f, ld.resolve(ls.relativize(f)),
-                StandardCopyOption.REPLACE_EXISTING)
+            if (!skip(f)) {
+              val dst = ld.resolve(ls.relativize(f))
+              // parquet part files are IMMUTABLE under the layout
+              // protocols (only ever created fresh via staging rename,
+              // then unlinked — never rewritten in place), so restoring
+              // them as HARDLINKS is byte-identical to a copy at zero
+              // I/O: a layout restore touches thousands of small files,
+              // and the data-plane bytes are all in the parquet. The
+              // mutable control files (markers, manifests, _VERSION —
+              // rewritten in place by RawLocalFileSystem.create — and
+              // their .crc sidecars) stay real copies: a shared inode
+              // there would let a writer corrupt the pristine cache.
+              if (f.getFileName.toString.endsWith(".parquet") &&
+                  !sys.env.contains("GRAFT_NO_HARDLINK")) {
+                Files.deleteIfExists(dst)
+                try { Files.createLink(dst, f); () }
+                catch { case _: java.io.IOException | _: UnsupportedOperationException =>
+                  Files.copy(f, dst, StandardCopyOption.REPLACE_EXISTING); ()
+                }
+              } else
+                Files.copy(f, dst, StandardCopyOption.REPLACE_EXISTING)
+            }
             FileVisitResult.CONTINUE
           }
         })

@@ -12,21 +12,59 @@ import org.apache.spark.sql.functions._
 object Sources {
 
   /** Lineage truncation for stored-layout MAINTENANCE materializations
-    * (build/append/delete/compact under the writer lease). With a
-    * checkpoint directory configured (`sparkContext.setCheckpointDir` —
-    * the cluster-deployment default) the materialized rounds land on
-    * the checkpoint FILESYSTEM: losing an executor mid-maintenance
-    * replays from durable storage instead of failing the nightly job.
-    * Without one it falls back to executor-local blocks
-    * (`localCheckpoint`) — fine where there are no executors to lose.
-    * Result-identical either way; same contract as
-    * [[graft.ops.Graph.iterCheckpoint]], packaged as syntax so the
-    * ~30 maintenance call sites stay suffix-form.
+    * (build/append/delete/compact under the writer lease) and the
+    * iterative driver loops ([[graft.ops.Graph.iterCheckpoint]]
+    * delegates here). Result-identical in every mode; what varies is
+    * WHERE the materialized rows live and how many times the subtree
+    * runs:
+    *
+    *  - **cluster** (non-local master AND a checkpoint directory
+    *    configured): RELIABLE `df.checkpoint()` — the rounds land on
+    *    the checkpoint FILESYSTEM, so losing an executor
+    *    mid-maintenance replays from durable storage instead of
+    *    failing the nightly job. Reliable checkpointing pays for that
+    *    durability by executing the subtree twice (the eager action
+    *    plus `ReliableCheckpointRDD`'s separate write job) — the
+    *    right trade where executor loss is real.
+    *  - **local master**: `localCheckpoint(eager, DISK_ONLY)` — ONE
+    *    execution, blocks on the executor's disk. A reliable
+    *    checkpoint to a local tmpdir buys zero extra durability here
+    *    (same process, same disk — if it dies, both copies die), so
+    *    the second execution was pure waste; measured across the full
+    *    board it was the largest single overhead on the maintenance
+    *    slots (round-12 bench notes). DISK_ONLY, not the default
+    *    MEMORY_AND_DISK: a 205-query board accumulates checkpoint
+    *    blocks faster than the ContextCleaner drops them, and heap
+    *    pressure from hundreds of retained block sets degraded the
+    *    whole board in the round-11 A/B — disk blocks ride the OS
+    *    page cache without competing with execution memory.
+    *
+    * `graft.checkpoint.mode` (session conf) overrides the automatic
+    * choice: `reliable` | `disk` | `memdisk` — the A/B lever; `auto`
+    * (default) picks by master/checkpoint-dir as above.
+    */
+  private[graft] def truncatingCheckpoint(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val mode = sys.env.get("SPARK_GRAFT_CKPT")
+      .orElse(df.sparkSession.conf.getOption("graft.checkpoint.mode"))
+      .getOrElse("auto")
+    mode match {
+      case "reliable" => df.checkpoint()
+      case "disk" =>
+        df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case "memdisk" => df.localCheckpoint()
+      case _ =>
+        if (!sc.isLocal && sc.getCheckpointDir.isDefined) df.checkpoint()
+        else df.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    }
+  }
+
+  /** Suffix-form syntax for [[truncatingCheckpoint]] so the ~30
+    * maintenance call sites stay one-word.
     */
   private[graft] implicit class MaintCheckpointSyntax(private val df: DataFrame) extends AnyVal {
-    def maintCheckpoint(): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    def maintCheckpoint(): DataFrame = Sources.truncatingCheckpoint(df)
   }
 
   /** CSV round-trip: header + explicit schema on read (schema inference

@@ -1462,7 +1462,7 @@ class SourcesSpec extends SparkTestBase {
     assert(censusB === censusA, "rebuild census depends on slot order")
   }
 
-  test("iterative ops checkpoint reliably when a checkpoint dir is configured") {
+  test("iterative ops checkpoint reliably in reliable mode (the cluster path)") {
     import graft.ops.Graph
     val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 6L), (5L, 7L),
       (8L, 9L), (9L, 10L), (10L, 8L)).toDF("src", "dst")
@@ -1471,6 +1471,11 @@ class SourcesSpec extends SparkTestBase {
     val withoutDir = runCc()
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
+    // a LOCAL master auto-selects one-pass DISK_ONLY local checkpoints
+    // (reliability to the same local disk buys nothing); `reliable`
+    // pins the non-local branch so its durability contract stays
+    // testable from a local suite
+    spark.conf.set("graft.checkpoint.mode", "reliable")
     try {
       val withDir = runCc()
       // result-identical: the checkpoint mode changes fault tolerance,
@@ -1482,7 +1487,34 @@ class SourcesSpec extends SparkTestBase {
         f.isDirectory && (f.getName.startsWith("rdd-") ||
           Option(f.listFiles).toSeq.flatten.exists(anyRddDir))
       assert(anyRddDir(new java.io.File(dir)),
-        "no reliable checkpoint written despite a configured dir")
+        "no reliable checkpoint written despite reliable mode")
+    } finally {
+      spark.conf.unset("graft.checkpoint.mode")
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
+  test("local-master auto checkpoint mode: one-pass local blocks, result-identical") {
+    import graft.ops.Graph
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 6L), (5L, 7L),
+      (8L, 9L), (9L, 10L), (10L, 8L)).toDF("src", "dst")
+    def runCc() = Graph.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val reference = runCc()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-auto").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      // auto on a local master: the loop must NOT route through the
+      // checkpoint directory — a reliable checkpoint to the same local
+      // disk executes every round's subtree twice for zero added
+      // durability (round-12 optimization; the bench session always
+      // configures a dir, so this branch is exactly what it measures)
+      assert(runCc() === reference)
+      def anyRddDir(f: java.io.File): Boolean =
+        f.isDirectory && (f.getName.startsWith("rdd-") ||
+          Option(f.listFiles).toSeq.flatten.exists(anyRddDir))
+      assert(!anyRddDir(new java.io.File(dir)),
+        "local-master auto mode paid a reliable checkpoint to local disk")
     } finally spark.sparkContext.setCheckpointDir(null)
   }
 
@@ -1493,6 +1525,7 @@ class SourcesSpec extends SparkTestBase {
     Text.bm25BuildIndex(docs.filter(col("doc_id") % 2 === 0), base).count()
     val dir = java.nio.file.Files.createTempDirectory("graft-maint-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set("graft.checkpoint.mode", "reliable") // the cluster branch
     try {
       // an append under a configured checkpoint dir: its merge
       // materializations must land on the checkpoint FILESYSTEM, so a
@@ -1507,6 +1540,47 @@ class SourcesSpec extends SparkTestBase {
       // and the maintained layout still serves the full corpus
       val probed = Text.bm25ProbeStored(docs, base, 5)
       assert(probed.count() > 0)
-    } finally spark.sparkContext.setCheckpointDir(null)
+    } finally {
+      spark.conf.unset("graft.checkpoint.mode")
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
+  test("hardlink restore: mutating the restored layout never touches the pristine cache") {
+    import graft.sources.IndexFS
+    val base = tmp("hardlink-restore")
+    val cache = s"${base}_pristine"
+    IndexFS.withWriterLease(base) {
+      IndexFS.mkdirs(base)
+      val txn = graft.sources.Snapshot.begin(base)
+      txn.writeFull(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "data")
+      txn.commit()
+      IndexFS.writeString(s"$base/MARKER", "hl-test v1")
+      IndexFS.snapshotPristine(base)
+    }
+    def parquetFiles(dir: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+    }
+    val cached = parquetFiles(cache).map(f =>
+      f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    assert(cached.nonEmpty)
+    // restore (hardlinks the parquet), then MUTATE the restored base:
+    // overwrite the control file in place, delete a parquet part —
+    // the exact mutation classes a maintenance writer performs
+    IndexFS.withWriterLease(base) {
+      IndexFS.wipeLayout(base)
+      IndexFS.copyLayout(cache, base)
+    }
+    IndexFS.writeString(s"$base/MARKER", "hl-test v1 MUTATED after restore")
+    parquetFiles(base).foreach(f => assert(f.delete()))
+    // the pristine cache must be byte-identical to before the mutation
+    val after = parquetFiles(cache).map(f =>
+      f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    assert(after === cached, "pristine cache changed under base mutation")
+    assert(IndexFS.readStringOpt(s"$cache/MARKER").contains("hl-test v1"),
+      "pristine MARKER changed under base mutation")
   }
 }
