@@ -11,8 +11,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * assumes a single file.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Resolved-relation cache, keyed by (session, path). Every
+    * `spark.read.parquet(path)` call runs schema inference as its own
+    * Spark job plus a fresh file listing — measured ~50-150 ms of
+    * driver/inference overhead per QUERY CONSTRUCTION, paid again on
+    * every bench pass for every query (a 205-query board re-reads the
+    * same ten fixture paths ~500 times per pass). Caching the resolved
+    * DataFrame is METADATA caching only — the logical plan and file
+    * index — never rows: every action still computes from the parquet
+    * bytes. The same assumption Spark's own catalog/FileStatusCache
+    * makes applies: a fixture path is immutable within a session (the
+    * fixtures are generated once per scale factor and never rewritten;
+    * mutable layouts — stored indexes, sinks — do NOT go through
+    * [[table]]).
+    */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    relationCache.computeIfAbsent((spark, path),
+      _ => spark.read.parquet(path))
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

@@ -50,13 +50,45 @@ object Sources {
       .getOrElse("auto")
     mode match {
       case "reliable" => df.checkpoint()
-      case "disk" =>
-        df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case "disk" => adaptiveCoalesce(
+        df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY))
       case "memdisk" => df.localCheckpoint()
       case _ =>
         if (!sc.isLocal && sc.getCheckpointDir.isDefined) df.checkpoint()
-        else df.localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        else adaptiveCoalesce(df.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY))
+    }
+  }
+
+  /** Read-side partition-count adaptation for a just-materialized
+    * checkpoint (guide §2: derive partitioning from DATA SIZE, never a
+    * constant). The CPU-heavy stages deliberately run at
+    * defaultParallelism (the `spread()` discipline), so their
+    * checkpointed output keeps e.g. 32 partitions even when it is a
+    * few KB of geometry-bounded rows — and then EVERY downstream
+    * consumer (tiny joins, broadcast collects, census counts)
+    * schedules 32+ tasks for kilobytes. The materialized byte size is
+    * known exactly post-checkpoint (the blocks are in the block
+    * manager), so size the read-side partition count as
+    * ceil(bytes / advisoryPartitionSize), clamped to [1, current] —
+    * a narrow coalesce, no shuffle. A genuinely large frame (GBs at
+    * 100 TB batch sizes) keeps its partitions untouched; downstream
+    * CPU-heavy consumers re-`spread()` explicitly regardless, so no
+    * compute stage loses parallelism. `SPARK_GRAFT_CKPT_COALESCE=0`
+    * disables (A/B lever).
+    */
+  private def adaptiveCoalesce(ck: DataFrame): DataFrame = {
+    if (sys.env.get("SPARK_GRAFT_CKPT_COALESCE").contains("0")) return ck
+    org.apache.spark.sql.graftbridge.PlanBridge.materializedFootprint(ck) match {
+      case Some((bytes, nParts)) if nParts > 1 =>
+        val advisory =
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            ck.sparkSession.conf.get(
+              "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+          catch { case _: Exception => 64L * 1024 * 1024 }
+        val target = math.max(1L, (bytes + advisory - 1) / advisory)
+        if (target < nParts) ck.coalesce(target.toInt) else ck
+      case _ => ck
     }
   }
 

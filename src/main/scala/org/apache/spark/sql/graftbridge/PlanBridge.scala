@@ -36,4 +36,21 @@ object PlanBridge {
     val node = TopKPerKeyPlan(keyCols.map(attr), orderCols.map(attr), k, child)
     ClassicDataset.ofRows(spark, node)
   }
+
+  /** For a just-materialized (eagerly local-checkpointed) DataFrame,
+    * the storage footprint of its backing persisted RDD:
+    * (bytes in memory+disk, partition count). None when the plan is
+    * not a bare LogicalRDD leaf or the RDD is not in the block
+    * manager's storage report (e.g. reliable checkpoints, which are
+    * files, not persisted blocks). Lives here because LogicalRDD is
+    * `sql.execution`-internal — same access pattern as [[topKPerKey]].
+    */
+  def materializedFootprint(df: DataFrame): Option[(Long, Int)] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => (math.max(i.memSize + i.diskSize, 1L), i.numPartitions))
+      case _ => None
+    }
 }
