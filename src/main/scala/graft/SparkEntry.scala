@@ -591,11 +591,16 @@ object SparkEntry {
     // projection, Matryoshka truncation), folded
     "sim_rerank_family" -> ((s, d) => {
       val e = embeddings(s, d)
+      // the three arms train/checkpoint independently — overlap their
+      // construction (guide §2.6); each arm computes exactly what it
+      // computed sequentially, and the fold happens on this thread
+      val arms = graft.sources.Par.run(s)(Seq(
+        () => Similarity.pqRerankTopK(e, 8, 5),
+        () => Similarity.rpRerankTopK(e, 8, 5),
+        () => Similarity.mrlRerankTopK(e, 8, 5)))
       foldedQuery(Seq("query_id" -> "long", "neighbor_id" -> "long",
           "sim" -> "double", "rank" -> "long"),
-        "pq" -> Similarity.pqRerankTopK(e, 8, 5),
-        "rp" -> Similarity.rpRerankTopK(e, 8, 5),
-        "mrl" -> Similarity.mrlRerankTopK(e, 8, 5))
+        "pq" -> arms(0), "rp" -> arms(1), "mrl" -> arms(2))
     }),
     "sim_label_prop" -> ((s, d) =>
       Similarity.labelPropagate(embeddings(s, d), 100, 5, 3)),

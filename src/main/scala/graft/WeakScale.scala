@@ -39,6 +39,23 @@ object WeakScale {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .config("spark.sql.maxMetadataStringLength", "4096")
       .config("spark.ui.enabled", "false")
+      // RELIABLE maintenance checkpoints for THIS harness only: the
+      // byte gates are statements about LAYOUT file I/O, measured via
+      // task inputMetrics — which also counts every block-manager
+      // re-read of a persisted intermediate. Under the round-12
+      // default (DISK_ONLY localCheckpoint on local masters) a
+      // maintenance op's own bounded intermediates re-read per
+      // consumer as UNCOMPRESSED rows and inflated "bytes read" ~8×
+      // against budgets stated in parquet bytes (bm25 compact ×8 read
+      // 127 MB by the counter vs 6.8 MB actually scanned from files),
+      // with ZERO change in layout I/O: the scan sets and plans are
+      // identical in both modes (reliable-checkpoint file reads never
+      // landed in inputMetrics either, which is what the r11-committed
+      // numbers were measured under). Pinning reliable mode here keeps
+      // the instrument's semantics (and cross-round comparability)
+      // while the shipped default stays DISK_ONLY for the bench and
+      // production local runs.
+      .config("graft.checkpoint.mode", "reliable")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.setCheckpointDir(

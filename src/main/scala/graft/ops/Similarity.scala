@@ -124,18 +124,35 @@ object Similarity {
   def recallGates(embeddings: DataFrame, nQueries: Int, k: Int,
                   nlist: Int = 16, nprobe: Int = 4,
                   labelMod: Int = 2): DataFrame = {
-    val bf = cosineTopK(embeddings, nQueries, k)
-      .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+    val spark = embeddings.sparkSession
+    // the four training/ground-truth chains below are INDEPENDENT of
+    // each other (bf truth; coarse quantizer; unit→PQ codebooks; the
+    // residual arm's own full training), and each one materializes
+    // eagerly through checkpointed loops — sequentially they idled the
+    // executors in every loop's tail. Overlap them from driver threads
+    // (guide §2.6); each chain computes exactly what it computed
+    // before, so the gate output is bit-identical.
+    val bfF = graft.sources.Par.submit(spark)(() =>
+      cosineTopK(embeddings, nQueries, k)
+        .select(col("query_id"), col("neighbor_id"))
+        .localCheckpoint())
     // shared training: pq/ivf/ivfpq/filtered quantize identically to
     // their standalone formulations (deterministic training over the
     // same inputs), so ONE coarse quantizer and ONE codebook table
     // serve four arms. The residual arm trains on unit vectors
     // (different centroids by construction) and stays independent;
     // SQ8's per-dim min/max "training" is one cheap aggregate.
-    val unit = unitVectors(embeddings).localCheckpoint()
-    val centroids = kmeansCentroids(embeddings, nlist)
-    val codebooks = pqCodebooks(unit).localCheckpoint()
+    val centF = graft.sources.Par.submit(spark)(() =>
+      kmeansCentroids(embeddings, nlist))
+    val unitCbF = graft.sources.Par.submit(spark) { () =>
+      val u = unitVectors(embeddings).localCheckpoint()
+      (u, pqCodebooks(u).localCheckpoint())
+    }
+    val resArmF = graft.sources.Par.submit(spark)(() =>
+      ivfpqResidualTopK(embeddings, nQueries, k))
+    val bf = graft.sources.Par.await(bfF)
+    val centroids = graft.sources.Par.await(centF)
+    val (unit, codebooks) = graft.sources.Par.await(unitCbF)
     def gate(variant: String, truth: DataFrame,
              approx: DataFrame): DataFrame =
       truth.join(approx.select(col("query_id").as("q2"),
@@ -169,7 +186,7 @@ object Similarity {
       "ivfpq" -> gate("ivfpq", bf, ivfpqTopKWith(embeddings, unit,
         centroids, codebooks, nQueries, k, nprobe)),
       "ivfpq_res" -> gate("ivfpq_res", bf,
-        ivfpqResidualTopK(embeddings, nQueries, k)),
+        graft.sources.Par.await(resArmF)),
       "ivf_filtered" -> gate("ivf_filtered", fbf, ivfFilteredTopKWith(
         embeddings, centroids, nQueries, k, nprobe, labelMod)))
     // bespoke fold (shared ground truth + quantizers): deposit the arm
@@ -951,9 +968,16 @@ object Similarity {
   def ivfpqTopK(embeddings: DataFrame, nQueries: Int, k: Int,
                 nlist: Int = 16, nprobe: Int = 4,
                 shortlist: Int = 20): DataFrame = {
+    // the coarse quantizer trains on raw embeddings, independent of
+    // the unit→codebook chain — overlap the two training loops
+    // (guide §2.6); both are deterministic, so the index and the
+    // result are bit-identical to the sequential formulation
+    val centF = graft.sources.Par.submit(embeddings.sparkSession)(() =>
+      kmeansCentroids(embeddings, nlist))
     val unit = unitVectors(embeddings).localCheckpoint()
-    ivfpqTopKWith(embeddings, unit, kmeansCentroids(embeddings, nlist),
-      pqCodebooks(unit).localCheckpoint(), nQueries, k, nprobe, shortlist)
+    val codebooks = pqCodebooks(unit).localCheckpoint()
+    ivfpqTopKWith(embeddings, unit, graft.sources.Par.await(centF),
+      codebooks, nQueries, k, nprobe, shortlist)
   }
 
   /** [[ivfpqTopK]] with precomputed unit vectors, coarse quantizer,
@@ -1179,9 +1203,13 @@ object Similarity {
     // an older same-kind layout cannot be served or extended — wipe it
     // and rebuild under the current shape (self-upgrade)
     if (Snapshot.layoutStale(base, "ivfpq")) IndexFS.wipeLayout(base)
+    // coarse-quantizer training is independent of the unit→codebook
+    // chain — overlap the two loops (guide §2.6, deterministic both)
+    val centF = graft.sources.Par.submit(spark)(() =>
+      kmeansCentroids(embeddings, nlist))
     val unit = unitVectors(embeddings).maintCheckpoint()
-    val centroids = kmeansCentroids(embeddings, nlist)
     val codebooks = pqCodebooks(unit).maintCheckpoint()
+    val centroids = graft.sources.Par.await(centF)
     // assignment feeds BOTH the cells write and the codes join —
     // checkpoint it so the corpus-wide argmax runs once, not per sink
     val assigned =

@@ -69,6 +69,15 @@ object Snapshot {
   private val warnedNonAtomic =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Inferred read schemas keyed by a component's exact sorted live-
+    * leaf list (see [[Manifest.read]] for the correctness argument:
+    * manifest-referenced leaves are immutable, so same leaves ⇒ same
+    * bytes ⇒ same schema, forever). Bounded in practice by the number
+    * of distinct (layout, manifest) states a session ever resolves.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   /** The trailing generation-stamp partition column added to every
     * snapshot-managed component. Not a data column: readers drop it.
     */
@@ -124,14 +133,34 @@ object Snapshot {
       * bounded by live data, not by maintenance history. Row-group
       * pushdown and DPP on the real partition columns are untouched.
       * Fails loudly on a component this snapshot does not carry.
+      *
+      * The read schema comes from [[schemaCache]] when this exact leaf
+      * set was inferred before: every `spark.read.parquet` without an
+      * explicit schema runs parquet footer inference as its own Spark
+      * job, and the maintenance slots issue dozens of component reads
+      * per run over history components whose leaf set did not change
+      * between replay cycles (optimization guide §1/§5 — repeated
+      * driver-side planning work in the hot path). Keying the cache on
+      * the EXACT sorted leaf list makes it correct unconditionally:
+      * manifest-referenced leaves are immutable (staged in by rename,
+      * only ever deleted by GC, stamps never reused), so the same leaf
+      * set can never carry different bytes — and any append, compact,
+      * fold, or rebuild changes the set and re-infers.
       */
     def read(spark: SparkSession, comp: String): DataFrame = {
       val c = comps.getOrElse(comp, throw new IllegalStateException(
         s"snapshot $id of $base has no component '$comp'"))
-      spark.read.option("basePath", s"$base/$comp")
-        .parquet(liveLeaves(comp): _*)
-        .filter(ownershipPred(c))
-        .drop(GSN)
+      val leaves = liveLeaves(comp)
+      val key = leaves.sorted.mkString("\n")
+      val reader = spark.read.option("basePath", s"$base/$comp")
+      val df = Option(schemaCache.get(key)) match {
+        case Some(schema) => reader.schema(schema).parquet(leaves: _*)
+        case None =>
+          val inferred = reader.parquet(leaves: _*)
+          schemaCache.put(key, inferred.schema)
+          inferred
+      }
+      df.filter(ownershipPred(c)).drop(GSN)
     }
 
     /** [[read]], or None when the component is absent from this
@@ -313,24 +342,60 @@ object Snapshot {
     private var comps: Map[String, Comp] =
       prev.map(_.comps).getOrElse(Map.empty)
     private var committed = false
+    /** In-flight staging writes; joined (and failures rethrown)
+      * before the commit's fold/publish steps.
+      */
+    private val inflight =
+      scala.collection.mutable.Buffer.empty[java.util.concurrent.Future[Unit]]
 
     /** One data write into a hidden staging directory, one rename
       * into place as `comp/gsn=<stamp>`. The staged subtree is
       * invisible to every reader until the manifest publish: readers
       * only select stamps their resolved manifest owns.
+      *
+      * The write runs ASYNCHRONOUSLY (guide §2.6): a transaction that
+      * stages several components — every build writes 3-5, every
+      * append/admit cycle 2-3 — used to run those independent write
+      * jobs strictly one after another, leaving the executors idle in
+      * each job's tail and the driver idle in each commit protocol's
+      * rename. Submitting them from pool threads overlaps job tails,
+      * commit protocols, and the caller's own driver work between
+      * calls; [[commit]] joins every write (rethrowing the first
+      * failure) before any manifest arithmetic that could observe the
+      * staged files. The written bytes, file layout, and ownership
+      * arithmetic order are exactly the sequential formulation's —
+      * each component's frame was independent by construction (all
+      * call sites stage from materialized checkpoints or disjoint
+      * derivations, never from another component's staged output).
+      * `graft.snapshot.parallelStage=false` reverts to inline writes
+      * (the A/B lever).
       */
     private def stageIn(df: DataFrame, comp: String, partCols: Seq[String],
                         stamp: Long = gsn): Unit = {
-      val stage = s"$base/.staging/$stamp-${URLEncoder.encode(comp,
-        StandardCharsets.UTF_8)}"
-      val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
-        .parquet(stage)
-      IndexFS.mkdirs(s"$base/$comp")
-      val dst = s"$base/$comp/$GSN=$stamp"
-      if (!IndexFS.rename(stage, dst))
-        throw new java.io.IOException(
-          s"snapshot stage rename $stage -> $dst failed")
+      val work: () => Unit = () => {
+        val stage = s"$base/.staging/$stamp-${URLEncoder.encode(comp,
+          StandardCharsets.UTF_8)}"
+        val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        (if (partCols.isEmpty) w else w.partitionBy(partCols: _*))
+          .parquet(stage)
+        IndexFS.mkdirs(s"$base/$comp")
+        val dst = s"$base/$comp/$GSN=$stamp"
+        if (!IndexFS.rename(stage, dst))
+          throw new java.io.IOException(
+            s"snapshot stage rename $stage -> $dst failed")
+      }
+      if (confBool("graft.snapshot.parallelStage", dflt = true))
+        inflight += Par.submit(df.sparkSession)(work)
+      else work()
+    }
+
+    /** Join every in-flight staging write, rethrowing the first
+      * failure — the barrier between data staging and the commit's
+      * manifest work.
+      */
+    private def awaitStaged(): Unit = {
+      inflight.foreach(Par.await)
+      inflight.clear()
     }
 
     /** Write `df` as the component's complete new content: this stamp
@@ -493,7 +558,9 @@ object Snapshot {
     def commit(onStep: Int => Unit = _ => ()): Manifest = {
       scala.Predef.require(!committed, s"snapshot txn on $base: double commit")
       committed = true
+      awaitStaged() // all leaves on disk before foldOwners can re-read them
       foldOwners()
+      awaitStaged() // foldOwners stages the folded generations itself
       onStep(1)
       val m = Manifest(base, nextId, comps)
       val path = s"${manifestDir(base)}/${manifestName(nextId)}"
